@@ -1,0 +1,46 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Spark-native counterpart of the reference's `TableEnvironment` +
+  * `StreamExecutionEnvironment` pair (reference:
+  * flink-table/flink-table-api-java/.../internal/TableEnvironmentImpl.java:703;
+  * flink-streaming-java/.../environment/StreamExecutionEnvironment.java:1831).
+  * One SparkSession serves batch and streaming — Catalyst replaces the Blink
+  * planner, Structured Streaming replaces the DataStream runtime.
+  *
+  * Scale notes: AQE on (runtime re-plan, skew-join splitting, SMJ->BHJ
+  * conversion); shuffle partitions sized for the local harness via
+  * SPARK_GRAFT_CPUS — on a real cluster this would be set to ~2-3x total
+  * cores and AQE coalescing handles the rest.
+  */
+object GraftSession {
+
+  def builder(master: Option[String] = None): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession
+      .builder()
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    master.fold(b)(m => b.master(m))
+  }
+
+  /** Local session for tests/benchmarks. */
+  def local(cores: Int = 0): SparkSession = {
+    val n =
+      if (cores > 0) cores.toString
+      else sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = builder(Some(s"local[$n]"))
+      .config("spark.sql.shuffle.partitions", n)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

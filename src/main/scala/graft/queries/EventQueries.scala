@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Catalog.{t, dsum}
+
+/** Time-windowed / event-table coverage (SURVEY.md §2.4 window aggs, §2.3
+  * interval + temporal joins, §2.6 deduplicate). Batch expressions of the
+  * reference's streaming operators; the same plans run unchanged as
+  * Structured Streaming queries via graft.streaming (watermark added).
+  *
+  * events.ts is ns in parquet; Spark reads µs. Oracle SQL casts through
+  * TIMESTAMP (µs) to match — see FIXTURES.md protocol note.
+  */
+object EventQueries {
+
+  val queries: Seq[Query] = Seq(
+
+    // Tumbling window aggregation (reference WindowOperator.java:96 +
+    // SliceAssigners tumbling; Spark window() col).
+    Query(
+      "q_window_tumble",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy(col("w_start"), col("event_type")),
+      Some("""SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+             |  event_type, COUNT(1) AS n,
+             |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY w_start, event_type""".stripMargin)),
+
+    // Sliding (hop) window: 1 hour size, 15 min slide — each event lands in
+    // 4 windows (reference SliceAssigners hopping; Spark window(slide)).
+    Query(
+      "q_window_hop",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("w_start"), col("n"))
+          .orderBy(col("w_start")),
+      Some("""WITH b AS (
+             |  SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |a AS (
+             |  SELECT DATE_TRUNC('hour', ts)
+             |    + INTERVAL '15 minutes' * CAST(FLOOR(EXTRACT(MINUTE FROM ts) / 15) AS INT)
+             |    - INTERVAL '15 minutes' * k.k AS w_start
+             |  FROM b, (SELECT UNNEST([0, 1, 2, 3]) AS k) k)
+             |SELECT w_start, COUNT(1) AS n FROM a
+             |GROUP BY w_start ORDER BY w_start""".stripMargin)),
+
+    // CUMULATE window (reference SqlCumulateTableFunction.java:37) — union
+    // of growing prefix windows within a 1-hour max span, 20-minute step.
+    Query(
+      "q_window_cumulate",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        // expand each event into every prefix window [hour_start, hour_start + k*20min)
+        // that contains it: k such that ts < hour_start + k*20min, k in 1..3
+        val base = ev.select(col("ts"), col("value"),
+          date_trunc("hour", col("ts")).as("w_start"))
+        val expanded = base
+          .withColumn("k", explode(array(lit(1), lit(2), lit(3))))
+          .where(col("ts") < col("w_start") + expr("make_interval(0,0,0,0,0,20,0) * k"))
+          .select(col("w_start"),
+            (col("w_start") + expr("make_interval(0,0,0,0,0,20,0) * k")).as("w_end"),
+            col("value"))
+        expanded.groupBy(col("w_start"), col("w_end"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("w_start"), col("w_end"))
+      },
+      Some("""WITH b AS (SELECT CAST(ts AS TIMESTAMP) AS ts, "value" FROM events),
+             |a AS (
+             |  SELECT DATE_TRUNC('hour', ts) AS w_start,
+             |    DATE_TRUNC('hour', ts) + INTERVAL '20 minutes' * k.k AS w_end,
+             |    ts, "value"
+             |  FROM b, (SELECT UNNEST([1, 2, 3]) AS k) k
+             |  WHERE ts < DATE_TRUNC('hour', ts) + INTERVAL '20 minutes' * k.k)
+             |SELECT w_start, w_end, COUNT(1) AS n,
+             |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM a GROUP BY 1, 2 ORDER BY w_start, w_end""".stripMargin)),
+
+    // Session window (reference EventTimeSessionWindows /
+    // session_window() in Spark) — 5-minute gap per user.
+    Query(
+      "q_window_session",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("user_id"), col("session_window.start").as("s_start"),
+            col("n"), col("sum_value"))
+          .orderBy(col("user_id"), col("s_start")),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, "value"
+             |           FROM events),
+             |x AS (
+             |  SELECT user_id, ts, "value",
+             |    CASE WHEN LAG(ts) OVER w IS NULL
+             |      OR ts - LAG(ts) OVER w > INTERVAL '5 minutes'
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |y AS (
+             |  SELECT user_id, ts, "value",
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM x)
+             |SELECT user_id, MIN(ts) AS s_start, COUNT(1) AS n,
+             |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM y GROUP BY user_id, sid
+             |ORDER BY user_id, s_start""".stripMargin)),
+
+    // Deduplicate keep-first (reference StreamExecDeduplicate.java:70,
+    // RowTimeDeduplicateFunction.java:31 — ROW_NUMBER()=1 rewrite).
+    Query(
+      "q_dedup_keep_first",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("value"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, event_id, "value" FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events) x
+             |WHERE rn = 1
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Interval join (reference StreamExecIntervalJoin.java:67 /
+    // TimeIntervalJoin.java:51): error within 10 min after a signup, same user.
+    Query(
+      "q_interval_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val a = ev.where(col("event_type") === "signup")
+          .select(col("user_id").as("u"), col("event_id").as("a_id"),
+            col("ts").as("a_ts"))
+        val b = ev.where(col("event_type") === "error")
+          .select(col("user_id").as("u2"), col("event_id").as("b_id"),
+            col("ts").as("b_ts"))
+        a.join(b, col("u") === col("u2")
+            && col("b_ts") >= col("a_ts")
+            && col("b_ts") <= col("a_ts") + expr("interval 10 minutes"))
+          .select(col("a_id"), col("b_id"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""SELECT a.event_id AS a_id, b.event_id AS b_id
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             | AND a.event_type = 'signup' AND b.event_type = 'error'
+             | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+             | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL '10 minutes'
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Temporal / as-of join (reference TemporalRowTimeJoinOperator.java:78):
+    // for each error, the latest signup of the same user at-or-before it.
+    // Scalable pattern: union both sides, one shuffle on user_id, running
+    // last_value(ignore nulls) over event time — no per-row point lookups.
+    Query(
+      "q_asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(null).cast("long").as("signup_id"), lit(1).as("is_left"))
+        val signups = ev.where(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_id").as("signup_id"), lit(0).as("is_left"))
+        // order: ts, then signups before errors at equal ts (inclusive as-of),
+        // then event_id for total determinism; take the max signup at equal ts.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_left"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        errors.unionByName(signups)
+          .withColumn("asof_id", last(col("signup_id"), ignoreNulls = true).over(w))
+          .where(col("is_left") === 1)
+          .select(col("event_id"), col("asof_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id,
+             |  (SELECT s.event_id FROM events s
+             |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+             |     AND s.ts <= e.ts
+             |   ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS asof_id
+             |FROM events e
+             |WHERE e.event_type = 'error'
+             |ORDER BY e.event_id""".stripMargin)))
+}

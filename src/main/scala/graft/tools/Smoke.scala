@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Local replica of the driver's t1 smoke gate: SparkEntry.entry on
+  * sf0.001 must return rows > 0. Dev tool, not library surface.
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    df.show(5, truncate = false)
+    println(s"[smoke] entry rows=$n ${if (n > 0) "OK" else "EMPTY — FAIL"}")
+    spark.stop()
+    if (n == 0) sys.exit(1)
+  }
+}

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the fixture tables, and
+compares: row count, sorted-by-name column list, and exact cell values
+(rows sorted by all columns). Prints PASS/FAIL per query.
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    """Rows → sorted list of tuples with canonical value forms."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cv(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return repr(v)  # full precision
+        if isinstance(v, bool):
+            return str(v)
+        if isinstance(v, list):
+            return "[" + ",".join(cv(x) for x in v) + "]"
+        return str(v)
+
+    out = [tuple(cv(r[i]) for i in idx) for r in rows]
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
+                   if os.path.isdir(p))
+    for name in names:
+        spark_rel = con.sql(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        s_cols = [c.lower() for c in spark_rel.columns]
+        s_rows = spark_rel.fetchall()
+        if name not in oracle:
+            print(f"SKIP {name}: no oracle ({len(s_rows)} rows)")
+            n_skip += 1
+            continue
+        try:
+            o_rel = con.sql(oracle[name])
+            o_cols = [c.lower() for c in o_rel.columns]
+            o_rows = o_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        if sorted(s_cols) != sorted(o_cols):
+            print(f"FAIL {name}: cols {sorted(s_cols)} vs {sorted(o_cols)}")
+            n_fail += 1
+            continue
+        if len(s_rows) != len(o_rows):
+            print(f"FAIL {name}: rows {len(s_rows)} vs {len(o_rows)}")
+            n_fail += 1
+            continue
+        a, b = canon(s_rows, s_cols), canon(o_rows, o_cols)
+        if a != b:
+            bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: values differ, e.g. {bad}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(s_rows)} rows)")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
