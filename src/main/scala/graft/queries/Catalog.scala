@@ -22,7 +22,9 @@ object Catalog {
   lazy val all: Seq[Query] =
     Relational.queries ++ Aggregates.queries ++ Windows.queries ++
       SetOps.queries ++ Functions.queries ++ EventQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      GraftFnQueries.queries
 
   lazy val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
 

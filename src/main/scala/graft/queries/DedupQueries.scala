@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import Catalog.t
 
@@ -22,20 +21,18 @@ object DedupQueries {
   private val NumHashes = 8
   private val BandSize = 2 // → 4 bands
 
-  /** Distinct 3-token shingles per doc, via lead() — no UDF, one window. */
+  /** Distinct 3-token shingles per doc — pure per-row array transform
+    * (no explode-then-window shuffle: at 100 TB the tokenize→shingle step
+    * must run scan-local, and this formulation is one narrow projection). */
   private def shingles(s: SparkSession, d: String): DataFrame = {
-    val tok = t(s, d, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .withColumnRenamed("pos", "idx")
-      .withColumnRenamed("col", "w")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-    tok
-      .withColumn("w2", lead(col("w"), 1).over(w))
-      .withColumn("w3", lead(col("w"), 2).over(w))
-      .where(col("w3").isNotNull)
+    val toks = split(col("text"), " ")
+    t(s, d, "documents")
+      .where(size(toks) >= 3)
       .select(col("doc_id"),
-        concat_ws(" ", col("w"), col("w2"), col("w3")).as("sh"))
-      .distinct()
+        explode(array_distinct(transform(
+          sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2), element_at(toks, i + 3))))).as("sh"))
   }
 
   /** The same shingle set in DuckDB SQL. */
@@ -76,12 +73,14 @@ object DedupQueries {
           min(md5(concat_ws("|", col("sh"), lit(i.toString)))).as(s"h$i"))
         val sig = sh.groupBy(col("doc_id"))
           .agg(minhashes.head, minhashes.tail: _*)
-        val bands = (0 until NumHashes / BandSize).map { b =>
-          sig.select(col("doc_id"), lit(b).as("band"),
-            md5(concat_ws("|", col(s"h${BandSize * b}"),
-              col(s"h${BandSize * b + 1}"))).as("bkey"))
-        }
-        val all = bands.reduce(_ unionByName _)
+        // one generator row → NumBands band rows; no union, the signature
+        // aggregation runs exactly once (a union of N projections would
+        // re-execute the whole shingle+agg pipeline N times)
+        val stackArgs = (0 until NumHashes / BandSize).map { b =>
+          s"$b, md5(concat_ws('|', h${BandSize * b}, h${BandSize * b + 1}))"
+        }.mkString(", ")
+        val all = sig.selectExpr("doc_id",
+          s"stack(${NumHashes / BandSize}, $stackArgs) AS (band, bkey)")
         all.as("x").join(all.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
               && col("x.doc_id") < col("y.doc_id"))

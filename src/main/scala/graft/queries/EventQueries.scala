@@ -137,7 +137,7 @@ object EventQueries {
              |ORDER BY user_id, event_type""".stripMargin)),
 
     // Interval join (reference StreamExecIntervalJoin.java:67 /
-    // TimeIntervalJoin.java:51): error within 10 min after a signup, same user.
+    // TimeIntervalJoin.java:51): error within 60 min after a signup, same user.
     Query(
       "q_interval_join",
       (s, d) => {
@@ -150,7 +150,7 @@ object EventQueries {
             col("ts").as("b_ts"))
         a.join(b, col("u") === col("u2")
             && col("b_ts") >= col("a_ts")
-            && col("b_ts") <= col("a_ts") + expr("interval 10 minutes"))
+            && col("b_ts") <= col("a_ts") + expr("interval 60 minutes"))
           .select(col("a_id"), col("b_id"))
           .orderBy(col("a_id"), col("b_id"))
       },
@@ -159,7 +159,7 @@ object EventQueries {
              |  ON a.user_id = b.user_id
              | AND a.event_type = 'signup' AND b.event_type = 'error'
              | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
-             | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL '10 minutes'
+             | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL '60 minutes'
              |ORDER BY a_id, b_id""".stripMargin)),
 
     // Temporal / as-of join (reference TemporalRowTimeJoinOperator.java:78):

@@ -175,13 +175,13 @@ object Relational {
         val sup = t(s, d, "supplier")
         val c = t(s, d, "customer")
         sup.join(c,
-            col("c_acctbal") >= col("s_acctbal") - 1.0 &&
-              col("c_acctbal") <= col("s_acctbal") + 1.0)
+            col("c_acctbal") >= col("s_acctbal") - 20.0 &&
+              col("c_acctbal") <= col("s_acctbal") + 20.0)
           .select(col("s_suppkey"), col("c_custkey"))
           .orderBy(col("s_suppkey"), col("c_custkey"))
       },
       Some("""SELECT s_suppkey, c_custkey FROM supplier JOIN customer
-             |  ON c_acctbal BETWEEN s_acctbal - 1.0 AND s_acctbal + 1.0
+             |  ON c_acctbal BETWEEN s_acctbal - 20.0 AND s_acctbal + 20.0
              |ORDER BY s_suppkey, c_custkey""".stripMargin)),
 
     // Scalar subquery + IN subquery (reference FlinkSubQueryRemoveRule).

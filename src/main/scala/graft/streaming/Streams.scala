@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Structured Streaming layer (SURVEY.md §2.9): the same event-table
+  * operators the batch catalog exposes, run as streams — watermarks,
+  * tumble/hop/session windows, streaming dedup — plus the epoch hooks in
+  * graft.fries.
+  *
+  * Design: every batch query in graft.queries.EventQueries is a plain
+  * DataFrame transform, so the streaming layer re-declares only the
+  * stream-specific pieces (source, watermark, output mode); Catalyst
+  * plans the rest identically. The reference needs a separate runtime
+  * for this (StreamExec* vs BatchExec* nodes); Spark does not.
+  *
+  * Scale: file-source streams at 100 TB would set maxFilesPerTrigger to
+  * bound batch size; state-store-backed aggs (window/dedup) shuffle by
+  * (key, window) once per batch and keep state partitioned — identical
+  * partitioning story to the batch plans.
+  */
+object Streams {
+
+  /** events.parquet schema with ts as raw parquet nanos (see
+    * graft.engine.Tables: Spark rejects TIMESTAMP(NANOS) natively). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The events fixture as a bounded stream. Spark's file stream source
+    * monitors a DIRECTORY; the fixture is a single file, so it is staged
+    * (hard-linked/copied once) into a scratch dir keyed by the source
+    * path — exactly how a production events feed would land files. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val streamDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_streams",
+      java.lang.Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(streamDir)
+    val dst = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst)) {
+      try java.nio.file.Files.createLink(dst, src)
+      catch {
+        case _: Exception => java.nio.file.Files.copy(src, dst)
+      }
+    }
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window count/sum with event-time watermark (reference
+    * WindowOperator.java:96 + WatermarkStrategy.forBoundedOutOfOrderness). */
+  def tumbleAgg(events: DataFrame, size: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), size), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding (hop) window aggregation. */
+  def hopAgg(events: DataFrame, size: String = "1 hour",
+      slide: String = "15 minutes", lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), size, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Session windows with a gap (reference EventTimeSessionWindows). */
+  def sessionAgg(events: DataFrame, gap: String = "5 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("n"))
+
+  /** Streaming dedup on event_id within the watermark horizon (reference
+    * StreamExecDeduplicate.java:70 / RowTimeDeduplicateFunction). */
+  def dedup(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicates("event_id")
+
+  /** Run a (bounded) streaming DataFrame to completion with
+    * Trigger.AvailableNow into an in-memory table; returns the result.
+    * outputMode: "complete" for aggregations, "append" otherwise. */
+  def runToTable(spark: SparkSession, stream: DataFrame, name: String,
+      outputMode: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

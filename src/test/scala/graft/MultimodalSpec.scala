@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{FakeCodec, Media}
+
+/** Multimodal plumbing: typed schema, deterministic stub decode, batch
+  * shape, frame sampling. */
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+
+  test("stub codec is deterministic byte arithmetic") {
+    val m = Media(7L, "text/plain", "hello".getBytes("UTF-8"))
+    val f = FakeCodec.decode(m)
+    assert(f.doc_id === 7L)
+    assert(f.n_bytes === 5L)
+    assert(f.first_byte === 'h'.toInt)
+    assert(f.width === 5)
+    assert(f.height === ('h'.toInt * 3) % 480)
+    assert(FakeCodec.decode(m) === f)
+  }
+
+  test("decodeFeatures keeps every row and its schema") {
+    val media = Multimodal.mediaTable(spark, SparkFixture.sf)
+    val feats = Multimodal.decodeFeatures(media)
+    assert(feats.count() === media.count())
+    assert(feats.columns.toSeq === Seq(
+      "doc_id", "format", "n_bytes", "first_byte", "width", "height",
+      "checksum"))
+    assert(feats.filter(feats("n_bytes") <= 0).count() === 0)
+  }
+
+  test("decode runs partition-local (no shuffle in the plan)") {
+    val plan = Multimodal.decodeFeatures(
+      Multimodal.mediaTable(spark, SparkFixture.sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("sampleFrames emits every 4th chunk per document") {
+    val media = Multimodal.mediaTable(spark, SparkFixture.sf)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, everyK = 4)
+    val byDoc = frames.groupBy("doc_id").count()
+    assert(byDoc.count() === media.count()) // ≥1 frame per doc
+    val bad = frames.filter(frames("chunk_idx") % 4 =!= 0).count()
+    assert(bad === 0)
+  }
+}
