@@ -61,51 +61,106 @@ object DedupQueries {
           .orderBy(col("keep_id")),
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
              |FROM documents GROUP BY MD5(text)
-             |ORDER BY keep_id""".stripMargin)),
+             |ORDER BY keep_id""".stripMargin),
+      bench = true),
 
-    // MinHash + LSH candidate pairs: 8 md5-permutation minhashes over
-    // 3-token shingles, banded 2-per-band → equi-join on band keys.
+    // MinHash + LSH candidate pairs: ONE md5 per shingle → 32-bit value →
+    // 8 affine permutations h_i = (a_i·x + b_i) mod P (classic universal
+    // hashing), banded 2-per-band → equi-join on numeric band keys. At
+    // 100 TB the per-shingle hash cost dominates this operator; one digest
+    // + integer multiply-mods is ~8× cheaper than 8 digests, and the band
+    // join keys stay numeric (no string materialization in the shuffle).
     Query(
       "q_dedup_minhash_lsh",
       (s, d) => {
-        val sh = shingles(s, d)
+        val P = 4294967311L // prime > 2^32
+        def aCoef(i: Int) = 1L + i * 7368787L // < 2^30: a·x < 2^62, no overflow
+        def bCoef(i: Int) = 12345L + i * 104729L
+        // signature computed per-row with higher-order array functions —
+        // no explode, no shuffle: at 100 TB the whole minhash stage fuses
+        // into the parquet scan's WholeStageCodegen projection.
+        val toks = split(col("text"), " ")
+        val shArr = array_distinct(transform(
+          sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2), element_at(toks, i + 3))))
+        // big-endian 32-bit prefix of md5 (hex chars 1-8), once per shingle
+        val xs = transform(shArr,
+          sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
         val minhashes = (0 until NumHashes).map(i =>
-          min(md5(concat_ws("|", col("sh"), lit(i.toString)))).as(s"h$i"))
-        val sig = sh.groupBy(col("doc_id"))
-          .agg(minhashes.head, minhashes.tail: _*)
+          array_min(transform(col("xs"),
+            x => pmod(lit(aCoef(i)) * x + lit(bCoef(i)), lit(P)))).as(s"h$i"))
+        // The exchange BETWEEN the md5 projection and the permutation
+        // projection is deliberate: without it CollapseProject inlines the
+        // whole md5-array expression into all 8 minhash columns (8× the
+        // hashing, 8× the generated code). Explicit partition count so AQE
+        // doesn't coalesce the compute stage to one task.
+        // Stage layout (each boundary is deliberate):
+        //  scan → RR-repartition  : spread rows across all cores BEFORE
+        //    the md5 projection — higher-order array exprs are interpreted
+        //    and the fixture is one file = one scan split
+        //  md5 proj → hash-repart : keeps CollapseProject from inlining
+        //    the md5 array into all 8 minhash columns (8× the hashing)
+        val n = s.sparkContext.defaultParallelism
+        val sig = t(s, d, "documents")
+          .where(size(toks) >= 3)
+          .repartition(n)
+          .select(col("doc_id"), xs.as("xs"))
+          .repartition(n, col("doc_id"))
+          .select(col("doc_id") +: minhashes: _*)
         // one generator row → NumBands band rows; no union, the signature
         // aggregation runs exactly once (a union of N projections would
         // re-execute the whole shingle+agg pipeline N times)
         val stackArgs = (0 until NumHashes / BandSize).map { b =>
-          s"$b, md5(concat_ws('|', h${BandSize * b}, h${BandSize * b + 1}))"
+          s"$b, h${BandSize * b}, h${BandSize * b + 1}"
         }.mkString(", ")
-        val all = sig.selectExpr("doc_id",
-          s"stack(${NumHashes / BandSize}, $stackArgs) AS (band, bkey)")
-        all.as("x").join(all.as("y"),
-            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        val bands = sig.selectExpr("doc_id",
+          s"stack(${NumHashes / BandSize}, $stackArgs) AS (band, k1, k2)")
+        // bucket-join instead of self-join: group doc ids per band bucket
+        // and emit pairs per bucket — the signature pipeline executes ONCE
+        // (a self-join cannot reuse it across the broadcast boundary) and
+        // the shuffle carries one row per bucket, not per doc
+        bands.groupBy(col("band"), col("k1"), col("k2"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .where(size(col("ids")) > 1)
+          .select(explode(flatten(transform(col("ids"), (a, i) =>
+            transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+              b => struct(a.as("a"), b.as("b")))))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
           .distinct()
           .orderBy(col("a"), col("b"))
       },
       Some {
-        val hashCols = (0 until NumHashes)
-          .map(i => s"MIN(MD5(sh || '|' || $i)) AS h$i").mkString(",\n    ")
+        val P = 4294967311L
+        // reconstruct the same big-endian 32-bit md5 prefix from DuckDB's
+        // md5_number_upper (little-endian uint64 of digest bytes 0-7)
+        val x32 = "CAST((u & 255) * 16777216 + ((u >> 8) & 255) * 65536 " +
+          "+ ((u >> 16) & 255) * 256 + ((u >> 24) & 255) AS BIGINT)"
+        val hashCols = (0 until NumHashes).map { i =>
+          val a = 1L + i * 7368787L
+          val b = 12345L + i * 104729L
+          s"MIN(($a * x + $b) % $P) AS h$i"
+        }.mkString(",\n    ")
         val bandSelects = (0 until NumHashes / BandSize).map { b =>
-          s"SELECT doc_id, $b AS band, MD5(h${BandSize * b} || '|' || h${BandSize * b + 1}) AS bkey FROM sig"
+          s"SELECT doc_id, $b AS band, h${BandSize * b} AS k1, h${BandSize * b + 1} AS k2 FROM sig"
         }.mkString("\n  UNION ALL ")
         s"""WITH sh AS ($shinglesSql),
+           |shx AS (
+           |  SELECT doc_id, $x32 AS x
+           |  FROM (SELECT doc_id, md5_number_upper(sh) AS u FROM sh) t),
            |sig AS (
            |  SELECT doc_id,
            |    $hashCols
-           |  FROM sh GROUP BY doc_id),
+           |  FROM shx GROUP BY doc_id),
            |bands AS (
            |  $bandSelects)
            |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
            |FROM bands x JOIN bands y
-           |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+           |  ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
+           |  AND x.doc_id < y.doc_id
            |ORDER BY a, b""".stripMargin
-      }),
+      },
+      bench = true),
 
     // n-gram (3-shingle) Jaccard similarity: verification join on shared
     // shingles — intersection via equi-join, union from per-doc counts.

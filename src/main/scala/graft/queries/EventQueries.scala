@@ -33,7 +33,8 @@ object EventQueries {
              |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events
              |GROUP BY 1, 2
-             |ORDER BY w_start, event_type""".stripMargin)),
+             |ORDER BY w_start, event_type""".stripMargin),
+      bench = true),
 
     // Sliding (hop) window: 1 hour size, 15 min slide — each event lands in
     // 4 windows (reference SliceAssigners hopping; Spark window(slide)).
@@ -194,5 +195,6 @@ object EventQueries {
              |   ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS asof_id
              |FROM events e
              |WHERE e.event_type = 'error'
-             |ORDER BY e.event_id""".stripMargin)))
+             |ORDER BY e.event_id""".stripMargin),
+      bench = true))
 }

@@ -234,5 +234,6 @@ object Relational {
              |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM orders) x
              |WHERE rn <= 3
-             |ORDER BY o_custkey, rn""".stripMargin)))
+             |ORDER BY o_custkey, rn""".stripMargin),
+      bench = true))
 }

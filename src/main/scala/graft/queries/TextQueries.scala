@@ -60,7 +60,8 @@ object TextQueries {
               |      x -> x IN ($stopwordsSql))) AS n_stop,
               |    LEN(string_split(text, ' ')) AS n_tokens
               |  FROM documents) x
-              |ORDER BY doc_id""".stripMargin)),
+              |ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // Language-ID heuristic: n-gram/stopword-hit classifier per doc,
     // aggregated into a per-source language histogram.
