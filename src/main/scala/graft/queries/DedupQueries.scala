@@ -50,15 +50,16 @@ object DedupQueries {
 
   val queries: Seq[Query] = Seq(
 
-    // Exact dedup: hash-groupBy on content digest, keep lowest doc_id.
+    // Exact dedup: hash-groupBy on content digest, keep lowest doc_id —
+    // via the library operator.
     Query(
       "q_dedup_exact",
-      (s, d) =>
+      (s, d) => {
+        import graft.operators.Ops._
         t(s, d, "documents")
-          .groupBy(md5(col("text")).as("content_hash"))
-          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-          .select(col("keep_id"), col("n_copies"))
-          .orderBy(col("keep_id")),
+          .exactDupGroups(col("doc_id"), col("text"))
+          .orderBy(col("keep_id"))
+      },
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
              |FROM documents GROUP BY MD5(text)
              |ORDER BY keep_id""".stripMargin),

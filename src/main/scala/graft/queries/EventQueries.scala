@@ -117,15 +117,15 @@ object EventQueries {
              |ORDER BY user_id, s_start""".stripMargin)),
 
     // Deduplicate keep-first (reference StreamExecDeduplicate.java:70,
-    // RowTimeDeduplicateFunction.java:31 — ROW_NUMBER()=1 rewrite).
+    // RowTimeDeduplicateFunction.java:31 — ROW_NUMBER()=1 rewrite),
+    // via the library operator.
     Query(
       "q_dedup_keep_first",
       (s, d) => {
-        val w = Window.partitionBy(col("user_id"), col("event_type"))
-          .orderBy(col("ts"), col("event_id"))
+        import graft.operators.Ops._
         t(s, d, "events")
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
+          .dedupKeepFirst(Seq(col("user_id"), col("event_type")),
+            Seq(col("ts"), col("event_id")))
           .select(col("user_id"), col("event_type"), col("event_id"),
             col("value"))
           .orderBy(col("user_id"), col("event_type"))
@@ -142,6 +142,7 @@ object EventQueries {
     Query(
       "q_interval_join",
       (s, d) => {
+        import graft.operators.Ops._
         val ev = t(s, d, "events")
         val a = ev.where(col("event_type") === "signup")
           .select(col("user_id").as("u"), col("event_id").as("a_id"),
@@ -149,9 +150,8 @@ object EventQueries {
         val b = ev.where(col("event_type") === "error")
           .select(col("user_id").as("u2"), col("event_id").as("b_id"),
             col("ts").as("b_ts"))
-        a.join(b, col("u") === col("u2")
-            && col("b_ts") >= col("a_ts")
-            && col("b_ts") <= col("a_ts") + expr("interval 60 minutes"))
+        a.intervalJoin(b, col("u") === col("u2"), col("a_ts"), col("b_ts"),
+            "0 seconds", "60 minutes")
           .select(col("a_id"), col("b_id"))
           .orderBy(col("a_id"), col("b_id"))
       },
@@ -163,6 +163,35 @@ object EventQueries {
              | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL '60 minutes'
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // MATCH_RECOGNIZE-lite (reference StreamExecMatch.java:90, pattern
+    // `A B` with A.type='signup', B.type='error'): adjacent-event pattern
+    // per user timeline via lead() — the row-pattern cases SQL window
+    // functions can express; full NFA quantifiers are out of v1 scope
+    // (SURVEY §7 hard list).
+    Query(
+      "q_cep_adjacent",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .withColumn("next_id", lead(col("event_id"), 1).over(w))
+          .where(col("event_type") === "signup"
+            && col("next_type") === "error")
+          .select(col("user_id"), col("event_id").as("a_id"),
+            col("next_id").as("b_id"))
+          .orderBy(col("user_id"), col("a_id"))
+      },
+      Some("""SELECT user_id, event_id AS a_id, next_id AS b_id FROM (
+             |  SELECT user_id, event_id, event_type,
+             |    LEAD(event_type, 1) OVER w AS next_type,
+             |    LEAD(event_id, 1) OVER w AS next_id
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |               ORDER BY CAST(ts AS TIMESTAMP), event_id)) x
+             |WHERE event_type = 'signup' AND next_type = 'error'
+             |ORDER BY user_id, a_id""".stripMargin)),
+
     // Temporal / as-of join (reference TemporalRowTimeJoinOperator.java:78):
     // for each error, the latest signup of the same user at-or-before it.
     // Scalable pattern: union both sides, one shuffle on user_id, running
@@ -170,21 +199,16 @@ object EventQueries {
     Query(
       "q_asof_join",
       (s, d) => {
+        import graft.operators.Ops._
         val ev = t(s, d, "events")
         val errors = ev.where(col("event_type") === "error")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            lit(null).cast("long").as("signup_id"), lit(1).as("is_left"))
+          .select(col("user_id"), col("ts"), col("event_id"))
         val signups = ev.where(col("event_type") === "signup")
           .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_id").as("signup_id"), lit(0).as("is_left"))
-        // order: ts, then signups before errors at equal ts (inclusive as-of),
-        // then event_id for total determinism; take the max signup at equal ts.
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("is_left"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        errors.unionByName(signups)
-          .withColumn("asof_id", last(col("signup_id"), ignoreNulls = true).over(w))
-          .where(col("is_left") === 1)
+            col("event_id").as("signup_id"))
+        errors.asofJoin(signups, key = "user_id", leftTs = "ts",
+            rightTs = "ts", payload = "signup_id", tieBreaker = "event_id",
+            as = "asof_id")
           .select(col("event_id"), col("asof_id"))
           .orderBy(col("event_id"))
       },

@@ -174,6 +174,52 @@ object Functions {
              |  FROM documents WHERE doc_id < 30) u
              |ORDER BY doc_id, idx""".stripMargin)),
 
+    // String battery 2 (reference FlinkSqlOperatorTable: OVERLAY,
+    // TO_BASE64/FROM_BASE64, ASCII/CHR, LOCATE, LEFT/RIGHT, TRANSLATE,
+    // STR_TO_MAP, PARSE_URL) — DuckDB lacks several of these natively, so
+    // the oracle recomputes them from primitives.
+    Query(
+      "q_fn_string2",
+      (s, d) =>
+        t(s, d, "documents").where(col("doc_id") < 100)
+          .select(
+            col("doc_id"),
+            overlay(col("source"), lit("XY"), lit(3)).as("ov"),
+            base64(encode(col("source"), "UTF-8")).as("b64"),
+            decode(unbase64(base64(encode(col("source"), "UTF-8"))), "UTF-8")
+              .as("rt"),
+            ascii(col("source")).as("asc"),
+            expr("char(ascii(source) + 1)").as("nextc"),
+            locate("a", col("source")).as("loc"),
+            expr("left(source, 3)").as("lft"),
+            expr("right(source, 3)").as("rgt"),
+            translate(col("source"), "aeiou", "AEIOU").as("tr"),
+            element_at(str_to_map(
+              concat(lit("lang:"), col("lang"), lit(",src:"), col("source")),
+              lit(","), lit(":")), "lang").as("m_lang"),
+            parse_url(concat(lit("https://"), col("source"),
+              lit(".example.com/p?q="), col("doc_id")), lit("HOST"))
+              .as("url_host"),
+            parse_url(concat(lit("https://"), col("source"),
+              lit(".example.com/p?q="), col("doc_id")), lit("QUERY"), lit("q"))
+              .as("url_q"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  SUBSTRING(source, 1, 2) || 'XY' || SUBSTRING(source, 5) AS ov,
+             |  to_base64(ENCODE(source)) AS b64,
+             |  source AS rt,
+             |  ASCII(source) AS asc,
+             |  CHR(ASCII(source) + 1) AS nextc,
+             |  STRPOS(source, 'a') AS loc,
+             |  LEFT(source, 3) AS lft,
+             |  RIGHT(source, 3) AS rgt,
+             |  TRANSLATE(source, 'aeiou', 'AEIOU') AS tr,
+             |  lang AS m_lang,
+             |  source || '.example.com' AS url_host,
+             |  CAST(doc_id AS VARCHAR) AS url_q
+             |FROM documents WHERE doc_id < 100
+             |ORDER BY doc_id""".stripMargin)),
+
     // JSON access (reference JsonFunctionsTest.scala surface; 1.13 had
     // predicates + extraction idioms).
     Query(

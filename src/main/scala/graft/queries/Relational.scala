@@ -219,11 +219,10 @@ object Relational {
     Query(
       "q_topn",
       (s, d) => {
-        val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        import graft.operators.Ops._
         t(s, d, "orders")
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= 3)
+          .topN(3, Seq(col("o_custkey")),
+            Seq(desc("o_totalprice"), col("o_orderkey")))
           .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
             col("rn"))
           .orderBy(col("o_custkey"), col("rn"))

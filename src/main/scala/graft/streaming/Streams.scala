@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Structured Streaming layer (SURVEY.md §2.9): the same event-table
   * operators the batch catalog exposes, run as streams — watermarks,
@@ -95,6 +95,67 @@ object Streams {
     events
       .withWatermark("ts", lateness)
       .dropDuplicates("event_id")
+
+  /** Count-based tumbling windows per key (DataStream countWindow —
+    * reference flink-streaming-java CountTrigger/GlobalWindows; Spark has
+    * no native count windows). Custom keyed state via
+    * flatMapGroupsWithState: emits one row per completed window of `size`
+    * events, carrying (window seq, count, sum). Window membership is
+    * processing-order-dependent, exactly as in the reference. */
+  def countWindows(events: DataFrame, size: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val out = events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Double), (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Double)],
+            state: GroupState[(Long, Long, Double)]) =>
+          var (seq, cnt, sum) = state.getOption.getOrElse((0L, 0L, 0.0))
+          val emitted = scala.collection.mutable.ListBuffer
+            .empty[(Long, Long, Long, Double)]
+          it.foreach { case (_, v) =>
+            cnt += 1; sum += v
+            if (cnt == size) {
+              emitted += ((user, seq, cnt, sum))
+              seq += 1; cnt = 0; sum = 0.0
+            }
+          }
+          state.update((seq, cnt, sum))
+          emitted.iterator
+      }
+    out.toDF("user_id", "win_seq", "n", "sum_value")
+  }
+
+  /** Stream-stream interval join (reference TimeIntervalJoin.java:51):
+    * errors within [0, 60 min] after a signup of the same user, both
+    * sides watermarked so join state is bounded. */
+  def intervalJoinStream(events: DataFrame): DataFrame = {
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id").as("u"), col("event_id").as("a_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", "10 minutes")
+    val errors = events.where(col("event_type") === "error")
+      .select(col("user_id").as("u2"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "10 minutes")
+    signups.join(errors, col("u") === col("u2")
+      && col("b_ts") >= col("a_ts")
+      && col("b_ts") <= col("a_ts") + expr("interval 60 minutes"))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Side-output routing (reference OutputTag/getSideOutput): one pass per
+    * micro-batch, rows matching `cond` to the main handler, the rest to
+    * the side handler — two filtered writes from one foreachBatch. */
+  def foreachBatchSplit(cond: Column)(
+      main: (DataFrame, Long) => Unit,
+      side: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (df: DataFrame, batchId: Long) => {
+      main(df.where(cond), batchId)
+      side(df.where(!cond), batchId)
+    }
 
   /** Run a (bounded) streaming DataFrame to completion with
     * Trigger.AvailableNow into an in-memory table; returns the result.

@@ -38,6 +38,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(total === distinct)
   }
 
+  test("count windows emit floor(n/size) windows per user") {
+    val result = Streams.runToTable(spark,
+      Streams.countWindows(Streams.events(spark, sf), size = 5),
+      "t_cw", "append")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val perUser = graft.engine.Tables.load(spark, sf, "events")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(result.nonEmpty)
+    result.foreach { case (user, wins) =>
+      assert(wins.length === (perUser(user) / 5).toInt,
+        s"user $user: ${wins.length} windows for ${perUser(user)} events")
+      assert(wins.forall(_._2 == 5L))
+    }
+  }
+
+  test("stream-stream interval join equals batch interval join") {
+    val got = Streams.runToTable(spark,
+      Streams.intervalJoinStream(Streams.events(spark, sf)),
+      "t_ij", "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Catalog.byName("q_interval_join").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("side-output routing partitions each batch exactly") {
+    import org.apache.spark.sql.functions.col
+    val counts = new java.util.concurrent.atomic.AtomicLongArray(2)
+    val q = Streams.events(spark, sf).writeStream
+      .foreachBatch(Streams.foreachBatchSplit(col("event_type") === "error")(
+        (df, _) => counts.addAndGet(0, df.count()): Unit,
+        (df, _) => counts.addAndGet(1, df.count()): Unit))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val events = graft.engine.Tables.load(spark, sf, "events")
+    assert(counts.get(0) ===
+      events.filter(col("event_type") === "error").count())
+    assert(counts.get(0) + counts.get(1) === events.count())
+  }
+
   test("epoch reconfiguration: config re-read at micro-batch boundaries") {
     val ctrl = new ReconfigController[Int](10)
     @volatile var seen = Vector.empty[(Long, Int)]
