@@ -1,0 +1,30 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.CosineSimilarity
+
+/** Catalyst extension point for the graft engine: injects the native
+  * expressions at session build time, so `cosine_similarity` resolves in
+  * every context (SQL, views, thrift) without per-session registerAll.
+  *
+  * Usage: `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.engine.GraftExtensions`. This is
+  * the Spark-native analogue of the reference's operator-table extension
+  * (flink-table-planner-blink/.../FlinkSqlOperatorTable.java) — new
+  * built-ins enter through the planner's function catalog, not UDF
+  * wrappers, so they stay visible to the optimizer.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        "cosine_similarity"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children.head, children(1))))
+  }
+}

@@ -23,6 +23,7 @@ object GraftSession {
     val b = SparkSession
       .builder()
       .appName("graft")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -90,6 +90,15 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions injects cosine_similarity at session build") {
+    // SparkFixture's session comes from GraftSession.builder, which wires
+    // GraftExtensions — the function must resolve without registerAll
+    val v = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0d), array(1.0d, 0d)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+
   test("listaggSorted is deterministic") {
     val r = Seq(("g", "b"), ("g", "a"), ("g", "c")).toDF("k", "s")
       .groupBy(col("k"))
