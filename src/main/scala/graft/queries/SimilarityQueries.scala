@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import Catalog.t
 
@@ -102,6 +103,35 @@ object SimilarityQueries {
              |WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
              |  y.embedding::DOUBLE[]), 6) >= 0.4
              |ORDER BY a, b""".stripMargin)),
+
+    // Per-label centroids (embedding pooling — the aggregate an IVF index
+    // or cluster-dedup pipeline needs): explode to (label, dim), exact
+    // decimal mean per dimension. One shuffle on (label, dim); at 100 TB
+    // the partial aggregation reduces each partition to n_labels×64 rows
+    // before the exchange.
+    Query(
+      "q_emb_centroid",
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .withColumnRenamed("pos", "dim")
+          .select(col("label"), col("dim"),
+            col("col").cast("double").cast(DecimalType(20, 10)).as("x"))
+          .groupBy(col("label"), col("dim"))
+          // round(…,6): float→decimal rounding modes differ between
+          // engines in the last digit; 1e-12 noise can't move 1e-6 rounding
+          .agg(round(sum(col("x")).cast("double") / count(lit(1)), 6)
+            .as("centroid"))
+          .orderBy(col("label"), col("dim")),
+      Some("""SELECT label, CAST(idx - 1 AS INT) AS dim,
+             |  ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+             |    / COUNT(1), 6) AS centroid
+             |FROM (
+             |  SELECT label, UNNEST(embedding) AS x,
+             |    GENERATE_SUBSCRIPTS(embedding, 1) AS idx
+             |  FROM embeddings) e
+             |GROUP BY label, idx
+             |ORDER BY label, dim""".stripMargin)),
 
     // LSH-bucketed ANN (scale path): candidates share an 8-plane sign
     // bucket; exact cosine within bucket, top-3 per query. Driver runs a

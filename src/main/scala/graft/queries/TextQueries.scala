@@ -85,6 +85,32 @@ object TextQueries {
               |GROUP BY 1, 2
               |ORDER BY source, pred_lang""".stripMargin)),
 
+    // BPE-ish subword tokenization: greedy regex chunking (≤4 letters /
+    // ≤3 digits / single punctuation) — the counting shape of a real
+    // tokenizer without shipping merges; pure scan-local regex.
+    Query(
+      "q_text_tokens_bpe",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            expr("""regexp_extract_all(text,
+                   |  '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9 ]', 0)"""
+              .stripMargin).as("sub"))
+          .select(col("doc_id"),
+            size(col("sub")).as("n_sub"),
+            size(array_distinct(col("sub"))).as("n_uniq_sub"),
+            element_at(col("sub"), 1).as("first_sub"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  LEN(sub) AS n_sub,
+             |  LEN(list_distinct(sub)) AS n_uniq_sub,
+             |  sub[1] AS first_sub
+             |FROM (
+             |  SELECT doc_id, regexp_extract_all(text,
+             |    '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9 ]') AS sub
+             |  FROM documents) x
+             |ORDER BY doc_id""".stripMargin)),
+
     // Document fingerprint: order-sensitive rolling hash over tokens
     // (Karp-Rabin over the md5-coded token stream). Deterministic across
     // engines is not required here (driver rows-only check): the md5-hex →
