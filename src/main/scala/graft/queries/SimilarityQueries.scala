@@ -49,7 +49,55 @@ object SimilarityQueries {
     bits.reduce(_ + _)
   }
 
+  /** Per-label centroids as a coarse quantizer (the IVF cell table). */
+  private def centroids(s: SparkSession, d: String): DataFrame = {
+    val emb = embDouble(t(s, d, "embeddings"))
+    emb.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").as("cell"),
+        transform(col("pc"), x => x.getField("c")).as("cv"))
+  }
+
   val queries: Seq[Query] = Seq(
+
+    // IVF-style ANN (scale path #2, next to LSH): coarse-quantize with
+    // the centroid table — each query probes only its nearest cell's
+    // inverted list instead of the whole corpus. Cells here are the
+    // label clusters (k-means seeds at real scale); centroid table is
+    // tiny → broadcast; the corpus-side cell assignment is the label
+    // itself, so candidate generation is an equi-join on cell id.
+    Query(
+      "q_knn_ivf",
+      (s, d) => {
+        val emb = embDouble(t(s, d, "embeddings"))
+        val cent = centroids(s, d)
+        // probe: nearest centroid per query vector (broadcast argmax)
+        val q = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val wProbe = Window.partitionBy(col("q_id"))
+          .orderBy(desc("ccos"), col("cell"))
+        val probed = q.crossJoin(broadcast(cent))
+          .select(col("q_id"), col("qv"), col("cell"),
+            cosine(col("qv"), col("cv")).as("ccos"))
+          .withColumn("rn", row_number().over(wProbe))
+          .where(col("rn") === 1)
+          .select(col("q_id"), col("qv"), col("cell"))
+        // search only the probed cell's inverted list
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(desc("cos"), col("vec_id"))
+        emb.join(broadcast(probed), col("label") === col("cell")
+            && col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv"))
+            .as("cos"))
+          .withColumn("rn", row_number().over(wTop))
+          .where(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      None),
 
     // Brute-force cosine top-5 for query vectors vec_id < 5.
     Query(

@@ -44,6 +44,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(overlap > 0, "LSH found no brute-force top-5 neighbor at all")
   }
 
+  test("IVF kNN returns ranked neighbors from the probed cell") {
+    val ivf = Catalog.byName("q_knn_ivf").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(ivf.nonEmpty)
+    // per query: ranks are 1..k and cosines non-increasing
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to sorted.length))
+      assert(sorted.map(_._3).toSeq.reverse.sorted.reverse ===
+        sorted.map(_._3).toSeq)
+    }
+    // overlap with brute force top-5 exists (cells = label clusters)
+    val brute = Catalog.byName("q_knn_cosine").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.exists { case (q, v, _, _) => brute.contains((q, v)) })
+  }
+
   test("native kNN agrees with compositional kNN") {
     val a = Catalog.byName("q_knn_cosine").run(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

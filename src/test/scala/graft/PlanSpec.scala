@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Catalog
+
+/** SURVEY §5 layer-2 analogue (the reference golden-diffs optimized
+  * plans): instead of brittle full-plan snapshots, assert the physical
+  * properties each operator's 100 TB story depends on — pushdown reached
+  * the scan, dimensions broadcast, no unexpected shuffles, codegen on.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  // executedPlan: sparkPlan is pre-EnsureRequirements and shows no
+  // exchanges; the adaptive initial plan prints the real shuffle layout
+  private def plan(name: String): String =
+    Catalog.byName(name).run(SparkFixture.spark, SparkFixture.sf)
+      .queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String = {
+    val df = Catalog.byName(name).run(SparkFixture.spark, SparkFixture.sf)
+    org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+  }
+
+  test("q_calc: filter is pushed into the parquet scan") {
+    val p = plan("q_calc")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"no pushed filters:\n$p")
+    // projection pruned to the 4 referenced columns
+    assert(p.contains("ReadSchema") && !p.contains("l_quantity"))
+  }
+
+  test("q_join_inner: both dimension sides broadcast, single agg shuffle") {
+    val p = plan("q_join_inner")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_agg_having: explicit broadcast hint honored for nation") {
+    val p = plan("q_agg_having")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_asof_join: exactly one shuffle (union + single window)") {
+    val p = plan("q_asof_join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"as-of join must be one shuffle:\n$p")
+    assert("Window".r.findAllIn(p).nonEmpty)
+  }
+
+  test("q_agg_tpch1: partial aggregation before the exchange") {
+    val p = plan("q_agg_tpch1")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    // plan prints top-down: final agg, exchange, partial agg
+    assert(p.lastIndexOf("HashAggregate") > exchange,
+      s"no map-side partial agg:\n$p")
+  }
+
+  test("q_mm_decode: decode stage is shuffle-free") {
+    val p = plan("q_mm_decode")
+    val beforeSort = p.split("Sort ").last
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"decode must stay partition-local:\n$p")
+  }
+
+  test("headline queries run inside WholeStageCodegen") {
+    val c = formatted("q_agg_tpch1")
+    assert(c.contains("WholeStageCodegen"), c.take(500))
+  }
+}
