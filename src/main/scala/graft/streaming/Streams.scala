@@ -146,6 +146,17 @@ object Streams {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Streaming Top-N (reference StreamExecRank.java:69): per micro-batch
+    * ROW_NUMBER()<=N — SURVEY §4's documented fallback (semantically the
+    * per-epoch materialization of the incremental Top-N state). Use from
+    * foreachBatch: `.foreachBatch(topNPerBatch(...)(sinkFn))`. */
+  def topNPerBatch(n: Int, partitionBy: Seq[Column], order: Seq[Column])(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    (df: DataFrame, batchId: Long) =>
+      import graft.operators.Ops._
+      sink(df.topN(n, partitionBy, order), batchId)
+  }
+
   /** Side-output routing (reference OutputTag/getSideOutput): one pass per
     * micro-batch, rows matching `cond` to the main handler, the rest to
     * the side handler — two filtered writes from one foreachBatch. */

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.1: format round-trips (csv/json/orc/parquet — the
+  * reference's flink-formats surface) and partitioned/bucketed writes
+  * (FileSystemTableSink + bucketing for co-located joins).
+  */
+class SourcesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+  private def tmp(tag: String) =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  private def nation = graft.engine.Tables
+    .load(spark, SparkFixture.sf, "nation")
+
+  test("csv round-trip preserves rows (flink-csv)") {
+    val dir = tmp("csv")
+    nation.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(dir)
+    assert(back.count() === nation.count())
+    assert(back.columns.toSet === nation.columns.toSet)
+  }
+
+  test("json round-trip preserves rows (flink-json)") {
+    val dir = tmp("json")
+    nation.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() === nation.count())
+  }
+
+  test("orc round-trip preserves rows and schema (flink-orc)") {
+    val dir = tmp("orc")
+    nation.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === nation.count())
+    assert(back.schema === nation.schema)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = tmp("part")
+    val orders = graft.engine.Tables.load(spark, SparkFixture.sf, "orders")
+      .withColumn("y", year(col("o_orderdate")))
+    orders.write.mode("overwrite").partitionBy("y").parquet(dir)
+    val pruned = spark.read.parquet(dir).where(col("y") === 2001)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(y"), plan)
+    assert(pruned.count() ===
+      orders.where(col("y") === 2001).count())
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val li = graft.engine.Tables.load(spark, SparkFixture.sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS li_a")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_a")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_a").as("a")
+        .join(spark.table("li_b").as("b"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}

@@ -65,6 +65,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming Top-N per batch keeps n rows per key") {
+    import org.apache.spark.sql.functions.{col, desc}
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = Streams.events(spark, sf).writeStream
+      .foreachBatch(Streams.topNPerBatch(2, Seq(col("user_id")),
+        Seq(desc("value"), col("event_id"))) { (df, _) =>
+        df.collect().foreach(r => buf.add((
+          r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))))
+      })
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val perUser = buf.asScala.toSeq.groupBy(_._1)
+    assert(perUser.nonEmpty)
+    // AvailableNow on one file = one batch → global per-key top-2
+    assert(perUser.values.forall(_.size <= 2))
+  }
+
   test("side-output routing partitions each batch exactly") {
     import org.apache.spark.sql.functions.col
     val counts = new java.util.concurrent.atomic.AtomicLongArray(2)
