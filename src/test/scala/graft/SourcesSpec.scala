@@ -59,6 +59,14 @@ class SourcesSpec extends AnyFunSuite {
       .select("l_orderkey", "l_quantity")
     spark.sql("DROP TABLE IF EXISTS li_a")
     spark.sql("DROP TABLE IF EXISTS li_b")
+    // DROP TABLE on a fresh in-memory catalog doesn't know about files a
+    // previous JVM left in the warehouse — clear the locations too
+    for (t <- Seq("li_a", "li_b")) {
+      val loc = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse/$t")
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_a")
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
