@@ -89,6 +89,17 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("n"))
 
+  /** Unwindowed streaming group aggregation in update mode (reference
+    * StreamExecGroupAggregate.java:71 / GroupAggFunction keyed-state
+    * aggregation): per-key running count/sum, each micro-batch emitting
+    * updated rows only — Spark's state store holds the running aggregate
+    * exactly as the reference's keyed ValueState does. */
+  def groupAggUpdate(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+
   /** Streaming dedup on event_id within the watermark horizon (reference
     * StreamExecDeduplicate.java:70 / RowTimeDeduplicateFunction). */
   def dedup(events: DataFrame, lateness: String = "10 minutes"): DataFrame =

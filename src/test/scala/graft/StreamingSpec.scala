@@ -65,6 +65,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("update-mode group agg equals batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val got = Streams.runToTable(spark,
+      Streams.groupAggUpdate(Streams.events(spark, sf)),
+      "t_upd", "update")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, rows) => rows.last } // latest update/key
+      .toSet
+    val want = graft.engine.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === want)
+  }
+
   test("streaming Top-N per batch keeps n rows per key") {
     import org.apache.spark.sql.functions.{col, desc}
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
