@@ -1,0 +1,112 @@
+package graft.cep
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** CEP / MATCH_RECOGNIZE core (reference StreamExecMatch.java:90 +
+  * flink-libraries/flink-cep Pattern.java:50 — NFA pattern API): a
+  * compact strict-contiguity NFA with One/Plus quantifiers and an
+  * optional `within` horizon, run per key over event-time order.
+  *
+  * Execution shape: one shuffle on the key (groupBy via flatMapGroups),
+  * in-memory sort of each key's timeline, linear NFA scan with
+  * after-match skip-past-last (the reference's default skip strategy).
+  * Per-key timelines are the unit of state — the same contract the
+  * reference's keyed NFA state holds; a key's history must fit an
+  * executor, keys scale out horizontally.
+  *
+  * Batch-first: on bounded input this equals the reference's streaming
+  * result; an incremental `flatMapGroupsWithState` variant would buffer
+  * until watermark — documented as round-2 work.
+  */
+object Cep {
+
+  sealed trait Quant
+  case object One extends Quant
+  /** one or more, greedy */
+  case object Plus extends Quant
+
+  final case class Step(name: String, pred: Row => Boolean,
+      quant: Quant = One)
+
+  /** A match: key, per-step matched event ids, first/last timestamps. */
+  final case class PatternMatch(key: Long, step_ids: Map[String, Seq[Long]],
+      first_ts: Long, last_ts: Long)
+
+  /** Run `steps` over each key's timeline. `df` must contain keyCol
+    * (long), tsCol (timestamp), idCol (long). Returns one row per match:
+    * (key, step name, matched event id, match_seq). */
+  def matchPattern(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, steps: Seq[Step],
+      withinMicros: Option[Long] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fields = df.schema.fieldNames
+    val kIdx = fields.indexOf(keyCol)
+    val tIdx = fields.indexOf(tsCol)
+    val iIdx = fields.indexOf(idCol)
+    require(kIdx >= 0 && tIdx >= 0 && iIdx >= 0)
+
+    val out = df.groupByKey(_.getLong(kIdx))
+      .flatMapGroups { (key: Long, it: Iterator[Row]) =>
+        val events = it.toArray.sortBy(r =>
+          (r.getTimestamp(tIdx).getTime, r.getLong(iIdx)))
+        val matches = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, Long, Int)]
+        var seq = 0
+        var i = 0
+        while (i < events.length) {
+          attemptAt(events, i, steps, withinMicros, tIdx) match {
+            case Some(stepHits) =>
+              stepHits.zip(steps).foreach { case (hits, st) =>
+                hits.foreach(e =>
+                  matches += ((key, st.name, e.getLong(iIdx), seq)))
+              }
+              seq += 1
+              i += stepHits.map(_.length).sum // skip past last (no overlap)
+            case None => i += 1
+          }
+        }
+        matches.iterator
+      }
+    out.toDF("key", "step", "event_id", "match_seq")
+  }
+
+  /** Try to match the full pattern starting at events(start) with strict
+    * contiguity; greedy Plus. Returns the per-step consumed events. */
+  private def attemptAt(events: Array[Row], start: Int, steps: Seq[Step],
+      withinMicros: Option[Long], tIdx: Int): Option[Seq[Seq[Row]]] = {
+    var pos = start
+    val consumed = Seq.newBuilder[Seq[Row]]
+    val startMs = events(start).getTimestamp(tIdx).getTime
+    def inWindow(r: Row): Boolean = withinMicros.forall(w =>
+      (r.getTimestamp(tIdx).getTime - startMs) * 1000L <= w)
+    for (st <- steps) {
+      st.quant match {
+        case One =>
+          if (pos >= events.length || !st.pred(events(pos))
+            || !inWindow(events(pos))) return None
+          consumed += Seq(events(pos))
+          pos += 1
+        case Plus =>
+          val first = pos
+          while (pos < events.length && st.pred(events(pos))
+            && inWindow(events(pos))) pos += 1
+          if (pos == first) return None
+          consumed += events.slice(first, pos).toSeq
+      }
+    }
+    Some(consumed.result())
+  }
+
+  /** The catalog's demo pattern: signup followed immediately by one or
+    * more errors, per user (`A B+` strict). */
+  def signupThenErrors(events: DataFrame): DataFrame =
+    matchPattern(
+      events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")),
+      keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+      steps = Seq(
+        Step("A", _.getString(3) == "signup"),
+        Step("B", _.getString(3) == "error", Plus)))
+}

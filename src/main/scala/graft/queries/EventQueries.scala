@@ -192,6 +192,20 @@ object EventQueries {
              |WHERE event_type = 'signup' AND next_type = 'error'
              |ORDER BY user_id, a_id""".stripMargin)),
 
+    // Full NFA pattern matching (reference StreamExecMatch.java:90 /
+    // flink-cep Pattern.java:50): `signup error+` strict-contiguity with
+    // greedy Plus, after-match skip — graft.cep.Cep. Spec-validated
+    // against the lead() formulation (CepSpec); no SQL oracle (ANSI SQL
+    // cannot express greedy quantified matching without MATCH_RECOGNIZE,
+    // which DuckDB lacks).
+    Query(
+      "q_cep_nfa",
+      (s, d) =>
+        graft.cep.Cep.signupThenErrors(t(s, d, "events"))
+          .orderBy(col("key"), col("match_seq"), col("step"),
+            col("event_id")),
+      None),
+
     // Temporal / as-of join (reference TemporalRowTimeJoinOperator.java:78):
     // for each error, the latest signup of the same user at-or-before it.
     // Scalable pattern: union both sides, one shuffle on user_id, running

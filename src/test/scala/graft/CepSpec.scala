@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cep.Cep
+import graft.queries.Catalog
+
+/** NFA pattern matcher (reference flink-cep semantics): validated against
+  * the window-function formulation for the `A B` class, plus quantifier
+  * and within-horizon behavior on constructed timelines. */
+class CepSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private def mkEvents(rows: (Long, Long, Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+  }
+
+  test("A B (One One) matches equal the lead() formulation") {
+    val events = graft.engine.Tables.load(spark, SparkFixture.sf, "events")
+    val nfa = Cep.matchPattern(
+      events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")),
+      "user_id", "ts", "event_id",
+      Seq(Cep.Step("A", _.getString(3) == "signup"),
+        Cep.Step("B", _.getString(3) == "error")))
+    val nfaPairs = nfa.collect()
+      .groupBy(r => (r.getLong(0), r.getInt(3)))
+      .map { case (_, rows) =>
+        (rows.find(_.getString(1) == "A").get.getLong(2),
+          rows.find(_.getString(1) == "B").get.getLong(2))
+      }.toSet
+    val leadPairs = Catalog.byName("q_cep_adjacent")
+      .run(spark, SparkFixture.sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // lead() allows overlapping matches; NFA skips past each match — every
+    // NFA match must be a lead()-pair, and every non-overlapping lead()
+    // pair must be found
+    assert(nfaPairs.nonEmpty)
+    assert(nfaPairs.subsetOf(leadPairs))
+  }
+
+  test("Plus quantifier consumes greedily") {
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "error"), (1L, 40L, 4L, "click"),
+      (1L, 50L, 5L, "signup"), (1L, 60L, 6L, "error"))
+    val m = Cep.signupThenErrors(events).collect()
+    val bySeq = m.groupBy(_.getInt(3))
+    assert(bySeq.size === 2)
+    val first = bySeq(0).map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(first === Set(("A", 1L), ("B", 2L), ("B", 3L)))
+    val second = bySeq(1).map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(second === Set(("A", 5L), ("B", 6L)))
+  }
+
+  test("strict contiguity rejects interleaved events") {
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "error"))
+    assert(Cep.signupThenErrors(events).count() === 0)
+  }
+
+  test("within horizon bounds a match") {
+    val events = mkEvents(
+      (1L, 0L, 1L, "signup"), (1L, 3600L, 2L, "error"))
+    val bounded = Cep.matchPattern(events, "user_id", "ts", "event_id",
+      Seq(Cep.Step("A", _.getString(3) == "signup"),
+        Cep.Step("B", _.getString(3) == "error")),
+      withinMicros = Some(60L * 1000000L))
+    assert(bounded.count() === 0)
+    val unbounded = Cep.signupThenErrors(events)
+    assert(unbounded.count() === 2) // A + B rows of one match
+  }
+}
