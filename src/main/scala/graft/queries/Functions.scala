@@ -174,6 +174,31 @@ object Functions {
              |  FROM documents WHERE doc_id < 30) u
              |ORDER BY doc_id, idx""".stripMargin)),
 
+    // Bitwise + radix battery (reference FlinkSqlOperatorTable: BIN HEX
+    // MOD bit ops; ScalarOperatorGens bitwise codegen).
+    Query(
+      "q_fn_bits",
+      (s, d) =>
+        t(s, d, "supplier")
+          .select(col("s_suppkey"),
+            hex(col("s_suppkey")).as("hx"),
+            (col("s_suppkey").bitwiseAND(lit(12L))).as("band"),
+            (col("s_suppkey").bitwiseOR(lit(5L))).as("bor"),
+            (col("s_suppkey").bitwiseXOR(lit(9L))).as("bxor"),
+            shiftleft(col("s_suppkey"), 3).as("shl"),
+            shiftright(col("s_suppkey"), 1).as("shr"),
+            bitwise_not(col("s_suppkey")).as("bnot"))
+          .orderBy(col("s_suppkey")),
+      Some("""SELECT s_suppkey,
+             |  HEX(s_suppkey) AS hx,
+             |  s_suppkey & 12 AS band,
+             |  s_suppkey | 5 AS bor,
+             |  XOR(s_suppkey, 9) AS bxor,
+             |  CAST(s_suppkey << 3 AS BIGINT) AS shl,
+             |  CAST(s_suppkey >> 1 AS BIGINT) AS shr,
+             |  ~s_suppkey AS bnot
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
     // String battery 2 (reference FlinkSqlOperatorTable: OVERLAY,
     // TO_BASE64/FROM_BASE64, ASCII/CHR, LOCATE, LEFT/RIGHT, TRANSLATE,
     // STR_TO_MAP, PARSE_URL) — DuckDB lacks several of these natively, so

@@ -124,6 +124,31 @@ object Windows {
              |FROM lineitem WHERE l_orderkey < 200
              |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
 
+    // Time-interval RANGE frame (reference RangeSlidingOverFrame over
+    // rowtime — the streaming OVER's batch shape): events in the
+    // preceding hour per user. SQL form: Spark and DuckDB both support
+    // RANGE with interval bounds on a timestamp ORDER BY.
+    Query(
+      "q_over_time_range",
+      (s, d) => {
+        Catalog.registerViews(s, d, "events")
+        // events view needs the ns→µs conversion the loader applies
+        Catalog.t(s, d, "events").createOrReplaceTempView("events")
+        s.sql("""SELECT user_id, event_id,
+                |  COUNT(1) OVER (PARTITION BY user_id ORDER BY ts
+                |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                |    AS n_last_hour
+                |FROM events
+                |ORDER BY user_id, event_id""".stripMargin)
+      },
+      Some("""SELECT user_id, event_id,
+             |  COUNT(1) OVER (PARTITION BY user_id
+             |    ORDER BY CAST(ts AS TIMESTAMP)
+             |    RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+             |    AS n_last_hour
+             |FROM events
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // LEAD/LAG offset functions (reference OffsetOverFrame).
     Query(
       "q_over_lead_lag",
