@@ -199,18 +199,20 @@ object DedupQueries {
               |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
               |ORDER BY a, b""".stripMargin)),
 
-    // SimHash: 32-bit signature from per-token xxhash64 sign bits.
-    // Spark-side only (driver rows-only check; spec pins exact values) —
-    // no cross-engine 64-bit hash exists in both Spark and DuckDB.
+    // SimHash: 32-bit signature from per-token md5-derived sign bits —
+    // per-bit majority vote over the document's distinct tokens. Same
+    // md5-prefix derivation as minhash, so the DuckDB oracle reproduces
+    // the exact signatures (md5_number_upper byte reconstruction).
     Query(
       "q_dedup_simhash",
       (s, d) => {
         val tok = t(s, d, "documents")
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("w"))
-          .withColumn("h", xxhash64(col("w")))
+          .withColumn("x",
+            conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
         val bitSums = (0 until 32).map(i =>
-          sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+          sum(when(shiftright(col("x"), i).bitwiseAND(1) === 1, 1)
             .otherwise(-1)).as(s"b$i"))
         val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
         val sim = (0 until 32).map(i =>
@@ -218,5 +220,25 @@ object DedupQueries {
           .reduce(_ + _)
         agg.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
       },
-      None))
+      Some {
+        val x32 = "CAST((u & 255) * 16777216 + ((u >> 8) & 255) * 65536 " +
+          "+ ((u >> 16) & 255) * 256 + ((u >> 24) & 255) AS BIGINT)"
+        val bitSums = (0 until 32).map(i =>
+          s"SUM(CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(",\n    ")
+        val sim = (0 until 32).map(i =>
+          s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w
+           |  FROM documents),
+           |tx AS (
+           |  SELECT doc_id, $x32 AS x
+           |  FROM (SELECT doc_id, md5_number_upper(w) AS u FROM tok) t),
+           |bits AS (
+           |  SELECT doc_id,
+           |    $bitSums
+           |  FROM tx GROUP BY doc_id)
+           |SELECT doc_id, CAST($sim AS BIGINT) AS simhash
+           |FROM bits ORDER BY doc_id""".stripMargin
+      }))
 }
