@@ -112,9 +112,8 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // Document fingerprint: order-sensitive rolling hash over tokens
-    // (Karp-Rabin over the md5-coded token stream). Deterministic across
-    // engines is not required here (driver rows-only check): the md5-hex →
-    // numeric fold is Spark-side; the spec test pins exact values.
+    // (Karp-Rabin over the md5-coded token stream); pure integer
+    // arithmetic on the md5 32-bit prefix → exact cross-engine oracle.
     Query(
       "q_text_fingerprint",
       (s, d) =>
@@ -126,5 +125,17 @@ object TextQueries {
                    |  (acc, h) -> (acc * 1000003 + cast(h as long)) % 1000000007)"""
               .stripMargin).as("fingerprint"))
           .orderBy(col("doc_id")),
-      None))
+      Some {
+        // u inlined: DuckDB forbids subqueries inside lambdas
+        val x32 = "CAST((md5_number_upper(w) & 255) * 16777216 " +
+          "+ ((md5_number_upper(w) >> 8) & 255) * 65536 " +
+          "+ ((md5_number_upper(w) >> 16) & 255) * 256 " +
+          "+ ((md5_number_upper(w) >> 24) & 255) AS BIGINT)"
+        s"""SELECT doc_id,
+           |  list_reduce(
+           |    list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(text, ' '), w -> $x32)),
+           |    (acc, h) -> (acc * 1000003 + h) % 1000000007) AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }))
 }
