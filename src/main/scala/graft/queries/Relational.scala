@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import Catalog.{t, dsum4, sqls}
+import Catalog.{t, dsum, dsum4, sqls}
 
 /** Join + calc + sort/limit/Top-N coverage (SURVEY.md §2.2, §2.3, §2.6).
   *
@@ -202,6 +202,104 @@ object Relational {
              |  AND o_custkey IN (SELECT c_custkey FROM customer
              |                    WHERE c_mktsegment = 'MACHINERY')
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // TPC-H Q10 shape: returned-items revenue per customer, top 20 —
+    // fact-fact shuffle join + broadcast nation + agg + TakeOrdered.
+    Query(
+      "q_join_q10",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        val l = t(s, d, "lineitem").where(col("l_returnflag") === "R")
+        val n = t(s, d, "nation")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(desc("revenue"), col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+              |  ${sqls.dsum4("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM customer
+              |JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+              |  AND l_returnflag = 'R'
+              |GROUP BY 1, 2, 3
+              |ORDER BY revenue DESC, c_custkey
+              |LIMIT 20""".stripMargin),
+      bench = true),
+
+    // TPC-H Q18 shape: customers with any large order (sum qty > T) —
+    // agg-derived semi join back onto the fact.
+    Query(
+      "q_join_q18",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"))
+          .where(col("sum_qty") > 150.0)
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        o.join(big, col("o_orderkey") === big("l_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+          .limit(50)
+      },
+      Some(s"""SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+              |FROM orders
+              |JOIN (SELECT l_orderkey, ${sqls.dsum("l_quantity")} AS sum_qty
+              |      FROM lineitem GROUP BY l_orderkey
+              |      HAVING ${sqls.dsum("l_quantity")} > 150.0) big
+              |  ON o_orderkey = big.l_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |ORDER BY o_totalprice DESC, o_orderkey
+              |LIMIT 50""".stripMargin)),
+
+    // TPC-H Q7 shape: shipping volume between two nations by year —
+    // the same dimension joined twice under different aliases.
+    Query(
+      "q_join_q7",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val sup = t(s, d, "supplier")
+        val n1 = t(s, d, "nation")
+          .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+        val n2 = t(s, d, "nation")
+          .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+          .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+          .where((col("supp_nation") < col("cust_nation")))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("volume"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |  YEAR(l_shipdate) AS l_year,
+              |  ${sqls.dsum4("l_extendedprice * (1.0 - l_discount)")} AS volume
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE n1.n_name < n2.n_name
+              |GROUP BY 1, 2, 3
+              |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
 
     // Sort + limit → TakeOrderedAndProject (reference SortLimitOperator).
     Query(
