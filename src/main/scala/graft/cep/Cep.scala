@@ -99,6 +99,63 @@ object Cep {
     Some(consumed.result())
   }
 
+  /** Incremental streaming NFA for One-quantifier patterns (strict
+    * contiguity): keyed partial-match state carries over micro-batch
+    * boundaries, matches emit as soon as their last event arrives —
+    * the reference's streaming `StreamExecMatch` behavior for the
+    * `A B … Z` pattern class. Events are processed in event-time order
+    * within each batch and arrival order across batches (proctime
+    * semantics across batches; align file/offset order with time for
+    * event-time behavior). Plus-quantifier patterns need lookahead
+    * beyond batch boundaries and stay batch-mode.
+    */
+  def matchPatternStream(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, steps: Seq[Step]): DataFrame = {
+    require(steps.forall(_.quant == One),
+      "streaming NFA supports One-quantifier steps; use matchPattern for Plus")
+    val spark = events.sparkSession
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val fields = events.schema.fieldNames
+    val kIdx = fields.indexOf(keyCol)
+    val tIdx = fields.indexOf(tsCol)
+    val iIdx = fields.indexOf(idCol)
+
+    val out = events.groupByKey(_.getLong(kIdx))
+      .flatMapGroupsWithState[(Int, Seq[Long], Long), (Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[Row], state: GroupState[(Int, Seq[Long], Long)]) =>
+          var (si, consumed, seq) = state.getOption.getOrElse((0, Seq.empty[Long], 0L))
+          val emitted = scala.collection.mutable.ListBuffer
+            .empty[(Long, String, Long, Long)]
+          val ordered = it.toArray.sortBy(r =>
+            (r.getTimestamp(tIdx).getTime, r.getLong(iIdx)))
+          ordered.foreach { e =>
+            val id = e.getLong(iIdx)
+            def reset(): Unit = { si = 0; consumed = Seq.empty }
+            def advance(): Unit = {
+              consumed = consumed :+ id
+              si += 1
+              if (si == steps.length) {
+                consumed.zip(steps).foreach { case (cid, st) =>
+                  emitted += ((key, st.name, cid, seq))
+                }
+                seq += 1
+                reset()
+              }
+            }
+            if (steps(si).pred(e)) advance()
+            else {
+              reset()
+              if (steps(0).pred(e)) advance()
+            }
+          }
+          state.update((si, consumed, seq))
+          emitted.iterator
+      }
+    out.toDF("key", "step", "event_id", "match_seq")
+  }
+
   /** The catalog's demo pattern: signup followed immediately by one or
     * more errors, per user (`A B+` strict). */
   def signupThenErrors(events: DataFrame): DataFrame =

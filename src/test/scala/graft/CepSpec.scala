@@ -48,6 +48,42 @@ class CepSpec extends AnyFunSuite {
     assert(nfaPairs.subsetOf(leadPairs))
   }
 
+  test("streaming NFA across micro-batches equals batch NFA (A B)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    // stage the events fixture as two time-split files so partial matches
+    // must survive a batch boundary
+    val stage = java.nio.file.Files.createTempDirectory("graft_cep").toString
+    val ev = graft.engine.Tables.load(spark, SparkFixture.sf, "events")
+      .select("user_id", "ts", "event_id", "event_type")
+    val mid = ev.selectExpr("percentile_approx(cast(ts as double), 0.5)")
+      .collect().head.getDouble(0)
+    ev.where(col("ts").cast("double") <= mid).coalesce(1)
+      .write.parquet(s"$stage/f0")
+    Thread.sleep(1100) // file-source ordering is by modification time
+    ev.where(col("ts").cast("double") > mid).coalesce(1)
+      .write.parquet(s"$stage/f1")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("event_type", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/*/")
+    val steps = Seq(
+      Cep.Step("A", _.getString(3) == "signup"),
+      Cep.Step("B", _.getString(3) == "error"))
+    val q = Cep.matchPatternStream(stream, "user_id", "ts", "event_id", steps)
+      .writeStream.format("memory").queryName("t_cep")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("t_cep").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = Cep.matchPattern(ev, "user_id", "ts", "event_id", steps)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("Plus quantifier consumes greedily") {
     val events = mkEvents(
       (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
