@@ -110,7 +110,8 @@ object Cep {
     * beyond batch boundaries and stay batch-mode.
     */
   def matchPatternStream(events: DataFrame, keyCol: String, tsCol: String,
-      idCol: String, steps: Seq[Step]): DataFrame = {
+      idCol: String, steps: Seq[Step],
+      withinMicros: Option[Long] = None): DataFrame = {
     require(steps.forall(_.quant == One),
       "streaming NFA supports One-quantifier steps; use matchPattern for Plus")
     val spark = events.sparkSession
@@ -121,19 +122,24 @@ object Cep {
     val tIdx = fields.indexOf(tsCol)
     val iIdx = fields.indexOf(idCol)
 
+    // state: (step index, consumed ids, match counter, first-event ms)
     val out = events.groupByKey(_.getLong(kIdx))
-      .flatMapGroupsWithState[(Int, Seq[Long], Long), (Long, String, Long, Long)](
+      .flatMapGroupsWithState[(Int, Seq[Long], Long, Long), (Long, String, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, it: Iterator[Row], state: GroupState[(Int, Seq[Long], Long)]) =>
-          var (si, consumed, seq) = state.getOption.getOrElse((0, Seq.empty[Long], 0L))
+        (key: Long, it: Iterator[Row],
+            state: GroupState[(Int, Seq[Long], Long, Long)]) =>
+          var (si, consumed, seq, firstMs) =
+            state.getOption.getOrElse((0, Seq.empty[Long], 0L, 0L))
           val emitted = scala.collection.mutable.ListBuffer
             .empty[(Long, String, Long, Long)]
           val ordered = it.toArray.sortBy(r =>
             (r.getTimestamp(tIdx).getTime, r.getLong(iIdx)))
           ordered.foreach { e =>
             val id = e.getLong(iIdx)
-            def reset(): Unit = { si = 0; consumed = Seq.empty }
+            val ms = e.getTimestamp(tIdx).getTime
+            def reset(): Unit = { si = 0; consumed = Seq.empty; firstMs = 0L }
             def advance(): Unit = {
+              if (consumed.isEmpty) firstMs = ms
               consumed = consumed :+ id
               si += 1
               if (si == steps.length) {
@@ -144,13 +150,16 @@ object Cep {
                 reset()
               }
             }
+            // abandon a partial match whose within-horizon has passed
+            if (consumed.nonEmpty && withinMicros.exists(w =>
+              (ms - firstMs) * 1000L > w)) reset()
             if (steps(si).pred(e)) advance()
             else {
               reset()
               if (steps(0).pred(e)) advance()
             }
           }
-          state.update((si, consumed, seq))
+          state.update((si, consumed, seq, firstMs))
           emitted.iterator
       }
     out.toDF("key", "step", "event_id", "match_seq")

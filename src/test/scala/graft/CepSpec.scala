@@ -105,6 +105,34 @@ class CepSpec extends AnyFunSuite {
     assert(Cep.signupThenErrors(events).count() === 0)
   }
 
+  test("streaming NFA within-horizon abandons stale partial matches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val steps = Seq(
+      Cep.Step("A", _.getString(3) == "signup"),
+      Cep.Step("B", _.getString(3) == "error"))
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps,
+        withinMicros = Some(60L * 1000000L))
+      .writeStream.format("memory").queryName("t_cep_within")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // u1: signup then error 2h later (beyond within) → no match
+    // u2: signup then error 30s later (inside within, across batches) → match
+    mem.addData((1L, 0L, 1L, "signup"), (2L, 0L, 10L, "signup"))
+    q.processAllAvailable()
+    mem.addData((1L, 7200L, 2L, "error"), (2L, 30L, 11L, "error"))
+    q.processAllAvailable()
+    val rows = spark.table("t_cep_within").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows === Set((2L, "A", 10L), (2L, "B", 11L)))
+  }
+
   test("within horizon bounds a match") {
     val events = mkEvents(
       (1L, 0L, 1L, "signup"), (1L, 3600L, 2L, "error"))
