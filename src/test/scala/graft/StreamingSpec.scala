@@ -118,6 +118,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts.get(0) + counts.get(1) === events.count())
   }
 
+  test("watermark drops late data; windows emit once finalized (append)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val df = mem.toDF()
+      .toDF("event_id", "secs", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("secs").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val q = Streams.tumbleAgg(df, size = "1 hour", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("t_late")
+      .outputMode("append").start()
+    val h = 3600L
+    // batch 1: events in hour 3 → watermark advances to 03:30-10min
+    mem.addData((1L, 3 * h, 1L, "a", 1.0, "{}"),
+      (2L, 3 * h + 1800, 1L, "a", 1.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: an hour-0 straggler (far below watermark → dropped) and an
+    // hour-5 event that pushes the watermark past hour 3's end
+    mem.addData((3L, 5L, 1L, "a", 100.0, "{}"),
+      (4L, 5 * h, 1L, "a", 1.0, "{}"))
+    q.processAllAvailable()
+    val out = spark.table("t_late").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(2)))
+    q.stop()
+    // hour-3 window finalized with exactly its 2 on-time rows; the late
+    // hour-0 row contributed nothing anywhere
+    assert(out.toSet === Set((3 * h, 2L)))
+  }
+
   test("checkpointed parquet sink is exactly-once across restarts") {
     val base = java.nio.file.Files.createTempDirectory("graft_eo").toString
     def runOnce(): Unit = {
