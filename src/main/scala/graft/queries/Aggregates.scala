@@ -192,6 +192,25 @@ object Aggregates {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    // Exact percentiles (reference PERCENTILE/median surface; Spark's
+    // exact `percentile` matches DuckDB quantile_cont interpolation).
+    Query(
+      "q_agg_percentile",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("median"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median,
+             |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             |  ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // Agg over join with HAVING (TPC-H Q5-ish shape) — headline bench.
     Query(
       "q_agg_having",

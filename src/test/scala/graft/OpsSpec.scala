@@ -40,6 +40,35 @@ class OpsSpec extends AnyFunSuite {
     assert(top.where(col("rn") > 2).count() === 0)
   }
 
+  test("stratified sample respects per-stratum fractions, seeded") {
+    val docs = graft.engine.Tables.load(spark, SparkFixture.sf, "documents")
+    val fr: Map[Any, Double] = Map("web" -> 0.5, "book" -> 0.1)
+    def sample() = docs.stratifiedSample("source", fr, seed = 42L)
+    val counts = sample().groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.keySet.foreach(k => assert(fr.contains(k))) // others excluded
+    for ((k, f) <- fr; ks = k.toString; if totals.contains(ks)) {
+      val got = counts.getOrElse(ks, 0L).toDouble / totals(ks)
+      assert(math.abs(got - f) < 0.35, s"stratum $k: got $got want ~$f")
+    }
+    assert(sample().collect().toSeq === sample().collect().toSeq) // seeded
+  }
+
+  test("trainValTest split is disjoint, complete, deterministic") {
+    val docs = graft.engine.Tables.load(spark, SparkFixture.sf, "documents")
+    val Seq(tr, va, te) = docs.trainValTest(Array(0.8, 0.1, 0.1), seed = 7L)
+    val n = docs.count()
+    assert(tr.count() + va.count() + te.count() === n)
+    val ids = (tr.select("doc_id") union va.select("doc_id")
+      union te.select("doc_id")).distinct().count()
+    assert(ids === n) // disjoint + complete
+    val Seq(tr2, _, _) = docs.trainValTest(Array(0.8, 0.1, 0.1), seed = 7L)
+    assert(tr.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      tr2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("dedupKeepFirst keeps exactly one row per key") {
     val d = orders.dedupKeepFirst(Seq(col("o_custkey")),
       Seq(col("o_orderdate"), col("o_orderkey")))
