@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 /** Structured Streaming layer (SURVEY.md §2.9): the same event-table
   * operators the batch catalog exposes, run as streams — watermarks,
@@ -155,6 +155,54 @@ object Streams {
       && col("b_ts") >= col("a_ts")
       && col("b_ts") <= col("a_ts") + expr("interval 60 minutes"))
       .select(col("a_id"), col("b_id"))
+  }
+
+  /** Streaming as-of (temporal) join (reference
+    * TemporalRowTimeJoinOperator.java:78, FOR SYSTEM_TIME AS OF): left
+    * rows join the latest right-side version at-or-before their event
+    * time. Both sides arrive as one keyed stream (union), state per key
+    * is ONE row — the current version — exactly the reference's
+    * versioned-table state after cleanup. Events are ordered within each
+    * batch; cross-batch order follows arrival (align source order with
+    * time for event-time behavior, as with matchPatternStream).
+    *
+    * left/right must share: keyCol, tsCol, idCol; right additionally
+    * carries payloadCol. Output: (key, left id, asof payload or null).
+    */
+  def asofJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, payloadCol: String): DataFrame = {
+    val spark = left.sparkSession
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val l = left.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+      col(idCol).as("id"), lit(null).cast("long").as("pay"),
+      lit(1).as("side"))
+    val r = right.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+      col(idCol).as("id"), col(payloadCol).cast("long").as("pay"),
+      lit(0).as("side"))
+    val out = l.unionByName(r)
+      .groupByKey(_.getLong(0))
+      .flatMapGroupsWithState[(Long, Long, Boolean), (Long, Long, Option[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[Row], state: GroupState[(Long, Long, Boolean)]) =>
+          // state: (version ts millis, version payload, hasVersion)
+          var (vTs, vPay, has) = state.getOption.getOrElse((0L, 0L, false))
+          val emitted = scala.collection.mutable.ListBuffer
+            .empty[(Long, Long, Option[Long])]
+          // rights before lefts at equal ts → inclusive as-of
+          it.toArray.sortBy(e => (e.getTimestamp(1).getTime, e.getInt(4),
+            e.getLong(2))).foreach { e =>
+            val ms = e.getTimestamp(1).getTime
+            if (e.getInt(4) == 0) {
+              if (!has || ms >= vTs) { vTs = ms; vPay = e.getLong(3); has = true }
+            } else {
+              emitted += ((key, e.getLong(2), if (has) Some(vPay) else None))
+            }
+          }
+          state.update((vTs, vPay, has))
+          emitted.iterator
+      }
+    out.toDF("key", "left_id", "asof_value")
   }
 
   /** Streaming Top-N (reference StreamExecRank.java:69): per micro-batch

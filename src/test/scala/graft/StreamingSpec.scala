@@ -118,6 +118,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts.get(0) + counts.get(1) === events.count())
   }
 
+  test("streaming as-of join equals batch as-of join across batches") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // (key, secs, id, payload, isLeft)
+    val mem = MemoryStream[(Long, Long, Long, Long, Boolean)]
+    val df = mem.toDF().toDF("k", "secs", "id", "pay", "isLeft")
+      .select(col("k"), col("secs").cast("timestamp").as("ts"), col("id"),
+        col("pay"), col("isLeft"))
+    val q = Streams.asofJoinStream(
+        df.where(col("isLeft")), df.where(!col("isLeft")),
+        "k", "ts", "id", "pay")
+      .writeStream.format("memory").queryName("t_asof_s")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: version v1 at t=10, probe at t=5 (before any version →
+    // null), probe at t=20 → v1
+    mem.addData((1L, 10L, 100L, 7L, false), (1L, 5L, 1L, 0L, true),
+      (1L, 20L, 2L, 0L, true))
+    q.processAllAvailable()
+    // batch 2: newer version v2 at t=30 carries over state; probe t=40 → v2
+    mem.addData((1L, 30L, 101L, 9L, false), (1L, 40L, 3L, 0L, true))
+    q.processAllAvailable()
+    val got = spark.table("t_asof_s").collect()
+      .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toMap
+    q.stop()
+    assert(got === Map(1L -> None, 2L -> Some(7L), 3L -> Some(9L)))
+  }
+
   test("watermark drops late data; windows emit once finalized (append)") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
