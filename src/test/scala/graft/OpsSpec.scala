@@ -69,6 +69,28 @@ class OpsSpec extends AnyFunSuite {
       tr2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("bandedRangeJoin equals the nested-loop theta join") {
+    import org.apache.spark.sql.functions.abs
+    val sup = graft.engine.Tables.load(spark, SparkFixture.sf, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal"))
+    val cust = graft.engine.Tables.load(spark, SparkFixture.sf, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val naive = sup.join(cust,
+        abs(col("c_acctbal") - col("s_acctbal")) <= 20.0)
+      .select("s_suppkey", "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = sup.bandedRangeJoin(cust, col("s_acctbal"),
+        col("c_acctbal"), 20.0)
+      .select("s_suppkey", "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === naive)
+    assert(banded.nonEmpty)
+    // and the plan is an equi hash join, not a nested loop
+    val plan = sup.bandedRangeJoin(cust, col("s_acctbal"),
+      col("c_acctbal"), 20.0).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   test("dedupKeepFirst keeps exactly one row per key") {
     val d = orders.dedupKeepFirst(Seq(col("o_custkey")),
       Seq(col("o_orderdate"), col("o_orderkey")))
