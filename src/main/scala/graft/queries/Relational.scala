@@ -167,16 +167,17 @@ object Relational {
       Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
              |ORDER BY r_name, n_name""".stripMargin)),
 
-    // Theta/non-equi join (compiled JoinCondition in the reference;
-    // BroadcastNestedLoopJoin in Spark — small side broadcast).
+    // Theta/non-equi join (compiled JoinCondition in the reference) via
+    // the banded range-join operator: an equi-join on width buckets
+    // instead of a BroadcastNestedLoopJoin — O(n+m) shuffle, not O(n·m)
+    // compare; identical result set (OpsSpec proves equivalence).
     Query(
       "q_join_theta",
       (s, d) => {
+        import graft.operators.Ops._
         val sup = t(s, d, "supplier")
         val c = t(s, d, "customer")
-        sup.join(c,
-            col("c_acctbal") >= col("s_acctbal") - 20.0 &&
-              col("c_acctbal") <= col("s_acctbal") + 20.0)
+        sup.bandedRangeJoin(c, col("s_acctbal"), col("c_acctbal"), 20.0)
           .select(col("s_suppkey"), col("c_custkey"))
           .orderBy(col("s_suppkey"), col("c_custkey"))
       },
