@@ -127,6 +127,38 @@ object Functions {
              |FROM orders WHERE o_orderkey <= 500
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Temporal battery 2: TIMESTAMPADD/TIMESTAMPDIFF, LAST_DAY,
+    // WEEKOFYEAR, OVERLAPS (reference OVERLAPS/TIMESTAMP_ADD/
+    // TIMESTAMP_DIFF in FlinkSqlOperatorTable; OVERLAPS expressed as the
+    // standard interval-intersection predicate — fixture dates are
+    // midnight-aligned so day-diff semantics agree across engines).
+    Query(
+      "q_fn_temporal2",
+      (s, d) =>
+        t(s, d, "orders").where(col("o_orderkey") <= 500)
+          .select(
+            col("o_orderkey"),
+            expr("timestampadd(HOUR, 3, o_orderdate)").as("plus3h"),
+            expr("timestampdiff(DAY, o_orderdate, TIMESTAMP '2003-01-01')")
+              .as("days_to_2003"),
+            last_day(col("o_orderdate")).as("month_end"),
+            weekofyear(col("o_orderdate")).as("woy"),
+            (col("o_orderdate") <= lit("2001-03-31").cast("timestamp") &&
+              col("o_orderdate") + expr("interval 30 days")
+                >= lit("2001-01-01").cast("timestamp")).as("overlaps_q1"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  o_orderdate + INTERVAL 3 HOUR AS plus3h,
+             |  date_diff('day', o_orderdate, TIMESTAMP '2003-01-01')
+             |    AS days_to_2003,
+             |  last_day(o_orderdate) AS month_end,
+             |  CAST(weekofyear(o_orderdate) AS INT) AS woy,
+             |  o_orderdate <= TIMESTAMP '2001-03-31'
+             |    AND o_orderdate + INTERVAL 30 DAY >= TIMESTAMP '2001-01-01'
+             |    AS overlaps_q1
+             |FROM orders WHERE o_orderkey <= 500
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Conditional: CASE/IF/NULLIF/COALESCE/GREATEST/LEAST/IS DISTINCT FROM.
     Query(
       "q_fn_conditional",
