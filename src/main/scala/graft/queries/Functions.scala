@@ -277,6 +277,41 @@ object Functions {
              |FROM documents WHERE doc_id < 100
              |ORDER BY doc_id""".stripMargin)),
 
+    // Array set operations (reference ARRAY surface + CARDINALITY):
+    // intersect/union/except/contains/sort over token arrays. DuckDB
+    // reproduces Spark's dedup semantics via list_distinct+list_filter.
+    Query(
+      "q_fn_array2",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        t(s, d, "documents")
+          .where(size(toks) >= 12)
+          .select(col("doc_id"),
+            slice(toks, 1, 8).as("a"), slice(toks, 5, 8).as("b"))
+          .select(col("doc_id"),
+            size(array_intersect(col("a"), col("b"))).as("n_inter"),
+            size(array_union(col("a"), col("b"))).as("n_union"),
+            size(array_except(col("a"), col("b"))).as("n_except"),
+            array_contains(col("a"), "the").as("has_the"),
+            array_join(array_sort(array_distinct(col("a"))), ",").as("srt"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  LEN(list_filter(list_distinct(a), x -> list_contains(b, x)))
+             |    AS n_inter,
+             |  LEN(list_distinct(list_concat(a, b))) AS n_union,
+             |  LEN(list_filter(list_distinct(a),
+             |    x -> NOT list_contains(b, x))) AS n_except,
+             |  list_contains(a, 'the') AS has_the,
+             |  array_to_string(list_sort(list_distinct(a)), ',') AS srt
+             |FROM (
+             |  SELECT doc_id,
+             |    string_split(text, ' ')[1:8] AS a,
+             |    string_split(text, ' ')[5:12] AS b
+             |  FROM documents
+             |  WHERE LEN(string_split(text, ' ')) >= 12) x
+             |ORDER BY doc_id""".stripMargin)),
+
     // JSON access (reference JsonFunctionsTest.scala surface; 1.13 had
     // predicates + extraction idioms).
     Query(
