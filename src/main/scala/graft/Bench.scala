@@ -31,7 +31,10 @@ object Bench {
       val fn = queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop sink materializes EVERY output column and keeps final
+        // sorts in the plan — .count() would let Catalyst prune the
+        // aggregate expressions and eliminate the ordering
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       val best =

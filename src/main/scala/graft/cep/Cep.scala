@@ -114,6 +114,7 @@ object Cep {
       withinMicros: Option[Long] = None): DataFrame = {
     require(steps.forall(_.quant == One),
       "streaming NFA supports One-quantifier steps; use matchPattern for Plus")
+    require(steps.length <= 64, "streaming NFA supports at most 64 steps")
     val spark = events.sparkSession
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
@@ -121,15 +122,22 @@ object Cep {
     val kIdx = fields.indexOf(keyCol)
     val tIdx = fields.indexOf(tsCol)
     val iIdx = fields.indexOf(idCol)
+    val nSteps = steps.length
 
-    // state: (step index, consumed ids, match counter, first-event ms)
+    // State per key: the pending partial match as (event id, event ms,
+    // step-predicate bitmask) plus the match counter. Storing each buffered
+    // event's full predicate bitmask (bit s = steps(s).pred(event)) lets a
+    // failed partial REPLAY from every later start position inside the
+    // consumed run without keeping the rows themselves — the KMP-style
+    // slide the batch leftmost scan performs implicitly. O(pattern) state
+    // per key, same as before.
     val out = events.groupByKey(_.getLong(kIdx))
-      .flatMapGroupsWithState[(Int, Seq[Long], Long, Long), (Long, String, Long, Long)](
+      .flatMapGroupsWithState[(Seq[(Long, Long, Long)], Long), (Long, String, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[Row],
-            state: GroupState[(Int, Seq[Long], Long, Long)]) =>
-          var (si, consumed, seq, firstMs) =
-            state.getOption.getOrElse((0, Seq.empty[Long], 0L, 0L))
+            state: GroupState[(Seq[(Long, Long, Long)], Long)]) =>
+          var (buf, seq) =
+            state.getOption.getOrElse((Seq.empty[(Long, Long, Long)], 0L))
           val emitted = scala.collection.mutable.ListBuffer
             .empty[(Long, String, Long, Long)]
           val ordered = it.toArray.sortBy(r =>
@@ -137,29 +145,35 @@ object Cep {
           ordered.foreach { e =>
             val id = e.getLong(iIdx)
             val ms = e.getTimestamp(tIdx).getTime
-            def reset(): Unit = { si = 0; consumed = Seq.empty; firstMs = 0L }
-            def advance(): Unit = {
-              if (consumed.isEmpty) firstMs = ms
-              consumed = consumed :+ id
-              si += 1
-              if (si == steps.length) {
-                consumed.zip(steps).foreach { case (cid, st) =>
+            var bits = 0L
+            var s = 0
+            while (s < nSteps) {
+              if (steps(s).pred(e)) bits |= (1L << s)
+              s += 1
+            }
+            // smallest drop-count j (0 = plain advance, buf.length = e
+            // restarts alone) whose suffix is a valid in-horizon prefix
+            val j = (0 to buf.length).indexWhere { j =>
+              val stillValid = (j until buf.length).forall { k =>
+                ((buf(k)._3 >> (k - j)) & 1L) == 1L
+              }
+              stillValid && ((bits >> (buf.length - j)) & 1L) == 1L &&
+                (j == buf.length || withinMicros.forall(w =>
+                  (ms - buf(j)._2) * 1000L <= w))
+            }
+            if (j < 0) buf = Seq.empty
+            else {
+              buf = buf.drop(j) :+ ((id, ms, bits))
+              if (buf.length == nSteps) {
+                buf.zip(steps).foreach { case ((cid, _, _), st) =>
                   emitted += ((key, st.name, cid, seq))
                 }
                 seq += 1
-                reset()
+                buf = Seq.empty // after-match skip past last
               }
             }
-            // abandon a partial match whose within-horizon has passed
-            if (consumed.nonEmpty && withinMicros.exists(w =>
-              (ms - firstMs) * 1000L > w)) reset()
-            if (steps(si).pred(e)) advance()
-            else {
-              reset()
-              if (steps(0).pred(e)) advance()
-            }
           }
-          state.update((si, consumed, seq, firstMs))
+          state.update((buf, seq))
           emitted.iterator
       }
     out.toDF("key", "step", "event_id", "match_seq")

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression: cosine similarity of two double arrays in a
   * single fused pass (dot product and both norms in one loop).
@@ -24,16 +25,35 @@ case class CosineSimilarity(left: Expression, right: Expression)
   // ExpectsInputTypes mixin's AbstractDataType is private[sql] in Spark 4)
   override def dataType: DataType = DoubleType
 
+  // null on degenerate inputs (length mismatch, empty, zero norm) even
+  // when both children are non-null
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity requires ARRAY<DOUBLE> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override def prettyName: String = "cosine_similarity"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    CosineSimilarity.compute(
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = CosineSimilarity.compute(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (java.lang.Double.isNaN(r)) null else r
+  }
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.CosineSimilarity.compute($a, $b);")
+      s"""${ev.value} = graft.functions.CosineSimilarity.compute($a, $b);
+         |if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+         |""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -42,9 +62,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object CosineSimilarity {
 
-  /** One-pass cosine over the common prefix of the two arrays. */
+  /** One-pass cosine. Returns NaN (→ SQL null at the expression layer)
+    * when the arrays differ in length, are empty, or either norm is zero —
+    * bad vectors surface as nulls instead of flowing through pipelines. */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) return Double.NaN
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -133,6 +133,43 @@ class CepSpec extends AnyFunSuite {
     assert(rows === Set((2L, "A", 10L), (2L, "B", 11L)))
   }
 
+  test("streaming NFA replays self-overlapping prefixes (A A B over A A A B)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val steps = Seq(
+      Cep.Step("A1", _.getString(3) == "click"),
+      Cep.Step("A2", _.getString(3) == "click"),
+      Cep.Step("B", _.getString(3) == "error"))
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps)
+      .writeStream.format("memory").queryName("t_cep_overlap")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // click click click error: the match starts at the SECOND click — a
+    // failed partial must slide, not restart at the failing event; split
+    // across batches so the slide happens against carried-over state
+    mem.addData((1L, 10L, 1L, "click"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "click"))
+    q.processAllAvailable()
+    mem.addData((1L, 40L, 4L, "error"))
+    q.processAllAvailable()
+    val got = spark.table("t_cep_overlap").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got === Set(("A1", 2L), ("A2", 3L), ("B", 4L)))
+    // batch NFA finds the same match
+    val batch = Cep.matchPattern(
+      mkEvents((1L, 10L, 1L, "click"), (1L, 20L, 2L, "click"),
+        (1L, 30L, 3L, "click"), (1L, 40L, 4L, "error")),
+      "user_id", "ts", "event_id", steps)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(batch === got)
+  }
+
   test("within horizon bounds a match") {
     val events = mkEvents(
       (1L, 0L, 1L, "signup"), (1L, 3600L, 2L, "error"))

@@ -90,6 +90,24 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine_similarity nulls degenerate inputs instead of NaN") {
+    // length mismatch, empty arrays, zero norm → null (never NaN);
+    // bad-type input fails analysis via checkInputDataTypes
+    val rows = spark.sql(
+      """SELECT
+        |  cosine_similarity(array(1.0d, 2.0d), array(1.0d)) AS mismatch,
+        |  cosine_similarity(CAST(array() AS ARRAY<DOUBLE>),
+        |                    CAST(array() AS ARRAY<DOUBLE>)) AS empty,
+        |  cosine_similarity(array(0.0d, 0.0d), array(1.0d, 1.0d)) AS zeronorm,
+        |  cosine_similarity(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS nullin
+        |""".stripMargin).collect().head
+    (0 until 4).foreach(i => assert(rows.isNullAt(i), s"col $i"))
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(array('a'), array('b'))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array"))
+  }
+
   test("GraftExtensions injects cosine_similarity at session build") {
     // SparkFixture's session comes from GraftSession.builder, which wires
     // GraftExtensions — the function must resolve without registerAll
