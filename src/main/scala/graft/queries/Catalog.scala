@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.Tables
 
@@ -37,20 +36,36 @@ object Catalog {
   def registerViews(spark: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
 
-  /** Exact-decimal accumulation of a 2-decimal double measure: cast each row
-    * to DECIMAL, sum exactly, return double. Bit-identical across engines
-    * regardless of aggregation order (doubles would differ at ulp level
-    * between Spark's partial-agg order and DuckDB's).
+  /** Round-half-away-from-zero to `scale` decimals as a scaled long — the
+    * same value DECIMAL(p, d) casting produces for measures whose true
+    * rational value has at most `d` decimals (TPC-H money columns: prices
+    * and quantities are exact 2dp, price×(1−discount) is exact 4dp). All
+    * arithmetic stays primitive inside whole-stage codegen; a per-row
+    * double→DECIMAL cast goes through BigDecimal.valueOf(Double.toString)
+    * and measures ~5× slower (see tools.BenchProbe).
     */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def scaledLong(c: Column, scale: Int): Column =
+    (c * scale + when(c < 0, lit(-0.5)).otherwise(lit(0.5))).cast("long")
 
-  /** Exact sum of a per-row double expression (deterministic IEEE result),
-    * rounded to 4 decimals at the row level then summed exactly. */
-  def dsum4(c: Column): Column = sum(c.cast(DecimalType(22, 4))).cast("double")
+  /** Exact accumulation of a 2-decimal double measure: round each row to a
+    * long count of hundredths, sum exactly, return double. Bit-identical
+    * across engines regardless of aggregation order (double sums would
+    * differ at ulp level between Spark's partial-agg order and DuckDB's),
+    * and bit-identical to the DECIMAL(18,2) oracle formulation for 2dp
+    * data. Long accumulation holds to ~9.2e16 in summed units; a
+    * deployment whose group sums could exceed that should cast the scaled
+    * long to DECIMAL(38,0) before the sum (cast-from-long is cheap — the
+    * expensive path is only the double→decimal string cast).
+    */
+  def dsum(c: Column): Column = (sum(scaledLong(c, 100)) / 100.0)
 
-  /** Deterministic average: exact decimal sum divided by count, in double. */
+  /** Exact sum of a per-row double expression rounded to 4 decimals at the
+    * row level (matches the DECIMAL(22,4) oracle cast for ≤4dp rationals). */
+  def dsum4(c: Column): Column = (sum(scaledLong(c, 10000)) / 10000.0)
+
+  /** Deterministic average: exact scaled-long sum divided by count. */
   def davg(c: Column): Column =
-    (sum(c.cast(DecimalType(18, 2))).cast("double") / count(lit(1)))
+    (sum(scaledLong(c, 100)) / 100.0 / count(lit(1)))
 
   /** SQL fragments mirroring the helpers above (DuckDB side). */
   object sqls {
