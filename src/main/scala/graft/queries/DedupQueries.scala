@@ -77,38 +77,38 @@ object DedupQueries {
         val P = 4294967311L // prime > 2^32
         def aCoef(i: Int) = 1L + i * 7368787L // < 2^30: a·x < 2^62, no overflow
         def bCoef(i: Int) = 12345L + i * 104729L
-        // signature computed per-row with higher-order array functions —
-        // no explode, no shuffle: at 100 TB the whole minhash stage fuses
-        // into the parquet scan's WholeStageCodegen projection.
+        // Signature via explode + hash aggregation: shingle rows → one
+        // codegen'd md5 projection → groupBy(doc_id) with 8 MIN aggregates.
+        // Everything after the explode runs inside WholeStageCodegen, and
+        // the partial (map-side) MIN collapses each doc to one signature
+        // row BEFORE the shuffle — the exchange carries one row per doc,
+        // same volume as a per-row array formulation, without the
+        // interpreted higher-order-function lambdas (which measure ~2.5×
+        // slower end-to-end and pay seconds of extra planning/codegen on a
+        // cold JVM — see tools.MinhashProbe3). MIN is duplicate-insensitive
+        // so the shingle set needs no array_distinct/DISTINCT.
         val toks = split(col("text"), " ")
-        val shArr = array_distinct(transform(
+        val shArr = transform(
           sequence(lit(0), size(toks) - 3),
           i => concat_ws(" ", element_at(toks, i + 1),
-            element_at(toks, i + 2), element_at(toks, i + 3))))
-        // big-endian 32-bit prefix of md5 (hex chars 1-8), once per shingle
-        val xs = transform(shArr,
-          sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
-        val minhashes = (0 until NumHashes).map(i =>
-          array_min(transform(col("xs"),
-            x => pmod(lit(aCoef(i)) * x + lit(bCoef(i)), lit(P)))).as(s"h$i"))
-        // The exchange BETWEEN the md5 projection and the permutation
-        // projection is deliberate: without it CollapseProject inlines the
-        // whole md5-array expression into all 8 minhash columns (8× the
-        // hashing, 8× the generated code). Explicit partition count so AQE
-        // doesn't coalesce the compute stage to one task.
-        // Stage layout (each boundary is deliberate):
-        //  scan → RR-repartition  : spread rows across all cores BEFORE
-        //    the md5 projection — higher-order array exprs are interpreted
-        //    and the fixture is one file = one scan split
-        //  md5 proj → hash-repart : keeps CollapseProject from inlining
-        //    the md5 array into all 8 minhash columns (8× the hashing)
+            element_at(toks, i + 2), element_at(toks, i + 3)))
+        // the repartition spreads docs across cores first: the fixture is
+        // a single-row-group file = one scan split, and at 100 TB it is a
+        // cheap narrow-row exchange ahead of the expensive hashing stage
         val n = s.sparkContext.defaultParallelism
         val sig = t(s, d, "documents")
           .where(size(toks) >= 3)
           .repartition(n)
-          .select(col("doc_id"), xs.as("xs"))
-          .repartition(n, col("doc_id"))
-          .select(col("doc_id") +: minhashes: _*)
+          .select(col("doc_id"), explode(shArr).as("sh"))
+          // big-endian 32-bit prefix of md5 (hex chars 1-8), once per shingle
+          .select(col("doc_id"),
+            conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("x"))
+          .groupBy(col("doc_id"))
+          .agg(
+            min(pmod(lit(aCoef(0)) * col("x") + lit(bCoef(0)), lit(P))).as("h0"),
+            (1 until NumHashes).map(i =>
+              min(pmod(lit(aCoef(i)) * col("x") + lit(bCoef(i)), lit(P)))
+                .as(s"h$i")): _*)
         // one generator row → NumBands band rows; no union, the signature
         // aggregation runs exactly once (a union of N projections would
         // re-execute the whole shingle+agg pipeline N times)
