@@ -19,8 +19,9 @@ final case class Query(
 object Catalog {
 
   lazy val all: Seq[Query] =
-    Relational.queries ++ Aggregates.queries ++ Windows.queries ++
-      SetOps.queries ++ Functions.queries ++ EventQueries.queries ++
+    Relational.queries ++ Relational2.queries ++ Aggregates.queries ++
+      Windows.queries ++ SetOps.queries ++
+      Functions.queries ++ EventQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       GraftFnQueries.queries
