@@ -194,17 +194,50 @@ object EventQueries {
 
     // Full NFA pattern matching (reference StreamExecMatch.java:90 /
     // flink-cep Pattern.java:50): `signup error+` strict-contiguity with
-    // greedy Plus, after-match skip — graft.cep.Cep. Spec-validated
-    // against the lead() formulation (CepSpec); no SQL oracle (ANSI SQL
-    // cannot express greedy quantified matching without MATCH_RECOGNIZE,
-    // which DuckDB lacks).
+    // greedy Plus, after-match skip — graft.cep.Cep. Oracle: because the
+    // two step predicates are disjoint, the NFA's matches are exactly
+    // "signup whose next event is an error" (A) plus the maximal error
+    // run anchored at that signup (B) — expressible in ANSI SQL as
+    // gaps-and-islands over the per-user timeline, so the NFA engine is
+    // hash-checked end to end (quantified patterns with overlapping
+    // predicates stay spec-validated in CepSpec).
     Query(
       "q_cep_nfa",
       (s, d) =>
         graft.cep.Cep.signupThenErrors(t(s, d, "events"))
           .orderBy(col("key"), col("match_seq"), col("step"),
             col("event_id")),
-      None),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events),
+             |starts AS (
+             |  SELECT user_id, rn AS start_rn, event_id AS a_id,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+             |      - 1 AS INT) AS match_seq
+             |  FROM (SELECT *, LEAD(event_type) OVER (PARTITION BY user_id
+             |          ORDER BY rn) AS next_type
+             |        FROM ordered) t
+             |  WHERE event_type = 'signup' AND next_type = 'error'),
+             |anchored AS (
+             |  SELECT user_id, event_id, rn, event_type,
+             |    MAX(CASE WHEN event_type <> 'error' THEN rn END)
+             |      OVER (PARTITION BY user_id ORDER BY rn
+             |            ROWS UNBOUNDED PRECEDING) AS anchor_rn
+             |  FROM ordered)
+             |SELECT key, step, event_id, match_seq FROM (
+             |  SELECT user_id AS key, 'A' AS step, a_id AS event_id,
+             |    match_seq
+             |  FROM starts
+             |  UNION ALL
+             |  SELECT e.user_id AS key, 'B' AS step, e.event_id,
+             |    s.match_seq
+             |  FROM anchored e
+             |  JOIN starts s ON s.user_id = e.user_id
+             |    AND s.start_rn = e.anchor_rn
+             |  WHERE e.event_type = 'error') m
+             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
 
     // Temporal / as-of join (reference TemporalRowTimeJoinOperator.java:78):
     // for each error, the latest signup of the same user at-or-before it.

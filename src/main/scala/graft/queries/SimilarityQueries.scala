@@ -49,17 +49,32 @@ object SimilarityQueries {
     bits.reduce(_ + _)
   }
 
-  /** Per-label centroids as a coarse quantizer (the IVF cell table). */
+  /** Per-label centroids as a coarse quantizer (the IVF cell table).
+    * Per-dim mean goes through exact decimal accumulation + round(…,6)
+    * (same trick as q_emb_centroid) so the cell table is bit-identical
+    * across engines and the probe step is oracle-checkable. */
   private def centroids(s: SparkSession, d: String): DataFrame = {
     val emb = embDouble(t(s, d, "embeddings"))
     emb.select(col("label"), posexplode(col("v")))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("col")).as("c"))
+      .agg(round(sum(col("col").cast(DecimalType(20, 10))).cast("double")
+        / count(lit(1)), 6).as("c"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("label").as("cell"),
         transform(col("pc"), x => x.getField("c")).as("cv"))
   }
+
+  /** The LSH bucket key in DuckDB SQL: same integer plane signs, same
+    * left-to-right sequential fold (list_reduce ≡ Spark's aggregate(), and
+    * 0.0 + x0 == x0 bitwise), so the bucket assignment is bit-identical. */
+  private def lshKeySql(vExpr: String, nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      val sign = s"(CASE WHEN ((i - 1) * 2654435761 + $p * 40503) % 4 < 2" +
+        " THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+      s"(CASE WHEN list_reduce(list_transform($vExpr, (x, i) -> x * $sign)," +
+        s" (a, b) -> a + b) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
 
   val queries: Seq[Query] = Seq(
 
@@ -97,7 +112,37 @@ object SimilarityQueries {
           .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
           .orderBy(col("q_id"), col("rn"))
       },
-      None),
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (
+             |  SELECT label AS cell, list(c ORDER BY dim) AS cv FROM (
+             |    SELECT label, CAST(idx - 1 AS INT) AS dim,
+             |      ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10)))
+             |        AS DOUBLE) / COUNT(1), 6) AS c
+             |    FROM (SELECT label, UNNEST(embedding) AS x,
+             |            GENERATE_SUBSCRIPTS(embedding, 1) AS idx
+             |          FROM embeddings) t
+             |    GROUP BY label, idx) g
+             |  GROUP BY label),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+             |probed AS (
+             |  SELECT q_id, qv, cell FROM (
+             |    SELECT q.q_id, q.qv, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+             |        ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6)
+             |          DESC, c.cell) AS rn
+             |    FROM q, cent c) x
+             |  WHERE rn = 1)
+             |SELECT q_id, vec_id, cos, rn FROM (
+             |  SELECT p.q_id, e.vec_id,
+             |    ROUND(list_cosine_similarity(e.v, p.qv), 6) AS cos,
+             |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+             |      ORDER BY ROUND(list_cosine_similarity(e.v, p.qv), 6)
+             |        DESC, e.vec_id) AS rn
+             |  FROM e JOIN probed p
+             |    ON e.label = p.cell AND e.vec_id <> p.q_id) y
+             |WHERE rn <= 3
+             |ORDER BY q_id, rn""".stripMargin)),
 
     // Brute-force cosine top-5 for query vectors vec_id < 5.
     Query(
@@ -182,8 +227,10 @@ object SimilarityQueries {
              |ORDER BY label, dim""".stripMargin)),
 
     // LSH-bucketed ANN (scale path): candidates share an 8-plane sign
-    // bucket; exact cosine within bucket, top-3 per query. Driver runs a
-    // rows-only check; SimilaritySpec checks recall against brute force.
+    // bucket; exact cosine within bucket, top-3 per query. Oracle
+    // reproduces the bucket keys bit-for-bit (integer plane signs +
+    // sequential list_reduce fold); DedupSimilaritySpec additionally
+    // checks recall against brute force.
     Query(
       "q_knn_lsh",
       (s, d) => {
@@ -202,5 +249,20 @@ object SimilarityQueries {
           .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
           .orderBy(col("q_id"), col("rn"))
       },
-      None))
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] AS v,
+              |    ${lshKeySql("embedding::DOUBLE[]", 8)} AS bucket
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
+              |      FROM e WHERE vec_id < 5)
+              |SELECT q_id, vec_id, cos, rn FROM (
+              |  SELECT q.q_id, e.vec_id,
+              |    ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+              |      ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6)
+              |        DESC, e.vec_id) AS rn
+              |  FROM e JOIN q
+              |    ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id) x
+              |WHERE rn <= 3
+              |ORDER BY q_id, rn""".stripMargin)))
 }
