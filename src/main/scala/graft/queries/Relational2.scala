@@ -199,7 +199,7 @@ object Relational2 {
                      |    WHERE c_acctbal > 0.0)
                      |  AND NOT EXISTS (
                      |    SELECT 1 FROM orders
-                     |    WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+                     |    WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
                      |GROUP BY c_mktsegment
                      |ORDER BY c_mktsegment""".stripMargin
         s.sql(q22)
@@ -212,7 +212,7 @@ object Relational2 {
               |    WHERE c_acctbal > 0.0)
               |  AND NOT EXISTS (
               |    SELECT 1 FROM orders
-              |    WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+              |    WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
               |GROUP BY c_mktsegment
               |ORDER BY c_mktsegment""".stripMargin)))
 }
