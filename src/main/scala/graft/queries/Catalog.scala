@@ -19,7 +19,8 @@ final case class Query(
 object Catalog {
 
   lazy val all: Seq[Query] =
-    Relational.queries ++ Relational2.queries ++ Aggregates.queries ++
+    Relational.queries ++ Relational2.queries ++ Relational3.queries ++
+      Aggregates.queries ++
       Windows.queries ++ SetOps.queries ++
       Functions.queries ++ EventQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
