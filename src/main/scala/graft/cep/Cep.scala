@@ -25,6 +25,28 @@ object Cep {
   case object One extends Quant
   /** one or more, greedy */
   case object Plus extends Quant
+  /** zero or one, greedy (reference Pattern.optional) */
+  case object Opt extends Quant
+  /** between min and max occurrences inclusive, greedy
+    * (reference Pattern.times(from, to)); max = Int.MaxValue → unbounded */
+  final case class Times(min: Int, max: Int) extends Quant
+
+  private def bounds(q: Quant): (Int, Int) = q match {
+    case One => (1, 1)
+    case Plus => (1, Int.MaxValue)
+    case Opt => (0, 1)
+    case Times(mn, mx) =>
+      require(mn >= 0 && mx >= mn && mx >= 1, s"bad Times($mn,$mx)")
+      (mn, mx)
+  }
+
+  /** What the scan does after a completed match (reference
+    * AfterMatchSkipStrategy.java): resume after the last consumed event
+    * (the default — matches never overlap) or at the event right after the
+    * match's start (overlapping matches allowed). */
+  sealed trait SkipStrategy
+  case object SkipPastLast extends SkipStrategy
+  case object SkipToNext extends SkipStrategy
 
   final case class Step(name: String, pred: Row => Boolean,
       quant: Quant = One)
@@ -35,10 +57,13 @@ object Cep {
 
   /** Run `steps` over each key's timeline. `df` must contain keyCol
     * (long), tsCol (timestamp), idCol (long). Returns one row per match:
-    * (key, step name, matched event id, match_seq). */
+    * (key, step name, matched event id, match_seq). Leftmost-start scan;
+    * within each start, quantifiers are greedy with backtracking (a later
+    * step failing hands events back to an earlier Times/Plus/Opt). */
   def matchPattern(df: DataFrame, keyCol: String, tsCol: String,
       idCol: String, steps: Seq[Step],
-      withinMicros: Option[Long] = None): DataFrame = {
+      withinMicros: Option[Long] = None,
+      skip: SkipStrategy = SkipPastLast): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val fields = df.schema.fieldNames
@@ -63,7 +88,11 @@ object Cep {
                   matches += ((key, st.name, e.getLong(iIdx), seq)))
               }
               seq += 1
-              i += stepHits.map(_.length).sum // skip past last (no overlap)
+              i += (skip match {
+                // all-optional patterns can match zero events; always move
+                case SkipPastLast => math.max(1, stepHits.map(_.length).sum)
+                case SkipToNext => 1
+              })
             case None => i += 1
           }
         }
@@ -73,30 +102,35 @@ object Cep {
   }
 
   /** Try to match the full pattern starting at events(start) with strict
-    * contiguity; greedy Plus. Returns the per-step consumed events. */
+    * contiguity. Each quantifier consumes greedily (longest first) and
+    * backtracks one event at a time when the remaining steps can't match —
+    * the reference NFA's greedy semantics over a bounded run. Returns the
+    * per-step consumed events (empty seq for an Opt/Times(0,_) that
+    * matched zero). */
   private def attemptAt(events: Array[Row], start: Int, steps: Seq[Step],
       withinMicros: Option[Long], tIdx: Int): Option[Seq[Seq[Row]]] = {
-    var pos = start
-    val consumed = Seq.newBuilder[Seq[Row]]
     val startMs = events(start).getTimestamp(tIdx).getTime
     def inWindow(r: Row): Boolean = withinMicros.forall(w =>
       (r.getTimestamp(tIdx).getTime - startMs) * 1000L <= w)
-    for (st <- steps) {
-      st.quant match {
-        case One =>
-          if (pos >= events.length || !st.pred(events(pos))
-            || !inWindow(events(pos))) return None
-          consumed += Seq(events(pos))
-          pos += 1
-        case Plus =>
-          val first = pos
-          while (pos < events.length && st.pred(events(pos))
-            && inWindow(events(pos))) pos += 1
-          if (pos == first) return None
-          consumed += events.slice(first, pos).toSeq
+
+    def rec(si: Int, pos: Int, acc: List[Seq[Row]]): Option[Seq[Seq[Row]]] = {
+      if (si == steps.length) return Some(acc.reverse)
+      val st = steps(si)
+      val (mn, mx) = bounds(st.quant)
+      // longest feasible contiguous run for this step from pos
+      var run = 0
+      while (run < mx && pos + run < events.length
+        && st.pred(events(pos + run)) && inWindow(events(pos + run))) run += 1
+      var k = run
+      while (k >= mn) {
+        val res = rec(si + 1, pos + k,
+          events.slice(pos, pos + k).toSeq :: acc)
+        if (res.isDefined) return res
+        k -= 1
       }
+      None
     }
-    Some(consumed.result())
+    rec(0, start, Nil)
   }
 
   /** Incremental streaming NFA for One-quantifier patterns (strict

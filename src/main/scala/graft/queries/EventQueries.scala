@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import Catalog.{t, dsum}
+import graft.cep.Cep
 
 /** Time-windowed / event-table coverage (SURVEY.md §2.4 window aggs, §2.3
   * interval + temporal joins, §2.6 deduplicate). Batch expressions of the
@@ -239,6 +240,142 @@ object EventQueries {
              |  WHERE e.event_type = 'error') m
              |ORDER BY key, match_seq, step, event_id""".stripMargin)),
 
+    // Optional quantifier (reference Pattern.optional, Quantifier.java):
+    // `signup error? purchase` strict-contiguity. The signup anchor can't
+    // recur inside a match span, so leftmost skip-past-last matches are
+    // exactly the 2/3-event windows SQL LEADs can enumerate.
+    Query(
+      "q_cep_optional",
+      (s, d) => cepQuery(s, d,
+        Seq(Cep.Step("A", _.getString(3) == "signup"),
+          Cep.Step("B", _.getString(3) == "error", Cep.Opt),
+          Cep.Step("C", _.getString(3) == "purchase"))),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events),
+             |w AS (
+             |  SELECT user_id, rn, event_id AS id0, event_type AS t0,
+             |    LEAD(event_type,1) OVER uw AS t1, LEAD(event_id,1) OVER uw AS id1,
+             |    LEAD(event_type,2) OVER uw AS t2, LEAD(event_id,2) OVER uw AS id2
+             |  FROM ordered WINDOW uw AS (PARTITION BY user_id ORDER BY rn)),
+             |m AS (
+             |  SELECT user_id, rn, id0 AS a_id,
+             |    CASE WHEN t1='error' AND t2='purchase' THEN id1 END AS b_id,
+             |    CASE WHEN t1='purchase' THEN id1 ELSE id2 END AS c_id
+             |  FROM w
+             |  WHERE t0='signup' AND (t1='purchase' OR (t1='error' AND t2='purchase'))),
+             |seq AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+             |    ORDER BY rn) - 1 AS INT) AS match_seq FROM m)
+             |SELECT key, step, event_id, match_seq FROM (
+             |  SELECT user_id AS key, 'A' AS step, a_id AS event_id, match_seq FROM seq
+             |  UNION ALL SELECT user_id, 'B', b_id, match_seq FROM seq WHERE b_id IS NOT NULL
+             |  UNION ALL SELECT user_id, 'C', c_id, match_seq FROM seq) u
+             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
+
+    // Bounded repetition with backtracking (reference Pattern.times(from,
+    // to)): `signup error{1,2} purchase` — greedy takes two errors, hands
+    // one back when the purchase doesn't follow.
+    Query(
+      "q_cep_times",
+      (s, d) => cepQuery(s, d,
+        Seq(Cep.Step("A", _.getString(3) == "signup"),
+          Cep.Step("B", _.getString(3) == "error", Cep.Times(1, 2)),
+          Cep.Step("C", _.getString(3) == "purchase"))),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events),
+             |w AS (
+             |  SELECT user_id, rn, event_id AS id0, event_type AS t0,
+             |    LEAD(event_type,1) OVER uw AS t1, LEAD(event_id,1) OVER uw AS id1,
+             |    LEAD(event_type,2) OVER uw AS t2, LEAD(event_id,2) OVER uw AS id2,
+             |    LEAD(event_type,3) OVER uw AS t3, LEAD(event_id,3) OVER uw AS id3
+             |  FROM ordered WINDOW uw AS (PARTITION BY user_id ORDER BY rn)),
+             |m AS (
+             |  SELECT user_id, rn, id0 AS a_id, id1 AS b1_id,
+             |    CASE WHEN t2='error' AND t3='purchase' THEN id2 END AS b2_id,
+             |    CASE WHEN t2='error' AND t3='purchase' THEN id3 ELSE id2 END AS c_id
+             |  FROM w
+             |  WHERE t0='signup' AND t1='error'
+             |    AND ((t2='error' AND t3='purchase') OR t2='purchase')),
+             |seq AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+             |    ORDER BY rn) - 1 AS INT) AS match_seq FROM m)
+             |SELECT key, step, event_id, match_seq FROM (
+             |  SELECT user_id AS key, 'A' AS step, a_id AS event_id, match_seq FROM seq
+             |  UNION ALL SELECT user_id, 'B', b1_id, match_seq FROM seq
+             |  UNION ALL SELECT user_id, 'B', b2_id, match_seq FROM seq WHERE b2_id IS NOT NULL
+             |  UNION ALL SELECT user_id, 'C', c_id, match_seq FROM seq) u
+             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
+
+    // After-match SKIP_TO_NEXT (reference AfterMatchSkipStrategy.java):
+    // `error{2}` with overlapping matches allowed — every adjacent error
+    // pair per user timeline.
+    Query(
+      "q_cep_skip_next",
+      (s, d) => cepQuery(s, d,
+        Seq(Cep.Step("B", _.getString(3) == "error", Cep.Times(2, 2))),
+        skip = Cep.SkipToNext),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events),
+             |w AS (
+             |  SELECT user_id, rn, event_id AS id0, event_type AS t0,
+             |    LEAD(event_type,1) OVER uw AS t1, LEAD(event_id,1) OVER uw AS id1
+             |  FROM ordered WINDOW uw AS (PARTITION BY user_id ORDER BY rn)),
+             |m AS (SELECT user_id, rn, id0, id1 FROM w
+             |      WHERE t0='error' AND t1='error'),
+             |seq AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+             |    ORDER BY rn) - 1 AS INT) AS match_seq FROM m)
+             |SELECT key, step, event_id, match_seq FROM (
+             |  SELECT user_id AS key, 'B' AS step, id0 AS event_id, match_seq FROM seq
+             |  UNION ALL SELECT user_id, 'B', id1, match_seq FROM seq) u
+             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
+
+    // After-match SKIP_PAST_LAST on a self-overlapping pattern: `error{2}`
+    // tiles each maximal error run into disjoint leftmost pairs — the case
+    // a windowed SQL can only express with gaps-and-islands run analysis,
+    // pinning the non-overlap semantics the NFA scan enforces.
+    Query(
+      "q_cep_skip_past",
+      (s, d) => cepQuery(s, d,
+        Seq(Cep.Step("B", _.getString(3) == "error", Cep.Times(2, 2)))),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events),
+             |runs AS (
+             |  SELECT user_id, rn, event_id,
+             |    rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+             |  FROM ordered WHERE event_type='error'),
+             |offs AS (
+             |  SELECT user_id, event_id, grp, rn,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id, grp ORDER BY rn) - 1 AS off,
+             |    COUNT(*) OVER (PARTITION BY user_id, grp) AS len,
+             |    MIN(rn) OVER (PARTITION BY user_id, grp) AS run_start
+             |  FROM runs),
+             |pairs AS (
+             |  SELECT user_id, event_id, grp, run_start,
+             |    CAST(FLOOR(off/2.0) AS BIGINT) AS pair
+             |  FROM offs WHERE FLOOR(off/2.0) < FLOOR(len/2.0)),
+             |starts AS (
+             |  SELECT DISTINCT user_id, grp, pair, run_start + 2*pair AS start_rn
+             |  FROM pairs),
+             |seqd AS (
+             |  SELECT user_id, grp, pair,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY start_rn) - 1 AS INT) AS match_seq
+             |  FROM starts)
+             |SELECT p.user_id AS key, 'B' AS step, p.event_id, s.match_seq
+             |FROM pairs p JOIN seqd s ON p.user_id = s.user_id
+             |  AND p.grp = s.grp AND p.pair = s.pair
+             |ORDER BY key, match_seq, step, p.event_id""".stripMargin)),
+
     // Temporal / as-of join (reference TemporalRowTimeJoinOperator.java:78):
     // for each error, the latest signup of the same user at-or-before it.
     // Scalable pattern: union both sides, one shuffle on user_id, running
@@ -268,4 +405,16 @@ object EventQueries {
              |WHERE e.event_type = 'error'
              |ORDER BY e.event_id""".stripMargin),
       bench = true))
+
+  /** Run a CEP pattern over the events fixture (field 3 of the selected
+    * frame is event_type) in the canonical output order. */
+  private def cepQuery(s: org.apache.spark.sql.SparkSession, d: String,
+      steps: Seq[Cep.Step],
+      skip: Cep.SkipStrategy = Cep.SkipPastLast): org.apache.spark.sql.DataFrame =
+    Cep.matchPattern(
+      t(s, d, "events").select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")),
+      keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+      steps = steps, skip = skip)
+      .orderBy(col("key"), col("match_seq"), col("step"), col("event_id"))
 }

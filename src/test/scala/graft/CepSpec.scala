@@ -181,4 +181,63 @@ class CepSpec extends AnyFunSuite {
     val unbounded = Cep.signupThenErrors(events)
     assert(unbounded.count() === 2) // A + B rows of one match
   }
+
+  private def matchSets(df: org.apache.spark.sql.DataFrame) =
+    df.collect().groupBy(_.getInt(3)).toSeq.sortBy(_._1).map(_._2
+      .map(r => (r.getString(1), r.getLong(2))).toSet)
+
+  test("Opt quantifier matches zero or one, greedily") {
+    val steps = Seq(Cep.Step("A", _.getString(3) == "signup"),
+      Cep.Step("B", _.getString(3) == "error", Cep.Opt),
+      Cep.Step("C", _.getString(3) == "purchase"))
+    // one with the optional error, one without
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "purchase"),
+      (1L, 40L, 4L, "signup"), (1L, 50L, 5L, "purchase"))
+    val m = matchSets(
+      Cep.matchPattern(events, "user_id", "ts", "event_id", steps))
+    assert(m === Seq(Set(("A", 1L), ("B", 2L), ("C", 3L)),
+      Set(("A", 4L), ("C", 5L))))
+  }
+
+  test("Times backtracks when greedy consumption starves a later step") {
+    val steps = Seq(Cep.Step("A", _.getString(3) == "signup"),
+      Cep.Step("B", _.getString(3) == "error", Cep.Times(1, 2)),
+      Cep.Step("C", _.getString(3) == "purchase"))
+    // greedy would take both errors at 20/30 and fail; the 2-error match
+    // only works because purchase follows — then a 1-error match
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "error"), (1L, 40L, 4L, "purchase"),
+      (1L, 50L, 5L, "signup"), (1L, 60L, 6L, "error"),
+      (1L, 70L, 7L, "purchase"))
+    val m = matchSets(
+      Cep.matchPattern(events, "user_id", "ts", "event_id", steps))
+    assert(m === Seq(Set(("A", 1L), ("B", 2L), ("B", 3L), ("C", 4L)),
+      Set(("A", 5L), ("B", 6L), ("C", 7L))))
+    // three errors: greedy Times(1,2) takes 2 then backtracking is not
+    // needed; the third error breaks contiguity to purchase → no match
+    val events2 = mkEvents(
+      (2L, 10L, 1L, "signup"), (2L, 20L, 2L, "error"),
+      (2L, 30L, 3L, "error"), (2L, 40L, 4L, "error"),
+      (2L, 50L, 5L, "purchase"))
+    assert(Cep.matchPattern(events2, "user_id", "ts", "event_id", steps)
+      .count() === 0)
+  }
+
+  test("skip strategies: past-last tiles runs, to-next overlaps") {
+    val steps = Seq(Cep.Step("B", _.getString(3) == "error",
+      Cep.Times(2, 2)))
+    val events = mkEvents(
+      (1L, 10L, 1L, "error"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "error"), (1L, 40L, 4L, "error"))
+    val past = matchSets(
+      Cep.matchPattern(events, "user_id", "ts", "event_id", steps))
+    assert(past === Seq(Set(("B", 1L), ("B", 2L)), Set(("B", 3L), ("B", 4L))))
+    val next = matchSets(Cep.matchPattern(events, "user_id", "ts",
+      "event_id", steps, skip = Cep.SkipToNext))
+    assert(next === Seq(Set(("B", 1L), ("B", 2L)), Set(("B", 2L), ("B", 3L)),
+      Set(("B", 3L), ("B", 4L))))
+  }
 }
