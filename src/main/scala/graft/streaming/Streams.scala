@@ -205,6 +205,44 @@ object Streams {
     out.toDF("key", "left_id", "asof_value")
   }
 
+  /** Streaming OVER aggregation (reference StreamExecOverAggregate.java:70 /
+    * RowTimeRowsUnboundedPrecedingFunction.java:40): per-key `ROWS
+    * UNBOUNDED PRECEDING` running sum + count, one output row per event,
+    * with the running state carried across micro-batches in keyed state —
+    * the streaming twin of the batch `q_over_running` window. Events are
+    * event-time-ordered within each batch and arrival-ordered across
+    * batches (the reference buffers on event time until the watermark;
+    * here batch boundaries play that role — align file/offset order with
+    * time for full event-time semantics). The money sum accumulates as a
+    * scaled long (hundredths), so the running total is bit-identical to
+    * the batch window's decimal formulation no matter how the stream is
+    * batched. O(1) state per key. */
+  def overRunningStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    val out = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+            state: GroupState[(Long, Long)]) =>
+          var (sumScaled, n) = state.getOption.getOrElse((0L, 0L))
+          val ordered = it.toArray.sortBy(e => (e._2.getTime, e._3))
+          val emitted = ordered.map { case (_, _, id, v) =>
+            // round-half-away-from-zero to hundredths, like Catalog.dsum
+            sumScaled += (v * 100 + (if (v < 0) -0.5 else 0.5)).toLong
+            n += 1
+            (user, id, sumScaled / 100.0, n)
+          }
+          state.update((sumScaled, n))
+          emitted.iterator
+      }
+    out.toDF("user_id", "event_id", "running_total", "n_so_far")
+  }
+
   /** Streaming Top-N (reference StreamExecRank.java:69): per micro-batch
     * ROW_NUMBER()<=N — SURVEY §4's documented fallback (semantically the
     * per-epoch materialization of the incremental Top-N state). Use from

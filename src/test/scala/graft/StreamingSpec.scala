@@ -149,6 +149,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Map(1L -> None, 2L -> Some(7L), 3L -> Some(9L)))
   }
 
+  test("streaming OVER running agg equals batch window across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "value")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("value"))
+    val q = Streams.overRunningStream(df)
+      .writeStream.format("memory").queryName("t_over_run")
+      .outputMode("append").start()
+    // two users, running state must carry across the batch boundary;
+    // batch 2 arrives out of event-time order within the batch (40 then
+    // 35) to exercise the in-batch sort
+    mem.addData((1L, 10L, 1L, 10.50), (1L, 20L, 2L, 0.25),
+      (2L, 10L, 3L, 5.00))
+    q.processAllAvailable()
+    mem.addData((1L, 40L, 5L, 1.00), (1L, 35L, 4L, 2.00),
+      (2L, 50L, 6L, 0.75))
+    q.processAllAvailable()
+    val got = spark.table("t_over_run").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    q.stop()
+    // batch twin: the q_over_running decimal window over the full input
+    val all = Seq((1L, 10L, 1L, 10.50), (1L, 20L, 2L, 0.25),
+      (2L, 10L, 3L, 5.00), (1L, 40L, 5L, 1.00), (1L, 35L, 4L, 2.00),
+      (2L, 50L, 6L, 0.75))
+      .toDF("user_id", "secs", "event_id", "value")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = all.select(col("user_id"), col("event_id"),
+        (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w)).cast("double").as("running_total"),
+        count(lit(1)).over(w).as("n_so_far"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    assert(got.size === 6)
+  }
+
   test("watermark drops late data; windows emit once finalized (append)") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
