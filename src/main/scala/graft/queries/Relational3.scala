@@ -147,7 +147,8 @@ object Relational3 {
               |FROM lineitem
               |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               |  AND l_shipdate < TIMESTAMP '1998-01-01'
-              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin)),
+              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin),
+      bench = true),
 
     // TPC-H Q8 shape: one nation's market share inside a region by year —
     // 8-table star join; lineitem⋈orders⋈customer shuffle on the fact
@@ -227,7 +228,8 @@ object Relational3 {
               |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
               |    AND p_name LIKE '%widget%') profit
               |GROUP BY nation, o_year
-              |ORDER BY nation, o_year DESC""".stripMargin)),
+              |ORDER BY nation, o_year DESC""".stripMargin),
+      bench = true),
 
     // TPC-H Q11 shape: value concentration — grouped sums filtered by a
     // scalar subquery recomputing the same aggregate's average (the
