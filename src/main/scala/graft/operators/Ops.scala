@@ -143,4 +143,47 @@ object Ops {
         .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
         .drop("__h")
   }
+
+  /** Connected components over an undirected edge list `(a, b)` — the
+    * clustering stage of a near-dedup pipeline (LSH candidate pairs →
+    * duplicate clusters → keep one representative per cluster). Returns
+    * `(id, component)` for every endpoint, component = minimum reachable
+    * id.
+    *
+    * Min-label propagation: each round joins the symmetrized edge list
+    * against the current labels and takes the per-node minimum — one
+    * shuffle join + one shuffle agg per round, converging in
+    * O(component diameter) rounds. LSH duplicate clusters are band-bucket
+    * overlaps (near-cliques, diameter a few hops), so a handful of rounds
+    * closes them; `maxIter` bounds pathological chains. `localCheckpoint`
+    * truncates the growing lineage each round — without it, plan size
+    * (and task serialization cost) grows linearly in rounds. The label
+    * relation is one row per distinct node — orders of magnitude smaller
+    * than the input corpus at 100 TB, since only docs that collide in
+    * some band appear. */
+  def connectedComponents(edges: DataFrame, a: String = "a", b: String = "b",
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("comp", "comp_old"), "id")
+        .where(col("comp") =!= col("comp_old")).count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
 }

@@ -48,6 +48,40 @@ object DedupQueries {
       |    FROM documents) tk
       |) x WHERE w3 IS NOT NULL""".stripMargin
 
+  /** The MinHash→LSH candidate-pair pipeline as a DuckDB CTE list ending
+    * in `pairs(a, b)` — shared by the LSH oracle and the clustering
+    * oracle. */
+  private lazy val minhashPairCtes: String = {
+    val P = 4294967311L
+    // reconstruct the same big-endian 32-bit md5 prefix from DuckDB's
+    // md5_number_upper (little-endian uint64 of digest bytes 0-7)
+    val x32 = "CAST((u & 255) * 16777216 + ((u >> 8) & 255) * 65536 " +
+      "+ ((u >> 16) & 255) * 256 + ((u >> 24) & 255) AS BIGINT)"
+    val hashCols = (0 until NumHashes).map { i =>
+      val a = 1L + i * 7368787L
+      val b = 12345L + i * 104729L
+      s"MIN(($a * x + $b) % $P) AS h$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until NumHashes / BandSize).map { b =>
+      s"SELECT doc_id, $b AS band, h${BandSize * b} AS k1, h${BandSize * b + 1} AS k2 FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""sh AS ($shinglesSql),
+       |shx AS (
+       |  SELECT doc_id, $x32 AS x
+       |  FROM (SELECT doc_id, md5_number_upper(sh) AS u FROM sh) t),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $hashCols
+       |  FROM shx GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
+       |    AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
   val queries: Seq[Query] = Seq(
 
     // Exact dedup: hash-groupBy on content digest, keep lowest doc_id —
@@ -131,37 +165,32 @@ object DedupQueries {
           .distinct()
           .orderBy(col("a"), col("b"))
       },
-      Some {
-        val P = 4294967311L
-        // reconstruct the same big-endian 32-bit md5 prefix from DuckDB's
-        // md5_number_upper (little-endian uint64 of digest bytes 0-7)
-        val x32 = "CAST((u & 255) * 16777216 + ((u >> 8) & 255) * 65536 " +
-          "+ ((u >> 16) & 255) * 256 + ((u >> 24) & 255) AS BIGINT)"
-        val hashCols = (0 until NumHashes).map { i =>
-          val a = 1L + i * 7368787L
-          val b = 12345L + i * 104729L
-          s"MIN(($a * x + $b) % $P) AS h$i"
-        }.mkString(",\n    ")
-        val bandSelects = (0 until NumHashes / BandSize).map { b =>
-          s"SELECT doc_id, $b AS band, h${BandSize * b} AS k1, h${BandSize * b + 1} AS k2 FROM sig"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH sh AS ($shinglesSql),
-           |shx AS (
-           |  SELECT doc_id, $x32 AS x
-           |  FROM (SELECT doc_id, md5_number_upper(sh) AS u FROM sh) t),
-           |sig AS (
-           |  SELECT doc_id,
-           |    $hashCols
-           |  FROM shx GROUP BY doc_id),
-           |bands AS (
-           |  $bandSelects)
-           |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           |FROM bands x JOIN bands y
-           |  ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
-           |  AND x.doc_id < y.doc_id
-           |ORDER BY a, b""".stripMargin
-      },
+      Some(s"WITH $minhashPairCtes\nSELECT a, b FROM pairs ORDER BY a, b"),
       bench = true),
+
+    // Near-dup clustering: LSH candidate pairs → connected components →
+    // one duplicate cluster id per colliding doc (the keep-one-per-cluster
+    // step of a corpus dedup pipeline). Oracle: recursive CTE transitive
+    // closure over the same pair list.
+    Query(
+      "q_dedup_cluster",
+      (s, d) => {
+        val pairs = Catalog.byName("q_dedup_minhash_lsh").run(s, d)
+        graft.operators.Ops.connectedComponents(pairs)
+          .toDF("doc_id", "component")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+              |edges AS (
+              |  SELECT a AS src, b AS dst FROM pairs
+              |  UNION ALL SELECT b, a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, reach.r FROM reach
+              |  JOIN edges e ON e.src = reach.id)
+              |SELECT id AS doc_id, MIN(r) AS component
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
     // n-gram (3-shingle) Jaccard similarity: verification join on shared
     // shingles — intersection via equi-join, union from per-doc counts.

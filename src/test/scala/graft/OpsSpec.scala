@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.operators.Ops
 import graft.operators.Ops._
 
 /** Operator-level invariants for graft.operators.Ops. */
@@ -97,5 +98,20 @@ class OpsSpec extends AnyFunSuite {
     assert(d.count() ===
       orders.select("o_custkey").distinct().count())
     assert(!d.columns.contains("__rn"))
+  }
+
+  test("connectedComponents labels every endpoint with the min reachable id") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (21L, 20L)).toDF("a", "b")
+    val got = Ops.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // maxIter bounds the propagation: one round can't close the chain
+    val partial = Ops.connectedComponents(edges, maxIter = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(partial(4L) === 3L) // min label moved one hop only
   }
 }
