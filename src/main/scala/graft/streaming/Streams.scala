@@ -107,6 +107,56 @@ object Streams {
       .withWatermark("ts", lateness)
       .dropDuplicates("event_id")
 
+  /** Event-time keep-first dedup (reference RowTimeDeduplicateFunction
+    * keep-first-row under out-of-orderness, SURVEY §7 hard item 7):
+    * unlike [[dedup]] (which emits whichever duplicate ARRIVES first),
+    * this holds each key's minimum-event-time row in keyed state and
+    * emits it only when the watermark passes that row's timestamp — so a
+    * late-arriving but earlier-timestamped duplicate still wins. State
+    * per key is one row + one event-time timer; the state clears on
+    * emission, exactly the reference's keyed-state + timer shape. Emits
+    * (user_id, ts, event_id, value). */
+  def dedupKeepFirstEventTime(events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    // state: (eventMs, id, value, emitted) — after emission the entry
+    // stays as a tombstone so later rows for the key are recognized as
+    // duplicates, exactly the reference's state-TTL contract (clear it
+    // with a TTL policy when the dedup horizon passes)
+    val out = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Double, Boolean), (Long, java.sql.Timestamp, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+            state: GroupState[(Long, Long, Double, Boolean)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the held row's event time: no earlier
+            // duplicate can arrive — emit once, tombstone the key
+            val (ms, id, v, _) = state.get
+            state.update((ms, id, v, true))
+            Iterator.single((user, new java.sql.Timestamp(ms), id, v))
+          } else if (state.getOption.exists(_._4)) {
+            Iterator.empty // already emitted: every later row is a dup
+          } else {
+            val best = (it.map(e => (e._2.getTime, e._3, e._4)) ++
+              state.getOption.iterator.map(s => (s._1, s._2, s._3)))
+              .minBy(r => (r._1, r._2))
+            state.update((best._1, best._2, best._3, false))
+            // fire once the watermark clears the held event time (the
+            // timer must sit strictly above the current watermark)
+            state.setTimeoutTimestamp(
+              math.max(best._1, state.getCurrentWatermarkMs + 1))
+            Iterator.empty
+          }
+      }
+    out.toDF("user_id", "ts", "event_id", "value")
+  }
+
   /** Count-based tumbling windows per key (DataStream countWindow —
     * reference flink-streaming-java CountTrigger/GlobalWindows; Spark has
     * no native count windows). Custom keyed state via
@@ -252,6 +302,52 @@ object Streams {
     (df: DataFrame, batchId: Long) =>
       import graft.operators.Ops._
       sink(df.topN(n, partitionBy, order), batchId)
+  }
+
+  /** Changelog emission (reference's +I/-U/+U retraction stream —
+    * StreamExecChangelogNormalize / RowKind.java; SURVEY §1's documented
+    * delta, made concrete): wraps an update-mode aggregation's foreachBatch
+    * so each micro-batch emits RowKind-tagged rows — `+I` for a key's
+    * first result, `-U` carrying the prior value and `+U` the new one on
+    * every change. Downstream consumers (a materialized view, an
+    * incremental sink) get exactly the reference's retraction contract on
+    * micro-batch boundaries.
+    *
+    * The previous snapshot is a persisted DataFrame keyed by `keys`,
+    * diffed against each update batch with one shuffle join — at scale
+    * the snapshot is the same size as the aggregation state the engine
+    * already holds, partitioned on the same keys. Update-mode batches
+    * carry only changed keys, so the join is |changed| vs |snapshot|
+    * (broadcast-able when a batch touches few keys). */
+  final class ChangelogSink(keys: Seq[String]) extends Serializable {
+    @volatile private var snapshot: DataFrame = _
+    /** foreachBatch body: tag ops, hand them to `sink`, advance state. */
+    def apply(sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+      (batch: DataFrame, batchId: Long) => {
+        val b = batch.persist()
+        val valueCols = b.columns.filterNot(keys.contains)
+        val out =
+          if (snapshot == null) b.select(lit("+I").as("op"), col("*"))
+          else {
+            val prevHit = snapshot.join(b.select(keys.map(col): _*), keys,
+              "left_semi")
+            val minus = prevHit.select(lit("-U").as("op"), col("*"))
+            val newKeys = b.join(snapshot.select(keys.map(col): _*), keys,
+              "left_anti")
+            val plusI = newKeys.select(lit("+I").as("op"), col("*"))
+            val plusU = b.join(newKeys.select(keys.map(col): _*), keys,
+              "left_anti").select(lit("+U").as("op"), col("*"))
+            minus.union(plusU).union(plusI)
+          }
+        sink(out, batchId)
+        val next = (if (snapshot == null) b
+          else snapshot.join(b.select(keys.map(col): _*), keys, "left_anti")
+            .union(b)).persist()
+        next.count() // materialize before unpersisting the sources
+        if (snapshot != null) snapshot.unpersist()
+        b.unpersist()
+        snapshot = next
+      }
   }
 
   /** Side-output routing (reference OutputTag/getSideOutput): one pass per

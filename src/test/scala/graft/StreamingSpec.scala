@@ -196,6 +196,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 6)
   }
 
+  test("event-time keep-first dedup: late-but-earlier duplicate wins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "value")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("value"))
+    val q = Streams.dedupKeepFirstEventTime(df, lateness = "1 minute")
+      .writeStream.format("memory").queryName("t_dedup_et")
+      .outputMode("append").start()
+    val h = 3600L
+    // batch 1: user 1's first-arriving row at t=100s
+    mem.addData((1L, 100L, 10L, 1.0))
+    q.processAllAvailable()
+    // batch 2: an EARLIER duplicate (t=50s) arrives late but inside the
+    // lateness horizon (watermark after batch 1 is 100-60=40s) — it must
+    // replace the held row; a far-future row pushes the watermark past
+    // 100s so user 1 finalizes
+    mem.addData((1L, 50L, 9L, 2.0), (2L, 2 * h, 20L, 3.0))
+    q.processAllAvailable()
+    // batch 3: watermark moves past user 2's row too; also a post-emit
+    // duplicate for user 1 that must NOT produce a second row
+    mem.addData((1L, 150L, 11L, 4.0), (3L, 4 * h, 30L, 5.0))
+    q.processAllAvailable()
+    mem.addData((4L, 8 * h, 40L, 6.0))
+    q.processAllAvailable()
+    val got = spark.table("t_dedup_et").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    q.stop()
+    // user 1 → the late-but-earlier id 9 (arrival-order dedup would keep
+    // id 10); exactly one row despite the post-emission duplicate
+    assert(got.contains(1L -> 9L))
+    assert(!got.exists(p => p._1 == 1L && p._2 != 9L))
+    assert(got.contains(2L -> 20L))
+  }
+
+  test("changelog sink emits +I/-U/+U per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Double)]
+    val agg = mem.toDF().toDF("k", "v")
+      .groupBy(col("k")).count()
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    val cs = new Streams.ChangelogSink(Seq("k"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch(cs((df, id) => df.collect().foreach(r =>
+        seen += ((id, r.getString(0), r.getString(1), r.getLong(2))))))
+      .start()
+    mem.addData(("a", 1.0), ("a", 2.0))
+    q.processAllAvailable()
+    mem.addData(("a", 3.0), ("b", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val batch0 = seen.filter(_._1 == 0L).map(t => (t._2, t._3, t._4)).toSet
+    val batch1 = seen.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSet
+    assert(batch0 === Set(("+I", "a", 2L)))
+    assert(batch1 === Set(("-U", "a", 2L), ("+U", "a", 3L), ("+I", "b", 1L)))
+  }
+
   test("watermark drops late data; windows emit once finalized (append)") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
