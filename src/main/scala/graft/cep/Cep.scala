@@ -27,17 +27,21 @@ object Cep {
   case object Plus extends Quant
   /** zero or one, greedy (reference Pattern.optional) */
   case object Opt extends Quant
-  /** between min and max occurrences inclusive, greedy
-    * (reference Pattern.times(from, to)); max = Int.MaxValue → unbounded */
-  final case class Times(min: Int, max: Int) extends Quant
+  /** between min and max occurrences inclusive (reference
+    * Pattern.times(from, to)); max = Int.MaxValue → unbounded.
+    * `greedy = false` is the reference's reluctant mode (`oneOrMore`
+    * without `.greedy()`): the quantifier consumes as FEW events as let
+    * the rest of the pattern match, instead of as many. */
+  final case class Times(min: Int, max: Int,
+      greedy: Boolean = true) extends Quant
 
-  private def bounds(q: Quant): (Int, Int) = q match {
-    case One => (1, 1)
-    case Plus => (1, Int.MaxValue)
-    case Opt => (0, 1)
-    case Times(mn, mx) =>
+  private def bounds(q: Quant): (Int, Int, Boolean) = q match {
+    case One => (1, 1, true)
+    case Plus => (1, Int.MaxValue, true)
+    case Opt => (0, 1, true)
+    case Times(mn, mx, g) =>
       require(mn >= 0 && mx >= mn && mx >= 1, s"bad Times($mn,$mx)")
-      (mn, mx)
+      (mn, mx, g)
   }
 
   /** What the scan does after a completed match (reference
@@ -116,17 +120,18 @@ object Cep {
     def rec(si: Int, pos: Int, acc: List[Seq[Row]]): Option[Seq[Seq[Row]]] = {
       if (si == steps.length) return Some(acc.reverse)
       val st = steps(si)
-      val (mn, mx) = bounds(st.quant)
+      val (mn, mx, greedy) = bounds(st.quant)
       // longest feasible contiguous run for this step from pos
       var run = 0
       while (run < mx && pos + run < events.length
         && st.pred(events(pos + run)) && inWindow(events(pos + run))) run += 1
-      var k = run
-      while (k >= mn) {
+      // greedy: longest first, hand back on failure; reluctant: shortest
+      // first, extend on failure
+      val order = if (greedy) run to mn by -1 else mn to run
+      for (k <- order) {
         val res = rec(si + 1, pos + k,
           events.slice(pos, pos + k).toSeq :: acc)
         if (res.isDefined) return res
-        k -= 1
       }
       None
     }

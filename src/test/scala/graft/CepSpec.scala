@@ -226,6 +226,27 @@ class CepSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("reluctant Times consumes the fewest events that still match") {
+    // pattern: signup error{1,2}? click-or-error C — over signup e e c:
+    // greedy B takes both errors; reluctant B takes one and lets C take
+    // the second error
+    val stepsReluctant = Seq(Cep.Step("A", _.getString(3) == "signup"),
+      Cep.Step("B", _.getString(3) == "error", Cep.Times(1, 2, greedy = false)),
+      Cep.Step("C", r => r.getString(3) == "error" || r.getString(3) == "click"))
+    val stepsGreedy = Seq(Cep.Step("A", _.getString(3) == "signup"),
+      Cep.Step("B", _.getString(3) == "error", Cep.Times(1, 2)),
+      Cep.Step("C", r => r.getString(3) == "error" || r.getString(3) == "click"))
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "error"), (1L, 40L, 4L, "click"))
+    val rel = matchSets(
+      Cep.matchPattern(events, "user_id", "ts", "event_id", stepsReluctant))
+    assert(rel === Seq(Set(("A", 1L), ("B", 2L), ("C", 3L))))
+    val gre = matchSets(
+      Cep.matchPattern(events, "user_id", "ts", "event_id", stepsGreedy))
+    assert(gre === Seq(Set(("A", 1L), ("B", 2L), ("B", 3L), ("C", 4L))))
+  }
+
   test("skip strategies: past-last tiles runs, to-next overlaps") {
     val steps = Seq(Cep.Step("B", _.getString(3) == "error",
       Cep.Times(2, 2)))
