@@ -226,6 +226,37 @@ object SimilarityQueries {
              |GROUP BY label, idx
              |ORDER BY label, dim""".stripMargin)),
 
+    // Scalar int8 quantization (embedding compression for a 100 TB vector
+    // store: 4 bytes/dim → 1): per-vector min/max affine map to [0,255].
+    // Pure per-row array math — scan-local, no shuffle, fully pushed-down
+    // column read. Emits the quantization params + integer checksum (the
+    // full uint8 vector would just bloat the verify dump).
+    Query(
+      "q_emb_quantize",
+      (s, d) => {
+        val vmin = array_min(col("embedding")).cast("double")
+        val vmax = array_max(col("embedding")).cast("double")
+        val q = transform(col("embedding"), x =>
+          round((x.cast("double") - vmin) * 255.0 / (vmax - vmin))
+            .cast("long"))
+        t(s, d, "embeddings")
+          .select(col("vec_id"), vmin.as("vmin"), vmax.as("vmax"),
+            when(vmax === vmin, lit(null))
+              .otherwise(aggregate(q, lit(0L), (a, x) => a + x))
+              .as("qsum"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  CAST(list_min(embedding) AS DOUBLE) AS vmin,
+             |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+             |  CAST(list_sum(list_transform(embedding,
+             |    x -> CAST(ROUND((CAST(x AS DOUBLE)
+             |        - CAST(list_min(embedding) AS DOUBLE)) * 255.0
+             |      / NULLIF(CAST(list_max(embedding) AS DOUBLE)
+             |        - CAST(list_min(embedding) AS DOUBLE), 0.0))
+             |      AS BIGINT))) AS BIGINT) AS qsum
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     // LSH-bucketed ANN (scale path): candidates share an 8-plane sign
     // bucket; exact cosine within bucket, top-3 per query. Oracle
     // reproduces the bucket keys bit-for-bit (integer plane signs +

@@ -137,5 +137,24 @@ object TextQueries {
            |      list_transform(string_split(text, ' '), w -> $x32)),
            |    (acc, h) -> (acc * 1000003 + h) % 1000000007) AS fingerprint
            |FROM documents ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // Corpus heavy hitters: top-30 tokens by frequency — the vocabulary /
+    // stopword-discovery scan of a training-data pipeline. Word-count
+    // shape: explode → hash agg; the map-side partial agg absorbs token
+    // skew (every partition pre-collapses its own 'the'-like heads), the
+    // exchange carries one row per distinct token per partition, and
+    // TakeOrderedAndProject keeps only k rows on the driver.
+    Query(
+      "q_text_heavy_hitters",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("token"))
+          .limit(30),
+      Some("""SELECT w AS token, COUNT(*) AS n
+             |FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+             |      FROM documents) t
+             |GROUP BY w ORDER BY n DESC, token LIMIT 30""".stripMargin)))
 }
