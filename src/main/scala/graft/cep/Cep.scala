@@ -151,9 +151,16 @@ object Cep {
   def matchPatternStream(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, steps: Seq[Step],
       withinMicros: Option[Long] = None): DataFrame = {
-    require(steps.forall(_.quant == One),
-      "streaming NFA supports One-quantifier steps; use matchPattern for Plus")
-    require(steps.length <= 64, "streaming NFA supports at most 64 steps")
+    val tailPlus = steps.nonEmpty && (steps.last.quant match {
+      case Plus => true
+      case Times(1, Int.MaxValue, true) => true
+      case _ => false
+    })
+    val prefixSteps = if (tailPlus) steps.init else steps
+    require(prefixSteps.forall(_.quant == One),
+      "streaming NFA supports One-quantifier steps plus an optional " +
+        "trailing greedy Plus; use matchPattern for other shapes")
+    require(prefixSteps.length <= 63, "streaming NFA supports at most 63 steps")
     val spark = events.sparkSession
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
@@ -162,36 +169,45 @@ object Cep {
     val tIdx = fields.indexOf(tsCol)
     val iIdx = fields.indexOf(idCol)
     val nSteps = steps.length
+    val nPrefix = prefixSteps.length
 
-    // State per key: the pending partial match as (event id, event ms,
-    // step-predicate bitmask) plus the match counter. Storing each buffered
-    // event's full predicate bitmask (bit s = steps(s).pred(event)) lets a
-    // failed partial REPLAY from every later start position inside the
-    // consumed run without keeping the rows themselves — the KMP-style
-    // slide the batch leftmost scan performs implicitly. O(pattern) state
-    // per key, same as before.
+    // State per key: the pending One-prefix partial as (event id, event
+    // ms, step-predicate bitmask), the open greedy tail (ids + first ms)
+    // when the pattern ends in Plus, and the match counter. Storing each
+    // buffered event's full predicate bitmask (bit s = steps(s).pred(e))
+    // lets a failed partial REPLAY from every later start position inside
+    // the consumed run without keeping the rows themselves — the
+    // KMP-style slide the batch leftmost scan performs implicitly.
+    // O(pattern + open tail) state per key. A trailing-Plus match is
+    // greedy, so it emits when the first non-matching event closes it —
+    // possibly batches later; a tail still open when the stream ends
+    // never closes (a `within` horizon bounds that wait in event time).
     val out = events.groupByKey(_.getLong(kIdx))
-      .flatMapGroupsWithState[(Seq[(Long, Long, Long)], Long), (Long, String, Long, Long)](
+      .flatMapGroupsWithState[(Seq[(Long, Long, Long)], Seq[Long], Long, Long), (Long, String, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[Row],
-            state: GroupState[(Seq[(Long, Long, Long)], Long)]) =>
-          var (buf, seq) =
-            state.getOption.getOrElse((Seq.empty[(Long, Long, Long)], 0L))
+            state: GroupState[(Seq[(Long, Long, Long)], Seq[Long], Long, Long)]) =>
+          var (buf, tail, tailStartMs, seq) = state.getOption
+            .getOrElse((Seq.empty[(Long, Long, Long)], Seq.empty[Long],
+              0L, 0L))
           val emitted = scala.collection.mutable.ListBuffer
             .empty[(Long, String, Long, Long)]
-          val ordered = it.toArray.sortBy(r =>
-            (r.getTimestamp(tIdx).getTime, r.getLong(iIdx)))
-          ordered.foreach { e =>
-            val id = e.getLong(iIdx)
-            val ms = e.getTimestamp(tIdx).getTime
-            var bits = 0L
-            var s = 0
-            while (s < nSteps) {
-              if (steps(s).pred(e)) bits |= (1L << s)
-              s += 1
+
+          // emit the open prefix+tail match, skip past last
+          def emitOpen(): Unit = {
+            buf.zip(prefixSteps).foreach { case ((cid, _, _), st) =>
+              emitted += ((key, st.name, cid, seq))
             }
-            // smallest drop-count j (0 = plain advance, buf.length = e
-            // restarts alone) whose suffix is a valid in-horizon prefix
+            tail.foreach(cid =>
+              emitted += ((key, steps.last.name, cid, seq)))
+            seq += 1
+            buf = Seq.empty
+            tail = Seq.empty
+          }
+
+          // smallest drop-count j (0 = plain advance, buf.length = e
+          // restarts alone) whose suffix is a valid in-horizon prefix
+          def slide(id: Long, ms: Long, bits: Long): Unit = {
             val j = (0 to buf.length).indexWhere { j =>
               val stillValid = (j until buf.length).forall { k =>
                 ((buf(k)._3 >> (k - j)) & 1L) == 1L
@@ -203,7 +219,7 @@ object Cep {
             if (j < 0) buf = Seq.empty
             else {
               buf = buf.drop(j) :+ ((id, ms, bits))
-              if (buf.length == nSteps) {
+              if (!tailPlus && buf.length == nSteps) {
                 buf.zip(steps).foreach { case ((cid, _, _), st) =>
                   emitted += ((key, st.name, cid, seq))
                 }
@@ -212,10 +228,94 @@ object Cep {
               }
             }
           }
-          state.update((buf, seq))
+
+          val ordered = it.toArray.sortBy(r =>
+            (r.getTimestamp(tIdx).getTime, r.getLong(iIdx)))
+          ordered.foreach { e =>
+            val id = e.getLong(iIdx)
+            val ms = e.getTimestamp(tIdx).getTime
+            var bits = 0L
+            var s = 0
+            while (s < nSteps) {
+              if (steps(s).pred(e)) bits |= (1L << s)
+              s += 1
+            }
+            // at most one retry: a closing event re-enters as a fresh
+            // match candidate after the emitted match's skip-past-last
+            var retry = true
+            var rounds = 0
+            while (retry && rounds < 2) {
+              retry = false
+              rounds += 1
+              if (tailPlus && buf.length == nPrefix) {
+                // prefix complete: accumulate or close the greedy tail
+                val tailBit = ((bits >> nPrefix) & 1L) == 1L
+                val inHorizon =
+                  if (nPrefix == 0 && tail.isEmpty) true // e starts the match
+                  else {
+                    val startMs = if (nPrefix > 0) buf.head._2 else tailStartMs
+                    withinMicros.forall(w => (ms - startMs) * 1000L <= w)
+                  }
+                if (tailBit && inHorizon) {
+                  if (tail.isEmpty && nPrefix == 0) tailStartMs = ms
+                  tail = tail :+ id
+                } else if (tail.nonEmpty) {
+                  emitOpen()
+                  retry = true // e may start / extend a fresh match
+                } else if (nPrefix > 0) {
+                  // prefix done but the tail never opened: the partial
+                  // dies; replay from later starts inside it (bit nPrefix
+                  // of e is unset here, so j = 0 can't enter the tail)
+                  slide(id, ms, bits)
+                } // else nPrefix == 0 with no tail and no match: drop e
+              } else {
+                slide(id, ms, bits)
+              }
+            }
+          }
+          state.update((buf, tail, tailStartMs, seq))
           emitted.iterator
       }
     out.toDF("key", "step", "event_id", "match_seq")
+  }
+
+  /** Parse a MATCH_RECOGNIZE-style pattern string into steps (reference
+    * Pattern API / MATCH_RECOGNIZE PATTERN clause — Pattern.java:50,
+    * quantifier grammar of Quantifier.java): whitespace-separated step
+    * names, each optionally quantified with `+` (one-or-more), `?`
+    * (optional), `{m}`, `{m,n}`, `{m,}` — any of them suffixed with `?`
+    * for reluctant mode (e.g. `+?`, `{1,3}?`). Each name must have a
+    * predicate in `preds`; the name doubles as the output step label.
+    *
+    * `Cep.pattern("signup error+ purchase?", preds)` ==
+    * `Seq(Step("signup",…), Step("error",…,Plus), Step("purchase",…,Opt))`.
+    */
+  def pattern(spec: String,
+      preds: Map[String, Row => Boolean]): Seq[Step] = {
+    val StepRe =
+      """([A-Za-z_][A-Za-z0-9_]*)(\+\??|\?|\{\d+(?:,\d*)?\}\??)?""".r
+    spec.trim.split("\\s+").toSeq.map {
+      case StepRe(name, quant) =>
+        val pred = preds.getOrElse(name,
+          throw new IllegalArgumentException(s"no predicate for step '$name'"))
+        val q = Option(quant).getOrElse("") match {
+          case "" => One
+          case "+" => Plus
+          case "+?" => Times(1, Int.MaxValue, greedy = false)
+          case "?" => Opt
+          case s =>
+            val greedy = !s.endsWith("}?")
+            val body = s.stripSuffix("?").stripPrefix("{").stripSuffix("}")
+            body.split(",", -1) match {
+              case Array(m) => Times(m.toInt, m.toInt, greedy)
+              case Array(m, "") => Times(m.toInt, Int.MaxValue, greedy)
+              case Array(m, n) => Times(m.toInt, n.toInt, greedy)
+            }
+        }
+        Step(name, pred, q)
+      case tok =>
+        throw new IllegalArgumentException(s"bad pattern token '$tok'")
+    }
   }
 
   /** The catalog's demo pattern: signup followed immediately by one or

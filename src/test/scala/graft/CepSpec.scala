@@ -133,6 +133,48 @@ class CepSpec extends AnyFunSuite {
     assert(rows === Set((2L, "A", 10L), (2L, "B", 11L)))
   }
 
+  test("streaming NFA with trailing Plus closes greedy tails across batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val steps = Seq(
+      Cep.Step("A", _.getString(3) == "signup"),
+      Cep.Step("B", _.getString(3) == "error", Cep.Plus))
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps)
+      .writeStream.format("memory").queryName("t_cep_plus")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1 opens a greedy tail (signup error); the tail must stay open
+    // over the boundary, absorb batch 2's error, close on the click, and
+    // the click must not break the later A B match
+    mem.addData((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"))
+    q.processAllAvailable()
+    mem.addData((1L, 30L, 3L, "error"), (1L, 40L, 4L, "click"),
+      (1L, 50L, 5L, "signup"), (1L, 60L, 6L, "error"), (1L, 70L, 7L, "view"))
+    q.processAllAvailable()
+    val rows = spark.table("t_cep_plus").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    q.stop()
+    assert(rows === Set(
+      (1L, "A", 1L, 0L), (1L, "B", 2L, 0L), (1L, "B", 3L, 0L),
+      (1L, "A", 5L, 1L), (1L, "B", 6L, 1L)))
+    // and the batch NFA on the same timeline agrees on the closed matches
+    val batch = Cep.matchPattern(
+      mkEvents((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+        (1L, 30L, 3L, "error"), (1L, 40L, 4L, "click"),
+        (1L, 50L, 5L, "signup"), (1L, 60L, 6L, "error"),
+        (1L, 70L, 7L, "view")),
+      "user_id", "ts", "event_id", steps).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3).toLong)).toSet
+    assert(batch === rows)
+  }
+
   test("streaming NFA replays self-overlapping prefixes (A A B over A A A B)") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -245,6 +287,34 @@ class CepSpec extends AnyFunSuite {
     val gre = matchSets(
       Cep.matchPattern(events, "user_id", "ts", "event_id", stepsGreedy))
     assert(gre === Seq(Set(("A", 1L), ("B", 2L), ("B", 3L), ("C", 4L))))
+  }
+
+  test("pattern string parser covers the quantifier grammar") {
+    val preds: Map[String, org.apache.spark.sql.Row => Boolean] = Map(
+      "signup" -> (_.getString(3) == "signup"),
+      "error" -> (_.getString(3) == "error"),
+      "purchase" -> (_.getString(3) == "purchase"))
+    val steps = Cep.pattern("signup error+ purchase?", preds)
+    assert(steps.map(s => (s.name, s.quant)) === Seq(
+      ("signup", Cep.One), ("error", Cep.Plus), ("purchase", Cep.Opt)))
+    val steps2 = Cep.pattern("error{2} signup{1,3}? purchase{2,}", preds)
+    assert(steps2.map(_.quant) === Seq(Cep.Times(2, 2),
+      Cep.Times(1, 3, greedy = false), Cep.Times(2, Int.MaxValue)))
+    // parsed pattern runs identically to hand-built steps
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "error"), (1L, 40L, 4L, "purchase"))
+    val viaParser = Cep.matchPattern(events, "user_id", "ts", "event_id",
+      Cep.pattern("signup error+ purchase?", preds)).collect().toSet
+    val viaSteps = Cep.matchPattern(events, "user_id", "ts", "event_id",
+      Seq(Cep.Step("signup", preds("signup")),
+        Cep.Step("error", preds("error"), Cep.Plus),
+        Cep.Step("purchase", preds("purchase"), Cep.Opt)))
+      .collect().toSet
+    assert(viaParser === viaSteps && viaParser.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Cep.pattern("signup unknown+", preds)
+    }
   }
 
   test("skip strategies: past-last tiles runs, to-next overlaps") {
