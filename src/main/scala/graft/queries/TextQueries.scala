@@ -156,5 +156,38 @@ object TextQueries {
       Some("""SELECT w AS token, COUNT(*) AS n
              |FROM (SELECT UNNEST(string_split(text, ' ')) AS w
              |      FROM documents) t
-             |GROUP BY w ORDER BY n DESC, token LIMIT 30""".stripMargin)))
+             |GROUP BY w ORDER BY n DESC, token LIMIT 30""".stripMargin)),
+
+    // Gopher-style composite quality filter (Rae et al. 2021 §A1.1 rules,
+    // the standard pretraining-corpus gate): token-count bounds, mean
+    // word length band, token-repetition ceiling → one keep/reject flag.
+    // Pure scan-local row math — the filter runs at full scan speed and
+    // at 100 TB is the cheap pre-pass before any dedup shuffle.
+    Query(
+      "q_text_gopher",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks)
+        val mwl = length(translate(col("text"), " ", "")).cast("double") /
+          nTok
+        val rep = lit(1.0) -
+          size(array_distinct(toks)).cast("double") / nTok
+        t(s, d, "documents")
+          .select(col("doc_id"), nTok.as("n_tokens"),
+            mwl.as("mean_wlen"), rep.as("rep_ratio"),
+            (nTok >= 30 && mwl.between(4.0, 5.0) && rep < 0.6).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, n_tokens, mean_wlen, rep_ratio,
+             |  n_tokens >= 30 AND mean_wlen BETWEEN 4.0 AND 5.0
+             |    AND rep_ratio < 0.6 AS keep
+             |FROM (
+             |  SELECT doc_id,
+             |    LEN(string_split(text, ' ')) AS n_tokens,
+             |    CAST(LEN(REPLACE(text, ' ', '')) AS DOUBLE)
+             |      / LEN(string_split(text, ' ')) AS mean_wlen,
+             |    1.0 - CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |      / LEN(string_split(text, ' ')) AS rep_ratio
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin)))
 }
