@@ -58,6 +58,27 @@ object Multimodal {
       .as[Media]
   }
 
+  /** A media corpus from a directory of raw files via Spark's
+    * `binaryFile` source — the ingestion path for an image/audio corpus
+    * (one row per file: path, length, content). doc_id is a stable hash
+    * of the file path, format the lower-cased extension. Scale notes:
+    * binaryFile splits at file granularity (files never split), so
+    * parallelism = file count; `pathGlobFilter` prunes by extension at
+    * listing time and `spark.sql.files.maxPartitionBytes` groups small
+    * files per task. */
+  def mediaFromFiles(spark: SparkSession, dir: String,
+      glob: String = "*"): Dataset[Media] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        lower(element_at(split(col("path"), "\\."), -1)).as("format"),
+        col("content").as("payload"))
+      .as[Media]
+  }
+
   /** Decode/feature-extract: partition-local, batched like a vectorized
     * decoder (grouped iterator — no full-partition materialization). */
   def decodeFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {

@@ -39,6 +39,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("binaryFile ingestion: raw files become Media rows, glob prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    def write(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    write("a.jpg", Array[Byte](-1, -40, -1, 1, 2, 3)) // jpeg-ish magic
+    write("b.jpg", Array[Byte](-1, -40, 9, 8))
+    write("skip.txt", "not media".getBytes)
+    val media = Multimodal.mediaFromFiles(spark, dir.toString, glob = "*.jpg")
+      .collect().sortBy(_.format)
+    assert(media.length === 2) // txt pruned at listing time
+    assert(media.forall(_.format == "jpg"))
+    assert(media.map(_.payload.length).sorted.toSeq === Seq(4, 6))
+    assert(media.map(_.doc_id).distinct.length === 2) // stable distinct ids
+    // and the decode pipeline runs unchanged over file-sourced media
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.mediaFromFiles(spark, dir.toString, glob = "*.jpg"))
+      .collect()
+    assert(feats.length === 2)
+    assert(feats.forall(f => f.first_byte === 0xff))
+  }
+
   test("sampleFrames emits every 4th chunk per document") {
     val media = Multimodal.mediaTable(spark, SparkFixture.sf)
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, everyK = 4)
