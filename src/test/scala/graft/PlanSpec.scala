@@ -72,4 +72,41 @@ class PlanSpec extends AnyFunSuite {
     val c = formatted("q_agg_tpch1")
     assert(c.contains("WholeStageCodegen"), c.take(500))
   }
+
+  test("q_join_q8/q9: star joins broadcast every dimension, no NLJ") {
+    for (name <- Seq("q_join_q8", "q_join_q9")) {
+      val p = plan(name)
+      assert(!p.contains("NestedLoop"), s"$name uses a nested loop:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+        s"$name should broadcast its dimensions:\n$p")
+      // exactly one fact-side hash shuffle feeding the final agg
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+        s"$name shuffles too much:\n$p")
+    }
+  }
+
+  test("q_agg_q6: whole query is scan + agg, all predicates pushed") {
+    val p = plan("q_agg_q6")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual"),
+      s"shipdate range not pushed:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size === 2, // partial + final
+      s"expected partial+final agg:\n$p")
+  }
+
+  test("q_text_heavy_hitters: partial agg before exchange, bounded take") {
+    val p = plan("q_text_heavy_hitters")
+    assert(p.contains("partial_count"),
+      s"map-side combine missing (token skew would travel):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not sort the full vocabulary:\n$p")
+  }
+
+  test("q_emb_quantize: scan-local, reads only the needed columns") {
+    val p = plan("q_emb_quantize")
+    val beforeSort = p.split("Sort ").last
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"quantization must stay scan-local:\n$p")
+    assert(!p.contains("label"), s"unused column read:\n$p")
+  }
 }
