@@ -147,10 +147,20 @@ object Cep {
     * semantics across batches; align file/offset order with time for
     * event-time behavior). Plus-quantifier patterns need lookahead
     * beyond batch boundaries and stay batch-mode.
+    *
+    * `flushOnHorizon = true` (requires `withinMicros` AND a watermarked
+    * input) registers an event-time timer at match-start + within: an
+    * open greedy tail EMITS when the watermark passes its horizon — the
+    * reference's `within`-bounded NFA pruning — and expired prefix
+    * partials are garbage-collected, so state stays bounded even for
+    * keys that stop receiving events.
     */
   def matchPatternStream(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, steps: Seq[Step],
-      withinMicros: Option[Long] = None): DataFrame = {
+      withinMicros: Option[Long] = None,
+      flushOnHorizon: Boolean = false): DataFrame = {
+    require(!flushOnHorizon || withinMicros.isDefined,
+      "flushOnHorizon needs a withinMicros horizon (and a watermarked input)")
     val tailPlus = steps.nonEmpty && (steps.last.quant match {
       case Plus => true
       case Times(1, Int.MaxValue, true) => true
@@ -182,9 +192,13 @@ object Cep {
     // greedy, so it emits when the first non-matching event closes it —
     // possibly batches later; a tail still open when the stream ends
     // never closes (a `within` horizon bounds that wait in event time).
+    val timeoutConf =
+      if (flushOnHorizon) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val withinMs = withinMicros.map(_ / 1000L)
     val out = events.groupByKey(_.getLong(kIdx))
       .flatMapGroupsWithState[(Seq[(Long, Long, Long)], Seq[Long], Long, Long), (Long, String, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (key: Long, it: Iterator[Row],
             state: GroupState[(Seq[(Long, Long, Long)], Seq[Long], Long, Long)]) =>
           var (buf, tail, tailStartMs, seq) = state.getOption
@@ -229,51 +243,71 @@ object Cep {
             }
           }
 
-          val ordered = it.toArray.sortBy(r =>
-            (r.getTimestamp(tIdx).getTime, r.getLong(iIdx)))
-          ordered.foreach { e =>
-            val id = e.getLong(iIdx)
-            val ms = e.getTimestamp(tIdx).getTime
-            var bits = 0L
-            var s = 0
-            while (s < nSteps) {
-              if (steps(s).pred(e)) bits |= (1L << s)
-              s += 1
-            }
-            // at most one retry: a closing event re-enters as a fresh
-            // match candidate after the emitted match's skip-past-last
-            var retry = true
-            var rounds = 0
-            while (retry && rounds < 2) {
-              retry = false
-              rounds += 1
-              if (tailPlus && buf.length == nPrefix) {
-                // prefix complete: accumulate or close the greedy tail
-                val tailBit = ((bits >> nPrefix) & 1L) == 1L
-                val inHorizon =
-                  if (nPrefix == 0 && tail.isEmpty) true // e starts the match
-                  else {
-                    val startMs = if (nPrefix > 0) buf.head._2 else tailStartMs
-                    withinMicros.forall(w => (ms - startMs) * 1000L <= w)
-                  }
-                if (tailBit && inHorizon) {
-                  if (tail.isEmpty && nPrefix == 0) tailStartMs = ms
-                  tail = tail :+ id
-                } else if (tail.nonEmpty) {
-                  emitOpen()
-                  retry = true // e may start / extend a fresh match
-                } else if (nPrefix > 0) {
-                  // prefix done but the tail never opened: the partial
-                  // dies; replay from later starts inside it (bit nPrefix
-                  // of e is unset here, so j = 0 can't enter the tail)
+          if (flushOnHorizon && state.hasTimedOut) {
+            // watermark passed some open horizon: close an expired open
+            // tail (it's a complete greedy match), GC prefix entries that
+            // can no longer anchor a match
+            val wm = state.getCurrentWatermarkMs
+            val w = withinMs.get
+            val startMs =
+              if (buf.nonEmpty) buf.head._2
+              else if (tail.nonEmpty) tailStartMs else Long.MaxValue
+            if (tail.nonEmpty && wm - startMs > w) emitOpen()
+            buf = buf.dropWhile(e => wm - e._2 > w)
+          } else {
+            val ordered = it.toArray.sortBy(r =>
+              (r.getTimestamp(tIdx).getTime, r.getLong(iIdx)))
+            ordered.foreach { e =>
+              val id = e.getLong(iIdx)
+              val ms = e.getTimestamp(tIdx).getTime
+              var bits = 0L
+              var s = 0
+              while (s < nSteps) {
+                if (steps(s).pred(e)) bits |= (1L << s)
+                s += 1
+              }
+              // at most one retry: a closing event re-enters as a fresh
+              // match candidate after the emitted match's skip-past-last
+              var retry = true
+              var rounds = 0
+              while (retry && rounds < 2) {
+                retry = false
+                rounds += 1
+                if (tailPlus && buf.length == nPrefix) {
+                  // prefix complete: accumulate or close the greedy tail
+                  val tailBit = ((bits >> nPrefix) & 1L) == 1L
+                  val inHorizon =
+                    if (nPrefix == 0 && tail.isEmpty) true // e starts the match
+                    else {
+                      val startMs = if (nPrefix > 0) buf.head._2 else tailStartMs
+                      withinMicros.forall(w => (ms - startMs) * 1000L <= w)
+                    }
+                  if (tailBit && inHorizon) {
+                    if (tail.isEmpty && nPrefix == 0) tailStartMs = ms
+                    tail = tail :+ id
+                  } else if (tail.nonEmpty) {
+                    emitOpen()
+                    retry = true // e may start / extend a fresh match
+                  } else if (nPrefix > 0) {
+                    // prefix done but the tail never opened: the partial
+                    // dies; replay from later starts inside it (bit nPrefix
+                    // of e is unset here, so j = 0 can't enter the tail)
+                    slide(id, ms, bits)
+                  } // else nPrefix == 0 with no tail and no match: drop e
+                } else {
                   slide(id, ms, bits)
-                } // else nPrefix == 0 with no tail and no match: drop e
-              } else {
-                slide(id, ms, bits)
+                }
               }
             }
           }
           state.update((buf, tail, tailStartMs, seq))
+          if (flushOnHorizon && (buf.nonEmpty || tail.nonEmpty)) {
+            // wake when the earliest open anchor's horizon expires
+            val anchorMs =
+              if (buf.nonEmpty) buf.head._2 else tailStartMs
+            state.setTimeoutTimestamp(math.max(anchorMs + withinMs.get + 1,
+              state.getCurrentWatermarkMs + 1))
+          }
           emitted.iterator
       }
     out.toDF("key", "step", "event_id", "match_seq")

@@ -175,6 +175,40 @@ class CepSpec extends AnyFunSuite {
     assert(batch === rows)
   }
 
+  test("streaming NFA flushes an open greedy tail when the horizon expires") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+      .withWatermark("ts", "0 seconds")
+    val steps = Seq(
+      Cep.Step("A", _.getString(3) == "signup"),
+      Cep.Step("B", _.getString(3) == "error", Cep.Plus))
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps,
+        withinMicros = Some(60L * 1000000L), flushOnHorizon = true)
+      .writeStream.format("memory").queryName("t_cep_flush")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // u1 opens a greedy tail; no closing event for u1 ever arrives
+    // (timestamps start above 0: with a 0-second watermark delay the
+    // initial watermark is 0 and a ts=0 row would be dropped as late)
+    mem.addData((1L, 100L, 1L, "signup"), (1L, 110L, 2L, "error"))
+    q.processAllAvailable()
+    // another user's far-future event drives the watermark past u1's
+    // 60 s horizon → the open tail must flush as a completed match
+    mem.addData((2L, 500L, 10L, "view"))
+    q.processAllAvailable()
+    mem.addData((3L, 1000L, 20L, "view"))
+    q.processAllAvailable()
+    val rows = spark.table("t_cep_flush").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows === Set((1L, "A", 1L), (1L, "B", 2L)))
+  }
+
   test("streaming NFA replays self-overlapping prefixes (A A B over A A A B)") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
