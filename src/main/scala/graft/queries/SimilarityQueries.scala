@@ -76,6 +76,69 @@ object SimilarityQueries {
         s" (a, b) -> a + b) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** IVF-style ANN, parameterized by `nprobe` (how many nearest cells
+    * each query searches — the standard IVF recall/cost knob). */
+  private def ivfRun(nprobe: Int)(s: SparkSession, d: String): DataFrame = {
+    val emb = embDouble(t(s, d, "embeddings"))
+    val cent = centroids(s, d)
+    // probe: nprobe nearest centroids per query vector (broadcast top-n)
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(desc("ccos"), col("cell"))
+    val probed = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("cell"),
+        cosine(col("qv"), col("cv")).as("ccos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("cell"))
+    // search only the probed cells' inverted lists (cells are disjoint,
+    // so the candidate union needs no dedup)
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos"), col("vec_id"))
+    emb.join(broadcast(probed), col("label") === col("cell")
+        && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv"))
+        .as("cos"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  private def ivfOracle(nprobe: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (
+       |  SELECT label AS cell, list(c ORDER BY dim) AS cv FROM (
+       |    SELECT label, CAST(idx - 1 AS INT) AS dim,
+       |      ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10)))
+       |        AS DOUBLE) / COUNT(1), 6) AS c
+       |    FROM (SELECT label, UNNEST(embedding) AS x,
+       |            GENERATE_SUBSCRIPTS(embedding, 1) AS idx
+       |          FROM embeddings) t
+       |    GROUP BY label, idx) g
+       |  GROUP BY label),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |probed AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q.q_id, q.qv, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6)
+       |          DESC, c.cell) AS rn
+       |    FROM q, cent c) x
+       |  WHERE rn <= $nprobe)
+       |SELECT q_id, vec_id, cos, rn FROM (
+       |  SELECT p.q_id, e.vec_id,
+       |    ROUND(list_cosine_similarity(e.v, p.qv), 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |      ORDER BY ROUND(list_cosine_similarity(e.v, p.qv), 6)
+       |        DESC, e.vec_id) AS rn
+       |  FROM e JOIN probed p
+       |    ON e.label = p.cell AND e.vec_id <> p.q_id) y
+       |WHERE rn <= 3
+       |ORDER BY q_id, rn""".stripMargin
+
   val queries: Seq[Query] = Seq(
 
     // IVF-style ANN (scale path #2, next to LSH): coarse-quantize with
@@ -84,65 +147,11 @@ object SimilarityQueries {
     // label clusters (k-means seeds at real scale); centroid table is
     // tiny → broadcast; the corpus-side cell assignment is the label
     // itself, so candidate generation is an equi-join on cell id.
-    Query(
-      "q_knn_ivf",
-      (s, d) => {
-        val emb = embDouble(t(s, d, "embeddings"))
-        val cent = centroids(s, d)
-        // probe: nearest centroid per query vector (broadcast argmax)
-        val q = emb.where(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        val wProbe = Window.partitionBy(col("q_id"))
-          .orderBy(desc("ccos"), col("cell"))
-        val probed = q.crossJoin(broadcast(cent))
-          .select(col("q_id"), col("qv"), col("cell"),
-            cosine(col("qv"), col("cv")).as("ccos"))
-          .withColumn("rn", row_number().over(wProbe))
-          .where(col("rn") === 1)
-          .select(col("q_id"), col("qv"), col("cell"))
-        // search only the probed cell's inverted list
-        val wTop = Window.partitionBy(col("q_id"))
-          .orderBy(desc("cos"), col("vec_id"))
-        emb.join(broadcast(probed), col("label") === col("cell")
-            && col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv"))
-            .as("cos"))
-          .withColumn("rn", row_number().over(wTop))
-          .where(col("rn") <= 3)
-          .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
-          .orderBy(col("q_id"), col("rn"))
-      },
-      Some("""WITH e AS (
-             |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-             |cent AS (
-             |  SELECT label AS cell, list(c ORDER BY dim) AS cv FROM (
-             |    SELECT label, CAST(idx - 1 AS INT) AS dim,
-             |      ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10)))
-             |        AS DOUBLE) / COUNT(1), 6) AS c
-             |    FROM (SELECT label, UNNEST(embedding) AS x,
-             |            GENERATE_SUBSCRIPTS(embedding, 1) AS idx
-             |          FROM embeddings) t
-             |    GROUP BY label, idx) g
-             |  GROUP BY label),
-             |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
-             |probed AS (
-             |  SELECT q_id, qv, cell FROM (
-             |    SELECT q.q_id, q.qv, c.cell,
-             |      ROW_NUMBER() OVER (PARTITION BY q.q_id
-             |        ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6)
-             |          DESC, c.cell) AS rn
-             |    FROM q, cent c) x
-             |  WHERE rn = 1)
-             |SELECT q_id, vec_id, cos, rn FROM (
-             |  SELECT p.q_id, e.vec_id,
-             |    ROUND(list_cosine_similarity(e.v, p.qv), 6) AS cos,
-             |    ROW_NUMBER() OVER (PARTITION BY p.q_id
-             |      ORDER BY ROUND(list_cosine_similarity(e.v, p.qv), 6)
-             |        DESC, e.vec_id) AS rn
-             |  FROM e JOIN probed p
-             |    ON e.label = p.cell AND e.vec_id <> p.q_id) y
-             |WHERE rn <= 3
-             |ORDER BY q_id, rn""".stripMargin)),
+    Query("q_knn_ivf", ivfRun(1), Some(ivfOracle(1))),
+
+    // nprobe = 2: each query searches its two nearest cells — the recall
+    // knob every IVF deployment tunes. Same plan shape, 2× candidates.
+    Query("q_knn_ivf_probe2", ivfRun(2), Some(ivfOracle(2))),
 
     // Brute-force cosine top-5 for query vectors vec_id < 5.
     Query(
