@@ -117,6 +117,49 @@ object EventQueries {
              |FROM y GROUP BY user_id, sid
              |ORDER BY user_id, s_start""".stripMargin)),
 
+    // Session windows with a DYNAMIC per-event gap (reference
+    // SessionWindowTimeGapExtractor — flink-streaming-java
+    // DynamicEventTimeSessionWindows): each event extends its session by
+    // its own type-dependent gap; overlapping [ts, ts+gap) windows merge.
+    // Oracle: islands over the running max of window ends — a new session
+    // starts when an event's ts reaches past every previous end.
+    Query(
+      "q_window_session_dynamic",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(session_window(col("ts"),
+            when(col("event_type") === "view", lit("10 minutes"))
+              .otherwise(lit("2 minutes"))), col("user_id"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("user_id"), col("session_window.start").as("s_start"),
+            col("n"), col("sum_value"))
+          .orderBy(col("user_id"), col("s_start")),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, "value",
+             |    CAST(ts AS TIMESTAMP) + CASE WHEN event_type = 'view'
+             |      THEN INTERVAL '10 minutes' ELSE INTERVAL '2 minutes'
+             |    END AS w_end
+             |  FROM events),
+             |x AS (
+             |  SELECT user_id, ts, "value",
+             |    CASE WHEN MAX(w_end) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |      OR ts >= MAX(w_end) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM e),
+             |y AS (
+             |  SELECT user_id, ts, "value",
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM x)
+             |SELECT user_id, MIN(ts) AS s_start, COUNT(1) AS n,
+             |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM y GROUP BY user_id, sid
+             |ORDER BY user_id, s_start""".stripMargin)),
+
     // Deduplicate keep-first (reference StreamExecDeduplicate.java:70,
     // RowTimeDeduplicateFunction.java:31 — ROW_NUMBER()=1 rewrite),
     // via the library operator.

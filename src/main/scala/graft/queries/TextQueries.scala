@@ -158,6 +158,42 @@ object TextQueries {
              |      FROM documents) t
              |GROUP BY w ORDER BY n DESC, token LIMIT 30""".stripMargin)),
 
+    // Token-distribution entropy per document (perplexity-proxy quality
+    // score: low entropy = repetitive/templated text, a standard corpus
+    // filter signal). Both engines fold -(p·log2 p) sequentially over the
+    // SAME sorted count list, so accumulation order is identical;
+    // round(…,6) absorbs the last-ulp libm log2 differences.
+    Query(
+      "q_text_entropy",
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        counts.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("c"))).as("cs"),
+            sum(col("c")).as("n"))
+          .select(col("doc_id"), col("n").as("n_tokens"),
+            round(aggregate(col("cs"), lit(0.0),
+              (acc, c) => acc - (c / col("n")) * log2(c / col("n"))), 6)
+              .as("entropy"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, w, COUNT(*) AS c
+             |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+             |        FROM documents) t
+             |  GROUP BY doc_id, w),
+             |a AS (
+             |  SELECT doc_id, list(c ORDER BY c) AS cs, SUM(c) AS n
+             |  FROM c GROUP BY doc_id)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |  ROUND(list_reduce(
+             |    list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(cs, x ->
+             |        -(CAST(x AS DOUBLE) / n) * log2(CAST(x AS DOUBLE) / n))),
+             |    (acc, v) -> acc + v), 6) AS entropy
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
     // Gopher-style composite quality filter (Rae et al. 2021 §A1.1 rules,
     // the standard pretraining-corpus gate): token-count bounds, mean
     // word length band, token-repetition ceiling → one keep/reject flag.
