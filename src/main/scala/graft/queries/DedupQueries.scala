@@ -192,6 +192,39 @@ object DedupQueries {
               |SELECT id AS doc_id, MIN(r) AS component
               |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // The full corpus-dedup pipeline, end to end: LSH candidate pairs →
+    // connected components → keep each cluster's representative (min id),
+    // drop the other members, pass non-colliding docs through. This is
+    // the operation a 100 TB pretraining pipeline actually runs; the
+    // anti-join against the (tiny) drop list is broadcast-able.
+    Query(
+      "q_dedup_corpus",
+      (s, d) => {
+        val pairs = Catalog.byName("q_dedup_minhash_lsh").run(s, d)
+        val drop = graft.operators.Ops.connectedComponents(pairs)
+          .toDF("doc_id", "component")
+          .where(col("doc_id") =!= col("component"))
+          .select(col("doc_id"))
+        t(s, d, "documents")
+          .join(broadcast(drop), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+              |edges AS (
+              |  SELECT a AS src, b AS dst FROM pairs
+              |  UNION ALL SELECT b, a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, reach.r FROM reach
+              |  JOIN edges e ON e.src = reach.id),
+              |comp AS (
+              |  SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+              |SELECT doc_id, n_chars FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+              |ORDER BY doc_id""".stripMargin)),
+
     // n-gram (3-shingle) Jaccard similarity: verification join on shared
     // shingles — intersection via equi-join, union from per-doc counts.
     Query(
