@@ -161,6 +161,57 @@ object Ops {
     * relation is one row per distinct node — orders of magnitude smaller
     * than the input corpus at 100 TB, since only docs that collide in
     * some band appear. */
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the O(log n)-round scale path for components whose
+    * diameter is NOT small (web-graph-like chains), where min-label
+    * propagation's O(diameter) rounds would dominate. Per round: one
+    * shuffle agg + one shuffle join per star phase. Returns
+    * `(id, component)`, component = min node id, same contract as
+    * [[connectedComponents]].
+    *
+    * large-star points every neighbor larger than `u` at `u`'s minimum
+    * neighborhood node; small-star re-points `u` and its smaller
+    * neighbors there. The edge set monotonically flattens into stars
+    * rooted at each component's minimum; convergence = a round that
+    * changes nothing. */
+  def connectedComponentsLogN(edges: DataFrame, a: String = "a",
+      b: String = "b", maxIter: Int = 50): DataFrame = {
+    var e = edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var done = e.isEmpty
+    while (!done && iter < maxIter) {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      // large-star: v > u re-points to m(u) = min(Γ(u) ∪ {u})
+      val m = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = sym.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      val symL = large.union(large.select(col("v").as("u"), col("u").as("v")))
+      // small-star: u and its smaller neighbors re-point to the min
+      val down = symL.where(col("v") < col("u"))
+      val m2 = down.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = down.join(m2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m2.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      done = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
+      e = small
+      iter += 1
+    }
+    // converged to stars: non-roots point at their root; roots self-map
+    e.select(col("u").as("id"), col("v").as("comp"))
+      .union(e.select(col("v").as("id"), col("v").as("comp")))
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+  }
+
   def connectedComponents(edges: DataFrame, a: String = "a", b: String = "b",
       maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))

@@ -114,4 +114,31 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(partial(4L) === 3L) // min label moved one hop only
   }
+
+  test("large-star/small-star equals min-label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val df = edges.toDF("a", "b")
+      val viaStars = Ops.connectedComponentsLogN(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val viaLabels = Ops.connectedComponents(df, maxIter = 100).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaStars === viaLabels, s"trial $trial differs")
+      assert(viaStars.nonEmpty)
+      // every component id is its own root
+      viaStars.values.foreach(c => assert(viaStars(c) === c))
+    }
+    // a long chain: the O(log n) path must close it in far fewer rounds
+    // than its diameter (correctness checked; round count is the design)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Ops.connectedComponentsLogN(chain, maxIter = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 63L).forall(i => got(i) === 0L),
+      "64-node chain must fully collapse within 12 star rounds")
+  }
 }
