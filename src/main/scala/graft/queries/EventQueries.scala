@@ -117,6 +117,39 @@ object EventQueries {
              |FROM y GROUP BY user_id, sid
              |ORDER BY user_id, s_start""".stripMargin)),
 
+    // Count evictor (reference CountEvictor.java / Evictor API): keep
+    // only the LAST 3 events (by event time) of each hourly window
+    // before aggregating — evict-before-apply as a declarative
+    // rank-then-aggregate, no custom window machinery needed.
+    Query(
+      "q_window_evict",
+      (s, d) => {
+        val bucket = window(col("ts"), "1 hour")
+        val w = Window.partitionBy(col("user_id"), col("w_start"))
+          .orderBy(desc("ts"), desc("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+            bucket.getField("start").as("w_start"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .groupBy(col("user_id"), col("w_start"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("user_id"), col("w_start"))
+      },
+      Some("""SELECT user_id, w_start, COUNT(1) AS n,
+             |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM (
+             |  SELECT user_id, w_start, "value",
+             |    ROW_NUMBER() OVER (PARTITION BY user_id, w_start
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM (
+             |    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, "value",
+             |      time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start
+             |    FROM events) e) x
+             |WHERE rn <= 3
+             |GROUP BY user_id, w_start
+             |ORDER BY user_id, w_start""".stripMargin)),
+
     // Session windows with a DYNAMIC per-event gap (reference
     // SessionWindowTimeGapExtractor — flink-streaming-java
     // DynamicEventTimeSessionWindows): each event extends its session by
