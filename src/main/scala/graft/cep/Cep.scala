@@ -46,11 +46,16 @@ object Cep {
 
   /** What the scan does after a completed match (reference
     * AfterMatchSkipStrategy.java): resume after the last consumed event
-    * (the default — matches never overlap) or at the event right after the
-    * match's start (overlapping matches allowed). */
+    * (the default — matches never overlap), at the event right after the
+    * match's start (overlapping matches allowed), or at the first/last
+    * event the named step consumed (SKIP_TO_FIRST/SKIP_TO_LAST). Where
+    * the reference throws on a skip that would not advance (skip-to-first
+    * of the starting step), the scan advances one event instead. */
   sealed trait SkipStrategy
   case object SkipPastLast extends SkipStrategy
   case object SkipToNext extends SkipStrategy
+  final case class SkipToFirst(step: String) extends SkipStrategy
+  final case class SkipToLast(step: String) extends SkipStrategy
 
   final case class Step(name: String, pred: Row => Boolean,
       quant: Quant = One)
@@ -96,6 +101,14 @@ object Cep {
                 // all-optional patterns can match zero events; always move
                 case SkipPastLast => math.max(1, stepHits.map(_.length).sum)
                 case SkipToNext => 1
+                case SkipToFirst(name) =>
+                  val idx = steps.indexWhere(_.name == name)
+                  require(idx >= 0, s"skip-to-first: no step '$name'")
+                  math.max(1, stepHits.take(idx).map(_.length).sum)
+                case SkipToLast(name) =>
+                  val idx = steps.indexWhere(_.name == name)
+                  require(idx >= 0, s"skip-to-last: no step '$name'")
+                  math.max(1, stepHits.take(idx + 1).map(_.length).sum - 1)
               })
             case None => i += 1
           }

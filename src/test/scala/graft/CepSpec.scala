@@ -323,6 +323,34 @@ class CepSpec extends AnyFunSuite {
     assert(gre === Seq(Set(("A", 1L), ("B", 2L), ("B", 3L), ("C", 4L))))
   }
 
+  test("skip-to-first/last resume the scan inside the match") {
+    // pattern B=error{1,2} C=click over: error error click click
+    val steps = Seq(
+      Cep.Step("B", _.getString(3) == "error", Cep.Times(1, 2)),
+      Cep.Step("C", _.getString(3) == "click"))
+    val events = mkEvents(
+      (1L, 10L, 1L, "error"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "click"), (1L, 40L, 4L, "click"))
+    // skip-to-last(B): resume at the 2nd error → a second, overlapping
+    // match (error2, click3)
+    val toLastB = matchSets(Cep.matchPattern(events, "user_id", "ts",
+      "event_id", steps, skip = Cep.SkipToLast("B")))
+    assert(toLastB === Seq(
+      Set(("B", 1L), ("B", 2L), ("C", 3L)),
+      Set(("B", 2L), ("C", 3L))))
+    // skip-to-first(C): resume at click3 — no error there, so exactly one
+    // match (distinguishes from skip-to-next, which would re-match at
+    // error2)
+    val toFirstC = matchSets(Cep.matchPattern(events, "user_id", "ts",
+      "event_id", steps, skip = Cep.SkipToFirst("C")))
+    assert(toFirstC === Seq(Set(("B", 1L), ("B", 2L), ("C", 3L))))
+    // and skip-to-first of the starting step advances one event instead
+    // of looping forever (the reference throws here)
+    val toFirstB = Cep.matchPattern(events, "user_id", "ts", "event_id",
+      steps, skip = Cep.SkipToFirst("B"))
+    assert(toFirstB.select("match_seq").distinct().count() === 2)
+  }
+
   test("pattern string parser covers the quantifier grammar") {
     val preds: Map[String, org.apache.spark.sql.Row => Boolean] = Map(
       "signup" -> (_.getString(3) == "signup"),
