@@ -174,15 +174,17 @@ object Cep {
       flushOnHorizon: Boolean = false): DataFrame = {
     require(!flushOnHorizon || withinMicros.isDefined,
       "flushOnHorizon needs a withinMicros horizon (and a watermarked input)")
-    val tailPlus = steps.nonEmpty && (steps.last.quant match {
-      case Plus => true
-      case Times(1, Int.MaxValue, true) => true
-      case _ => false
-    })
+    // a trailing greedy repetition (Plus or Times(m≥1, n≥2)) runs as an
+    // incremental open tail; reluctant/optional tails need lookahead
+    val (tailMin, tailMax, tailPlus) = steps.lastOption.map(_.quant) match {
+      case Some(Plus) => (1, Int.MaxValue, true)
+      case Some(Times(mn, mx, true)) if mn >= 1 && mx >= 2 => (mn, mx, true)
+      case _ => (0, 0, false)
+    }
     val prefixSteps = if (tailPlus) steps.init else steps
     require(prefixSteps.forall(_.quant == One),
       "streaming NFA supports One-quantifier steps plus an optional " +
-        "trailing greedy Plus; use matchPattern for other shapes")
+        "trailing greedy Plus/Times; use matchPattern for other shapes")
     require(prefixSteps.length <= 63, "streaming NFA supports at most 63 steps")
     val spark = events.sparkSession
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -265,7 +267,10 @@ object Cep {
             val startMs =
               if (buf.nonEmpty) buf.head._2
               else if (tail.nonEmpty) tailStartMs else Long.MaxValue
-            if (tail.nonEmpty && wm - startMs > w) emitOpen()
+            if (tail.nonEmpty && wm - startMs > w) {
+              if (tail.length >= tailMin) emitOpen()
+              else { buf = Seq.empty; tail = Seq.empty } // died below min
+            }
             buf = buf.dropWhile(e => wm - e._2 > w)
           } else {
             val ordered = it.toArray.sortBy(r =>
@@ -295,12 +300,21 @@ object Cep {
                       val startMs = if (nPrefix > 0) buf.head._2 else tailStartMs
                       withinMicros.forall(w => (ms - startMs) * 1000L <= w)
                     }
-                  if (tailBit && inHorizon) {
+                  if (tailBit && inHorizon && tail.length < tailMax) {
                     if (tail.isEmpty && nPrefix == 0) tailStartMs = ms
                     tail = tail :+ id
-                  } else if (tail.nonEmpty) {
+                    // a bounded tail at capacity can't grow: emit now
+                    if (tail.length == tailMax) emitOpen()
+                  } else if (tail.length >= tailMin && tail.nonEmpty) {
                     emitOpen()
                     retry = true // e may start / extend a fresh match
+                  } else if (tail.nonEmpty) {
+                    // tail below the minimum died; the consumed events
+                    // are not replayed (exact for disjoint prefix/tail
+                    // predicates, the common pattern class)
+                    buf = Seq.empty
+                    tail = Seq.empty
+                    retry = true
                   } else if (nPrefix > 0) {
                     // prefix done but the tail never opened: the partial
                     // dies; replay from later starts inside it (bit nPrefix

@@ -175,6 +175,43 @@ class CepSpec extends AnyFunSuite {
     assert(batch === rows)
   }
 
+  test("streaming NFA with a bounded Times tail emits at capacity and drops below min") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val steps = Seq(
+      Cep.Step("A", _.getString(3) == "signup"),
+      Cep.Step("B", _.getString(3) == "error", Cep.Times(2, 3)))
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps)
+      .writeStream.format("memory").queryName("t_cep_btimes")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // u1: 4 errors → capacity-3 match emits WITHOUT a closing event (the
+    // 3rd error lands in batch 2, so the tail also crossed a boundary);
+    // the 4th error alone can't re-match (no signup)
+    mem.addData((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"))
+    q.processAllAvailable()
+    mem.addData((1L, 30L, 3L, "error"), (1L, 40L, 4L, "error"),
+      (1L, 50L, 5L, "error"),
+      // u2: one error then a click → below min 2, dropped entirely
+      (2L, 10L, 10L, "signup"), (2L, 20L, 11L, "error"),
+      (2L, 30L, 12L, "click"),
+      // u3: exactly 2 errors closed by a click → emits on the click
+      (3L, 10L, 20L, "signup"), (3L, 20L, 21L, "error"),
+      (3L, 30L, 22L, "error"), (3L, 40L, 23L, "click"))
+    q.processAllAvailable()
+    val rows = spark.table("t_cep_btimes").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows === Set(
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "B", 3L), (1L, "B", 4L),
+      (3L, "A", 20L), (3L, "B", 21L), (3L, "B", 22L)))
+  }
+
   test("streaming NFA flushes an open greedy tail when the horizon expires") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
