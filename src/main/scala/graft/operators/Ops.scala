@@ -124,6 +124,30 @@ object Ops {
         .drop("__bucket", "__rbucket")
     }
 
+    /** Deterministic cap-per-key sample: keep at most `n` rows per key,
+      * chosen by a seeded content hash rather than arrival order — the
+      * "at most N documents per domain" balancing step of a corpus
+      * pipeline. Unlike rand()-based sampling the choice is a pure
+      * function of (key, id, seed): stable across partition layouts,
+      * retries, and cluster sizes. One shuffle on the key. */
+    def capPerKey(keyCol: Column, idCol: Column, n: Int,
+        seed: Long): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      // the hash is materialized as a column and the window orders by the
+      // ATTRIBUTE, not the expression: a Column val reused in both a
+      // projection and a window spec plants the same Conv instance at two
+      // plan sites, and evaluation then yields corrupt values (observed
+      // on Spark 4.1; pinned by the q_sample_per_key oracle)
+      val ord = conv(substring(md5(concat_ws("",
+        idCol.cast("string"), lit(seed.toString))), 1, 8), 16, 10)
+        .cast("long")
+      val w = Window.partitionBy(keyCol).orderBy(col("__ord"), idCol)
+      df.withColumn("__ord", ord)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= n)
+        .drop("__ord", "__rn")
+    }
+
     /** Stratified sample: per-stratum Bernoulli fractions, seeded
       * (training-pipeline class balancing; `DataSet.sample` analogue with
       * per-key control). Scan-local — no shuffle. */

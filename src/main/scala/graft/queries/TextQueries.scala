@@ -194,6 +194,32 @@ object TextQueries {
              |    (acc, v) -> acc + v), 6) AS entropy
              |FROM a ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic corpus balancing: at most 3 docs per source, chosen
+    // by a seeded md5 hash of the doc id — stable under any partitioning
+    // or retry (rand()-based sampling is neither). The md5 32-bit prefix
+    // is the cross-engine order key, so the exact kept set is
+    // oracle-checked.
+    Query(
+      "q_sample_per_key",
+      (s, d) => {
+        import graft.operators.Ops._
+        t(s, d, "documents")
+          .capPerKey(col("source"), col("doc_id"), n = 3, seed = 7L)
+          .select(col("source"), col("doc_id"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""SELECT source, doc_id FROM (
+             |  SELECT source, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+             |      CAST((u & 255) * 16777216 + ((u >> 8) & 255) * 65536
+             |        + ((u >> 16) & 255) * 256 + ((u >> 24) & 255) AS BIGINT),
+             |      doc_id) AS rn
+             |  FROM (SELECT source, doc_id,
+             |          md5_number_upper(CAST(doc_id AS VARCHAR) || '7') AS u
+             |        FROM documents) h) x
+             |WHERE rn <= 3
+             |ORDER BY source, doc_id""".stripMargin)),
+
     // Gopher-style composite quality filter (Rae et al. 2021 §A1.1 rules,
     // the standard pretraining-corpus gate): token-count bounds, mean
     // word length band, token-repetition ceiling → one keep/reject flag.
