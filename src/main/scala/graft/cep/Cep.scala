@@ -60,6 +60,12 @@ object Cep {
   final case class Step(name: String, pred: Row => Boolean,
       quant: Quant = One)
 
+  /** Event time in microseconds — Timestamp.getTime truncates to ms and
+    * the fixtures (and oracles) carry microsecond precision, so ordering
+    * and `within` arithmetic must not quantize. */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000 + t.getNanos / 1000
+
   /** A match: key, per-step matched event ids, first/last timestamps. */
   final case class PatternMatch(key: Long, step_ids: Map[String, Seq[Long]],
       first_ts: Long, last_ts: Long)
@@ -84,7 +90,7 @@ object Cep {
     val out = df.groupByKey(_.getLong(kIdx))
       .flatMapGroups { (key: Long, it: Iterator[Row]) =>
         val events = it.toArray.sortBy(r =>
-          (r.getTimestamp(tIdx).getTime, r.getLong(iIdx)))
+          (tsMicros(r.getTimestamp(tIdx)), r.getLong(iIdx)))
         val matches = scala.collection.mutable.ArrayBuffer
           .empty[(Long, String, Long, Int)]
         var seq = 0
@@ -126,9 +132,9 @@ object Cep {
     * matched zero). */
   private def attemptAt(events: Array[Row], start: Int, steps: Seq[Step],
       withinMicros: Option[Long], tIdx: Int): Option[Seq[Seq[Row]]] = {
-    val startMs = events(start).getTimestamp(tIdx).getTime
+    val startUs = tsMicros(events(start).getTimestamp(tIdx))
     def inWindow(r: Row): Boolean = withinMicros.forall(w =>
-      (r.getTimestamp(tIdx).getTime - startMs) * 1000L <= w)
+      tsMicros(r.getTimestamp(tIdx)) - startUs <= w)
 
     def rec(si: Int, pos: Int, acc: List[Seq[Row]]): Option[Seq[Seq[Row]]] = {
       if (si == steps.length) return Some(acc.reverse)
@@ -210,7 +216,6 @@ object Cep {
     val timeoutConf =
       if (flushOnHorizon) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
-    val withinMs = withinMicros.map(_ / 1000L)
     val out = events.groupByKey(_.getLong(kIdx))
       .flatMapGroupsWithState[(Seq[(Long, Long, Long)], Seq[Long], Long, Long), (Long, String, Long, Long)](
         OutputMode.Append, timeoutConf) {
@@ -243,7 +248,7 @@ object Cep {
               }
               stillValid && ((bits >> (buf.length - j)) & 1L) == 1L &&
                 (j == buf.length || withinMicros.forall(w =>
-                  (ms - buf(j)._2) * 1000L <= w))
+                  ms - buf(j)._2 <= w))
             }
             if (j < 0) buf = Seq.empty
             else {
@@ -262,22 +267,22 @@ object Cep {
             // watermark passed some open horizon: close an expired open
             // tail (it's a complete greedy match), GC prefix entries that
             // can no longer anchor a match
-            val wm = state.getCurrentWatermarkMs
-            val w = withinMs.get
-            val startMs =
+            val wmUs = state.getCurrentWatermarkMs * 1000L
+            val w = withinMicros.get
+            val startUs =
               if (buf.nonEmpty) buf.head._2
               else if (tail.nonEmpty) tailStartMs else Long.MaxValue
-            if (tail.nonEmpty && wm - startMs > w) {
+            if (tail.nonEmpty && wmUs - startUs > w) {
               if (tail.length >= tailMin) emitOpen()
               else { buf = Seq.empty; tail = Seq.empty } // died below min
             }
-            buf = buf.dropWhile(e => wm - e._2 > w)
+            buf = buf.dropWhile(e => wmUs - e._2 > w)
           } else {
             val ordered = it.toArray.sortBy(r =>
-              (r.getTimestamp(tIdx).getTime, r.getLong(iIdx)))
+              (tsMicros(r.getTimestamp(tIdx)), r.getLong(iIdx)))
             ordered.foreach { e =>
               val id = e.getLong(iIdx)
-              val ms = e.getTimestamp(tIdx).getTime
+              val ms = tsMicros(e.getTimestamp(tIdx)) // microseconds
               var bits = 0L
               var s = 0
               while (s < nSteps) {
@@ -298,7 +303,7 @@ object Cep {
                     if (nPrefix == 0 && tail.isEmpty) true // e starts the match
                     else {
                       val startMs = if (nPrefix > 0) buf.head._2 else tailStartMs
-                      withinMicros.forall(w => (ms - startMs) * 1000L <= w)
+                      withinMicros.forall(w => ms - startMs <= w)
                     }
                   if (tailBit && inHorizon && tail.length < tailMax) {
                     if (tail.isEmpty && nPrefix == 0) tailStartMs = ms
@@ -330,9 +335,10 @@ object Cep {
           state.update((buf, tail, tailStartMs, seq))
           if (flushOnHorizon && (buf.nonEmpty || tail.nonEmpty)) {
             // wake when the earliest open anchor's horizon expires
-            val anchorMs =
+            val anchorUs =
               if (buf.nonEmpty) buf.head._2 else tailStartMs
-            state.setTimeoutTimestamp(math.max(anchorMs + withinMs.get + 1,
+            state.setTimeoutTimestamp(math.max(
+              (anchorUs + withinMicros.get) / 1000L + 1,
               state.getCurrentWatermarkMs + 1))
           }
           emitted.iterator
@@ -354,7 +360,7 @@ object Cep {
   def pattern(spec: String,
       preds: Map[String, Row => Boolean]): Seq[Step] = {
     val StepRe =
-      """([A-Za-z_][A-Za-z0-9_]*)(\+\??|\?|\{\d+(?:,\d*)?\}\??)?""".r
+      """([A-Za-z_][A-Za-z0-9_]*)(\+\??|\?\??|\{\d+(?:,\d*)?\}\??)?""".r
     spec.trim.split("\\s+").toSeq.map {
       case StepRe(name, quant) =>
         val pred = preds.getOrElse(name,
@@ -364,6 +370,7 @@ object Cep {
           case "+" => Plus
           case "+?" => Times(1, Int.MaxValue, greedy = false)
           case "?" => Opt
+          case "??" => Times(0, 1, greedy = false)
           case s =>
             val greedy = !s.endsWith("}?")
             val body = s.stripSuffix("?").stripPrefix("{").stripSuffix("}")

@@ -168,23 +168,6 @@ object Ops {
         .drop("__h")
   }
 
-  /** Connected components over an undirected edge list `(a, b)` — the
-    * clustering stage of a near-dedup pipeline (LSH candidate pairs →
-    * duplicate clusters → keep one representative per cluster). Returns
-    * `(id, component)` for every endpoint, component = minimum reachable
-    * id.
-    *
-    * Min-label propagation: each round joins the symmetrized edge list
-    * against the current labels and takes the per-node minimum — one
-    * shuffle join + one shuffle agg per round, converging in
-    * O(component diameter) rounds. LSH duplicate clusters are band-bucket
-    * overlaps (near-cliques, diameter a few hops), so a handful of rounds
-    * closes them; `maxIter` bounds pathological chains. `localCheckpoint`
-    * truncates the growing lineage each round — without it, plan size
-    * (and task serialization cost) grows linearly in rounds. The label
-    * relation is one row per distinct node — orders of magnitude smaller
-    * than the input corpus at 100 TB, since only docs that collide in
-    * some band appear. */
   /** Connected components via alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014) — the O(log n)-round scale path for components whose
@@ -201,6 +184,11 @@ object Ops {
     * changes nothing. */
   def connectedComponentsLogN(edges: DataFrame, a: String = "a",
       b: String = "b", maxIter: Int = 50): DataFrame = {
+    // every endpoint must appear in the output — including nodes whose
+    // only edges are self-loops, which the proper-edge set drops
+    val allNodes = edges.select(col(a).cast("long").as("id"))
+      .union(edges.select(col(b).cast("long").as("id")))
+      .distinct()
     var e = edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
@@ -226,16 +214,40 @@ object Ops {
         .where(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      done = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
+      // both sides are distinct sets, so equal counts + empty one-way
+      // difference = equality (one set-difference job instead of two)
+      done = small.count() == e.count() && small.exceptAll(e).isEmpty
+      e.unpersist() // release the previous round's checkpoint blocks
       e = small
       iter += 1
     }
-    // converged to stars: non-roots point at their root; roots self-map
-    e.select(col("u").as("id"), col("v").as("comp"))
+    // converged to stars: non-roots point at their root; roots self-map;
+    // nodes untouched by any proper edge map to themselves
+    val labels = e.select(col("u").as("id"), col("v").as("comp"))
       .union(e.select(col("v").as("id"), col("v").as("comp")))
       .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+    labels.union(
+      allNodes.join(labels.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("comp")))
   }
 
+  /** Connected components over an undirected edge list `(a, b)` — the
+    * clustering stage of a near-dedup pipeline (LSH candidate pairs →
+    * duplicate clusters → keep one representative per cluster). Returns
+    * `(id, component)` for every endpoint, component = minimum reachable
+    * id.
+    *
+    * Min-label propagation: each round joins the symmetrized edge list
+    * against the current labels and takes the per-node minimum — one
+    * shuffle join + one shuffle agg per round, converging in
+    * O(component diameter) rounds. LSH duplicate clusters are band-bucket
+    * overlaps (near-cliques, diameter a few hops), so a handful of rounds
+    * closes them; `maxIter` bounds pathological chains. `localCheckpoint`
+    * truncates the growing lineage each round — without it, plan size
+    * (and task serialization cost) grows linearly in rounds. The label
+    * relation is one row per distinct node — orders of magnitude smaller
+    * than the input corpus at 100 TB, since only docs that collide in
+    * some band appear. */
   def connectedComponents(edges: DataFrame, a: String = "a", b: String = "b",
       maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))

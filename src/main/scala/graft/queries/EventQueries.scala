@@ -99,17 +99,18 @@ object EventQueries {
           .select(col("user_id"), col("session_window.start").as("s_start"),
             col("n"), col("sum_value"))
           .orderBy(col("user_id"), col("s_start")),
-      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, "value"
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |             event_id, "value"
              |           FROM events),
              |x AS (
-             |  SELECT user_id, ts, "value",
+             |  SELECT user_id, ts, event_id, "value",
              |    CASE WHEN LAG(ts) OVER w IS NULL
              |      OR ts - LAG(ts) OVER w > INTERVAL '5 minutes'
              |      THEN 1 ELSE 0 END AS brk
-             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |y AS (
              |  SELECT user_id, ts, "value",
-             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |      ROWS UNBOUNDED PRECEDING) AS sid
              |  FROM x)
              |SELECT user_id, MIN(ts) AS s_start, COUNT(1) AS n,
@@ -174,7 +175,7 @@ object EventQueries {
              |    END AS w_end
              |  FROM events),
              |x AS (
-             |  SELECT user_id, ts, "value",
+             |  SELECT user_id, ts, event_id, "value",
              |    CASE WHEN MAX(w_end) OVER (PARTITION BY user_id
              |        ORDER BY ts, event_id
              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
@@ -185,7 +186,7 @@ object EventQueries {
              |  FROM e),
              |y AS (
              |  SELECT user_id, ts, "value",
-             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |      ROWS UNBOUNDED PRECEDING) AS sid
              |  FROM x)
              |SELECT user_id, MIN(ts) AS s_start, COUNT(1) AS n,

@@ -325,7 +325,6 @@ object Streams {
     def apply(sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
       (batch: DataFrame, batchId: Long) => {
         val b = batch.persist()
-        val valueCols = b.columns.filterNot(keys.contains)
         val out =
           if (snapshot == null) b.select(lit("+I").as("op"), col("*"))
           else {
@@ -345,7 +344,9 @@ object Streams {
             .union(b)).persist()
         next.count() // materialize before unpersisting the sources
         if (snapshot != null) snapshot.unpersist()
-        b.unpersist()
+        // on the first batch next IS b — unpersisting it would evict the
+        // snapshot cache just materialized
+        if (!(next eq b)) b.unpersist()
         snapshot = next
       }
   }

@@ -399,6 +399,10 @@ class CepSpec extends AnyFunSuite {
     val steps2 = Cep.pattern("error{2} signup{1,3}? purchase{2,}", preds)
     assert(steps2.map(_.quant) === Seq(Cep.Times(2, 2),
       Cep.Times(1, 3, greedy = false), Cep.Times(2, Int.MaxValue)))
+    // reluctant optional and reluctant plus
+    assert(Cep.pattern("error?? signup+?", preds).map(_.quant) ===
+      Seq(Cep.Times(0, 1, greedy = false),
+        Cep.Times(1, Int.MaxValue, greedy = false)))
     // parsed pattern runs identically to hand-built steps
     val events = mkEvents(
       (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
