@@ -157,15 +157,18 @@ object Cep {
     rec(0, start, Nil)
   }
 
-  /** Incremental streaming NFA for One-quantifier patterns (strict
-    * contiguity): keyed partial-match state carries over micro-batch
-    * boundaries, matches emit as soon as their last event arrives —
-    * the reference's streaming `StreamExecMatch` behavior for the
-    * `A B … Z` pattern class. Events are processed in event-time order
-    * within each batch and arrival order across batches (proctime
-    * semantics across batches; align file/offset order with time for
-    * event-time behavior). Plus-quantifier patterns need lookahead
-    * beyond batch boundaries and stay batch-mode.
+  /** Incremental streaming NFA (strict contiguity): keyed partial-match
+    * state carries over micro-batch boundaries — the reference's
+    * streaming `StreamExecMatch`. Supported pattern class: a One-chain
+    * with at most ONE greedy quantifier (Plus / Times(m≥1,n≥2)) anywhere
+    * in it — `A B`, `A B+`, `A B+ C`, `B{2,3} C D`, … A One-only match
+    * emits as its last event arrives; a quantified match emits when its
+    * greedy run closes (the first non-matching event, the suffix chain
+    * completing, a bounded tail hitting capacity, or — with
+    * `flushOnHorizon` — the watermark passing the `within` horizon).
+    * Events are processed in event-time order within each batch and
+    * arrival order across batches (proctime semantics across batches;
+    * align file/offset order with time for event-time behavior).
     *
     * `flushOnHorizon = true` (requires `withinMicros` AND a watermarked
     * input) registers an event-time timer at match-start + within: an
@@ -180,18 +183,26 @@ object Cep {
       flushOnHorizon: Boolean = false): DataFrame = {
     require(!flushOnHorizon || withinMicros.isDefined,
       "flushOnHorizon needs a withinMicros horizon (and a watermarked input)")
-    // a trailing greedy repetition (Plus or Times(m≥1, n≥2)) runs as an
-    // incremental open tail; reluctant/optional tails need lookahead
-    val (tailMin, tailMax, tailPlus) = steps.lastOption.map(_.quant) match {
-      case Some(Plus) => (1, Int.MaxValue, true)
-      case Some(Times(mn, mx, true)) if mn >= 1 && mx >= 2 => (mn, mx, true)
-      case _ => (0, 0, false)
-    }
-    val prefixSteps = if (tailPlus) steps.init else steps
-    require(prefixSteps.forall(_.quant == One),
-      "streaming NFA supports One-quantifier steps plus an optional " +
-        "trailing greedy Plus/Times; use matchPattern for other shapes")
-    require(prefixSteps.length <= 63, "streaming NFA supports at most 63 steps")
+    // one greedy repetition (Plus or Times(m≥1, n≥2)) — trailing OR
+    // interior — runs as an incremental open tail; the steps after it
+    // (the suffix) are a strict One-chain consumed as the tail closes.
+    // Reluctant/optional quantifiers need lookahead and stay batch-mode.
+    val quantIdx = steps.indexWhere(_.quant != One)
+    val hasQuant = quantIdx >= 0
+    require(!hasQuant || steps.count(_.quant != One) == 1,
+      "streaming NFA supports at most one quantified step")
+    val (tailMin, tailMax) =
+      if (!hasQuant) (0, 0)
+      else steps(quantIdx).quant match {
+        case Plus => (1, Int.MaxValue)
+        case Times(mn, mx, true) if mn >= 1 && mx >= 2 => (mn, mx)
+        case q => throw new IllegalArgumentException(
+          s"streaming NFA supports greedy Plus/Times(m>=1,n>=2) " +
+            s"quantifiers; got $q — use matchPattern")
+      }
+    val prefixSteps = if (hasQuant) steps.take(quantIdx) else steps
+    val suffixSteps = if (hasQuant) steps.drop(quantIdx + 1) else Seq.empty
+    require(steps.length <= 63, "streaming NFA supports at most 63 steps")
     val spark = events.sparkSession
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
@@ -201,6 +212,7 @@ object Cep {
     val iIdx = fields.indexOf(idCol)
     val nSteps = steps.length
     val nPrefix = prefixSteps.length
+    val nSuffix = suffixSteps.length
 
     // State per key: the pending One-prefix partial as (event id, event
     // ms, step-predicate bitmask), the open greedy tail (ids + first ms)
@@ -217,26 +229,30 @@ object Cep {
       if (flushOnHorizon) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
     val out = events.groupByKey(_.getLong(kIdx))
-      .flatMapGroupsWithState[(Seq[(Long, Long, Long)], Seq[Long], Long, Long), (Long, String, Long, Long)](
+      .flatMapGroupsWithState[(Seq[(Long, Long, Long)], Seq[Long], Seq[Long], Long, Long), (Long, String, Long, Long)](
         OutputMode.Append, timeoutConf) {
         (key: Long, it: Iterator[Row],
-            state: GroupState[(Seq[(Long, Long, Long)], Seq[Long], Long, Long)]) =>
-          var (buf, tail, tailStartMs, seq) = state.getOption
+            state: GroupState[(Seq[(Long, Long, Long)], Seq[Long], Seq[Long], Long, Long)]) =>
+          var (buf, tail, sufBuf, tailStartMs, seq) = state.getOption
             .getOrElse((Seq.empty[(Long, Long, Long)], Seq.empty[Long],
-              0L, 0L))
+              Seq.empty[Long], 0L, 0L))
           val emitted = scala.collection.mutable.ListBuffer
             .empty[(Long, String, Long, Long)]
 
-          // emit the open prefix+tail match, skip past last
+          // emit the open prefix+tail+suffix match, skip past last
           def emitOpen(): Unit = {
             buf.zip(prefixSteps).foreach { case ((cid, _, _), st) =>
               emitted += ((key, st.name, cid, seq))
             }
             tail.foreach(cid =>
-              emitted += ((key, steps.last.name, cid, seq)))
+              emitted += ((key, steps(quantIdx).name, cid, seq)))
+            sufBuf.zip(suffixSteps).foreach { case (cid, st) =>
+              emitted += ((key, st.name, cid, seq))
+            }
             seq += 1
             buf = Seq.empty
             tail = Seq.empty
+            sufBuf = Seq.empty
           }
 
           // smallest drop-count j (0 = plain advance, buf.length = e
@@ -253,7 +269,7 @@ object Cep {
             if (j < 0) buf = Seq.empty
             else {
               buf = buf.drop(j) :+ ((id, ms, bits))
-              if (!tailPlus && buf.length == nSteps) {
+              if (!hasQuant && buf.length == nSteps) {
                 buf.zip(steps).foreach { case ((cid, _, _), st) =>
                   emitted += ((key, st.name, cid, seq))
                 }
@@ -273,8 +289,10 @@ object Cep {
               if (buf.nonEmpty) buf.head._2
               else if (tail.nonEmpty) tailStartMs else Long.MaxValue
             if (tail.nonEmpty && wmUs - startUs > w) {
-              if (tail.length >= tailMin) emitOpen()
-              else { buf = Seq.empty; tail = Seq.empty } // died below min
+              // a pattern ending in its quantifier completes at horizon
+              // expiry; an unfinished suffix means no match
+              if (nSuffix == 0 && tail.length >= tailMin) emitOpen()
+              else { buf = Seq.empty; tail = Seq.empty; sufBuf = Seq.empty }
             }
             buf = buf.dropWhile(e => wmUs - e._2 > w)
           } else {
@@ -296,43 +314,69 @@ object Cep {
               while (retry && rounds < 2) {
                 retry = false
                 rounds += 1
-                if (tailPlus && buf.length == nPrefix) {
-                  // prefix complete: accumulate or close the greedy tail
-                  val tailBit = ((bits >> nPrefix) & 1L) == 1L
+                if (hasQuant && buf.length == nPrefix) {
                   val inHorizon =
                     if (nPrefix == 0 && tail.isEmpty) true // e starts the match
                     else {
                       val startMs = if (nPrefix > 0) buf.head._2 else tailStartMs
                       withinMicros.forall(w => ms - startMs <= w)
                     }
-                  if (tailBit && inHorizon && tail.length < tailMax) {
-                    if (tail.isEmpty && nPrefix == 0) tailStartMs = ms
-                    tail = tail :+ id
-                    // a bounded tail at capacity can't grow: emit now
-                    if (tail.length == tailMax) emitOpen()
-                  } else if (tail.length >= tailMin && tail.nonEmpty) {
-                    emitOpen()
-                    retry = true // e may start / extend a fresh match
-                  } else if (tail.nonEmpty) {
-                    // tail below the minimum died; the consumed events
-                    // are not replayed (exact for disjoint prefix/tail
-                    // predicates, the common pattern class)
-                    buf = Seq.empty
-                    tail = Seq.empty
-                    retry = true
-                  } else if (nPrefix > 0) {
-                    // prefix done but the tail never opened: the partial
-                    // dies; replay from later starts inside it (bit nPrefix
-                    // of e is unset here, so j = 0 can't enter the tail)
-                    slide(id, ms, bits)
-                  } // else nPrefix == 0 with no tail and no match: drop e
+                  if (sufBuf.nonEmpty) {
+                    // SUFFIX phase: the One-chain after the quantifier
+                    val nextBit =
+                      ((bits >> (nPrefix + 1 + sufBuf.length)) & 1L) == 1L
+                    if (nextBit && inHorizon) {
+                      sufBuf = sufBuf :+ id
+                      if (sufBuf.length == nSuffix) emitOpen()
+                    } else {
+                      // mid-suffix failure kills the match; consumed
+                      // events are not replayed (exact when the suffix
+                      // predicates are disjoint from tail/prefix — the
+                      // common telemetry class)
+                      buf = Seq.empty; tail = Seq.empty; sufBuf = Seq.empty
+                      retry = true
+                    }
+                  } else {
+                    // TAIL phase: accumulate greedily, then close into
+                    // the suffix (or emit, for a trailing quantifier)
+                    val tailBit = ((bits >> nPrefix) & 1L) == 1L
+                    val suf0Bit = nSuffix > 0 &&
+                      ((bits >> (nPrefix + 1)) & 1L) == 1L
+                    if (tailBit && inHorizon && tail.length < tailMax) {
+                      if (tail.isEmpty && nPrefix == 0) tailStartMs = ms
+                      tail = tail :+ id
+                      // a bounded TRAILING tail at capacity can't grow
+                      if (tail.length == tailMax && nSuffix == 0) emitOpen()
+                    } else if (tail.length >= tailMin && suf0Bit
+                        && inHorizon) {
+                      sufBuf = Seq(id) // greedy tail closes into suffix
+                      if (nSuffix == 1) emitOpen()
+                    } else if (nSuffix == 0 && tail.length >= tailMin
+                        && tail.nonEmpty) {
+                      emitOpen()
+                      retry = true // e may start / extend a fresh match
+                    } else if (tail.nonEmpty) {
+                      // tail died (below min, or no suffix entry); the
+                      // consumed events are not replayed (exact for
+                      // disjoint step predicates)
+                      buf = Seq.empty
+                      tail = Seq.empty
+                      retry = true
+                    } else if (nPrefix > 0) {
+                      // prefix done but the tail never opened: the partial
+                      // dies; replay from later starts inside it (bit
+                      // nPrefix of e is unset here, so j = 0 can't enter
+                      // the tail)
+                      slide(id, ms, bits)
+                    } // else nPrefix == 0, nothing open, no match: drop e
+                  }
                 } else {
                   slide(id, ms, bits)
                 }
               }
             }
           }
-          state.update((buf, tail, tailStartMs, seq))
+          state.update((buf, tail, sufBuf, tailStartMs, seq))
           if (flushOnHorizon && (buf.nonEmpty || tail.nonEmpty)) {
             // wake when the earliest open anchor's horizon expires
             val anchorUs =

@@ -175,6 +175,82 @@ class CepSpec extends AnyFunSuite {
     assert(batch === rows)
   }
 
+  test("streaming NFA with an interior Plus: suffix closes the match across batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val steps = Seq(
+      Cep.Step("A", _.getString(3) == "signup"),
+      Cep.Step("B", _.getString(3) == "error", Cep.Plus),
+      Cep.Step("C", _.getString(3) == "purchase"))
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps)
+      .writeStream.format("memory").queryName("t_cep_interior")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // tail opens in batch 1; batch 2 extends it and the purchase closes
+    // the match through the suffix — then a second signup run dies on a
+    // view (no suffix entry)
+    mem.addData((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"))
+    q.processAllAvailable()
+    mem.addData((1L, 30L, 3L, "error"), (1L, 40L, 4L, "purchase"),
+      (1L, 50L, 5L, "signup"), (1L, 60L, 6L, "error"), (1L, 70L, 7L, "view"))
+    q.processAllAvailable()
+    val rows = spark.table("t_cep_interior").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    q.stop()
+    assert(rows === Set((1L, "A", 1L, 0L), (1L, "B", 2L, 0L),
+      (1L, "B", 3L, 0L), (1L, "C", 4L, 0L)))
+    // batch NFA agrees on the full timeline
+    val batch = Cep.matchPattern(
+      mkEvents((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+        (1L, 30L, 3L, "error"), (1L, 40L, 4L, "purchase"),
+        (1L, 50L, 5L, "signup"), (1L, 60L, 6L, "error"),
+        (1L, 70L, 7L, "view")),
+      "user_id", "ts", "event_id", steps).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3).toLong)).toSet
+    assert(batch === rows)
+  }
+
+  test("streaming NFA interior Plus with a two-step suffix; mid-suffix death recovers") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val steps = Seq(
+      Cep.Step("B", _.getString(3) == "error", Cep.Plus),
+      Cep.Step("C", _.getString(3) == "purchase"),
+      Cep.Step("D", _.getString(3) == "click"))
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps)
+      .writeStream.format("memory").queryName("t_cep_suf2")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // u1: e e p c → full match through the 2-step suffix
+    // u2: e p e — suffix dies mid-way (error ≠ click); the killing error
+    // then re-opens a fresh tail, closed by p c in the next batch
+    mem.addData((1L, 10L, 1L, "error"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "purchase"), (1L, 40L, 4L, "click"),
+      (2L, 10L, 10L, "error"), (2L, 20L, 11L, "purchase"),
+      (2L, 30L, 12L, "error"))
+    q.processAllAvailable()
+    mem.addData((2L, 40L, 13L, "purchase"), (2L, 50L, 14L, "click"))
+    q.processAllAvailable()
+    val rows = spark.table("t_cep_suf2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows === Set(
+      (1L, "B", 1L), (1L, "B", 2L), (1L, "C", 3L), (1L, "D", 4L),
+      (2L, "B", 12L), (2L, "C", 13L), (2L, "D", 14L)))
+  }
+
   test("streaming NFA with a bounded Times tail emits at capacity and drops below min") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
