@@ -60,6 +60,63 @@ final class ReconfigController[C](initial: C) {
   }
 }
 
+/** MCS-scoped reconfiguration (the Fries scheduler proper —
+  * Controller.scala:120-126 `reconfScheduler=fries` vs the whole-DAG
+  * `epoch` default): a config update TARGETS a set of operators, and at
+  * the next epoch it applies to exactly the operators inside the MCS
+  * computed over the dataflow DAG — every operator outside the scope
+  * keeps its previous config, mirroring the reference's scoped
+  * pause/reconfigure/resume without touching the rest of the job.
+  *
+  * The per-operator config map is versioned atomically, so one epoch
+  * either sees a scope's update completely or not at all — the
+  * consistency property Fries' scoped epochs provide.
+  */
+final class ScopedReconfigController[C](dag: Mcs.Dag, initial: C,
+    oneToMany: Set[String] = Set.empty[String]) {
+  import java.util.concurrent.atomic.AtomicReference
+
+  final case class Snapshot(version: Long, configs: Map[String, C],
+      publishedAtNanos: Long)
+
+  private val state = new AtomicReference[Snapshot](
+    Snapshot(0L, Mcs.vertices(dag).map(_ -> initial).toMap,
+      System.nanoTime()))
+  private val lastApplied = new AtomicReference[Long](0L)
+  private val trips = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
+
+  /** Publish `config` for `targets`; applies to the full MCS of the
+    * targets (returned), leaving every other operator untouched. */
+  def publish(targets: Set[String], config: C): Set[String] = {
+    val scope = Mcs.vertices(Mcs.computeMCS(dag, targets, oneToMany))
+    state.updateAndGet { s =>
+      Snapshot(s.version + 1, s.configs ++ scope.map(_ -> config),
+        System.nanoTime())
+    }
+    scope
+  }
+
+  def current: Snapshot = state.get()
+
+  /** Per-operator config at this epoch. */
+  def configFor(op: String): C = state.get().configs(op)
+
+  /** Record the first epoch that observed a new version (round-trip). */
+  def noteApplied(s: Snapshot): Option[Double] = {
+    val prev = lastApplied.getAndUpdate(v => math.max(v, s.version))
+    if (s.version > prev) {
+      val ms = (System.nanoTime() - s.publishedAtNanos) / 1e6
+      trips.add(ms)
+      Some(ms)
+    } else None
+  }
+
+  def roundTripsMs: Seq[Double] = {
+    import scala.jdk.CollectionConverters._
+    trips.asScala.map(_.doubleValue).toSeq
+  }
+}
+
 object EpochReconfig {
 
   /** Wrap a per-batch body so it re-reads the controller at every epoch:
@@ -75,6 +132,21 @@ object EpochReconfig {
           f"(round-trip ${ms}%.1f ms)")
       }
       body(df, batchId, v.config)
+  }
+
+  /** Like [[withConfig]] but MCS-scoped: the body receives the full
+    * per-operator config map of the epoch; each operator stage reads its
+    * own entry, so a scoped publish changes behavior for exactly the MCS
+    * members from the next batch on. */
+  def withScopedConfig[C](ctrl: ScopedReconfigController[C])(
+      body: (DataFrame, Long, Map[String, C]) => Unit): (DataFrame, Long) => Unit = {
+    (df: DataFrame, batchId: Long) =>
+      val s = ctrl.current
+      ctrl.noteApplied(s).foreach { ms =>
+        println(f"[fries] scoped config v${s.version} applied at batch " +
+          f"$batchId (round-trip ${ms}%.1f ms)")
+      }
+      body(df, batchId, s.configs)
   }
 
   /** Listener logging per-batch progress — the observability half of the

@@ -54,4 +54,29 @@ class McsSpec extends AnyFunSuite {
     val mcs = Mcs.computeMCS(dag, scans)
     assert(Mcs.vertices(mcs).nonEmpty)
   }
+
+  test("scoped publish reconfigures exactly the MCS, atomically per epoch") {
+    import graft.fries.ScopedReconfigController
+    // src -> map -> agg -> sink; a side branch src -> other
+    val dag: Mcs.Dag = Map(
+      "src" -> Set("map", "other"), "map" -> Set("agg"),
+      "agg" -> Set("sink"), "other" -> Set.empty[String],
+      "sink" -> Set.empty[String])
+    val ctrl = new ScopedReconfigController[Int](dag, initial = 1)
+    assert(ctrl.configFor("map") === 1 && ctrl.configFor("other") === 1)
+    // target map+agg: the MCS is the chain between them only
+    val scope = ctrl.publish(Set("map", "agg"), config = 9)
+    assert(scope === Set("map", "agg"))
+    assert(ctrl.configFor("map") === 9 && ctrl.configFor("agg") === 9)
+    // operators outside the scope keep the prior config
+    assert(ctrl.configFor("src") === 1)
+    assert(ctrl.configFor("other") === 1)
+    assert(ctrl.configFor("sink") === 1)
+    // the snapshot an epoch reads is a single consistent version
+    val snap = ctrl.current
+    assert(snap.version === 1L)
+    assert(ctrl.noteApplied(snap).isDefined)   // first epoch records trip
+    assert(ctrl.noteApplied(snap).isEmpty)     // later epochs don't
+    assert(ctrl.roundTripsMs.size === 1)
+  }
 }
