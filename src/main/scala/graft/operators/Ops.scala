@@ -168,6 +168,51 @@ object Ops {
         .drop("__h")
   }
 
+  /** Candidate pairs per LSH band bucket, with BOUNDED per-bucket state —
+    * the skew-safe core of a MinHash/SimHash near-dup pipeline. A naive
+    * `collect_list(id)` per bucket holds every colliding id in ONE row: at
+    * 100 TB a degenerate bucket (boilerplate docs sharing a signature)
+    * holds millions of ids → single-task OOM plus an O(bucket²) pair
+    * explosion. Here each bucket contributes:
+    *
+    *   - all pairs among its `cap` smallest ids (ranked via a spilling
+    *     window sort, so no row ever carries more than `cap` ids), and
+    *   - one star pair (bucket-min, id) for each id beyond the cap —
+    *     linear in bucket size.
+    *
+    * Pair enumeration beyond the cap is lossy BY DESIGN (capped recall
+    * for pairwise verification), but connectivity is lossless: every
+    * member of a bucket stays connected to the bucket minimum, so the
+    * downstream connected-components clustering — the step corpus dedup
+    * actually runs — produces identical clusters. Buckets under the cap
+    * (the overwhelming majority; df distribution of real shingle data is
+    * heavy-tailed but bucket sizes are small) are exact.
+    *
+    * One shuffle on the bucket keys; the window, the capped aggregation
+    * and the overflow join all reuse that exchange (same partitioning).
+    */
+  def lshBucketPairs(bands: DataFrame, bucketKeys: Seq[String],
+      idCol: String, cap: Int = 256): DataFrame = {
+    require(cap >= 2, s"lshBucketPairs cap must be >= 2, got $cap")
+    val keys = bucketKeys.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(idCol))
+    val ranked = bands.withColumn("__rn", row_number().over(w))
+    val headPairs = ranked.where(col("__rn") <= cap)
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bucketMin = ranked.where(col("__rn") === 1)
+      .select((keys :+ col(idCol).as("__min")): _*)
+    val overflow = ranked.where(col("__rn") > cap)
+      .join(bucketMin, bucketKeys)
+      .select(col("__min").as("a"), col(idCol).as("b"))
+    headPairs.union(overflow).distinct()
+  }
+
   /** Connected components via alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014) — the O(log n)-round scale path for components whose

@@ -21,6 +21,19 @@ object DedupQueries {
   private val NumHashes = 8
   private val BandSize = 2 // → 4 bands
 
+  /** Per-bucket cap for LSH pair emission (see Ops.lshBucketPairs). */
+  private val LshBucketCap = 64
+
+  /** Shingles appearing in more documents than this are dropped before
+    * the Jaccard self-join: a shingle shared by k docs emits k² join
+    * rows, and ubiquitous n-grams ("of the and") make k ≈ corpus size —
+    * the classic quadratic blowup of shingle-join dedup. Stop-shingles
+    * carry no discriminative signal (they match everything), so dropping
+    * them is both the scale fix and standard practice; the DuckDB oracle
+    * applies the identical filter. sf0.01 max df = 7 → results unchanged
+    * there. */
+  private val MaxShingleDf = 20
+
   /** Distinct 3-token shingles per doc — pure per-row array transform
     * (no explode-then-window shuffle: at 100 TB the tokenize→shingle step
     * must run scan-local, and this formulation is one narrow projection). */
@@ -151,18 +164,14 @@ object DedupQueries {
         }.mkString(", ")
         val bands = sig.selectExpr("doc_id",
           s"stack(${NumHashes / BandSize}, $stackArgs) AS (band, k1, k2)")
-        // bucket-join instead of self-join: group doc ids per band bucket
-        // and emit pairs per bucket — the signature pipeline executes ONCE
-        // (a self-join cannot reuse it across the broadcast boundary) and
-        // the shuffle carries one row per bucket, not per doc
-        bands.groupBy(col("band"), col("k1"), col("k2"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .where(size(col("ids")) > 1)
-          .select(explode(flatten(transform(col("ids"), (a, i) =>
-            transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-              b => struct(a.as("a"), b.as("b")))))).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
-          .distinct()
+        // bucket pair emission via the bounded operator: per-bucket state
+        // is capped (no unbounded collect_list row on a degenerate
+        // bucket), overflow members connect to the bucket min — exact
+        // under the cap (all sf buckets are; max sf0.01 bucket = 3),
+        // connectivity-lossless above it. One shuffle on the bucket keys.
+        graft.operators.Ops
+          .lshBucketPairs(bands, Seq("band", "k1", "k2"), "doc_id",
+            cap = LshBucketCap)
           .orderBy(col("a"), col("b"))
       },
       Some(s"WITH $minhashPairCtes\nSELECT a, b FROM pairs ORDER BY a, b"),
@@ -230,7 +239,13 @@ object DedupQueries {
     Query(
       "q_dedup_ngram_jaccard",
       (s, d) => {
-        val sh = shingles(s, d)
+        val sh0 = shingles(s, d)
+        // stop-shingle filter: document frequencies are one map-side
+        // partial-agg shuffle; the hot set is tiny → broadcast anti-join
+        val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .where(col("df") > MaxShingleDf)
+          .select(col("sh"))
+        val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         val inter = sh.as("x").join(sh.as("y"),
             col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -247,7 +262,11 @@ object DedupQueries {
           .where(col("jaccard") >= 0.2)
           .orderBy(col("a"), col("b"))
       },
-      Some(s"""WITH sh AS ($shinglesSql),
+      Some(s"""WITH sh0 AS ($shinglesSql),
+              |hot AS (
+              |  SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(1) > $MaxShingleDf),
+              |sh AS (
+              |  SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
               |sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM sh GROUP BY doc_id),
               |inter AS (
               |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(1) AS n_inter

@@ -96,11 +96,14 @@ object Relational2 {
               .as("low_line_count"))
           .orderBy(col("l_linestatus"))
       },
+      // DuckDB's SUM over INTEGER yields HUGEINT (int128); Spark's sum of
+      // LongType yields BIGINT. The driver's hash is type-sensitive, so
+      // normalize the oracle side to BIGINT explicitly.
       Some("""SELECT l_linestatus,
-             |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-             |      THEN 1 ELSE 0 END) AS high_line_count,
-             |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-             |      THEN 1 ELSE 0 END) AS low_line_count
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
              |  AND l_shipdate < TIMESTAMP '2001-01-01'

@@ -68,4 +68,68 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(a === b)
   }
+
+  test("lshBucketPairs: exact all-pairs under the cap") {
+    import spark.implicits._
+    // 3 buckets of sizes 1/3/4 — all under cap → plain all-pairs
+    val bands = Seq(
+      (0L, 1L, 10L), (0L, 1L, 11L), (0L, 1L, 12L),
+      (1L, 2L, 20L), (1L, 2L, 21L), (1L, 2L, 22L), (1L, 2L, 23L),
+      (2L, 3L, 30L)).toDF("band", "k", "doc_id")
+    val got = graft.operators.Ops
+      .lshBucketPairs(bands, Seq("band", "k"), "doc_id", cap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L),
+      (22L, 23L))
+    assert(got === want)
+  }
+
+  test("lshBucketPairs: degenerate 10k-id bucket stays bounded and connected") {
+    import spark.implicits._
+    val n = 10000
+    val cap = 16
+    // one giant bucket (the failure mode: 10k near-identical docs whose
+    // signatures collide) plus a small healthy bucket
+    val bands = ((1 to n).map(i => (0L, 0L, i.toLong)) ++
+      Seq((1L, 1L, 100001L), (1L, 1L, 100002L))).toDF("band", "k", "doc_id")
+    val pairs = graft.operators.Ops
+      .lshBucketPairs(bands, Seq("band", "k"), "doc_id", cap = cap)
+    val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // bounded: cap*(cap-1)/2 head pairs + (n-cap) star pairs + 1 healthy
+    assert(rows.length === cap * (cap - 1) / 2 + (n - cap) + 1)
+    // no row ever held more than `cap` ids; connectivity is lossless:
+    // every doc of the giant bucket reaches the bucket min (id 1)
+    val comp = graft.operators.Ops
+      .connectedComponents(pairs.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1 to n).forall(i => comp(i.toLong) === 1L))
+    assert(comp(100002L) === 100001L)
+  }
+
+  test("jaccard stop-shingle filter shrinks the self-join input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 30 docs all sharing one ubiquitous trigram; pairwise-distinct rest
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"of the and unique$i token$i word$i end$i"))
+      .toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1),
+          element_at(toks, i + 2), element_at(toks, i + 3))))).as("sh"))
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > 20).select(col("sh"))
+    val filtered = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    // the ubiquitous "of the and" shingle (df=30) is gone → the self-join
+    // emits zero candidate rows instead of 30*29/2
+    def joinRows(in: org.apache.spark.sql.DataFrame) =
+      in.as("x").join(in.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .count()
+    assert(joinRows(sh) === 30L * 29 / 2)
+    assert(joinRows(filtered) === 0L)
+  }
 }
