@@ -1,0 +1,228 @@
+package graft.cep
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** SQL `MATCH_RECOGNIZE` surface over the graft NFA (reference
+  * StreamExecMatch.java:90 + MatchCodeGenerator.scala — the reference
+  * exposes its CEP NFA through SQL; graft does the same through a
+  * `SparkSessionExtensions.injectParser` rewrite).
+  *
+  * Supported clause subset (the reference's core MATCH_RECOGNIZE
+  * surface minus MEASURES):
+  *
+  * {{{
+  * SELECT ... FROM <table> MATCH_RECOGNIZE (
+  *   PARTITION BY <keyCol>            -- long
+  *   ORDER BY <tsCol>, <idCol>        -- timestamp, long id/tie-breaker
+  *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
+  *     | SKIP TO FIRST <step> | SKIP TO LAST <step>]
+  *   PATTERN ( <vars with quantifiers: A B+ C? D{1,3} E+?> )
+  *   [WITHIN INTERVAL '<n>' <SECOND|MINUTE|HOUR|DAY>]
+  *   DEFINE <var> AS <boolean sql expr> [, ...]
+  * ) [AS <alias>] ...
+  * }}}
+  *
+  * Output schema of the match relation: `(key, step, event_id,
+  * match_seq)` — one row per consumed event, the same contract as
+  * [[Cep.matchPattern]]. A pattern variable with no DEFINE entry
+  * matches any row (SQL standard). The surrounding query (projection,
+  * WHERE, ORDER BY, joins) is handled by the default parser: the
+  * rewrite substitutes the match relation for the
+  * `table MATCH_RECOGNIZE (...)` fragment and splices its logical plan
+  * into the delegate-parsed outer plan — no temp-view registration, no
+  * catalog side effects on the parser path.
+  */
+object MatchRecognize {
+
+  private val counter = new AtomicInteger()
+
+  private final case class Clause(
+      table: String, alias: Option[String],
+      key: String, ts: String, id: String,
+      skip: Cep.SkipStrategy, patternSpec: String,
+      withinMicros: Option[Long], defines: Seq[(String, String)],
+      start: Int, end: Int)
+
+  /** The `<table> MATCH_RECOGNIZE (` head; the clause body is found by
+    * balanced-paren scan (DEFINE expressions may contain parens). */
+  private val Head =
+    """(?is)([A-Za-z_][\w.]*)\s+MATCH_RECOGNIZE\s*\(""".r
+
+  def containsMatchRecognize(text: String): Boolean =
+    Head.findFirstIn(text).isDefined
+
+  private def parseClause(text: String): Clause = {
+    val m = Head.findFirstMatchIn(text).getOrElse(
+      throw new IllegalArgumentException("no MATCH_RECOGNIZE clause"))
+    val open = m.end - 1
+    var depth = 0
+    var i = open
+    while (i < text.length && (depth != 0 || i == open)) {
+      text.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    require(depth == 0, "unbalanced parens in MATCH_RECOGNIZE clause")
+    val body = text.substring(m.end, i - 1)
+    val aliasRe = """(?is)^\s+AS\s+([A-Za-z_]\w*)""".r
+    val alias = aliasRe.findFirstMatchIn(text.substring(i)).map(_.group(1))
+    val end = alias.fold(i)(a =>
+      i + aliasRe.findFirstMatchIn(text.substring(i)).get.end)
+
+    require(!"""(?is)\bMEASURES\b""".r.findFirstIn(body).isDefined,
+      "MATCH_RECOGNIZE: MEASURES is not supported; project from the " +
+        "fixed output (key, step, event_id, match_seq)")
+    def one(re: String, what: String): List[String] =
+      re.r.findFirstMatchIn(body) match {
+        case Some(g) => (1 to g.groupCount).toList
+          .map(g.group).filter(_ != null)
+        case None => throw new IllegalArgumentException(
+          s"MATCH_RECOGNIZE: missing/bad $what clause")
+      }
+    val List(key) = one("""(?is)PARTITION\s+BY\s+([A-Za-z_]\w*)""",
+      "PARTITION BY <col>")
+    val List(ts, id) = one(
+      """(?is)ORDER\s+BY\s+([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)""",
+      "ORDER BY <tsCol>, <idCol> (two columns: event time + long id)")
+    val List(patternSpec) = one("""(?is)PATTERN\s*\(([^()]*)\)""",
+      "PATTERN (...)")
+    val skip = """(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+FIRST\s+[A-Za-z_]\w*|TO\s+LAST\s+[A-Za-z_]\w*)""".r
+      .findFirstMatchIn(body).map(_.group(1)) match {
+      case None => Cep.SkipPastLast
+      case Some(s) =>
+        val norm = s.trim.split("\\s+").map(_.toUpperCase).toList
+        norm match {
+          case List("PAST", "LAST", "ROW") => Cep.SkipPastLast
+          case List("TO", "NEXT", "ROW") => Cep.SkipToNext
+          case List("TO", "FIRST", _) =>
+            Cep.SkipToFirst(s.trim.split("\\s+").last)
+          case List("TO", "LAST", _) =>
+            Cep.SkipToLast(s.trim.split("\\s+").last)
+          case _ => throw new IllegalArgumentException(
+            s"MATCH_RECOGNIZE: bad AFTER MATCH SKIP '$s'")
+        }
+    }
+    val within = """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+([A-Za-z]+)""".r
+      .findFirstMatchIn(body).map { g =>
+        val n = g.group(1).toLong
+        g.group(2).toUpperCase.stripSuffix("S") match {
+          case "SECOND" => n * 1000000L
+          case "MINUTE" => n * 60000000L
+          case "HOUR" => n * 3600000000L
+          case "DAY" => n * 86400000000L
+          case u => throw new IllegalArgumentException(
+            s"MATCH_RECOGNIZE: bad WITHIN unit '$u'")
+        }
+      }
+    val defines = """(?is)DEFINE\s+(.*)$""".r.findFirstMatchIn(body)
+      .map(_.group(1)).map { defs =>
+        defs.split("""(?i),(?=\s*[A-Za-z_]\w*\s+AS\s)""").toSeq.map { d =>
+          val kv = """(?is)^\s*([A-Za-z_]\w*)\s+AS\s+(.*)$""".r
+          d match {
+            case kv(name, e) => name -> e.trim
+            case _ => throw new IllegalArgumentException(
+              s"MATCH_RECOGNIZE: bad DEFINE entry '$d'")
+          }
+        }
+      }.getOrElse(Seq.empty)
+    Clause(m.group(1), alias, key, ts, id, skip, patternSpec.trim,
+      within, defines, m.start, end)
+  }
+
+  /** Build the match relation for a parsed clause: DEFINE expressions
+    * become boolean predicate columns evaluated by Catalyst (codegen'd
+    * projection — the NFA reads plain booleans, no per-row SQL eval),
+    * then the NFA runs per key via [[Cep.matchPattern]]. */
+  private def buildMatch(spark: SparkSession, c: Clause): DataFrame = {
+    val base = spark.table(c.table)
+    val withPreds = c.defines.foldLeft(base) { case (acc, (name, e)) =>
+      acc.withColumn(s"__p_$name", expr(e).cast("boolean"))
+    }
+    val schema = withPreds.schema.fieldNames
+    val stepNames = c.patternSpec.split("\\s+").toSeq
+      .map(_.replaceAll("""[+?{].*$""", ""))
+    val preds: Map[String, Row => Boolean] = stepNames.map { n =>
+      val i = schema.indexOf(s"__p_$n")
+      n -> (if (i < 0) (_: Row) => true
+            else (r: Row) => !r.isNullAt(i) && r.getBoolean(i))
+    }.toMap
+    val steps = Cep.pattern(c.patternSpec, preds)
+    Cep.matchPattern(withPreds, c.key, c.ts, c.id, steps,
+      c.withinMicros, c.skip)
+  }
+
+  /** Parser-path rewrite: returns the outer plan with the match relation
+    * spliced where the `table MATCH_RECOGNIZE (...)` fragment stood, or
+    * None when the text has no MATCH_RECOGNIZE. */
+  def rewritePlan(text: String,
+      delegate: String => LogicalPlan): Option[LogicalPlan] = {
+    if (!containsMatchRecognize(text)) return None
+    val spark = SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(
+        "MATCH_RECOGNIZE requires an active SparkSession"))
+    val c = parseClause(text)
+    val ph = s"__graft_mr_${counter.incrementAndGet()}"
+    val rewritten =
+      text.substring(0, c.start) + ph + " " + text.substring(c.end)
+    val matched = buildMatch(spark, c)
+    val outer = delegate(rewritten)
+    Some(outer.transform {
+      case u: UnresolvedRelation if u.multipartIdentifier == Seq(ph) =>
+        SubqueryAlias(c.alias.getOrElse(ph), matched.queryExecution.logical)
+    })
+  }
+
+  /** Direct execution path for sessions built WITHOUT the graft parser
+    * extension (e.g. the driver's plain Verify session): same rewrite,
+    * via an eagerly-analyzed temp view that is dropped immediately after
+    * analysis. */
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    require(containsMatchRecognize(text),
+      "MatchRecognize.sql: no MATCH_RECOGNIZE clause; use spark.sql")
+    val c = parseClause(text)
+    val ph = s"__graft_mr_${counter.incrementAndGet()}"
+    val rewritten = (text.substring(0, c.start) +
+      s"$ph${c.alias.fold(" ")(a => s" AS $a ")}" + text.substring(c.end))
+    buildMatch(spark, c).createOrReplaceTempView(ph)
+    try spark.sql(rewritten) // analysis is eager: the view resolves here
+    finally spark.catalog.dropTempView(ph)
+  }
+}
+
+/** The injected parser: delegates everything to the session's default
+  * parser except plans whose text contains MATCH_RECOGNIZE. */
+class MatchRecognizeParser(delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    MatchRecognize.rewritePlan(sqlText, delegate.parsePlan)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    MatchRecognize.rewritePlan(sqlText, delegate.parseQuery)
+      .getOrElse(delegate.parseQuery(sqlText))
+
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+}

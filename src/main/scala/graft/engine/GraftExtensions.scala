@@ -20,6 +20,11 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL MATCH_RECOGNIZE surface (reference StreamExecMatch.java:90):
+    // the parser rewrites `t MATCH_RECOGNIZE (...)` onto the graft NFA
+    // and delegates everything else to the default parser
+    ext.injectParser((_, delegate) =>
+      new graft.cep.MatchRecognizeParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,

@@ -16,6 +16,42 @@ import graft.cep.Cep
   */
 object EventQueries {
 
+  /** Gaps-and-islands oracle for the `signup error+` NFA pattern — shared
+    * by q_cep_nfa (DataFrame NFA API) and q_cep_sql (the MATCH_RECOGNIZE
+    * SQL surface): both must produce this exact relation. */
+  private val cepNfaOracle =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events),
+      |starts AS (
+      |  SELECT user_id, rn AS start_rn, event_id AS a_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+      |      - 1 AS INT) AS match_seq
+      |  FROM (SELECT *, LEAD(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY rn) AS next_type
+      |        FROM ordered) t
+      |  WHERE event_type = 'signup' AND next_type = 'error'),
+      |anchored AS (
+      |  SELECT user_id, event_id, rn, event_type,
+      |    MAX(CASE WHEN event_type <> 'error' THEN rn END)
+      |      OVER (PARTITION BY user_id ORDER BY rn
+      |            ROWS UNBOUNDED PRECEDING) AS anchor_rn
+      |  FROM ordered)
+      |SELECT key, step, event_id, match_seq FROM (
+      |  SELECT user_id AS key, 'A' AS step, a_id AS event_id,
+      |    match_seq
+      |  FROM starts
+      |  UNION ALL
+      |  SELECT e.user_id AS key, 'B' AS step, e.event_id,
+      |    s.match_seq
+      |  FROM anchored e
+      |  JOIN starts s ON s.user_id = e.user_id
+      |    AND s.start_rn = e.anchor_rn
+      |  WHERE e.event_type = 'error') m
+      |ORDER BY key, match_seq, step, event_id""".stripMargin
+
   val queries: Seq[Query] = Seq(
 
     // Tumbling window aggregation (reference WindowOperator.java:96 +
@@ -285,37 +321,33 @@ object EventQueries {
         graft.cep.Cep.signupThenErrors(t(s, d, "events"))
           .orderBy(col("key"), col("match_seq"), col("step"),
             col("event_id")),
-      Some("""WITH ordered AS (
-             |  SELECT user_id, event_id, event_type,
-             |    ROW_NUMBER() OVER (PARTITION BY user_id
-             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-             |  FROM events),
-             |starts AS (
-             |  SELECT user_id, rn AS start_rn, event_id AS a_id,
-             |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
-             |      - 1 AS INT) AS match_seq
-             |  FROM (SELECT *, LEAD(event_type) OVER (PARTITION BY user_id
-             |          ORDER BY rn) AS next_type
-             |        FROM ordered) t
-             |  WHERE event_type = 'signup' AND next_type = 'error'),
-             |anchored AS (
-             |  SELECT user_id, event_id, rn, event_type,
-             |    MAX(CASE WHEN event_type <> 'error' THEN rn END)
-             |      OVER (PARTITION BY user_id ORDER BY rn
-             |            ROWS UNBOUNDED PRECEDING) AS anchor_rn
-             |  FROM ordered)
-             |SELECT key, step, event_id, match_seq FROM (
-             |  SELECT user_id AS key, 'A' AS step, a_id AS event_id,
-             |    match_seq
-             |  FROM starts
-             |  UNION ALL
-             |  SELECT e.user_id AS key, 'B' AS step, e.event_id,
-             |    s.match_seq
-             |  FROM anchored e
-             |  JOIN starts s ON s.user_id = e.user_id
-             |    AND s.start_rn = e.anchor_rn
-             |  WHERE e.event_type = 'error') m
-             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
+      Some(cepNfaOracle)),
+
+    // The same `A B+` pattern through the SQL MATCH_RECOGNIZE surface
+    // (reference StreamExecMatch.java:90 — the reference's CEP NFA is a
+    // SQL-level operator; graft's parser extension rewrites the clause
+    // onto Cep.matchPattern). Same oracle as q_cep_nfa: the DataFrame
+    // API and the SQL surface must agree row for row. Sessions built
+    // via GraftSession run this through spark.sql directly (the
+    // injected parser); the catalog uses the extension-free direct
+    // path so the driver's plain Verify session works too.
+    Query(
+      "q_cep_sql",
+      (s, d) => {
+        Catalog.registerViews(s, d, "events")
+        graft.cep.MatchRecognize.sql(s,
+          """SELECT key, step, event_id, match_seq
+            |FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts, event_id
+            |  AFTER MATCH SKIP PAST LAST ROW
+            |  PATTERN (A B+)
+            |  DEFINE A AS event_type = 'signup',
+            |         B AS event_type = 'error'
+            |)
+            |ORDER BY key, match_seq, step, event_id""".stripMargin)
+      },
+      Some(cepNfaOracle)),
 
     // Optional quantifier (reference Pattern.optional, Quantifier.java):
     // `signup error? purchase` strict-contiguity. The signup anchor can't

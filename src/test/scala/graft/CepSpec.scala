@@ -510,4 +510,78 @@ class CepSpec extends AnyFunSuite {
     assert(next === Seq(Set(("B", 1L), ("B", 2L)), Set(("B", 2L), ("B", 3L)),
       Set(("B", 3L), ("B", 4L))))
   }
+
+  test("MATCH_RECOGNIZE via spark.sql equals the NFA DataFrame API") {
+    // SparkFixture's session is built with GraftExtensions, so this text
+    // goes through the INJECTED parser — the real SQL surface
+    val events = graft.engine.Tables.load(spark, SparkFixture.sf, "events")
+    events.createOrReplaceTempView("events")
+    val viaSql = spark.sql(
+      """SELECT key, step, event_id, match_seq
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+)
+        |  DEFINE A AS event_type = 'signup',
+        |         B AS event_type = 'error'
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val viaApi = Cep.signupThenErrors(events)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(viaSql.nonEmpty)
+    assert(viaSql === viaApi)
+  }
+
+  test("MATCH_RECOGNIZE supports outer query, alias, WITHIN, and bare vars") {
+    val ev = mkEvents((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"),
+      (1L, 100L, 3L, "a"), (1L, 4000L, 4L, "b"))
+    ev.createOrReplaceTempView("mr_events")
+    // X undefined → matches any row; WITHIN 1 hour excludes the pair
+    // spanning 3900 s; outer WHERE + alias exercise the splice
+    val got = spark.sql(
+      """SELECT m.key, m.event_id FROM mr_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  PATTERN (A X)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS event_type = 'a'
+        |) AS m
+        |WHERE m.step = 'X' ORDER BY m.event_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // match at (1,2) survives the horizon; (3,4) is 3900 s apart → out
+    assert(got === Seq((1L, 2L)))
+  }
+
+  test("MATCH_RECOGNIZE direct path (no extension) equals parser path") {
+    val events = graft.engine.Tables.load(spark, SparkFixture.sf, "events")
+    events.createOrReplaceTempView("events")
+    val text =
+      """SELECT key, step, event_id, match_seq
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  PATTERN (A B{1,2})
+        |  DEFINE A AS event_type = 'signup',
+        |         B AS event_type = 'error'
+        |)""".stripMargin
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(canon(graft.cep.MatchRecognize.sql(spark, text)) ===
+      canon(spark.sql(text)))
+  }
+
+  test("MATCH_RECOGNIZE rejects MEASURES with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      graft.cep.MatchRecognize.sql(spark,
+        """SELECT 1 FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts, event_id
+          |  MEASURES A.ts AS a_ts
+          |  PATTERN (A) DEFINE A AS true)""".stripMargin)
+    }
+    assert(e.getMessage.contains("MEASURES"))
+  }
 }
