@@ -513,7 +513,35 @@ object EventQueries {
              |FROM events e
              |WHERE e.event_type = 'error'
              |ORDER BY e.event_id""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // ChangelogNormalize, batch twin (reference
+    // StreamExecChangelogNormalize.java:61): materialize a bounded
+    // changelog into its final table — last version per key wins, a key
+    // whose final version is a delete disappears. Orders plays the
+    // changelog: key = o_custkey, version order = (o_orderdate,
+    // o_orderkey), final status 'F' acts as the delete marker. The
+    // streaming twin (Streams.changelogNormalizeStream /
+    // ChangelogIngest) is round-trip-tested in StreamingSpec.
+    Query(
+      "q_changelog_ingest",
+      (s, d) => {
+        import graft.operators.Ops._
+        t(s, d, "orders")
+          .dedupKeepFirst(Seq(col("o_custkey")),
+            Seq(desc("o_orderdate"), desc("o_orderkey")))
+          .where(col("o_orderstatus") =!= "F")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+             |FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders) t
+             |WHERE rn = 1 AND o_orderstatus <> 'F'
+             |ORDER BY o_custkey""".stripMargin)))
 
   /** Run a CEP pattern over the events fixture (field 3 of the selected
     * frame is event_type) in the canonical output order. */

@@ -351,6 +351,81 @@ object Streams {
       }
   }
 
+  /** Changelog ingest — the INVERSE of [[ChangelogSink]] (reference
+    * StreamExecChangelogNormalize.java:61: materialize an upsert/retract
+    * stream back into a table). Feed each op-tagged micro-batch (`op` ∈
+    * +I/+U/-U/-D plus the key and payload columns) to `apply`;
+    * `materialized` is the current table: last upsert per key wins,
+    * a `-D` drops the key, `-U` rows are informational (they carry the
+    * prior value and change nothing here).
+    *
+    * Scale shape mirrors the sink: the materialized table is persisted,
+    * keyed by `keys`, and each batch applies with ONE anti-join on the
+    * touched keys plus a union — |batch| vs |table|, broadcast-able when
+    * a batch touches few keys. */
+  final class ChangelogIngest(keys: Seq[String]) extends Serializable {
+    @volatile private var table: DataFrame = _
+    def apply(batch: DataFrame): Unit = {
+      val upserts = batch.where(col("op").isin("+I", "+U")).drop("op")
+      val touched = batch.where(col("op") =!= "-U")
+        .select(keys.map(col): _*).distinct()
+      val next = (if (table == null) upserts
+        else table.join(touched, keys, "left_anti").union(upserts))
+        .persist()
+      next.count() // materialize before releasing the previous snapshot
+      if (table != null) table.unpersist()
+      table = next
+    }
+    /** Current materialized table (null-safe: empty before any batch). */
+    def materialized: DataFrame = {
+      require(table != null, "ChangelogIngest: no batch applied yet")
+      table
+    }
+  }
+
+  /** Streaming upsert-source normalization (reference
+    * StreamExecChangelogNormalize.java:61 as a source-side operator): a
+    * keyed stream of upserts/deletes becomes a stream of the key's
+    * CURRENT row after each change — downstream sees clean last-row
+    * semantics regardless of how noisy the upsert feed is. State per key
+    * is one row (ts + payload + liveness), exactly the reference's
+    * ValueState<RowData>. Emits (key, ts, payload, live); the latest
+    * emission per key IS the materialized row (live=false → deleted).
+    * Events are event-time-ordered within each batch; an upsert older
+    * than the key's current version is ignored (out-of-order shield). */
+  def changelogNormalizeStream(changes: DataFrame, keyCol: String,
+      tsCol: String, payloadCol: String,
+      opCol: String = "op"): DataFrame = {
+    val spark = changes.sparkSession
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val typed = changes.select(col(opCol), col(keyCol).as("k"),
+      col(tsCol).as("ts"), col(payloadCol).cast("long").as("pay"))
+    val out = typed.groupByKey(_.getLong(1))
+      .flatMapGroupsWithState[(Long, Long, Boolean), (Long, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[Row], state: GroupState[(Long, Long, Boolean)]) =>
+          var (vTs, vPay, live) = state.getOption.getOrElse((Long.MinValue, 0L, false))
+          val emitted = scala.collection.mutable.ListBuffer
+            .empty[(Long, Long, Long, Boolean)]
+          it.toArray.sortBy(e => e.getTimestamp(2).getTime).foreach { e =>
+            val ms = e.getTimestamp(2).getTime
+            if (ms >= vTs) e.getString(0) match {
+              case "+I" | "+U" =>
+                vTs = ms; vPay = e.getLong(3); live = true
+                emitted += ((key, ms, vPay, true))
+              case "-D" =>
+                vTs = ms; live = false
+                emitted += ((key, ms, 0L, false))
+              case _ => // -U: informational retraction, no state change
+            }
+          }
+          state.update((vTs, vPay, live))
+          emitted.iterator
+      }
+    out.toDF("key", "ts_ms", "payload", "live")
+  }
+
   /** Side-output routing (reference OutputTag/getSideOutput): one pass per
     * micro-batch, rows matching `cond` to the main handler, the rest to
     * the side handler — two filtered writes from one foreachBatch. */

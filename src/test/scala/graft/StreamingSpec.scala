@@ -261,6 +261,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch1 === Set(("-U", "a", 2L), ("+U", "a", 3L), ("+I", "b", 1L)))
   }
 
+  test("changelog round trip: sink -> ingest rebuilds the aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Double)]
+    val agg = mem.toDF().toDF("k", "v").groupBy(col("k")).count()
+    val cs = new Streams.ChangelogSink(Seq("k"))
+    val ci = new Streams.ChangelogIngest(Seq("k"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch(cs((df, _) => ci(df)))
+      .start()
+    mem.addData(("a", 1.0), ("a", 2.0), ("c", 9.0))
+    q.processAllAvailable()
+    mem.addData(("a", 3.0), ("b", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = ci.materialized.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // the ingested table equals the direct batch aggregation of all data
+    assert(got === Set(("a", 3L), ("b", 1L), ("c", 1L)))
+  }
+
+  test("changelogNormalizeStream: upserts, delete, out-of-order shield") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val changes = mem.toDF().toDF("op", "k", "secs", "pay")
+      .select(col("op"), col("k"),
+        col("secs").cast("timestamp").as("ts"), col("pay"))
+    val q = Streams.changelogNormalizeStream(changes, "k", "ts", "pay")
+      .writeStream.format("memory").queryName("t_chg_norm")
+      .outputMode("append").start()
+    mem.addData(("+I", 1L, 10L, 100L), ("+U", 1L, 20L, 101L),
+      ("+I", 2L, 10L, 200L))
+    q.processAllAvailable()
+    // batch 2: delete key 2; a STALE upsert for key 1 (ts 15 < current
+    // 20) must be ignored; -U rows change nothing
+    mem.addData(("-D", 2L, 30L, 0L), ("+U", 1L, 15L, 999L),
+      ("-U", 1L, 25L, 101L), ("+I", 3L, 5L, 300L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_chg_norm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // materialized view = latest emission per key
+    val current = rows.groupBy(_._1).map { case (k, es) =>
+      k -> es.maxBy(_._2)
+    }
+    assert(current(1L) === (1L, 20000L, 101L, true)) // stale 999 ignored
+    assert(current(2L)._4 === false) // deleted
+    assert(current(3L) === (3L, 5000L, 300L, true))
+  }
+
   test("watermark drops late data; windows emit once finalized (append)") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
