@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, KMeans}
+
+/** Lloyd k-means + learned-cell IVF: the verdict-item fixture where the
+  * label column does NOT follow the natural clusters, so label-cell IVF
+  * (the oracle-checked stand-in in SimilarityQueries) must lose to cells
+  * learned by k-means. */
+class KMeansSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+
+  private val dim = 8
+  private val nPerCluster = 20
+
+  /** 60 vectors in 3 well-separated clusters (axis spikes at dims 0/1/2),
+    * deterministic jitter; label = vec_id % 5 — orthogonal to cluster. */
+  private lazy val corpus: DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      c <- 0 until 3
+      j <- 0 until nPerCluster
+      id = (c * nPerCluster + j).toLong
+    } yield {
+      val v = Array.tabulate(dim) { d =>
+        val spike = if (d == c) 5.0 else 0.0
+        spike + ((id * 31 + d * 17) % 7 - 3) * 0.1
+      }
+      (id, (id % 5).toInt, v.toSeq)
+    }
+    rows.toDF("vec_id", "label", "v")
+  }
+
+  private lazy val queriesDf = corpus.where(col("vec_id").isin(0L, 1L, 20L, 21L, 40L, 41L))
+
+  /** exact top-3 cosine neighbors per query (self excluded). */
+  private lazy val bruteTop3: Map[Long, Set[Long]] = {
+    val a = corpus.select(col("vec_id"), col("v"))
+    val q = queriesDf.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dotc = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(zip_with(col("qv"), col("qv"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    a.crossJoin(broadcast(q)).where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), (dotc / (na * nb)).as("cos"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+  }
+
+  private def recall(got: Array[(Long, Long)]): Double = {
+    val byQ = got.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val hits = bruteTop3.toSeq.map { case (q, truth) =>
+      (byQ.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    hits.sum / hits.size
+  }
+
+  test("fit recovers the natural clusters (assignment purity)") {
+    val cents = KMeans.fit(corpus, "v", k = 3, iters = 4)
+    assert(cents.length === 3 && cents.forall(_.length === dim))
+    val assigned = KMeans.assign(corpus, "v", cents, "cell")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // every natural cluster maps to exactly one learned cell, 3 distinct
+    val cellOf = assigned.groupBy { case (id, _) => id / nPerCluster }
+      .map { case (c, rows) => c -> rows.map(_._2).distinct }
+    assert(cellOf.values.forall(_.length === 1), s"impure cells: $cellOf")
+    assert(cellOf.values.map(_.head).toSet.size === 3)
+  }
+
+  test("learned-cell IVF beats label-cell IVF when labels != clusters") {
+    val cents = KMeans.fit(corpus, "v", k = 3, iters = 4)
+    val kmeansGot = Ann.ivfSearch(corpus, queriesDf, "vec_id", "v",
+        cents, nprobe = 1, topK = 3)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // label-cell IVF exactly as the catalog's ivfRun does it: per-label
+    // mean centroid, probe the nearest label centroid, search its rows
+    val labelCents = corpus.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").as("cell"),
+        transform(col("pc"), x => x.getField("c")).as("cv"))
+    val q = queriesDf.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dcos = aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x) /
+      (sqrt(aggregate(zip_with(col("qv"), col("qv"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)) *
+       sqrt(aggregate(zip_with(col("cv"), col("cv"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)))
+    val wp = Window.partitionBy(col("q_id")).orderBy(desc("ccos"), col("cell"))
+    val probed = q.crossJoin(broadcast(labelCents))
+      .select(col("q_id"), col("qv"), col("cell"), dcos.as("ccos"))
+      .withColumn("rn", row_number().over(wp)).where(col("rn") <= 1)
+      .select(col("q_id"), col("qv"), col("cell"))
+    val vcos = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x) /
+      (sqrt(aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)) *
+       sqrt(aggregate(zip_with(col("qv"), col("qv"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)))
+    val wt = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    val labelGot = corpus.join(broadcast(probed),
+        col("label") === col("cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), vcos.as("cos"))
+      .withColumn("rn", row_number().over(wt)).where(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    val kRecall = recall(kmeansGot)
+    val lRecall = recall(labelGot)
+    assert(kRecall >= lRecall,
+      s"kmeans-cell recall $kRecall < label-cell recall $lRecall")
+    assert(kRecall >= 0.9, s"kmeans-cell recall too low: $kRecall")
+  }
+
+  test("fit is deterministic and an emptied cell keeps its centroid") {
+    val a = KMeans.fit(corpus, "v", k = 3, iters = 3)
+    val b = KMeans.fit(corpus, "v", k = 3, iters = 3)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // k far above the natural cluster count: some cells may empty out;
+    // fit must still return k finite centroids
+    val many = KMeans.fit(corpus, "v", k = 10, iters = 3)
+    assert(many.length === 10)
+    assert(many.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
+  }
+}
