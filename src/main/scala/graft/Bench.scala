@@ -37,15 +37,21 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val best =
-        try Seq(once(), once(), once()).min
-        catch { case _: Throwable => -1.0 }
-      name -> best
+      // keep every run, report best-of-3: a contended machine shows up
+      // as uniformly inflated runs (vs JIT warmup: run 1 high only), so
+      // the driver can self-diagnose a bad environment from "runs"
+      val runs =
+        try Seq(once(), once(), once())
+        catch { case _: Throwable => Seq(-1.0) }
+      name -> runs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -88,9 +88,20 @@ object GraftFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
 
+  // sessions already registered — weak keys so a stopped session can be
+  // collected; makes registerAll idempotent (no per-query
+  // "function X replaced" warning spam in Verify/Bench stderr)
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Register the named-function surface on a session: SQL names resolve
-    * in `spark.sql(...)` exactly as in the reference's catalog. */
-  def registerAll(spark: SparkSession): Unit = {
+    * in `spark.sql(...)` exactly as in the reference's catalog. Safe to
+    * call per-query; work happens once per session. */
+  def registerAll(spark: SparkSession): Unit =
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null)
+      doRegister(spark)
+
+  private def doRegister(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "cosine_similarity",
