@@ -159,23 +159,35 @@ object Cep {
 
   /** Incremental streaming NFA (strict contiguity): keyed partial-match
     * state carries over micro-batch boundaries — the reference's
-    * streaming `StreamExecMatch`. Supported pattern class: a One-chain
-    * with at most ONE greedy quantifier (Plus / Times(m≥1,n≥2)) anywhere
-    * in it — `A B`, `A B+`, `A B+ C`, `B{2,3} C D`, … A One-only match
-    * emits as its last event arrives; a quantified match emits when its
-    * greedy run closes (the first non-matching event, the suffix chain
-    * completing, a bounded tail hitting capacity, or — with
-    * `flushOnHorizon` — the watermark passing the `within` horizon).
+    * streaming `StreamExecMatch`. Supports the FULL batch pattern surface
+    * (One / Plus / Opt / Times, greedy AND reluctant, any number of
+    * quantified steps): per key, a bounded replay buffer holds
+    * (event id, event-time micros, step-predicate bitmask) for the events
+    * of the current leftmost match attempt — never the rows themselves —
+    * and the same backtracking scan batch `matchPattern` runs is re-run
+    * over that buffer as events arrive.
+    *
+    * Emission discipline (append mode): a completed match emits as soon
+    * as NO future event could alter it — every explored quantifier run
+    * was closed by an in-buffer predicate/horizon failure or its max
+    * bound, never by simply running out of buffered events. A match still
+    * extendable at the buffer tip (e.g. a greedy trailing `B+`) holds
+    * until a closing event arrives, or — with `flushOnHorizon` — until
+    * the watermark passes the match start's `within` horizon (the
+    * reference's within-bounded NFA pruning), which also garbage-collects
+    * dead prefixes, so state stays bounded even for keys that stop
+    * receiving events.
+    *
+    * A dead attempt replays from every later start position inside the
+    * consumed run (the buffer IS the replay window), so self-overlapping
+    * prefixes (`A A B` over stream A A A B) and non-disjoint step
+    * predicates match exactly what batch `matchPattern` finds.
+    *
     * Events are processed in event-time order within each batch and
     * arrival order across batches (proctime semantics across batches;
-    * align file/offset order with time for event-time behavior).
-    *
-    * `flushOnHorizon = true` (requires `withinMicros` AND a watermarked
-    * input) registers an event-time timer at match-start + within: an
-    * open greedy tail EMITS when the watermark passes its horizon — the
-    * reference's `within`-bounded NFA pruning — and expired prefix
-    * partials are garbage-collected, so state stays bounded even for
-    * keys that stop receiving events.
+    * align file/offset order with time for event-time behavior). State
+    * per key is O(active attempt span); a `within` horizon bounds that
+    * span in event time.
     */
   def matchPatternStream(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, steps: Seq[Step],
@@ -183,25 +195,6 @@ object Cep {
       flushOnHorizon: Boolean = false): DataFrame = {
     require(!flushOnHorizon || withinMicros.isDefined,
       "flushOnHorizon needs a withinMicros horizon (and a watermarked input)")
-    // one greedy repetition (Plus or Times(m≥1, n≥2)) — trailing OR
-    // interior — runs as an incremental open tail; the steps after it
-    // (the suffix) are a strict One-chain consumed as the tail closes.
-    // Reluctant/optional quantifiers need lookahead and stay batch-mode.
-    val quantIdx = steps.indexWhere(_.quant != One)
-    val hasQuant = quantIdx >= 0
-    require(!hasQuant || steps.count(_.quant != One) == 1,
-      "streaming NFA supports at most one quantified step")
-    val (tailMin, tailMax) =
-      if (!hasQuant) (0, 0)
-      else steps(quantIdx).quant match {
-        case Plus => (1, Int.MaxValue)
-        case Times(mn, mx, true) if mn >= 1 && mx >= 2 => (mn, mx)
-        case q => throw new IllegalArgumentException(
-          s"streaming NFA supports greedy Plus/Times(m>=1,n>=2) " +
-            s"quantifiers; got $q — use matchPattern")
-      }
-    val prefixSteps = if (hasQuant) steps.take(quantIdx) else steps
-    val suffixSteps = if (hasQuant) steps.drop(quantIdx + 1) else Seq.empty
     require(steps.length <= 63, "streaming NFA supports at most 63 steps")
     val spark = events.sparkSession
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -211,178 +204,132 @@ object Cep {
     val tIdx = fields.indexOf(tsCol)
     val iIdx = fields.indexOf(idCol)
     val nSteps = steps.length
-    val nPrefix = prefixSteps.length
-    val nSuffix = suffixSteps.length
+    val stepBounds = steps.map(s => bounds(s.quant)).toArray
+    val stepNames = steps.map(_.name).toArray
+    val stepPreds = steps.map(_.pred).toArray
 
-    // State per key: the pending One-prefix partial as (event id, event
-    // ms, step-predicate bitmask), the open greedy tail (ids + first ms)
-    // when the pattern ends in Plus, and the match counter. Storing each
-    // buffered event's full predicate bitmask (bit s = steps(s).pred(e))
-    // lets a failed partial REPLAY from every later start position inside
-    // the consumed run without keeping the rows themselves — the
-    // KMP-style slide the batch leftmost scan performs implicitly.
-    // O(pattern + open tail) state per key. A trailing-Plus match is
-    // greedy, so it emits when the first non-matching event closes it —
-    // possibly batches later; a tail still open when the stream ends
-    // never closes (a `within` horizon bounds that wait in event time).
     val timeoutConf =
       if (flushOnHorizon) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
     val out = events.groupByKey(_.getLong(kIdx))
-      .flatMapGroupsWithState[(Seq[(Long, Long, Long)], Seq[Long], Seq[Long], Long, Long), (Long, String, Long, Long)](
+      .flatMapGroupsWithState[(Seq[(Long, Long, Long)], Long), (Long, String, Long, Long)](
         OutputMode.Append, timeoutConf) {
         (key: Long, it: Iterator[Row],
-            state: GroupState[(Seq[(Long, Long, Long)], Seq[Long], Seq[Long], Long, Long)]) =>
-          var (buf, tail, sufBuf, tailStartMs, seq) = state.getOption
-            .getOrElse((Seq.empty[(Long, Long, Long)], Seq.empty[Long],
-              Seq.empty[Long], 0L, 0L))
+            state: GroupState[(Seq[(Long, Long, Long)], Long)]) =>
+          val st0 = state.getOption.getOrElse((Seq.empty[(Long, Long, Long)], 0L))
+          var buffer: Vector[(Long, Long, Long)] = st0._1.toVector
+          var seq: Long = st0._2
           val emitted = scala.collection.mutable.ListBuffer
             .empty[(Long, String, Long, Long)]
 
-          // emit the open prefix+tail+suffix match, skip past last
-          def emitOpen(): Unit = {
-            buf.zip(prefixSteps).foreach { case ((cid, _, _), st) =>
-              emitted += ((key, st.name, cid, seq))
+          // One attempt of the batch backtracking NFA over the buffer,
+          // leftmost start = buffer head. Outcome:
+          //   DEAD     — no match from this start, no future event helps
+          //   PARTIAL  — no match yet, but more events could complete one
+          //   COMPLETE — hits (per-step ids) + end (consumed count);
+          //              `closed` = no future event could change it.
+          // `touchedEnd` is set whenever a step's feasible run was cut
+          // short by buffer exhaustion (run < max && ran off the end) on
+          // any branch explored up to the first success: exactly the
+          // branches whose outcome a future event could flip. In flush
+          // mode every future event is out of horizon, so exhaustion is
+          // equivalent to a window failure and touchedEnd is moot.
+          final case class Att(hits: Array[List[Long]], end: Int,
+              closed: Boolean)
+          def attempt(flush: Boolean): (Int, Att) = { // (0 dead,1 partial,2 complete)
+            if (buffer.isEmpty) return (1, null)
+            val startUs = buffer(0)._2
+            def inWin(i: Int): Boolean =
+              withinMicros.forall(w => buffer(i)._2 - startUs <= w)
+            var touchedEnd = false
+            def rec(si: Int, pos: Int, acc: List[List[Long]]): Att = {
+              if (si == nSteps)
+                return Att(acc.reverse.toArray, pos, closed = true)
+              val (mn, mx, greedy) = stepBounds(si)
+              var run = 0
+              while (run < mx && pos + run < buffer.length
+                && ((buffer(pos + run)._3 >> si) & 1L) == 1L
+                && inWin(pos + run)) run += 1
+              val truncated = run < mx && pos + run == buffer.length
+              // a truncated GREEDY run flips the first k tried, so any
+              // success below is provisional; a truncated RELUCTANT run
+              // only matters if every k ≤ run fails (larger k was never
+              // explorable) — reluctant tries shortest first, so a found
+              // match can't change with more events
+              if (greedy && truncated) touchedEnd = true
+              val order = if (greedy) run to mn by -1 else mn to run
+              for (k <- order) {
+                val hit = rec(si + 1, pos + k,
+                  buffer.slice(pos, pos + k).map(_._1).toList :: acc)
+                if (hit != null) return hit
+              }
+              if (!greedy && truncated) touchedEnd = true
+              null
             }
-            tail.foreach(cid =>
-              emitted += ((key, steps(quantIdx).name, cid, seq)))
-            sufBuf.zip(suffixSteps).foreach { case (cid, st) =>
-              emitted += ((key, st.name, cid, seq))
-            }
-            seq += 1
-            buf = Seq.empty
-            tail = Seq.empty
-            sufBuf = Seq.empty
+            val att = rec(0, 0, Nil)
+            if (att == null) (if (touchedEnd && !flush) 1 else 0, null)
+            else (2, att.copy(closed = !touchedEnd || flush))
           }
 
-          // smallest drop-count j (0 = plain advance, buf.length = e
-          // restarts alone) whose suffix is a valid in-horizon prefix
-          def slide(id: Long, ms: Long, bits: Long): Unit = {
-            val j = (0 to buf.length).indexWhere { j =>
-              val stillValid = (j until buf.length).forall { k =>
-                ((buf(k)._3 >> (k - j)) & 1L) == 1L
-              }
-              stillValid && ((bits >> (buf.length - j)) & 1L) == 1L &&
-                (j == buf.length || withinMicros.forall(w =>
-                  ms - buf(j)._2 <= w))
+          def emitMatch(att: Att): Unit = {
+            var si = 0
+            while (si < nSteps) {
+              att.hits(si).foreach(id =>
+                emitted += ((key, stepNames(si), id, seq)))
+              si += 1
             }
-            if (j < 0) buf = Seq.empty
-            else {
-              buf = buf.drop(j) :+ ((id, ms, bits))
-              if (!hasQuant && buf.length == nSteps) {
-                buf.zip(steps).foreach { case ((cid, _, _), st) =>
-                  emitted += ((key, st.name, cid, seq))
-                }
-                seq += 1
-                buf = Seq.empty // after-match skip past last
-              }
+            seq += 1
+            // after-match skip past last; an all-optional empty match
+            // still advances one event (mirrors the batch scan)
+            buffer = buffer.drop(math.max(1, att.end))
+          }
+
+          // Resolve the buffer as far as certainty allows: emit closed
+          // matches, slide past dead starts, stop at the first open
+          // match / live partial.
+          def pump(): Unit = {
+            var go = true
+            while (go && buffer.nonEmpty) {
+              val (outcome, att) = attempt(flush = false)
+              if (outcome == 2 && att.closed) emitMatch(att)
+              else if (outcome == 0) buffer = buffer.drop(1)
+              else go = false
             }
           }
 
           if (flushOnHorizon && state.hasTimedOut) {
-            // watermark passed some open horizon: close an expired open
-            // tail (it's a complete greedy match), GC prefix entries that
-            // can no longer anchor a match
+            // watermark passed the head anchor's horizon: no future event
+            // can be in-window for it, so force-resolve every expired
+            // start (open greedy tails become complete matches — the
+            // reference's within-pruning emit), then re-pump the rest
             val wmUs = state.getCurrentWatermarkMs * 1000L
             val w = withinMicros.get
-            val startUs =
-              if (buf.nonEmpty) buf.head._2
-              else if (tail.nonEmpty) tailStartMs else Long.MaxValue
-            if (tail.nonEmpty && wmUs - startUs > w) {
-              // a pattern ending in its quantifier completes at horizon
-              // expiry; an unfinished suffix means no match
-              if (nSuffix == 0 && tail.length >= tailMin) emitOpen()
-              else { buf = Seq.empty; tail = Seq.empty; sufBuf = Seq.empty }
+            while (buffer.nonEmpty && wmUs - buffer(0)._2 > w) {
+              val (outcome, att) = attempt(flush = true)
+              if (outcome == 2) emitMatch(att)
+              else buffer = buffer.drop(1)
             }
-            buf = buf.dropWhile(e => wmUs - e._2 > w)
+            pump()
           } else {
             val ordered = it.toArray.sortBy(r =>
               (tsMicros(r.getTimestamp(tIdx)), r.getLong(iIdx)))
             ordered.foreach { e =>
-              val id = e.getLong(iIdx)
-              val ms = tsMicros(e.getTimestamp(tIdx)) // microseconds
               var bits = 0L
               var s = 0
               while (s < nSteps) {
-                if (steps(s).pred(e)) bits |= (1L << s)
+                if (stepPreds(s)(e)) bits |= (1L << s)
                 s += 1
               }
-              // at most one retry: a closing event re-enters as a fresh
-              // match candidate after the emitted match's skip-past-last
-              var retry = true
-              var rounds = 0
-              while (retry && rounds < 2) {
-                retry = false
-                rounds += 1
-                if (hasQuant && buf.length == nPrefix) {
-                  val inHorizon =
-                    if (nPrefix == 0 && tail.isEmpty) true // e starts the match
-                    else {
-                      val startMs = if (nPrefix > 0) buf.head._2 else tailStartMs
-                      withinMicros.forall(w => ms - startMs <= w)
-                    }
-                  if (sufBuf.nonEmpty) {
-                    // SUFFIX phase: the One-chain after the quantifier
-                    val nextBit =
-                      ((bits >> (nPrefix + 1 + sufBuf.length)) & 1L) == 1L
-                    if (nextBit && inHorizon) {
-                      sufBuf = sufBuf :+ id
-                      if (sufBuf.length == nSuffix) emitOpen()
-                    } else {
-                      // mid-suffix failure kills the match; consumed
-                      // events are not replayed (exact when the suffix
-                      // predicates are disjoint from tail/prefix — the
-                      // common telemetry class)
-                      buf = Seq.empty; tail = Seq.empty; sufBuf = Seq.empty
-                      retry = true
-                    }
-                  } else {
-                    // TAIL phase: accumulate greedily, then close into
-                    // the suffix (or emit, for a trailing quantifier)
-                    val tailBit = ((bits >> nPrefix) & 1L) == 1L
-                    val suf0Bit = nSuffix > 0 &&
-                      ((bits >> (nPrefix + 1)) & 1L) == 1L
-                    if (tailBit && inHorizon && tail.length < tailMax) {
-                      if (tail.isEmpty && nPrefix == 0) tailStartMs = ms
-                      tail = tail :+ id
-                      // a bounded TRAILING tail at capacity can't grow
-                      if (tail.length == tailMax && nSuffix == 0) emitOpen()
-                    } else if (tail.length >= tailMin && suf0Bit
-                        && inHorizon) {
-                      sufBuf = Seq(id) // greedy tail closes into suffix
-                      if (nSuffix == 1) emitOpen()
-                    } else if (nSuffix == 0 && tail.length >= tailMin
-                        && tail.nonEmpty) {
-                      emitOpen()
-                      retry = true // e may start / extend a fresh match
-                    } else if (tail.nonEmpty) {
-                      // tail died (below min, or no suffix entry); the
-                      // consumed events are not replayed (exact for
-                      // disjoint step predicates)
-                      buf = Seq.empty
-                      tail = Seq.empty
-                      retry = true
-                    } else if (nPrefix > 0) {
-                      // prefix done but the tail never opened: the partial
-                      // dies; replay from later starts inside it (bit
-                      // nPrefix of e is unset here, so j = 0 can't enter
-                      // the tail)
-                      slide(id, ms, bits)
-                    } // else nPrefix == 0, nothing open, no match: drop e
-                  }
-                } else {
-                  slide(id, ms, bits)
-                }
-              }
+              buffer = buffer :+ ((e.getLong(iIdx),
+                tsMicros(e.getTimestamp(tIdx)), bits))
+              pump()
             }
           }
-          state.update((buf, tail, sufBuf, tailStartMs, seq))
-          if (flushOnHorizon && (buf.nonEmpty || tail.nonEmpty)) {
-            // wake when the earliest open anchor's horizon expires
-            val anchorUs =
-              if (buf.nonEmpty) buf.head._2 else tailStartMs
+          state.update((buffer, seq))
+          if (flushOnHorizon && buffer.nonEmpty) {
+            // wake when the head anchor's horizon expires
             state.setTimeoutTimestamp(math.max(
-              (anchorUs + withinMicros.get) / 1000L + 1,
+              (buffer(0)._2 + withinMicros.get) / 1000L + 1,
               state.getCurrentWatermarkMs + 1))
           }
           emitted.iterator

@@ -359,6 +359,131 @@ class CepSpec extends AnyFunSuite {
     assert(batch === got)
   }
 
+  test("streaming NFA trailing reluctant Plus emits the shortest match immediately") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val steps = Cep.pattern("A B+?", Map(
+      "A" -> ((r: org.apache.spark.sql.Row) => r.getString(3) == "signup"),
+      "B" -> ((r: org.apache.spark.sql.Row) => r.getString(3) == "error")))
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps)
+      .writeStream.format("memory").queryName("t_cep_reluctant")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // reluctant tail: the match closes on the FIRST error — no closing
+    // event or horizon needed (a greedy B+ would hold the tail open)
+    mem.addData((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"))
+    q.processAllAvailable()
+    val early = spark.table("t_cep_reluctant").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(early === Set(("A", 1L), ("B", 2L)),
+      "reluctant match must emit before any closing event")
+    // later errors have no signup anchor → nothing more
+    mem.addData((1L, 30L, 3L, "error"), (1L, 40L, 4L, "error"))
+    q.processAllAvailable()
+    val all = spark.table("t_cep_reluctant").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(all === early)
+    val batch = Cep.matchPattern(
+      mkEvents((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+        (1L, 30L, 3L, "error"), (1L, 40L, 4L, "error")),
+      "user_id", "ts", "event_id", steps)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(batch === all)
+  }
+
+  test("streaming NFA interior reluctant quantifier completes across batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val steps = Cep.pattern("A B{1,3}? C", Map(
+      "A" -> ((r: org.apache.spark.sql.Row) => r.getString(3) == "signup"),
+      "B" -> ((r: org.apache.spark.sql.Row) => r.getString(3) == "error"),
+      "C" -> ((r: org.apache.spark.sql.Row) => r.getString(3) == "purchase")))
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps)
+      .writeStream.format("memory").queryName("t_cep_rel_interior")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // the reluctant run grows only because C hasn't arrived; the partial
+    // (with two consumed errors) must survive the batch boundary
+    mem.addData((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"))
+    q.processAllAvailable()
+    mem.addData((1L, 30L, 3L, "error"), (1L, 40L, 4L, "purchase"),
+      // u2: errors exceed the {1,3} bound before the purchase → dead
+      (2L, 10L, 10L, "signup"), (2L, 20L, 11L, "error"),
+      (2L, 30L, 12L, "error"), (2L, 40L, 13L, "error"),
+      (2L, 50L, 14L, "error"), (2L, 60L, 15L, "purchase"))
+    q.processAllAvailable()
+    val got = spark.table("t_cep_rel_interior").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got === Set((1L, "A", 1L), (1L, "B", 2L), (1L, "B", 3L),
+      (1L, "C", 4L)))
+    val batch = Cep.matchPattern(
+      mkEvents((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+        (1L, 30L, 3L, "error"), (1L, 40L, 4L, "purchase"),
+        (2L, 10L, 10L, "signup"), (2L, 20L, 11L, "error"),
+        (2L, 30L, 12L, "error"), (2L, 40L, 13L, "error"),
+        (2L, 50L, 14L, "error"), (2L, 60L, 15L, "purchase")),
+      "user_id", "ts", "event_id", steps)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch === got)
+  }
+
+  test("streaming NFA handles multiple quantifiers and overlapping predicates") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    // two quantified steps, predicates NOT disjoint (C accepts errors
+    // too): the old single-quantifier machine rejected this outright
+    val steps = Cep.pattern("A+ B{1,2} C", Map(
+      "A" -> ((r: org.apache.spark.sql.Row) => r.getString(3) == "click"),
+      "B" -> ((r: org.apache.spark.sql.Row) => r.getString(3) == "error"),
+      "C" -> ((r: org.apache.spark.sql.Row) =>
+        r.getString(3) == "error" || r.getString(3) == "purchase")))
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps)
+      .writeStream.format("memory").queryName("t_cep_multi_quant")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // soup split mid-pattern: click click | click error error | error …
+    // greedy B{1,2} wants two errors, then C must take the third
+    val soup = Seq(
+      (1L, 10L, 1L, "click"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "click"), (1L, 40L, 4L, "error"),
+      (1L, 50L, 5L, "error"), (1L, 60L, 6L, "error"),
+      // second match for the same key plus a closing signup so nothing
+      // is held open at stream end
+      (1L, 70L, 7L, "click"), (1L, 80L, 8L, "error"),
+      (1L, 90L, 9L, "purchase"), (1L, 100L, 10L, "signup"))
+    mem.addData(soup.slice(0, 2): _*)
+    q.processAllAvailable()
+    mem.addData(soup.slice(2, 5): _*)
+    q.processAllAvailable()
+    mem.addData(soup.slice(5, 10): _*)
+    q.processAllAvailable()
+    val got = spark.table("t_cep_multi_quant").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    val batch = Cep.matchPattern(mkEvents(soup: _*),
+      "user_id", "ts", "event_id", steps)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("within horizon bounds a match") {
     val events = mkEvents(
       (1L, 0L, 1L, "signup"), (1L, 3600L, 2L, "error"))
