@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+
+/** Lookup join against an external key-value system (reference
+  * CommonExecLookupJoin.java:138 + AsyncLookupJoinRunner.java:44):
+  * each probe row fetches its dimension value by key at processing
+  * time — the pattern for dimension tables too large or too hot to
+  * snapshot-broadcast.
+  *
+  * Spark-side shape: `mapPartitions`, so one client per partition (the
+  * reference's per-task `LookupFunction` open/close lifecycle), with
+  *   - BATCHING: keys accumulate to `batchSize` before one round trip
+  *     (the reference's async batch window);
+  *   - an LRU CACHE per partition (the reference's
+  *     `LookupCacheManager`) — hot keys skip the round trip entirely;
+  *   - DOUBLE-BUFFERED PREFETCH (`prefetch = true`): while batch N's
+  *     rows stream out, batch N+1's lookup is already in flight on a
+  *     background thread — the bounded-in-flight essence of the
+  *     reference's AsyncWaitOperator without unordered-emit complexity.
+  *
+  * At 100 TB the probe side stays fully distributed (no shuffle is
+  * added at all — lookups ride the existing partitioning) and the
+  * external store carries the point-read load; cache capacity and
+  * batch size are the backpressure knobs. For a small, cold dimension,
+  * prefer a broadcast snapshot join (see `q_agg_having`) — this
+  * operator is for stores that can't be materialized.
+  */
+object LookupJoin {
+
+  /** A batched point-lookup client. Implementations must be
+    * serializable (constructed on the driver, opened per partition).
+    * `lookup` returns values ALIGNED to `valueSchema` for each found
+    * key; absent keys are simply missing from the result map. */
+  trait LookupClient extends Serializable {
+    def lookup(keys: Seq[Long]): Map[Long, Seq[Any]]
+  }
+
+  /** Left/inner lookup join: for each row of `df`, fetch
+    * `valueSchema`-shaped columns by `keyCol` from `client`.
+    * `joinType` = "left" (miss → nulls) or "inner" (miss → dropped).
+    * Output schema = df.schema ++ valueSchema. */
+  def lookupJoin(df: DataFrame, keyCol: String, client: LookupClient,
+      valueSchema: StructType, joinType: String = "left",
+      batchSize: Int = 1024, cacheCapacity: Int = 100000,
+      prefetch: Boolean = true): DataFrame = {
+    require(joinType == "left" || joinType == "inner",
+      s"lookupJoin supports left|inner, got $joinType")
+    require(batchSize >= 1 && cacheCapacity >= 0)
+    val keyIdx = df.schema.fieldNames.indexOf(keyCol)
+    require(keyIdx >= 0, s"no column $keyCol in ${df.columns.mkString(",")}")
+    val outSchema = StructType(df.schema.fields ++ valueSchema.fields)
+    val nVals = valueSchema.length
+    val inner = joinType == "inner"
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+
+    df.mapPartitions { it =>
+      // LRU over key → Option[values]: negative results are cached too
+      // (a missing dimension row is as hot as a present one)
+      val cache = new java.util.LinkedHashMap[Long, Option[Seq[Any]]](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Long, Option[Seq[Any]]]): Boolean =
+          size() > cacheCapacity
+      }
+      val exec =
+        if (prefetch)
+          java.util.concurrent.Executors.newSingleThreadExecutor()
+        else null
+
+      def resolve(batch: Array[Row]): Iterator[Row] = {
+        // per-batch resolution map: cache hits + one round trip for the
+        // rest (the cache may evict immediately at capacity 0, so batch
+        // emission never reads back through it)
+        val resolved = scala.collection.mutable.LongMap
+          .empty[Option[Seq[Any]]]
+        val distinct = batch.map(_.getLong(keyIdx)).distinct
+        val misses = distinct.filter { k =>
+          val hit = cache.get(k)
+          if (hit != null) { resolved(k) = hit; false } else true
+        }
+        if (misses.nonEmpty) {
+          val found = client.lookup(misses.toSeq)
+          misses.foreach { k =>
+            val v = found.get(k)
+            resolved(k) = v
+            cache.put(k, v)
+          }
+        }
+        batch.iterator.flatMap { r =>
+          resolved(r.getLong(keyIdx)) match {
+            case Some(vals) =>
+              Iterator.single(Row.fromSeq(r.toSeq ++ vals))
+            case None if inner => Iterator.empty
+            case None =>
+              Iterator.single(Row.fromSeq(
+                r.toSeq ++ Seq.fill[Any](nVals)(null)))
+          }
+        }
+      }
+
+      val batches = it.grouped(batchSize).map(_.toArray)
+      val out: Iterator[Row] =
+        if (!prefetch) batches.flatMap(resolve)
+        else new Iterator[Row] {
+          // double buffering: submit batch N+1 before draining batch N
+          private var inFlight: java.util.concurrent.Future[Iterator[Row]] =
+            if (batches.hasNext) {
+              val b = batches.next()
+              exec.submit(() => resolve(b))
+            } else null
+          private var current: Iterator[Row] = Iterator.empty
+          private def advance(): Unit = {
+            while (!current.hasNext && inFlight != null) {
+              current = inFlight.get()
+              inFlight =
+                if (batches.hasNext) {
+                  val b = batches.next()
+                  exec.submit(() => resolve(b))
+                } else null
+            }
+            if (!current.hasNext && inFlight == null && exec != null)
+              exec.shutdown()
+          }
+          override def hasNext: Boolean = { advance(); current.hasNext }
+          override def next(): Row = { advance(); current.next() }
+        }
+      out
+    }
+  }
+
+  /** A LookupClient over a driver-held map — the stand-in for an
+    * external store in tests and the oracle-checked catalog entry (the
+    * container has no reachable external system; the reference's
+    * JDBC/HBase connectors play this role in production). The map is
+    * captured in the task closure (broadcast by Spark with the task). */
+  final class MapLookupClient(table: Map[Long, Seq[Any]],
+      latencyMs: Long = 0L) extends LookupClient {
+    override def lookup(keys: Seq[Long]): Map[Long, Seq[Any]] = {
+      if (latencyMs > 0) Thread.sleep(latencyMs)
+      keys.iterator.flatMap(k => table.get(k).map(k -> _)).toMap
+    }
+  }
+}

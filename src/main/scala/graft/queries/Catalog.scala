@@ -26,7 +26,7 @@ object Catalog {
       Functions.queries ++ EventQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      GraftFnQueries.queries
+      GraftFnQueries.queries ++ LookupQueries.queries
 
   lazy val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
 
