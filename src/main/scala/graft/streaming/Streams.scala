@@ -304,6 +304,100 @@ object Streams {
       sink(df.topN(n, partitionBy, order), batchId)
   }
 
+  /** INCREMENTAL streaming Top-N (reference StreamExecRank.java:69 with
+    * RankProcessStrategy's no-rank-number output): per key, keep the
+    * current top-n (score desc, id asc tiebreak) across micro-batches
+    * and emit a changelog — `+I` when a row enters the top-n, `-D` for
+    * the row it evicts. Skipping output rank numbers is the reference's
+    * own optimization: it avoids the cascade of rank-shift updates, and
+    * a consumer materializes the standings as inserts minus deletes.
+    * State per key is exactly n (score, id) pairs — O(keys · n), the
+    * same bound the reference's rank state holds. Input: (keyCol
+    * long, idCol long, scoreCol double) updates; output (op, key, id,
+    * score). */
+  def streamingTopN(updates: DataFrame, keyCol: String, idCol: String,
+      scoreCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"bad n=$n")
+    val spark = updates.sparkSession
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val fields = updates.schema.fieldNames
+    val kIdx = fields.indexOf(keyCol)
+    val iIdx = fields.indexOf(idCol)
+    val sIdx = fields.indexOf(scoreCol)
+    require(kIdx >= 0 && iIdx >= 0 && sIdx >= 0)
+    // ordering: higher score first, then smaller id (deterministic ties)
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    val out = updates.groupByKey(_.getLong(kIdx))
+      .flatMapGroupsWithState[Seq[(Double, Long)], (String, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[Row],
+            state: org.apache.spark.sql.streaming.GroupState[Seq[(Double, Long)]]) =>
+          var top = state.getOption.getOrElse(Seq.empty[(Double, Long)])
+          val emitted = scala.collection.mutable.ListBuffer
+            .empty[(String, Long, Long, Double)]
+          it.foreach { r =>
+            val entry = (r.getDouble(sIdx), r.getLong(iIdx))
+            if (top.length < n) {
+              top = (top :+ entry).sorted
+              emitted += (("+I", key, entry._2, entry._1))
+            } else if (ord.lt(entry, top.last)) {
+              val evicted = top.last
+              top = (top.init :+ entry).sorted
+              emitted += (("-D", key, evicted._2, evicted._1))
+              emitted += (("+I", key, entry._2, entry._1))
+            } // else: below the bar, no state change, no output
+          }
+          state.update(top)
+          emitted.iterator
+      }
+    out.toDF("op", "key", "id", "score")
+  }
+
+  /** Delta trigger (reference flink-streaming-java DeltaTrigger.java):
+    * per key, re-emit the running aggregate only when it has moved at
+    * least `delta` since the last emission — the trigger taxonomy's
+    * data-driven member (count and timeout triggers live in
+    * countWindows / dedupKeepFirstEventTime). Emits (key, total, n) on
+    * each firing; state is two doubles + a count per key. Input:
+    * (keyCol long, valueCol double). */
+  def deltaTriggerSum(updates: DataFrame, keyCol: String,
+      valueCol: String, delta: Double): DataFrame = {
+    require(delta > 0, s"bad delta=$delta")
+    val spark = updates.sparkSession
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val fields = updates.schema.fieldNames
+    val kIdx = fields.indexOf(keyCol)
+    val vIdx = fields.indexOf(valueCol)
+    require(kIdx >= 0 && vIdx >= 0)
+    val out = updates.groupByKey(_.getLong(kIdx))
+      .flatMapGroupsWithState[(Double, Double, Long), (Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[Row],
+            state: org.apache.spark.sql.streaming.GroupState[(Double, Double, Long)]) =>
+          // (running sum, sum at last firing, rows seen); the first row
+          // ever always fires (lastFired starts at 0 → fires when the
+          // first value itself reaches delta — Flink's contract: the
+          // trigger compares against the last FIRED element)
+          var (sum, lastFired, cnt) = state.getOption.getOrElse((0.0, 0.0, 0L))
+          val emitted = scala.collection.mutable.ListBuffer
+            .empty[(Long, Double, Long)]
+          it.foreach { r =>
+            sum += r.getDouble(vIdx)
+            cnt += 1
+            if (math.abs(sum - lastFired) >= delta) {
+              emitted += ((key, sum, cnt))
+              lastFired = sum
+            }
+          }
+          state.update((sum, lastFired, cnt))
+          emitted.iterator
+      }
+    out.toDF("key", "total", "n")
+  }
+
   /** Changelog emission (reference's +I/-U/+U retraction stream —
     * StreamExecChangelogNormalize / RowKind.java; SURVEY §1's documented
     * delta, made concrete): wraps an update-mode aggregation's foreachBatch

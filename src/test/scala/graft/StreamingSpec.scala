@@ -102,6 +102,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(perUser.values.forall(_.size <= 2))
   }
 
+  test("incremental streaming Top-N changelog materializes to the batch top-n") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, desc}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "event_id", "value")
+    val q = Streams.streamingTopN(df, "user_id", "event_id", "value", n = 2)
+      .writeStream.format("memory").queryName("t_topn_inc")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // rows arrive across three batches; the standings must survive
+    // boundaries and evictions must retract exactly once
+    val rows = Seq(
+      (1L, 1L, 5.0), (1L, 2L, 3.0),            // u1 top2 = {1, 2}
+      (2L, 10L, 1.0))
+    val rows2 = Seq(
+      (1L, 3L, 4.0),                           // evicts 2 → top2 {1, 3}
+      (2L, 11L, 2.0), (2L, 12L, 0.5))          // u2 top2 = {10, 11}
+    val rows3 = Seq(
+      (1L, 4L, 1.0),                           // below the bar: no output
+      (2L, 13L, 3.0))                          // evicts 12→? no: {11,13}
+    mem.addData(rows: _*); q.processAllAvailable()
+    mem.addData(rows2: _*); q.processAllAvailable()
+    mem.addData(rows3: _*); q.processAllAvailable()
+    val log = spark.table("t_topn_inc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    // materialize: inserts minus deletes
+    val live = log.foldLeft(Set.empty[(Long, Long)]) {
+      case (acc, ("+I", k, id)) => acc + ((k, id))
+      case (acc, ("-D", k, id)) => acc - ((k, id))
+      case (acc, _) => acc
+    }
+    // batch twin over all the data
+    import graft.operators.Ops._
+    val want = (rows ++ rows2 ++ rows3)
+      .toDF("user_id", "event_id", "value")
+      .topN(2, Seq(col("user_id")), Seq(desc("value"), col("event_id")))
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live === want)
+    // exactly one retraction per eviction, none spurious
+    assert(log.count(_._1 == "-D") === log.count(_._1 == "+I") - live.size)
+  }
+
+  test("delta trigger fires only on moves >= delta and tracks the true sum") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("user_id", "value")
+    val q = Streams.deltaTriggerSum(df, "user_id", "value", delta = 10.0)
+      .writeStream.format("memory").queryName("t_delta_trig")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((1L, 4.0), (1L, 3.0))   // sum 7 < 10: silent
+    q.processAllAvailable()
+    mem.addData((1L, 5.0))              // sum 12 ≥ 10: fire (12)
+    q.processAllAvailable()
+    mem.addData((1L, 9.0), (1L, 2.0))   // 21, 23: fires at 23 only
+    q.processAllAvailable()
+    val got = spark.table("t_delta_trig").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    q.stop()
+    assert(got === Seq((1L, 12.0, 3L), (1L, 23.0, 5L)))
+  }
+
   test("side-output routing partitions each batch exactly") {
     import org.apache.spark.sql.functions.col
     val counts = new java.util.concurrent.atomic.AtomicLongArray(2)
