@@ -251,5 +251,81 @@ object TextQueries {
              |    1.0 - CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
              |      / LEN(string_split(text, ' ')) AS rep_ratio
              |  FROM documents) t
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction (email + phone → placeholder tokens): the standard
+    // pre-training scrub pass. The fixture carries no PII, so each doc
+    // plants a deterministic email/phone derived from doc_id — BOTH
+    // engines see the same parquet, so the check pins the actual risk
+    // surface: regex dialect parity (Java regex vs RE2) and global
+    // replacement semantics. Scan-local; at 100 TB this runs fused into
+    // the scan like the other text passes.
+    Query(
+      "q_text_redact",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+[0-9][0-9-]{5,}[0-9]"
+        val aug = concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or call +1-555-0"), col("doc_id"),
+          lit(" today"))
+        t(s, d, "documents")
+          .select(col("doc_id"), aug.as("t"))
+          .select(col("doc_id"),
+            regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
+            length(regexp_replace(
+              regexp_replace(col("t"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).cast("long").as("red_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || doc_id || '@mail.example.com'
+             |      || ' or call +1-555-0' || doc_id || ' today' AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  LEN(regexp_extract_all(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |    AS n_emails,
+             |  LEN(regexp_extract_all(t, '\+[0-9][0-9-]{5,}[0-9]'))
+             |    AS n_phones,
+             |  LENGTH(regexp_replace(regexp_replace(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |    '<EMAIL>', 'g'),
+             |    '\+[0-9][0-9-]{5,}[0-9]', '<PHONE>', 'g')) AS red_len
+             |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    // URL → domain extraction + per-domain corpus stats (the C4-style
+    // provenance rollup every crawl pipeline runs). URLs are built
+    // deterministically from (source, doc_id); the operator under test
+    // is regexp_extract + the per-domain aggregate — one partial-agg
+    // shuffle on domain, scan-local extraction.
+    Query(
+      "q_text_domains",
+      (s, d) => {
+        val url = concat(lit("https://"), col("source"), lit(".example."),
+          when(pmod(col("doc_id"), lit(3)) === 0, "com")
+            .when(pmod(col("doc_id"), lit(3)) === 1, "org")
+            .otherwise("net"),
+          lit("/doc/"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("n_chars"), url.as("url"))
+          .select(col("n_chars"),
+            regexp_extract(col("url"), "https?://([^/]+)/", 1).as("domain"))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .orderBy(col("domain"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, n_chars,
+             |    'https://' || source || '.example.' ||
+             |      (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com'
+             |        WHEN 1 THEN 'org' ELSE 'net' END)
+             |      || '/doc/' || doc_id AS url
+             |  FROM documents)
+             |SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS domain,
+             |  CAST(COUNT(1) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
