@@ -89,6 +89,75 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("n"))
 
+  /** Session windows WITH MEMBERSHIP on the transformWithState API
+    * (Spark 4's arbitrary-state operator — the modern home for what the
+    * reference does with keyed ListState + event-time timers in its
+    * window operator, WindowOperator.java's (state, timer) pair): each
+    * session emits its full member event-id list when the watermark
+    * passes last-event + gap, which the built-in `session_window`
+    * aggregation cannot express (it folds, it can't enumerate).
+    *
+    * State per key: one RocksDB-backed ListState of (ts, id) pairs for
+    * OPEN sessions only (cleared on close) + one timer. Requires the
+    * RocksDB state store provider (`GraftSession` config or
+    * `spark.sql.streaming.stateStore.providerClass`), and a watermarked
+    * `ts` on the input. Input cols: user_id, ts, event_id; output
+    * (user_id, start_ms, end_ms, n_events, event_ids). */
+  def sessionizeWithState(events: DataFrame, gapMs: Long): DataFrame = {
+    require(gapMs > 0, s"bad gapMs=$gapMs")
+    val spark = events.sparkSession
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    val proc = new StatefulProcessor[Long,
+        (Long, Long, java.sql.Timestamp),
+        (Long, Long, Long, Long, Seq[Long])] {
+      @transient private var buf:
+          org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        buf = getHandle.getListState[(Long, Long)]("events",
+          implicitly[org.apache.spark.sql.Encoder[(Long, Long)]],
+          TTLConfig.NONE)
+      override def handleInputRows(key: Long,
+          rows: Iterator[(Long, Long, java.sql.Timestamp)],
+          timerValues: TimerValues)
+          : Iterator[(Long, Long, Long, Long, Seq[Long])] = {
+        rows.foreach(r => buf.appendValue((r._3.getTime, r._2)))
+        // one timer per key at (max buffered ts + gap): watermark past
+        // it ⇒ no in-order event can extend any buffered session
+        val maxTs = buf.get().map(_._1).max
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(maxTs + gapMs)
+        Iterator.empty
+      }
+      override def handleExpiredTimer(key: Long,
+          timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo)
+          : Iterator[(Long, Long, Long, Long, Seq[Long])] = {
+        val evs = buf.get().toArray.sortBy(e => (e._1, e._2))
+        buf.clear()
+        if (evs.isEmpty) Iterator.empty
+        else {
+          // split the timeline into gap-separated sessions
+          val sessions = evs.tail.foldLeft(
+            List(scala.collection.mutable.ArrayBuffer(evs.head))) {
+            (acc, e) =>
+              if (e._1 - acc.head.last._1 <= gapMs) { acc.head += e; acc }
+              else scala.collection.mutable.ArrayBuffer(e) :: acc
+          }.reverse
+          sessions.iterator.map { s =>
+            (key, s.head._1, s.last._1, s.length.toLong, s.map(_._2).toSeq)
+          }
+        }
+      }
+    }
+    typed.groupByKey(_._1)
+      .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "start_ms", "end_ms", "n_events", "event_ids")
+  }
+
   /** Unwindowed streaming group aggregation in update mode (reference
     * StreamExecGroupAggregate.java:71 / GroupAggFunction keyed-state
     * aggregation): per-key running count/sum, each micro-batch emitting

@@ -147,6 +147,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(log.count(_._1 == "-D") === log.count(_._1 == "+I") - live.size)
   }
 
+  test("transformWithState sessionization emits gap-split sessions with membership") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Long)]
+      val df = mem.toDF().toDF("user_id", "event_id", "secs")
+        .select(col("user_id"), col("event_id"),
+          col("secs").cast("timestamp").as("ts"))
+        .withWatermark("ts", "0 seconds")
+      val q = Streams.sessionizeWithState(df, gapMs = 5000L)
+        .writeStream.format("memory").queryName("t_tws_session")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      // u1: two bursts separated by > gap → two sessions; membership
+      // crosses a batch boundary (event 3 lands in batch 2, within the
+      // batch-1 watermark of 12s)
+      mem.addData((1L, 1L, 10L), (1L, 2L, 12L))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, 14L), (1L, 4L, 60L))
+      q.processAllAvailable()
+      // advance the watermark far past u1's last event + gap
+      mem.addData((2L, 10L, 500L))
+      q.processAllAvailable()
+      mem.addData((2L, 11L, 501L)) // extra batch so the timer fires
+      q.processAllAvailable()
+      val got = spark.table("t_tws_session").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getSeq[Long](4)))
+        .sortBy(_._1)
+      q.stop()
+      assert(got.toSeq === Seq(
+        (10000L, 14000L, 3L, Seq(1L, 2L, 3L)),
+        (60000L, 60000L, 1L, Seq(4L))))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("delta trigger fires only on moves >= delta and tracks the true sum") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
