@@ -188,29 +188,38 @@ object Ops {
     * (the overwhelming majority; df distribution of real shingle data is
     * heavy-tailed but bucket sizes are small) are exact.
     *
-    * One shuffle on the bucket keys; the window, the capped aggregation
-    * and the overflow join all reuse that exchange (same partitioning).
+    * SINGLE-PASS: one shuffle on the bucket keys feeding two pipelined
+    * same-partitioning windows (rank, then a cap-bounded head-id list),
+    * then a per-row projection emits each pair exactly once — a head
+    * row pairs with every LARGER head id, an overflow row stars to the
+    * bucket minimum. No self-join, no branch re-reading the input: the
+    * (often expensive) upstream — e.g. a MinHash signature pipeline —
+    * is computed exactly once.
     */
   def lshBucketPairs(bands: DataFrame, bucketKeys: Seq[String],
       idCol: String, cap: Int = 256): DataFrame = {
     require(cap >= 2, s"lshBucketPairs cap must be >= 2, got $cap")
     val keys = bucketKeys.map(col)
-    val w = Window.partitionBy(keys: _*).orderBy(col(idCol))
-    val ranked = bands.withColumn("__rn", row_number().over(w))
-    val headPairs = ranked.where(col("__rn") <= cap)
-      .groupBy(keys: _*)
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          b => struct(a.as("a"), b.as("b")))))).as("p"))
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(idCol))
+    val wAll = Window.partitionBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // collect_list skips nulls → the head list never exceeds `cap` ids,
+    // whatever the bucket size; the second window reuses the first's
+    // exchange AND sort (same partitioning, prefix ordering)
+    val headed = bands
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__heads", sort_array(collect_list(
+        when(col("__rn") <= cap, col(idCol))).over(wAll)))
+    headed.select(explode(
+        when(col("__rn") <= cap,
+          transform(
+            filter(col("__heads"), h => h > col(idCol)),
+            h => struct(col(idCol).as("a"), h.as("b"))))
+          .otherwise(array(struct(
+            element_at(col("__heads"), 1).as("a"),
+            col(idCol).as("b"))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    val bucketMin = ranked.where(col("__rn") === 1)
-      .select((keys :+ col(idCol).as("__min")): _*)
-    val overflow = ranked.where(col("__rn") > cap)
-      .join(bucketMin, bucketKeys)
-      .select(col("__min").as("a"), col(idCol).as("b"))
-    headPairs.union(overflow).distinct()
+      .distinct()
   }
 
   /** Connected components via alternating large-star / small-star
