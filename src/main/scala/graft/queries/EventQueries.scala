@@ -187,6 +187,76 @@ object EventQueries {
              |GROUP BY user_id, w_start
              |ORDER BY user_id, w_start""".stripMargin)),
 
+    // TimeEvictor (reference flink-streaming-java windowing/evictors/
+    // TimeEvictor.java): before the window aggregates, drop every element
+    // older than (window max ts − keep). Batch twin: windowed MAX(ts) +
+    // filter + agg — the window max and the aggregation share one
+    // (user, window) shuffle.
+    Query(
+      "q_window_evict_time",
+      (s, d) => {
+        val bucket = window(col("ts"), "1 hour")
+        val wAll = Window.partitionBy(col("user_id"), col("w_start"))
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("value"),
+            bucket.getField("start").as("w_start"))
+          .withColumn("max_ts", max(col("ts")).over(wAll))
+          .where(col("ts") >= col("max_ts") - expr("INTERVAL 30 MINUTES"))
+          .groupBy(col("user_id"), col("w_start"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("user_id"), col("w_start"))
+      },
+      Some("""SELECT user_id, w_start, COUNT(1) AS n,
+             |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM (
+             |  SELECT user_id, w_start, ts, "value",
+             |    MAX(ts) OVER (PARTITION BY user_id, w_start) AS max_ts
+             |  FROM (
+             |    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, "value",
+             |      time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start
+             |    FROM events) e) x
+             |WHERE ts >= max_ts - INTERVAL '30 minutes'
+             |GROUP BY user_id, w_start
+             |ORDER BY user_id, w_start""".stripMargin)),
+
+    // DeltaEvictor (reference windowing/evictors/DeltaEvictor.java):
+    // evict elements whose delta against the window's LAST element
+    // exceeds the threshold. Last element = (ts, event_id)-max row;
+    // the unbounded-frame FIRST_VALUE and the aggregate share one
+    // (user, window) shuffle, same plan shape as the other evictors.
+    Query(
+      "q_window_evict_delta",
+      (s, d) => {
+        val bucket = window(col("ts"), "1 hour")
+        val wLast = Window.partitionBy(col("user_id"), col("w_start"))
+          .orderBy(desc("ts"), desc("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+            bucket.getField("start").as("w_start"))
+          .withColumn("last_val", first(col("value")).over(wLast))
+          .where(abs(col("value") - col("last_val")) <= 10.0)
+          .groupBy(col("user_id"), col("w_start"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("user_id"), col("w_start"))
+      },
+      Some("""SELECT user_id, w_start, COUNT(1) AS n,
+             |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM (
+             |  SELECT user_id, w_start, "value",
+             |    FIRST_VALUE("value") OVER (PARTITION BY user_id, w_start
+             |      ORDER BY ts DESC, event_id DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |      AS last_val
+             |  FROM (
+             |    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             |      "value",
+             |      time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start
+             |    FROM events) e) x
+             |WHERE ABS("value" - last_val) <= 10.0
+             |GROUP BY user_id, w_start
+             |ORDER BY user_id, w_start""".stripMargin)),
+
     // Session windows with a DYNAMIC per-event gap (reference
     // SessionWindowTimeGapExtractor — flink-streaming-java
     // DynamicEventTimeSessionWindows): each event extends its session by
