@@ -362,6 +362,43 @@ object Streams {
     out.toDF("user_id", "event_id", "running_total", "n_so_far")
   }
 
+  /** Incremental streaming OVER with a bounded ROWS-sliding frame
+    * (reference RowTimeRowsBoundedPrecedingFunction.java:55 — the
+    * bounded twin of [[overRunningStream]]): per key and per event, the
+    * sum/count over `ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`. The
+    * keyed state is the last k−1 scaled values (a bounded deque — the
+    * reference keeps the same retract buffer), so state per key is O(k)
+    * regardless of stream length. Cents-scaled integer arithmetic keeps
+    * the running sums exact (same discipline as Catalog.dsum). Ordering:
+    * event time within a batch, arrival across batches. Emits
+    * (user_id, event_id, frame_sum, n_in_frame). */
+  def overRowsSlidingStream(events: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"bad frame size k=$k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    val out = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], (Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+            state: GroupState[Seq[Long]]) =>
+          // deque of the frame's scaled values, oldest first, ≤ k entries
+          var frame = state.getOption.getOrElse(Seq.empty[Long]).toVector
+          val ordered = it.toArray.sortBy(e => (e._2.getTime, e._3))
+          val emitted = ordered.map { case (_, _, id, v) =>
+            val scaled = (v * 100 + (if (v < 0) -0.5 else 0.5)).toLong
+            frame = (frame :+ scaled).takeRight(k)
+            (user, id, frame.sum / 100.0, frame.length.toLong)
+          }
+          state.update(frame)
+          emitted.iterator
+      }
+    out.toDF("user_id", "event_id", "frame_sum", "n_in_frame")
+  }
+
   /** Streaming Top-N (reference StreamExecRank.java:69): per micro-batch
     * ROW_NUMBER()<=N — SURVEY §4's documented fallback (semantically the
     * per-epoch materialization of the incremental Top-N state). Use from

@@ -312,6 +312,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 6)
   }
 
+  test("streaming OVER bounded ROWS-sliding frame equals batch window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "value")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("value"))
+    val q = Streams.overRowsSlidingStream(df, k = 2)
+      .writeStream.format("memory").queryName("t_over_slide")
+      .outputMode("append").start()
+    // frame must slide across the batch boundary (event 4's frame spans
+    // events 2 and 4 — one from each batch) and evict beyond k
+    mem.addData((1L, 10L, 1L, 10.50), (1L, 20L, 2L, 0.25),
+      (2L, 10L, 3L, 5.00))
+    q.processAllAvailable()
+    mem.addData((1L, 40L, 5L, 1.00), (1L, 35L, 4L, 2.00),
+      (2L, 50L, 6L, 0.75))
+    q.processAllAvailable()
+    val got = spark.table("t_over_slide").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    q.stop()
+    val all = Seq((1L, 10L, 1L, 10.50), (1L, 20L, 2L, 0.25),
+      (2L, 10L, 3L, 5.00), (1L, 40L, 5L, 1.00), (1L, 35L, 4L, 2.00),
+      (2L, 50L, 6L, 0.75))
+      .toDF("user_id", "secs", "event_id", "value")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-1, Window.currentRow)
+    val want = all.select(col("user_id"), col("event_id"),
+        (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w)).cast("double").as("frame_sum"),
+        count(lit(1)).over(w).as("n_in_frame"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    assert(got.size === 6)
+  }
+
   test("event-time keep-first dedup: late-but-earlier duplicate wins") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
