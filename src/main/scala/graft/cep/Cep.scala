@@ -203,6 +203,9 @@ object Cep {
     val kIdx = fields.indexOf(keyCol)
     val tIdx = fields.indexOf(tsCol)
     val iIdx = fields.indexOf(idCol)
+    require(kIdx >= 0 && tIdx >= 0 && iIdx >= 0,
+      s"matchPatternStream: missing column among " +
+        s"$keyCol/$tsCol/$idCol in ${fields.mkString(",")}")
     val nSteps = steps.length
     val stepBounds = steps.map(s => bounds(s.quant)).toArray
     val stepNames = steps.map(_.name).toArray
@@ -322,8 +325,13 @@ object Cep {
               }
               buffer = buffer :+ ((e.getLong(iIdx),
                 tsMicros(e.getTimestamp(tIdx)), bits))
-              pump()
             }
+            // ONE pump per batch: attempt() is a pure function of the
+            // final buffer and only closed (future-proof) matches emit,
+            // so per-event pumping would produce identical output while
+            // re-scanning the whole buffer per event — O(batch²) on a
+            // long open run
+            pump()
           }
           state.update((buffer, seq))
           if (flushOnHorizon && buffer.nonEmpty) {

@@ -134,6 +134,10 @@ object MatchRecognize {
           }
         }
       }.getOrElse(Seq.empty)
+    // fail fast on shapes the single-clause splice can't handle, instead
+    // of letting the delegate parser choke on a half-rewritten statement
+    require(!containsMatchRecognize(text.substring(end)),
+      "MATCH_RECOGNIZE: only one clause per statement is supported")
     Clause(m.group(1), alias, key, ts, id, skip, patternSpec.trim,
       within, defines, m.start, end)
   }
@@ -143,7 +147,15 @@ object MatchRecognize {
     * projection — the NFA reads plain booleans, no per-row SQL eval),
     * then the NFA runs per key via [[Cep.matchPattern]]. */
   private def buildMatch(spark: SparkSession, c: Clause): DataFrame = {
-    val base = spark.table(c.table)
+    val base =
+      try spark.table(c.table)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"MATCH_RECOGNIZE: input '${c.table}' must be a catalog " +
+              "table or view — a CTE defined in the same statement is " +
+              "not supported (materialize it as a temp view first)", e)
+      }
     val withPreds = c.defines.foldLeft(base) { case (acc, (name, e)) =>
       acc.withColumn(s"__p_$name", expr(e).cast("boolean"))
     }

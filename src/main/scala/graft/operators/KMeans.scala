@@ -43,8 +43,12 @@ object KMeans {
       .select(col(vecCol).as("v"))
       .withColumn("__h", md5(concat_ws(",",
         col("v").cast("string"), lit(seed.toString))))
-    val first = hashed.orderBy(col("__h")).limit(1)
-      .collect()(0).getSeq[Double](0).toArray
+    val firstRows = hashed.orderBy(col("__h")).limit(1).collect()
+    require(firstRows.nonEmpty,
+      s"KMeans.fit: input has no rows (column $vecCol) — nothing to seed " +
+        "from. Fewer distinct vectors than k yields duplicate centroids " +
+        "(harmless: duplicate cells simply stay empty in assign).")
+    val first = firstRows(0).getSeq[Double](0).toArray
     val seeds = scala.collection.mutable.ArrayBuffer(first)
     while (seeds.length < k) {
       val minDist = seeds.map(c => sqDist(col("v"), typedLit(c.toSeq)))

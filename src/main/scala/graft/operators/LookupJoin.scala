@@ -66,8 +66,17 @@ object LookupJoin {
       }
       val exec =
         if (prefetch)
-          java.util.concurrent.Executors.newSingleThreadExecutor()
+          java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+            val t = new Thread(r, "graft-lookup-prefetch")
+            t.setDaemon(true) // never pin the JVM
+            t
+          })
         else null
+      // a LIMIT / failure can abandon the iterator before it drains —
+      // tie the pool's lifetime to the task, not to full consumption
+      if (exec != null)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => exec.shutdownNow()))
 
       def resolve(batch: Array[Row]): Iterator[Row] = {
         // per-batch resolution map: cache hits + one round trip for the

@@ -40,9 +40,14 @@ object Streams {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(dir, "events.parquet")
+    // scratch dir keyed by source path + mtime + size: a regenerated
+    // fixture gets a fresh stage instead of a silently stale link
+    val srcStamp = s"$dir|${java.nio.file.Files.getLastModifiedTime(src)}" +
+      s"|${java.nio.file.Files.size(src)}"
     val streamDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_streams",
-      java.lang.Integer.toHexString(dir.hashCode))
+      java.lang.Integer.toHexString(srcStamp.hashCode) +
+        java.lang.Long.toHexString(java.nio.file.Files.size(src)))
     java.nio.file.Files.createDirectories(streamDir)
     val dst = streamDir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(dst)) {
@@ -120,36 +125,47 @@ object Streams {
         buf = getHandle.getListState[(Long, Long)]("events",
           implicitly[org.apache.spark.sql.Encoder[(Long, Long)]],
           TTLConfig.NONE)
+      private def split(evs: Array[(Long, Long)])
+          : List[scala.collection.mutable.ArrayBuffer[(Long, Long)]] =
+        if (evs.isEmpty) Nil
+        else evs.tail.foldLeft(
+          List(scala.collection.mutable.ArrayBuffer(evs.head))) {
+          (acc, e) =>
+            if (e._1 - acc.head.last._1 <= gapMs) { acc.head += e; acc }
+            else scala.collection.mutable.ArrayBuffer(e) :: acc
+        }.reverse
+      private def rearm(): Unit = {
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        val evs = buf.get().toArray.sortBy(e => (e._1, e._2))
+        // the timer must fire when the EARLIEST buffered session can
+        // close (first session's last event + gap) — anchoring at the
+        // global max would starve a continuously active key forever
+        split(evs).headOption.foreach(s =>
+          getHandle.registerTimer(s.last._1 + gapMs))
+      }
       override def handleInputRows(key: Long,
           rows: Iterator[(Long, Long, java.sql.Timestamp)],
           timerValues: TimerValues)
           : Iterator[(Long, Long, Long, Long, Seq[Long])] = {
         rows.foreach(r => buf.appendValue((r._3.getTime, r._2)))
-        // one timer per key at (max buffered ts + gap): watermark past
-        // it ⇒ no in-order event can extend any buffered session
-        val maxTs = buf.get().map(_._1).max
-        getHandle.listTimers().foreach(t =>
-          getHandle.deleteTimer(t.asInstanceOf[Long]))
-        getHandle.registerTimer(maxTs + gapMs)
+        rearm()
         Iterator.empty
       }
       override def handleExpiredTimer(key: Long,
           timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo)
           : Iterator[(Long, Long, Long, Long, Seq[Long])] = {
+        val wm = timerValues.getCurrentWatermarkInMs()
         val evs = buf.get().toArray.sortBy(e => (e._1, e._2))
         buf.clear()
-        if (evs.isEmpty) Iterator.empty
-        else {
-          // split the timeline into gap-separated sessions
-          val sessions = evs.tail.foldLeft(
-            List(scala.collection.mutable.ArrayBuffer(evs.head))) {
-            (acc, e) =>
-              if (e._1 - acc.head.last._1 <= gapMs) { acc.head += e; acc }
-              else scala.collection.mutable.ArrayBuffer(e) :: acc
-          }.reverse
-          sessions.iterator.map { s =>
-            (key, s.head._1, s.last._1, s.length.toLong, s.map(_._2).toSeq)
-          }
+        // emit only sessions the watermark actually sealed (last event +
+        // gap ≤ wm); later sessions — including a still-growing tail —
+        // go back into state and the timer re-arms for the next close
+        val (closed, open) = split(evs).partition(_.last._1 + gapMs <= wm)
+        open.flatten.foreach(buf.appendValue)
+        rearm()
+        closed.iterator.map { s =>
+          (key, s.head._1, s.last._1, s.length.toLong, s.map(_._2).toSeq)
         }
       }
     }
@@ -445,6 +461,16 @@ object Streams {
             .empty[(String, Long, Long, Double)]
           it.foreach { r =>
             val entry = (r.getDouble(sIdx), r.getLong(iIdx))
+            // a re-arriving id is an UPDATE (reference
+            // UpdatableTopNFunction): retract the ranked entry first so
+            // state never holds one id twice and a downward move is not
+            // silently dropped. Like the reference, an id that falls out
+            // this way cannot resurrect the (unknown) runner-up — rows
+            // beyond n are not retained.
+            top.find(_._2 == entry._2).foreach { old =>
+              top = top.filterNot(_._2 == entry._2)
+              emitted += (("-D", key, old._2, old._1))
+            }
             if (top.length < n) {
               top = (top :+ entry).sorted
               emitted += (("+I", key, entry._2, entry._1))
@@ -559,6 +585,12 @@ object Streams {
     * a `-D` drops the key, `-U` rows are informational (they carry the
     * prior value and change nothing here).
     *
+    * Contract: at most ONE effective op (+I/+U/-D) per key per batch —
+    * exactly what [[ChangelogSink]] emits (it diffs snapshots, so each
+    * batch carries one logical change per key). A batch violating that
+    * has no well-defined "last" op without a sequence column, so it is
+    * rejected loudly instead of materializing an arbitrary winner.
+    *
     * Scale shape mirrors the sink: the materialized table is persisted,
     * keyed by `keys`, and each batch applies with ONE anti-join on the
     * touched keys plus a union — |batch| vs |table|, broadcast-able when
@@ -566,6 +598,13 @@ object Streams {
   final class ChangelogIngest(keys: Seq[String]) extends Serializable {
     @volatile private var table: DataFrame = _
     def apply(batch: DataFrame): Unit = {
+      val conflicted = batch.where(col("op") =!= "-U")
+        .groupBy(keys.map(col): _*).count()
+        .where(col("count") > 1).limit(1).collect()
+      require(conflicted.isEmpty,
+        s"ChangelogIngest: multiple effective ops for key " +
+          s"${conflicted.headOption.map(_.toString).getOrElse("")} in one " +
+          "batch — order is undefined without a sequence column")
       val upserts = batch.where(col("op").isin("+I", "+U")).drop("op")
       val touched = batch.where(col("op") =!= "-U")
         .select(keys.map(col): _*).distinct()

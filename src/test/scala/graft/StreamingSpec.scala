@@ -197,6 +197,89 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeWithState keeps emitting for a continuously active key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Long)]
+      val df = mem.toDF().toDF("user_id", "event_id", "secs")
+        .select(col("user_id"), col("event_id"),
+          col("secs").cast("timestamp").as("ts"))
+        .withWatermark("ts", "0 seconds")
+      val q = Streams.sessionizeWithState(df, gapMs = 5000L)
+        .writeStream.format("memory").queryName("t_tws_active")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      // ONE key, never idle: a new session starts every batch while the
+      // previous one is already sealed by the advancing watermark — the
+      // regression was a timer anchored at the global max that never
+      // fired for such a key
+      for (i <- 0 until 5) {
+        mem.addData((1L, i.toLong, i * 20L))
+        q.processAllAvailable()
+      }
+      val emitted = spark.table("t_tws_active").collect()
+        .map(r => (r.getLong(1), r.getLong(3)))
+      q.stop()
+      // the watermark (and so timer firing) lags one batch: after five
+      // batches at 0/20/40/60/80s at least the 0s/20s/40s sessions are
+      // sealed; the tail may still be open
+      assert(emitted.length >= 3)
+      assert(emitted.forall(_._2 == 1L))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("incremental streaming Top-N treats a re-arriving id as an update") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "event_id", "value")
+    val q = Streams.streamingTopN(df, "user_id", "event_id", "value", n = 1)
+      .writeStream.format("memory").queryName("t_topn_upd")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((1L, 7L, 5.0))
+    q.processAllAvailable()
+    // downward update of the ranked id must retract and re-rank, not be
+    // silently dropped; then a better id takes the slot
+    mem.addData((1L, 7L, 4.0))
+    q.processAllAvailable()
+    mem.addData((1L, 8L, 4.5))
+    q.processAllAvailable()
+    val log = spark.table("t_topn_upd").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSeq
+    q.stop()
+    assert(log === Seq(
+      ("+I", 7L, 5.0), ("-D", 7L, 5.0), ("+I", 7L, 4.0),
+      ("-D", 7L, 4.0), ("+I", 8L, 4.5)))
+  }
+
+  test("ChangelogIngest rejects conflicting same-key ops in one batch") {
+    import spark.implicits._
+    val ingest = new Streams.ChangelogIngest(Seq("k"))
+    val bad = Seq(("+I", 1L, 10.0), ("-D", 1L, 10.0))
+      .toDF("op", "k", "v")
+    val e = intercept[IllegalArgumentException](ingest(bad))
+    assert(e.getMessage.contains("multiple effective ops"))
+    // -U + +U for one key (what ChangelogSink emits) stays legal
+    val ok = Seq(("-U", 2L, 1.0), ("+U", 2L, 2.0)).toDF("op", "k", "v")
+    ingest(ok)
+    assert(ingest.materialized.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((2L, 2.0)))
+  }
+
   test("delta trigger fires only on moves >= delta and tracks the true sum") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
