@@ -292,6 +292,40 @@ object Streams {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join (reference
+    * StreamingJoinOperator.java:36 outer mode / OuterJoinRecordStateViews):
+    * signups with their in-horizon errors, or null once the watermark
+    * proves no error can arrive — Spark emits the null-padded row when
+    * the left row's state expires, the same late-null contract as the
+    * reference's outer state views. */
+  def intervalJoinLeftOuterStream(events: DataFrame): DataFrame = {
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id").as("u"), col("event_id").as("a_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", "10 minutes")
+    val errors = events.where(col("event_type") === "error")
+      .select(col("user_id").as("u2"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "10 minutes")
+    signups.join(errors, col("u") === col("u2")
+      && col("b_ts") >= col("a_ts")
+      && col("b_ts") <= col("a_ts") + expr("interval 60 minutes"),
+      "left_outer")
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Broadcast-state pattern (reference BroadcastState /
+    * BroadcastConnectedStream): a slow-changing control table re-read
+    * and re-BROADCAST at every micro-batch epoch, joined against the
+    * stream without any stream-side shuffle. `control` is re-evaluated
+    * per batch (Fries-style epoch config pickup — EpochReconfig applies
+    * the same idea to operator config), so a control update takes
+    * effect at the next batch boundary. Use from foreachBatch. */
+  def withBroadcastControl(control: () => DataFrame, joinKeys: Seq[String])(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      sink(batch.join(broadcast(control()), joinKeys, "left_outer"), batchId)
+
   /** Streaming as-of (temporal) join (reference
     * TemporalRowTimeJoinOperator.java:78, FOR SYSTEM_TIME AS OF): left
     * rows join the latest right-side version at-or-before their event

@@ -65,6 +65,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER interval join null-pads once the watermark seals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val q = Streams.intervalJoinLeftOuterStream(df)
+      .writeStream.format("memory").queryName("t_sj_louter")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // u1 signup gets a matching error; u2 signup never does — its
+    // null-padded row emits only after the watermark passes its horizon
+    mem.addData((1L, 600L, 1L, "signup"), (2L, 600L, 2L, "signup"),
+      (1L, 1200L, 10L, "error"))
+    q.processAllAvailable()
+    // push BOTH sides' watermarks far past u2's join horizon (60 min +
+    // 10 min) — the join watermark is the min of the two inputs, and
+    // only signup/error rows survive the pre-watermark filters
+    mem.addData((3L, 90000L, 98L, "signup"), (3L, 90000L, 99L, "error"))
+    q.processAllAvailable()
+    mem.addData((3L, 95000L, 100L, "signup"), (3L, 95000L, 101L, "error"))
+    q.processAllAvailable()
+    val got = spark.table("t_sj_louter").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    q.stop()
+    assert(got === Set((1L, 10L), (2L, -1L), (98L, 99L), (100L, 101L)))
+  }
+
+  test("broadcast control table re-reads at each epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("k", "v")
+    @volatile var factor = 2.0
+    val control = () =>
+      Seq((1L, factor), (2L, factor * 10)).toDF("k", "mult")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val q = df.writeStream
+      .foreachBatch(Streams.withBroadcastControl(control, Seq("k")) {
+        (joined, _) =>
+          joined.collect().foreach(r => buf.add((r.getLong(0),
+            r.getDouble(1) * r.getDouble(2))))
+      })
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((1L, 3.0)); q.processAllAvailable()
+    factor = 5.0 // control update visible at the NEXT epoch
+    mem.addData((2L, 3.0)); q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(buf.asScala.toSet === Set((1L, 6.0), (2L, 150.0)))
+  }
+
   test("update-mode group agg equals batch aggregation") {
     import org.apache.spark.sql.functions._
     val got = Streams.runToTable(spark,
