@@ -192,10 +192,18 @@ object Cep {
   def matchPatternStream(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, steps: Seq[Step],
       withinMicros: Option[Long] = None,
-      flushOnHorizon: Boolean = false): DataFrame = {
+      flushOnHorizon: Boolean = false,
+      skip: SkipStrategy = SkipPastLast): DataFrame = {
     require(!flushOnHorizon || withinMicros.isDefined,
       "flushOnHorizon needs a withinMicros horizon (and a watermarked input)")
     require(steps.length <= 63, "streaming NFA supports at most 63 steps")
+    skip match {
+      case SkipToFirst(name) => require(steps.exists(_.name == name),
+        s"skip-to-first: no step '$name'")
+      case SkipToLast(name) => require(steps.exists(_.name == name),
+        s"skip-to-last: no step '$name'")
+      case _ =>
+    }
     val spark = events.sparkSession
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
@@ -282,9 +290,19 @@ object Cep {
               si += 1
             }
             seq += 1
-            // after-match skip past last; an all-optional empty match
-            // still advances one event (mirrors the batch scan)
-            buffer = buffer.drop(math.max(1, att.end))
+            // after-match skip — same arithmetic as the batch scan; an
+            // all-optional empty match still advances one event
+            val advance = skip match {
+              case SkipPastLast => att.end
+              case SkipToNext => 1
+              case SkipToFirst(name) =>
+                val idx = steps.indexWhere(_.name == name)
+                att.hits.take(idx).map(_.length).sum
+              case SkipToLast(name) =>
+                val idx = steps.indexWhere(_.name == name)
+                att.hits.take(idx + 1).map(_.length).sum - 1
+            }
+            buffer = buffer.drop(math.max(1, advance))
           }
 
           // Resolve the buffer as far as certainty allows: emit closed

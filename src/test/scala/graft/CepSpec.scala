@@ -484,6 +484,41 @@ class CepSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming NFA honors after-match skip strategies (to-next overlaps)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    // self-overlapping error{2} with SKIP TO NEXT: a run of 4 errors
+    // yields 3 overlapping matches; the run crosses a batch boundary
+    val steps = Seq(Cep.Step("E", _.getString(3) == "error",
+      Cep.Times(2, 2)))
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps,
+        skip = Cep.SkipToNext)
+      .writeStream.format("memory").queryName("t_cep_skipnext")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((1L, 10L, 1L, "error"), (1L, 20L, 2L, "error"))
+    q.processAllAvailable()
+    mem.addData((1L, 30L, 3L, "error"), (1L, 40L, 4L, "error"),
+      (1L, 50L, 5L, "click"))
+    q.processAllAvailable()
+    val got = spark.table("t_cep_skipnext").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    val batch = Cep.matchPattern(
+      mkEvents((1L, 10L, 1L, "error"), (1L, 20L, 2L, "error"),
+        (1L, 30L, 3L, "error"), (1L, 40L, 4L, "error"),
+        (1L, 50L, 5L, "click")),
+      "user_id", "ts", "event_id", steps, skip = Cep.SkipToNext)
+      .collect().map(r => (r.getLong(2), r.getInt(3).toLong)).toSet
+    assert(got === batch)
+    assert(got.map(_._2).size === 3) // three overlapping matches
+  }
+
   test("within horizon bounds a match") {
     val events = mkEvents(
       (1L, 0L, 1L, "signup"), (1L, 3600L, 2L, "error"))

@@ -109,4 +109,40 @@ class PlanSpec extends AnyFunSuite {
       s"quantization must stay scan-local:\n$p")
     assert(!p.contains("label"), s"unused column read:\n$p")
   }
+
+  test("DSv2 aggregate pushdown: MIN/MAX/COUNT answered from parquet metadata") {
+    // SURVEY §2.1 source abilities (SupportsAggregatePushDown): with
+    // the flag on, a whole-table MIN/MAX/COUNT never scans data pages —
+    // at 100 TB the difference between a metadata read and a full scan
+    val spark = SparkFixture.spark
+    val priorAgg = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val priorV1 = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "") // force DSv2
+    try {
+      val p = spark.read.parquet(s"${SparkFixture.sf}/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.min("l_quantity"),
+          org.apache.spark.sql.functions.max("l_quantity"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [MIN(l_quantity), " +
+        "MAX(l_quantity), COUNT(*)]"),
+        s"aggregate not pushed to the scan:\n$p")
+    } finally {
+      restore(spark, "spark.sql.parquet.aggregatePushdown", priorAgg)
+      restore(spark, "spark.sql.sources.useV1SourceList", priorV1)
+    }
+  }
+
+  // note: parquet's DSv2 scan does NOT implement SupportsPushDownLimit
+  // in Spark 4.1 (JDBC-class sources do); a bare limit still bounds
+  // work via CollectLimit's incremental task launch, so there is no
+  // full-scan hazard to guard against.
+
+  private def restore(spark: org.apache.spark.sql.SparkSession,
+      key: String, prior: Option[String]): Unit = prior match {
+    case Some(v) => spark.conf.set(key, v)
+    case None => spark.conf.unset(key)
+  }
 }
