@@ -142,19 +142,60 @@ object MatchRecognize {
       within, defines, m.start, end)
   }
 
+  /** The statement's WITH prefix (all CTE definitions, balanced-paren
+    * scan) and the set of CTE names it defines — so a MATCH_RECOGNIZE
+    * whose input is a CTE can be resolved by re-running that prefix. */
+  private def withPrefix(text: String): Option[(String, Set[String])] = {
+    val head = """(?is)^\s*WITH\s+""".r.findFirstMatchIn(text)
+      .getOrElse(return None)
+    val nameRe = """(?is)^\s*([A-Za-z_]\w*)\s+AS\s*\(""".r
+    var i = head.end
+    val names = scala.collection.mutable.Set.empty[String]
+    var more = true
+    while (more) {
+      val m = nameRe.findFirstMatchIn(text.substring(i)).getOrElse(
+        throw new IllegalArgumentException(
+          s"MATCH_RECOGNIZE: cannot parse CTE list near '${
+            text.substring(i).take(40)}'"))
+      names += m.group(1)
+      var j = i + m.end - 1 // at the opening paren
+      var depth = 0
+      val open = j
+      while (j < text.length && (depth != 0 || j == open)) {
+        text.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        j += 1
+      }
+      require(depth == 0, "unbalanced parens in WITH clause")
+      i = j
+      val rest = text.substring(i)
+      if (rest.matches("(?s)\\s*,.*")) i += rest.indexOf(',') + 1
+      else more = false
+    }
+    Some((text.substring(0, i), names.toSet))
+  }
+
   /** Build the match relation for a parsed clause: DEFINE expressions
     * become boolean predicate columns evaluated by Catalyst (codegen'd
     * projection — the NFA reads plain booleans, no per-row SQL eval),
-    * then the NFA runs per key via [[Cep.matchPattern]]. */
-  private def buildMatch(spark: SparkSession, c: Clause): DataFrame = {
+    * then the NFA runs per key via [[Cep.matchPattern]]. A `fullText`
+    * WITH prefix defining the input relation is honored by re-running
+    * the CTE chain (nested CTE references included). */
+  private def buildMatch(spark: SparkSession, c: Clause,
+      fullText: String): DataFrame = {
+    val cte = withPrefix(fullText)
     val base =
-      try spark.table(c.table)
+      if (cte.exists(_._2.contains(c.table)))
+        spark.sql(s"${cte.get._1} SELECT * FROM ${c.table}")
+      else try spark.table(c.table)
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalArgumentException(
-            s"MATCH_RECOGNIZE: input '${c.table}' must be a catalog " +
-              "table or view — a CTE defined in the same statement is " +
-              "not supported (materialize it as a temp view first)", e)
+            s"MATCH_RECOGNIZE: input '${c.table}' is neither a catalog " +
+              "table/view nor a CTE of this statement", e)
       }
     val withPreds = c.defines.foldLeft(base) { case (acc, (name, e)) =>
       acc.withColumn(s"__p_$name", expr(e).cast("boolean"))
@@ -185,7 +226,7 @@ object MatchRecognize {
     val ph = s"__graft_mr_${counter.incrementAndGet()}"
     val rewritten =
       text.substring(0, c.start) + ph + " " + text.substring(c.end)
-    val matched = buildMatch(spark, c)
+    val matched = buildMatch(spark, c, text)
     val outer = delegate(rewritten)
     Some(outer.transform {
       case u: UnresolvedRelation if u.multipartIdentifier == Seq(ph) =>
@@ -204,7 +245,7 @@ object MatchRecognize {
     val ph = s"__graft_mr_${counter.incrementAndGet()}"
     val rewritten = (text.substring(0, c.start) +
       s"$ph${c.alias.fold(" ")(a => s" AS $a ")}" + text.substring(c.end))
-    buildMatch(spark, c).createOrReplaceTempView(ph)
+    buildMatch(spark, c, text).createOrReplaceTempView(ph)
     try spark.sql(rewritten) // analysis is eager: the view resolves here
     finally spark.catalog.dropTempView(ph)
   }

@@ -715,6 +715,40 @@ class CepSpec extends AnyFunSuite {
     assert(got === Seq((1L, 2L)))
   }
 
+  test("MATCH_RECOGNIZE over a CTE of the same statement") {
+    val events = graft.engine.Tables.load(spark, SparkFixture.sf, "events")
+    events.createOrReplaceTempView("events")
+    // the pattern input is a CTE (filtered + renamed), not a catalog
+    // table; nested reference: ev builds on raw
+    val viaSql = spark.sql(
+      """WITH raw AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events),
+        |ev AS (
+        |  SELECT * FROM raw WHERE event_type IN ('signup', 'error'))
+        |SELECT key, step, event_id, match_seq
+        |FROM ev MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  PATTERN (A B+)
+        |  DEFINE A AS event_type = 'signup',
+        |         B AS event_type = 'error'
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    // twin over the equivalent pre-filtered DataFrame
+    val filtered = events.where(col("event_type").isin("signup", "error"))
+    val viaApi = Cep.matchPattern(
+      filtered.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")),
+      "user_id", "ts", "event_id",
+      Seq(Cep.Step("A", _.getString(3) == "signup"),
+        Cep.Step("B", _.getString(3) == "error", Cep.Plus)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(viaSql.nonEmpty)
+    assert(viaSql === viaApi)
+  }
+
   test("MATCH_RECOGNIZE direct path (no extension) equals parser path") {
     val events = graft.engine.Tables.load(spark, SparkFixture.sf, "events")
     events.createOrReplaceTempView("events")
