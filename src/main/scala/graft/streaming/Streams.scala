@@ -463,17 +463,21 @@ object Streams {
   /** INCREMENTAL streaming Top-N (reference StreamExecRank.java:69 with
     * RankProcessStrategy's no-rank-number output): per key, keep the
     * current top-n (score desc, id asc tiebreak) across micro-batches
-    * and emit a changelog — `+I` when a row enters the top-n, `-D` for
-    * the row it evicts. Skipping output rank numbers is the reference's
-    * own optimization: it avoids the cascade of rank-shift updates, and
-    * a consumer materializes the standings as inserts minus deletes.
-    * State per key is exactly n (score, id) pairs — O(keys · n), the
-    * same bound the reference's rank state holds. Input: (keyCol
-    * long, idCol long, scoreCol double) updates; output (op, key, id,
-    * score). */
+    * and emit a changelog — `+I` when a row enters the top-n, `-D` when
+    * one leaves. Skipping output rank numbers is the reference's own
+    * optimization: it avoids the cascade of rank-shift updates, and a
+    * consumer materializes the standings as inserts minus deletes.
+    *
+    * A re-arriving id is an UPDATE (latest value wins — the reference's
+    * UpdatableTopNFunction); `runnerUp` extra retained rows let a
+    * downward update resurrect the next-best candidate (the reference
+    * keeps the same bounded buffer — beyond it, a dropped id cannot
+    * restore the unknown runner-up). State per key is ≤ n + runnerUp
+    * (score, id) pairs — O(keys · (n + runnerUp)). Input: (keyCol long,
+    * idCol long, scoreCol double) updates; output (op, key, id, score). */
   def streamingTopN(updates: DataFrame, keyCol: String, idCol: String,
-      scoreCol: String, n: Int): DataFrame = {
-    require(n >= 1, s"bad n=$n")
+      scoreCol: String, n: Int, runnerUp: Int = 0): DataFrame = {
+    require(n >= 1 && runnerUp >= 0, s"bad n=$n runnerUp=$runnerUp")
     val spark = updates.sparkSession
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spark.implicits._
@@ -490,32 +494,24 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[Row],
             state: org.apache.spark.sql.streaming.GroupState[Seq[(Double, Long)]]) =>
-          var top = state.getOption.getOrElse(Seq.empty[(Double, Long)])
+          var retained = state.getOption.getOrElse(Seq.empty[(Double, Long)])
           val emitted = scala.collection.mutable.ListBuffer
             .empty[(String, Long, Long, Double)]
           it.foreach { r =>
             val entry = (r.getDouble(sIdx), r.getLong(iIdx))
-            // a re-arriving id is an UPDATE (reference
-            // UpdatableTopNFunction): retract the ranked entry first so
-            // state never holds one id twice and a downward move is not
-            // silently dropped. Like the reference, an id that falls out
-            // this way cannot resurrect the (unknown) runner-up — rows
-            // beyond n are not retained.
-            top.find(_._2 == entry._2).foreach { old =>
-              top = top.filterNot(_._2 == entry._2)
-              emitted += (("-D", key, old._2, old._1))
-            }
-            if (top.length < n) {
-              top = (top :+ entry).sorted
-              emitted += (("+I", key, entry._2, entry._1))
-            } else if (ord.lt(entry, top.last)) {
-              val evicted = top.last
-              top = (top.init :+ entry).sorted
-              emitted += (("-D", key, evicted._2, evicted._1))
-              emitted += (("+I", key, entry._2, entry._1))
-            } // else: below the bar, no state change, no output
+            val before = retained.take(n)
+            // latest value per id wins; the retained set is the top
+            // n + runnerUp by ordering
+            retained = ((retained.filterNot(_._2 == entry._2) :+ entry)
+              .sorted.take(n + runnerUp))
+            val after = retained.take(n)
+            // changelog = standings diff: departures first, then entries
+            before.filterNot(after.contains).foreach(d =>
+              emitted += (("-D", key, d._2, d._1)))
+            after.filterNot(before.contains).foreach(e =>
+              emitted += (("+I", key, e._2, e._1)))
           }
-          state.update(top)
+          state.update(retained)
           emitted.iterator
       }
     out.toDF("op", "key", "id", "score")

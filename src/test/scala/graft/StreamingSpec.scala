@@ -322,6 +322,30 @@ class StreamingSpec extends AnyFunSuite {
       ("-D", 7L, 4.0), ("+I", 8L, 4.5)))
   }
 
+  test("streaming Top-N runner-up buffer resurrects the next-best on a downward update") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "event_id", "value")
+    val q = Streams.streamingTopN(df, "user_id", "event_id", "value",
+        n = 1, runnerUp = 1)
+      .writeStream.format("memory").queryName("t_topn_resurrect")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // 7 leads, 8 is the retained runner-up; 7's downward update drops
+    // it below 8 → 8 must resurrect into the standings
+    mem.addData((1L, 7L, 5.0), (1L, 8L, 4.0))
+    q.processAllAvailable()
+    mem.addData((1L, 7L, 1.0))
+    q.processAllAvailable()
+    val log = spark.table("t_topn_resurrect").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSeq
+    q.stop()
+    assert(log === Seq(
+      ("+I", 7L, 5.0),
+      ("-D", 7L, 5.0), ("+I", 8L, 4.0)))
+  }
+
   test("ChangelogIngest rejects conflicting same-key ops in one batch") {
     import spark.implicits._
     val ingest = new Streams.ChangelogIngest(Seq("k"))
