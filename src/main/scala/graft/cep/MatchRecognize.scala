@@ -14,12 +14,14 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * `SparkSessionExtensions.injectParser` rewrite).
   *
   * Supported clause subset (the reference's core MATCH_RECOGNIZE
-  * surface minus MEASURES):
+  * surface):
   *
   * {{{
   * SELECT ... FROM <table> MATCH_RECOGNIZE (
   *   PARTITION BY <keyCol>            -- long
   *   ORDER BY <tsCol>, <idCol>        -- timestamp, long id/tie-breaker
+  *   [MEASURES FIRST(v.col)|LAST(v.col)|COUNT(v.*) AS name, ...]
+  *   [ONE ROW PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
   *     | SKIP TO FIRST <step> | SKIP TO LAST <step>]
   *   PATTERN ( <vars with quantifiers: A B+ C? D{1,3} E+?> )
@@ -28,9 +30,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * ) [AS <alias>] ...
   * }}}
   *
-  * Output schema of the match relation: `(key, step, event_id,
-  * match_seq)` — one row per consumed event, the same contract as
-  * [[Cep.matchPattern]]. A pattern variable with no DEFINE entry
+  * Output schema of the match relation: without MEASURES, `(key, step,
+  * event_id, match_seq)` — one row per consumed event, the same
+  * contract as [[Cep.matchPattern]]; with MEASURES (one row per
+  * match), `(key, match_seq, <measure aliases...>)`. A pattern variable with no DEFINE entry
   * matches any row (SQL standard). The surrounding query (projection,
   * WHERE, ORDER BY, joins) is handled by the default parser: the
   * rewrite substitutes the match relation for the
@@ -42,11 +45,17 @@ object MatchRecognize {
 
   private val counter = new AtomicInteger()
 
+  /** One MEASURES item: fn ∈ FIRST/LAST/COUNT, variable, column
+    * (None = COUNT(v.*)), output alias. */
+  private final case class Measure(fn: String, variable: String,
+      column: Option[String], alias: String)
+
   private final case class Clause(
       table: String, alias: Option[String],
       key: String, ts: String, id: String,
       skip: Cep.SkipStrategy, patternSpec: String,
       withinMicros: Option[Long], defines: Seq[(String, String)],
+      measures: Seq[Measure],
       start: Int, end: Int)
 
   /** The `<table> MATCH_RECOGNIZE (` head; the clause body is found by
@@ -78,9 +87,24 @@ object MatchRecognize {
     val end = alias.fold(i)(a =>
       i + aliasRe.findFirstMatchIn(text.substring(i)).get.end)
 
-    require(!"""(?is)\bMEASURES\b""".r.findFirstIn(body).isDefined,
-      "MATCH_RECOGNIZE: MEASURES is not supported; project from the " +
-        "fixed output (key, step, event_id, match_seq)")
+    // MEASURES (ONE ROW PER MATCH): FIRST/LAST(var.col), COUNT(var.*)
+    val measures = """(?is)MEASURES\s+(.*?)(?=(?:ONE\s+ROW|AFTER\s+MATCH|PATTERN\s*\(|WITHIN\s|DEFINE\s))""".r
+      .findFirstMatchIn(body).map(_.group(1)).map { txt =>
+        val itemRe =
+          """(?is)^\s*(FIRST|LAST|COUNT)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*(\*|[A-Za-z_]\w*)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
+        txt.split(",").toSeq.map {
+          case itemRe(fn, v, c, as) =>
+            val fnU = fn.toUpperCase
+            require(fnU != "COUNT" || c == "*",
+              s"MATCH_RECOGNIZE: COUNT measure must be COUNT($v.*)")
+            require(fnU == "COUNT" || c != "*",
+              s"MATCH_RECOGNIZE: $fnU measure needs a column, not *")
+            Measure(fnU, v, if (c == "*") None else Some(c), as)
+          case item => throw new IllegalArgumentException(
+            "MATCH_RECOGNIZE: unsupported MEASURES item '" + item.trim +
+              "' — supported: FIRST(v.col)|LAST(v.col)|COUNT(v.*) AS name")
+        }
+      }.getOrElse(Seq.empty)
     def one(re: String, what: String): List[String] =
       re.r.findFirstMatchIn(body) match {
         case Some(g) => (1 to g.groupCount).toList
@@ -139,7 +163,7 @@ object MatchRecognize {
     require(!containsMatchRecognize(text.substring(end)),
       "MATCH_RECOGNIZE: only one clause per statement is supported")
     Clause(m.group(1), alias, key, ts, id, skip, patternSpec.trim,
-      within, defines, m.start, end)
+      within, defines, measures, m.start, end)
   }
 
   /** The statement's WITH prefix (all CTE definitions, balanced-paren
@@ -209,8 +233,44 @@ object MatchRecognize {
             else (r: Row) => !r.isNullAt(i) && r.getBoolean(i))
     }.toMap
     val steps = Cep.pattern(c.patternSpec, preds)
-    Cep.matchPattern(withPreds, c.key, c.ts, c.id, steps,
+    val matched = Cep.matchPattern(withPreds, c.key, c.ts, c.id, steps,
       c.withinMicros, c.skip)
+    if (c.measures.isEmpty) matched
+    else {
+      // ONE ROW PER MATCH: join the matched event ids back to the input
+      // rows (prefixed to dodge name collisions) and fold each measure
+      // into a per-(key, match_seq) aggregate — FIRST/LAST are
+      // min_by/max_by over the (ts, id) event order, COUNT(v.*) a
+      // conditional count. One extra equi-join + one aggregation, both
+      // on the (small) matched-event relation.
+      val inCols = withPreds.columns
+      c.measures.foreach { ms =>
+        require(stepNames.contains(ms.variable),
+          s"MATCH_RECOGNIZE: MEASURES variable '${ms.variable}' is not " +
+            s"a pattern variable of (${stepNames.mkString(" ")})")
+        ms.column.foreach(cn => require(inCols.contains(cn),
+          s"MATCH_RECOGNIZE: MEASURES column '$cn' not in input " +
+            s"(${inCols.mkString(",")})"))
+      }
+      val prefixed = withPreds.toDF(inCols.map("__in_" + _): _*)
+      val joined = matched.join(prefixed,
+        col("event_id") === col(s"__in_${c.id}"))
+      val ordKey = struct(col(s"__in_${c.ts}"), col(s"__in_${c.id}"))
+      val aggs = c.measures.map { ms =>
+        val isVar = col("step") === ms.variable
+        ms.fn match {
+          case "FIRST" => min_by(
+            when(isVar, col(s"__in_${ms.column.get}")),
+            when(isVar, ordKey)).as(ms.alias)
+          case "LAST" => max_by(
+            when(isVar, col(s"__in_${ms.column.get}")),
+            when(isVar, ordKey)).as(ms.alias)
+          case "COUNT" => count(when(isVar, lit(1))).as(ms.alias)
+        }
+      }
+      joined.groupBy(col("key"), col("match_seq"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
   }
 
   /** Parser-path rewrite: returns the outer plan with the match relation

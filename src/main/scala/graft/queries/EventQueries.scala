@@ -419,6 +419,47 @@ object EventQueries {
       },
       Some(cepNfaOracle)),
 
+    // MEASURES / ONE ROW PER MATCH over the same pattern: the SQL
+    // standard's per-match aggregation surface (reference
+    // MatchCodeGenerator measures codegen). Oracle: the same islands
+    // CTE chain, aggregated per (key, match_seq) with arg_max over the
+    // timeline rank for LAST.
+    Query(
+      "q_cep_sql_measures",
+      (s, d) => {
+        Catalog.registerViews(s, d, "events")
+        graft.cep.MatchRecognize.sql(s,
+          """SELECT key, match_seq, a_id, last_err, n_errors
+            |FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts, event_id
+            |  MEASURES FIRST(A.event_id) AS a_id,
+            |           LAST(B.event_id) AS last_err,
+            |           COUNT(B.*) AS n_errors
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP PAST LAST ROW
+            |  PATTERN (A B+)
+            |  DEFINE A AS event_type = 'signup',
+            |         B AS event_type = 'error'
+            |)
+            |ORDER BY key, match_seq""".stripMargin)
+      },
+      Some {
+        // reuse the islands CTE prefix of cepNfaOracle, swap the final
+        // per-event select for the per-match aggregation
+        val prefix = cepNfaOracle.substring(0,
+          cepNfaOracle.indexOf("SELECT key, step"))
+        prefix +
+          """SELECT s.user_id AS key, s.match_seq, s.a_id,
+            |  ARG_MAX(e.event_id, e.rn) AS last_err,
+            |  CAST(COUNT(1) AS BIGINT) AS n_errors
+            |FROM starts s JOIN anchored e
+            |  ON e.user_id = s.user_id AND e.anchor_rn = s.start_rn
+            |    AND e.event_type = 'error'
+            |GROUP BY 1, 2, 3
+            |ORDER BY key, match_seq""".stripMargin
+      }),
+
     // Optional quantifier (reference Pattern.optional, Quantifier.java):
     // `signup error? purchase` strict-contiguity. The signup anchor can't
     // recur inside a match span, so leftmost skip-past-last matches are

@@ -768,12 +768,43 @@ class CepSpec extends AnyFunSuite {
       canon(spark.sql(text)))
   }
 
-  test("MATCH_RECOGNIZE rejects MEASURES with a clear error") {
+  test("MATCH_RECOGNIZE MEASURES: one row per match with FIRST/LAST/COUNT") {
+    val events = graft.engine.Tables.load(spark, SparkFixture.sf, "events")
+    events.createOrReplaceTempView("events")
+    val viaSql = spark.sql(
+      """SELECT key, match_seq, a_id, last_err, n_errors
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(A.event_id) AS a_id,
+        |           LAST(B.event_id) AS last_err,
+        |           COUNT(B.*) AS n_errors
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B+)
+        |  DEFINE A AS event_type = 'signup',
+        |         B AS event_type = 'error'
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // twin: aggregate the all-rows NFA output by hand
+    val rows = Cep.signupThenErrors(events).collect()
+      .groupBy(r => (r.getLong(0), r.getInt(3)))
+    val want = rows.map { case ((key, seq), rs) =>
+      // matchPattern emits each step's hits in timeline order
+      val as = rs.filter(_.getString(1) == "A").map(_.getLong(2))
+      val bs = rs.filter(_.getString(1) == "B").map(_.getLong(2))
+      (key, seq, as.head, bs.last, bs.length.toLong)
+    }.toSet
+    assert(viaSql.nonEmpty)
+    assert(viaSql === want)
+  }
+
+  test("MATCH_RECOGNIZE rejects an unsupported MEASURES item clearly") {
     val e = intercept[IllegalArgumentException] {
       graft.cep.MatchRecognize.sql(spark,
         """SELECT 1 FROM events MATCH_RECOGNIZE (
           |  PARTITION BY user_id ORDER BY ts, event_id
-          |  MEASURES A.ts AS a_ts
+          |  MEASURES AVG(A.value) AS a_avg
           |  PATTERN (A) DEFINE A AS true)""".stripMargin)
     }
     assert(e.getMessage.contains("MEASURES"))
