@@ -233,8 +233,18 @@ object MatchRecognize {
             else (r: Row) => !r.isNullAt(i) && r.getBoolean(i))
     }.toMap
     val steps = Cep.pattern(c.patternSpec, preds)
-    val matched = Cep.matchPattern(withPreds, c.key, c.ts, c.id, steps,
-      c.withinMicros, c.skip)
+    // a STREAMING input routes to the incremental NFA (reference
+    // StreamExecMatch): same pattern surface, per-key replay-buffer
+    // state across micro-batches; measures need the bounded relation
+    val matched =
+      if (withPreds.isStreaming) {
+        require(c.measures.isEmpty,
+          "MATCH_RECOGNIZE: MEASURES on a streaming input is not " +
+            "supported — aggregate the all-rows output downstream")
+        Cep.matchPatternStream(withPreds, c.key, c.ts, c.id, steps,
+          c.withinMicros, flushOnHorizon = false, c.skip)
+      } else Cep.matchPattern(withPreds, c.key, c.ts, c.id, steps,
+        c.withinMicros, c.skip)
     if (c.measures.isEmpty) matched
     else {
       // ONE ROW PER MATCH: join the matched event ids back to the input

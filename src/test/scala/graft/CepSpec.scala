@@ -799,6 +799,38 @@ class CepSpec extends AnyFunSuite {
     assert(viaSql === want)
   }
 
+  test("MATCH_RECOGNIZE over a streaming input runs the incremental NFA") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+      .createOrReplaceTempView("stream_events")
+    val out = graft.cep.MatchRecognize.sql(spark,
+      """SELECT key, step, event_id, match_seq
+        |FROM stream_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  PATTERN (A B+)
+        |  DEFINE A AS event_type = 'signup',
+        |         B AS event_type = 'error'
+        |)""".stripMargin)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("t_mr_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"))
+    q.processAllAvailable()
+    mem.addData((1L, 30L, 3L, "error"), (1L, 40L, 4L, "click"))
+    q.processAllAvailable()
+    val got = spark.table("t_mr_stream").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got === Set(("A", 1L), ("B", 2L), ("B", 3L)))
+  }
+
   test("MATCH_RECOGNIZE rejects an unsupported MEASURES item clearly") {
     val e = intercept[IllegalArgumentException] {
       graft.cep.MatchRecognize.sql(spark,
