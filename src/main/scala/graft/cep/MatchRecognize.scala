@@ -167,12 +167,18 @@ object MatchRecognize {
   }
 
   /** The statement's WITH prefix (all CTE definitions, balanced-paren
-    * scan) and the set of CTE names it defines — so a MATCH_RECOGNIZE
-    * whose input is a CTE can be resolved by re-running that prefix. */
+    * scan) and the LOWERCASED set of CTE names it defines — so a
+    * MATCH_RECOGNIZE whose input is a CTE can be resolved by re-running
+    * that prefix. Best-effort: callers treat a parse failure as "no
+    * usable prefix" and fall back to catalog resolution, so exotic WITH
+    * shapes this scanner can't read (string literals with unbalanced
+    * parens, etc.) degrade to the pre-CTE behavior instead of erroring. */
   private def withPrefix(text: String): Option[(String, Set[String])] = {
     val head = """(?is)^\s*WITH\s+""".r.findFirstMatchIn(text)
       .getOrElse(return None)
-    val nameRe = """(?is)^\s*([A-Za-z_]\w*)\s+AS\s*\(""".r
+    // optional column-alias list: name(a, b) AS ( ... )
+    val nameRe =
+      """(?is)^\s*([A-Za-z_]\w*)\s*(?:\([^)]*\))?\s+AS\s*\(""".r
     var i = head.end
     val names = scala.collection.mutable.Set.empty[String]
     var more = true
@@ -181,7 +187,7 @@ object MatchRecognize {
         throw new IllegalArgumentException(
           s"MATCH_RECOGNIZE: cannot parse CTE list near '${
             text.substring(i).take(40)}'"))
-      names += m.group(1)
+      names += m.group(1).toLowerCase
       var j = i + m.end - 1 // at the opening paren
       var depth = 0
       val open = j
@@ -210,9 +216,9 @@ object MatchRecognize {
     * the CTE chain (nested CTE references included). */
   private def buildMatch(spark: SparkSession, c: Clause,
       fullText: String): DataFrame = {
-    val cte = withPrefix(fullText)
+    val cte = scala.util.Try(withPrefix(fullText)).toOption.flatten
     val base =
-      if (cte.exists(_._2.contains(c.table)))
+      if (cte.exists(_._2.contains(c.table.toLowerCase)))
         spark.sql(s"${cte.get._1} SELECT * FROM ${c.table}")
       else try spark.table(c.table)
       catch {
@@ -263,8 +269,11 @@ object MatchRecognize {
             s"(${inCols.mkString(",")})"))
       }
       val prefixed = withPreds.toDF(inCols.map("__in_" + _): _*)
+      // join on (key, id): the id column is only a tie-breaker WITHIN a
+      // partition — ids may repeat across keys
       val joined = matched.join(prefixed,
-        col("event_id") === col(s"__in_${c.id}"))
+        col("key") === col(s"__in_${c.key}") &&
+          col("event_id") === col(s"__in_${c.id}"))
       val ordKey = struct(col(s"__in_${c.ts}"), col(s"__in_${c.id}"))
       val aggs = c.measures.map { ms =>
         val isVar = col("step") === ms.variable

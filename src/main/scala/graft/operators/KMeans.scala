@@ -35,7 +35,10 @@ object KMeans {
     * maximizes its distance to the seeds so far, so well-separated
     * clusters get one seed each and Lloyd can't collapse into the
     * split-cluster local optimum a blind init invites. Each seed pick is
-    * a TakeOrdered(1): k cheap scans, driver holds only k vectors. */
+    * a TakeOrdered(1): k cheap scans, driver holds only k vectors.
+    * With fewer distinct vectors than k the farthest-first loop repeats
+    * a seed — harmless: duplicate cells simply stay empty in assign
+    * (ties go to the lower cell id). */
   def fit(points: DataFrame, vecCol: String, k: Int, iters: Int,
       seed: Long = 42L): Array[Array[Double]] = {
     require(k >= 1 && iters >= 1, s"bad k-means params k=$k iters=$iters")
@@ -45,9 +48,7 @@ object KMeans {
         col("v").cast("string"), lit(seed.toString))))
     val firstRows = hashed.orderBy(col("__h")).limit(1).collect()
     require(firstRows.nonEmpty,
-      s"KMeans.fit: input has no rows (column $vecCol) — nothing to seed " +
-        "from. Fewer distinct vectors than k yields duplicate centroids " +
-        "(harmless: duplicate cells simply stay empty in assign).")
+      s"KMeans.fit: input has no rows (column $vecCol) — nothing to seed from")
     val first = firstRows(0).getSeq[Double](0).toArray
     val seeds = scala.collection.mutable.ArrayBuffer(first)
     while (seeds.length < k) {

@@ -40,21 +40,27 @@ object Streams {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(dir, "events.parquet")
-    // scratch dir keyed by source path + mtime + size: a regenerated
-    // fixture gets a fresh stage instead of a silently stale link
-    val srcStamp = s"$dir|${java.nio.file.Files.getLastModifiedTime(src)}" +
-      s"|${java.nio.file.Files.size(src)}"
+    // ONE scratch dir per source path; a stamp marker (mtime + size)
+    // detects fixture regeneration — stale contents are wiped and
+    // restaged rather than served from a dead hard link, and no
+    // per-version sibling dirs accumulate in tmp
     val streamDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_streams",
-      java.lang.Integer.toHexString(srcStamp.hashCode) +
-        java.lang.Long.toHexString(java.nio.file.Files.size(src)))
+      java.lang.Integer.toHexString(dir.hashCode))
     java.nio.file.Files.createDirectories(streamDir)
+    val stamp = s"${java.nio.file.Files.getLastModifiedTime(src)}|" +
+      s"${java.nio.file.Files.size(src)}"
+    val marker = streamDir.resolve("_stamp")
     val dst = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dst)) {
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker)) == stamp
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(dst)
       try java.nio.file.Files.createLink(dst, src)
       catch {
         case _: Exception => java.nio.file.Files.copy(src, dst)
       }
+      java.nio.file.Files.write(marker, stamp.getBytes)
     }
     spark.readStream
       .schema(eventsRawSchema)
@@ -277,20 +283,8 @@ object Streams {
   /** Stream-stream interval join (reference TimeIntervalJoin.java:51):
     * errors within [0, 60 min] after a signup of the same user, both
     * sides watermarked so join state is bounded. */
-  def intervalJoinStream(events: DataFrame): DataFrame = {
-    val signups = events.where(col("event_type") === "signup")
-      .select(col("user_id").as("u"), col("event_id").as("a_id"),
-        col("ts").as("a_ts"))
-      .withWatermark("a_ts", "10 minutes")
-    val errors = events.where(col("event_type") === "error")
-      .select(col("user_id").as("u2"), col("event_id").as("b_id"),
-        col("ts").as("b_ts"))
-      .withWatermark("b_ts", "10 minutes")
-    signups.join(errors, col("u") === col("u2")
-      && col("b_ts") >= col("a_ts")
-      && col("b_ts") <= col("a_ts") + expr("interval 60 minutes"))
-      .select(col("a_id"), col("b_id"))
-  }
+  def intervalJoinStream(events: DataFrame): DataFrame =
+    intervalJoin(events, "inner")
 
   /** Stream-stream LEFT OUTER interval join (reference
     * StreamingJoinOperator.java:36 outer mode / OuterJoinRecordStateViews):
@@ -298,7 +292,11 @@ object Streams {
     * proves no error can arrive — Spark emits the null-padded row when
     * the left row's state expires, the same late-null contract as the
     * reference's outer state views. */
-  def intervalJoinLeftOuterStream(events: DataFrame): DataFrame = {
+  def intervalJoinLeftOuterStream(events: DataFrame): DataFrame =
+    intervalJoin(events, "left_outer")
+
+  private def intervalJoin(events: DataFrame,
+      joinType: String): DataFrame = {
     val signups = events.where(col("event_type") === "signup")
       .select(col("user_id").as("u"), col("event_id").as("a_id"),
         col("ts").as("a_ts"))
@@ -310,7 +308,7 @@ object Streams {
     signups.join(errors, col("u") === col("u2")
       && col("b_ts") >= col("a_ts")
       && col("b_ts") <= col("a_ts") + expr("interval 60 minutes"),
-      "left_outer")
+      joinType)
       .select(col("a_id"), col("b_id"))
   }
 
@@ -443,7 +441,8 @@ object Streams {
             frame = (frame :+ scaled).takeRight(k)
             (user, id, frame.sum / 100.0, frame.length.toLong)
           }
-          state.update(frame)
+          // the next event's frame needs only the last k−1 values
+          state.update(frame.takeRight(math.max(0, k - 1)))
           emitted.iterator
       }
     out.toDF("user_id", "event_id", "frame_sum", "n_in_frame")
@@ -628,22 +627,27 @@ object Streams {
   final class ChangelogIngest(keys: Seq[String]) extends Serializable {
     @volatile private var table: DataFrame = _
     def apply(batch: DataFrame): Unit = {
-      val conflicted = batch.where(col("op") =!= "-U")
-        .groupBy(keys.map(col): _*).count()
-        .where(col("count") > 1).limit(1).collect()
-      require(conflicted.isEmpty,
-        s"ChangelogIngest: multiple effective ops for key " +
-          s"${conflicted.headOption.map(_.toString).getOrElse("")} in one " +
-          "batch — order is undefined without a sequence column")
-      val upserts = batch.where(col("op").isin("+I", "+U")).drop("op")
-      val touched = batch.where(col("op") =!= "-U")
-        .select(keys.map(col): _*).distinct()
-      val next = (if (table == null) upserts
-        else table.join(touched, keys, "left_anti").union(upserts))
-        .persist()
-      next.count() // materialize before releasing the previous snapshot
-      if (table != null) table.unpersist()
-      table = next
+      // the batch feeds three consumers (conflict guard, upserts,
+      // touched) — persist once instead of recomputing the upstream
+      val b = batch.persist()
+      try {
+        val conflicted = b.where(col("op") =!= "-U")
+          .groupBy(keys.map(col): _*).count()
+          .where(col("count") > 1).limit(1).collect()
+        require(conflicted.isEmpty,
+          s"ChangelogIngest: multiple effective ops for key " +
+            s"${conflicted.headOption.map(_.toString).getOrElse("")} in " +
+            "one batch — order is undefined without a sequence column")
+        val upserts = b.where(col("op").isin("+I", "+U")).drop("op")
+        val touched = b.where(col("op") =!= "-U")
+          .select(keys.map(col): _*).distinct()
+        val next = (if (table == null) upserts
+          else table.join(touched, keys, "left_anti").union(upserts))
+          .persist()
+        next.count() // materialize before releasing the previous snapshot
+        if (table != null) table.unpersist()
+        table = next
+      } finally b.unpersist()
     }
     /** Current materialized table (null-safe: empty before any batch). */
     def materialized: DataFrame = {
