@@ -20,8 +20,9 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * SELECT ... FROM <table> MATCH_RECOGNIZE (
   *   PARTITION BY <keyCol>            -- long
   *   ORDER BY <tsCol>, <idCol>        -- timestamp, long id/tie-breaker
-  *   [MEASURES FIRST(v.col)|LAST(v.col)|COUNT(v.*) AS name, ...]
-  *   [ONE ROW PER MATCH]
+  *   [MEASURES FIRST(v.col)|LAST(v.col)|COUNT(v.*)
+  *     |MATCH_NUMBER()|CLASSIFIER() AS name, ...]
+  *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
   *     | SKIP TO FIRST <step> | SKIP TO LAST <step>]
   *   PATTERN ( <vars with quantifiers: A B+ C? D{1,3} E+?> )
@@ -33,7 +34,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * Output schema of the match relation: without MEASURES, `(key, step,
   * event_id, match_seq)` — one row per consumed event, the same
   * contract as [[Cep.matchPattern]]; with MEASURES (one row per
-  * match), `(key, match_seq, <measure aliases...>)`. A pattern variable with no DEFINE entry
+  * match), `(key, match_seq, <measure aliases...>)`; with ALL ROWS PER
+  * MATCH, every input row consumed by a match with its ORIGINAL columns
+  * plus the measure aliases — FIRST/LAST/COUNT take the SQL standard's
+  * RUNNING semantics (the aggregate over the match's rows up to and
+  * including the current row), `MATCH_NUMBER()` is the per-key match
+  * ordinal and `CLASSIFIER()` the matched variable of the row. A pattern variable with no DEFINE entry
   * matches any row (SQL standard). The surrounding query (projection,
   * WHERE, ORDER BY, joins) is handled by the default parser: the
   * rewrite substitutes the match relation for the
@@ -45,8 +51,9 @@ object MatchRecognize {
 
   private val counter = new AtomicInteger()
 
-  /** One MEASURES item: fn ∈ FIRST/LAST/COUNT, variable, column
-    * (None = COUNT(v.*)), output alias. */
+  /** One MEASURES item: fn ∈ FIRST/LAST/COUNT/MATCH_NUMBER/CLASSIFIER,
+    * variable ("" for the niladic fns), column (None = COUNT(v.*) and
+    * the niladic fns), output alias. */
   private final case class Measure(fn: String, variable: String,
       column: Option[String], alias: String)
 
@@ -55,7 +62,7 @@ object MatchRecognize {
       key: String, ts: String, id: String,
       skip: Cep.SkipStrategy, patternSpec: String,
       withinMicros: Option[Long], defines: Seq[(String, String)],
-      measures: Seq[Measure],
+      measures: Seq[Measure], allRows: Boolean,
       start: Int, end: Int)
 
   /** The `<table> MATCH_RECOGNIZE (` head; the clause body is found by
@@ -87,11 +94,14 @@ object MatchRecognize {
     val end = alias.fold(i)(a =>
       i + aliasRe.findFirstMatchIn(text.substring(i)).get.end)
 
-    // MEASURES (ONE ROW PER MATCH): FIRST/LAST(var.col), COUNT(var.*)
-    val measures = """(?is)MEASURES\s+(.*?)(?=(?:ONE\s+ROW|AFTER\s+MATCH|PATTERN\s*\(|WITHIN\s|DEFINE\s))""".r
+    // MEASURES: FIRST/LAST(var.col), COUNT(var.*), MATCH_NUMBER(),
+    // CLASSIFIER()
+    val measures = """(?is)MEASURES\s+(.*?)(?=(?:ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN\s*\(|WITHIN\s|DEFINE\s))""".r
       .findFirstMatchIn(body).map(_.group(1)).map { txt =>
         val itemRe =
           """(?is)^\s*(FIRST|LAST|COUNT)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*(\*|[A-Za-z_]\w*)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
+        val niladicRe =
+          """(?is)^\s*(MATCH_NUMBER|CLASSIFIER)\s*\(\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
         txt.split(",").toSeq.map {
           case itemRe(fn, v, c, as) =>
             val fnU = fn.toUpperCase
@@ -100,11 +110,15 @@ object MatchRecognize {
             require(fnU == "COUNT" || c != "*",
               s"MATCH_RECOGNIZE: $fnU measure needs a column, not *")
             Measure(fnU, v, if (c == "*") None else Some(c), as)
+          case niladicRe(fn, as) => Measure(fn.toUpperCase, "", None, as)
           case item => throw new IllegalArgumentException(
             "MATCH_RECOGNIZE: unsupported MEASURES item '" + item.trim +
-              "' — supported: FIRST(v.col)|LAST(v.col)|COUNT(v.*) AS name")
+              "' — supported: FIRST(v.col)|LAST(v.col)|COUNT(v.*)" +
+              "|MATCH_NUMBER()|CLASSIFIER() AS name")
         }
       }.getOrElse(Seq.empty)
+    val allRows = """(?is)ALL\s+ROWS\s+PER\s+MATCH""".r
+      .findFirstIn(body).isDefined
     def one(re: String, what: String): List[String] =
       re.r.findFirstMatchIn(body) match {
         case Some(g) => (1 to g.groupCount).toList
@@ -163,7 +177,7 @@ object MatchRecognize {
     require(!containsMatchRecognize(text.substring(end)),
       "MATCH_RECOGNIZE: only one clause per statement is supported")
     Clause(m.group(1), alias, key, ts, id, skip, patternSpec.trim,
-      within, defines, measures, m.start, end)
+      within, defines, measures, allRows, m.start, end)
   }
 
   /** The statement's WITH prefix (all CTE definitions, balanced-paren
@@ -244,23 +258,22 @@ object MatchRecognize {
     // state across micro-batches; measures need the bounded relation
     val matched =
       if (withPreds.isStreaming) {
-        require(c.measures.isEmpty,
-          "MATCH_RECOGNIZE: MEASURES on a streaming input is not " +
-            "supported — aggregate the all-rows output downstream")
+        require(c.measures.isEmpty && !c.allRows,
+          "MATCH_RECOGNIZE: MEASURES / ALL ROWS PER MATCH on a " +
+            "streaming input is not supported — join/aggregate the raw " +
+            "matched relation downstream")
         Cep.matchPatternStream(withPreds, c.key, c.ts, c.id, steps,
           c.withinMicros, flushOnHorizon = false, c.skip)
       } else Cep.matchPattern(withPreds, c.key, c.ts, c.id, steps,
         c.withinMicros, c.skip)
-    if (c.measures.isEmpty) matched
-    else {
-      // ONE ROW PER MATCH: join the matched event ids back to the input
-      // rows (prefixed to dodge name collisions) and fold each measure
-      // into a per-(key, match_seq) aggregate — FIRST/LAST are
-      // min_by/max_by over the (ts, id) event order, COUNT(v.*) a
-      // conditional count. One extra equi-join + one aggregation, both
-      // on the (small) matched-event relation.
-      val inCols = withPreds.columns
-      c.measures.foreach { ms =>
+    if (c.measures.isEmpty && !c.allRows) return matched
+
+    val inCols = withPreds.columns
+    c.measures.foreach { ms =>
+      if (ms.fn == "CLASSIFIER") require(c.allRows,
+        "MATCH_RECOGNIZE: CLASSIFIER() needs ALL ROWS PER MATCH — in " +
+          "one-row mode every row of the match collapses into one")
+      if (ms.variable.nonEmpty) {
         require(stepNames.contains(ms.variable),
           s"MATCH_RECOGNIZE: MEASURES variable '${ms.variable}' is not " +
             s"a pattern variable of (${stepNames.mkString(" ")})")
@@ -268,13 +281,48 @@ object MatchRecognize {
           s"MATCH_RECOGNIZE: MEASURES column '$cn' not in input " +
             s"(${inCols.mkString(",")})"))
       }
-      val prefixed = withPreds.toDF(inCols.map("__in_" + _): _*)
-      // join on (key, id): the id column is only a tie-breaker WITHIN a
-      // partition — ids may repeat across keys
-      val joined = matched.join(prefixed,
-        col("key") === col(s"__in_${c.key}") &&
-          col("event_id") === col(s"__in_${c.id}"))
-      val ordKey = struct(col(s"__in_${c.ts}"), col(s"__in_${c.id}"))
+    }
+    // join the matched event ids back to the input rows (prefixed to
+    // dodge name collisions); on (key, id) — the id column is only a
+    // tie-breaker WITHIN a partition, ids may repeat across keys
+    val prefixed = withPreds.toDF(inCols.map("__in_" + _): _*)
+    val joined = matched.join(prefixed,
+      col("key") === col(s"__in_${c.key}") &&
+        col("event_id") === col(s"__in_${c.id}"))
+    val ordKey = struct(col(s"__in_${c.ts}"), col(s"__in_${c.id}"))
+
+    if (c.allRows) {
+      // ALL ROWS PER MATCH: every consumed input row with its original
+      // columns plus the measures under RUNNING semantics — each
+      // aggregate sees the match's rows up to and including the current
+      // row (the SQL standard default in all-rows mode). One window
+      // over (key, match_seq), same shuffle as the match itself.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"), col("match_seq"))
+        .orderBy(col(s"__in_${c.ts}"), col(s"__in_${c.id}"))
+        .rowsBetween(Long.MinValue, 0)
+      val measureCols = c.measures.map { ms =>
+        val isVar = col("step") === ms.variable
+        ms.fn match {
+          case "FIRST" => first(
+            when(isVar, col(s"__in_${ms.column.get}")), ignoreNulls = true)
+            .over(w).as(ms.alias)
+          case "LAST" => last(
+            when(isVar, col(s"__in_${ms.column.get}")), ignoreNulls = true)
+            .over(w).as(ms.alias)
+          case "COUNT" => count(when(isVar, lit(1))).over(w).as(ms.alias)
+          case "MATCH_NUMBER" => col("match_seq").as(ms.alias)
+          case "CLASSIFIER" => col("step").as(ms.alias)
+        }
+      }
+      val original = inCols.filterNot(_.startsWith("__p_"))
+        .map(n => col(s"__in_$n").as(n))
+      joined.select(original ++ measureCols: _*)
+    } else {
+      // ONE ROW PER MATCH: fold each measure into a per-(key, match_seq)
+      // aggregate — FIRST/LAST are min_by/max_by over the (ts, id) event
+      // order, COUNT(v.*) a conditional count. One aggregation on the
+      // (small) matched-event relation.
       val aggs = c.measures.map { ms =>
         val isVar = col("step") === ms.variable
         ms.fn match {
@@ -285,6 +333,7 @@ object MatchRecognize {
             when(isVar, col(s"__in_${ms.column.get}")),
             when(isVar, ordKey)).as(ms.alias)
           case "COUNT" => count(when(isVar, lit(1))).as(ms.alias)
+          case "MATCH_NUMBER" => first(col("match_seq")).as(ms.alias)
         }
       }
       joined.groupBy(col("key"), col("match_seq"))

@@ -460,6 +460,56 @@ object EventQueries {
             |ORDER BY key, match_seq""".stripMargin
       }),
 
+    // ALL ROWS PER MATCH over the same pattern: the standard's other
+    // output mode (reference StreamExecMatch allRows) — every consumed
+    // input row with original columns plus RUNNING measures
+    // (MATCH_NUMBER(), CLASSIFIER(), running FIRST/COUNT). Oracle: the
+    // islands CTEs emit the same per-event relation; the running COUNT
+    // is a windowed conditional count over the match's timeline.
+    Query(
+      "q_cep_sql_all_rows",
+      (s, d) => {
+        Catalog.registerViews(s, d, "events")
+        graft.cep.MatchRecognize.sql(s,
+          """SELECT user_id, event_id, event_type, mno, var, a_id, n_err
+            |FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts, event_id
+            |  MEASURES MATCH_NUMBER() AS mno,
+            |           CLASSIFIER() AS var,
+            |           FIRST(A.event_id) AS a_id,
+            |           COUNT(B.*) AS n_err
+            |  ALL ROWS PER MATCH
+            |  AFTER MATCH SKIP PAST LAST ROW
+            |  PATTERN (A B+)
+            |  DEFINE A AS event_type = 'signup',
+            |         B AS event_type = 'error'
+            |)
+            |ORDER BY user_id, mno, event_id""".stripMargin)
+      },
+      Some {
+        val prefix = cepNfaOracle.substring(0,
+          cepNfaOracle.indexOf("SELECT key, step"))
+        prefix +
+          """, m AS (
+            |  SELECT user_id, start_rn AS rn, a_id AS event_id,
+            |    'signup' AS event_type, 'A' AS var, match_seq, a_id
+            |  FROM starts
+            |  UNION ALL
+            |  SELECT e.user_id, e.rn, e.event_id, e.event_type, 'B',
+            |    s.match_seq, s.a_id
+            |  FROM anchored e JOIN starts s
+            |    ON s.user_id = e.user_id AND s.start_rn = e.anchor_rn
+            |  WHERE e.event_type = 'error')
+            |SELECT user_id, event_id, event_type,
+            |  CAST(match_seq AS INT) AS mno, var, a_id,
+            |  CAST(COUNT(CASE WHEN var = 'B' THEN 1 END) OVER (
+            |    PARTITION BY user_id, match_seq ORDER BY rn
+            |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_err
+            |FROM m
+            |ORDER BY user_id, mno, event_id""".stripMargin
+      }),
+
     // Optional quantifier (reference Pattern.optional, Quantifier.java):
     // `signup error? purchase` strict-contiguity. The signup anchor can't
     // recur inside a match span, so leftmost skip-past-last matches are

@@ -799,6 +799,55 @@ class CepSpec extends AnyFunSuite {
     assert(viaSql === want)
   }
 
+  test("MATCH_RECOGNIZE ALL ROWS PER MATCH: original columns + running measures") {
+    val events = graft.engine.Tables.load(spark, SparkFixture.sf, "events")
+    events.createOrReplaceTempView("events")
+    val got = spark.sql(
+      """SELECT event_id, mno, var, n_err
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS mno,
+        |           CLASSIFIER() AS var,
+        |           COUNT(B.*) AS n_err
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B+)
+        |  DEFINE A AS event_type = 'signup',
+        |         B AS event_type = 'error'
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+    // twin: the raw NFA output already is one row per consumed event;
+    // running COUNT(B.*) = this row's 1-based index among the match's B
+    // rows for B rows, 0 for the A row (which precedes every B)
+    val want = Cep.signupThenErrors(events).collect()
+      .groupBy(r => (r.getLong(0), r.getInt(3))).toSeq
+      .flatMap { case ((_, seq), rs) =>
+        // matchPattern emits the match's rows in timeline order
+        val bs = rs.filter(_.getString(1) == "B").map(_.getLong(2))
+        rs.map { r =>
+          val nErr = if (r.getString(1) == "A") 0L
+            else bs.indexOf(r.getLong(2)) + 1L
+          (r.getLong(2), seq, r.getString(1), nErr)
+        }
+      }.toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+    // CLASSIFIER is per-row — meaningless once the match collapses
+    val err = intercept[IllegalArgumentException] {
+      graft.cep.MatchRecognize.sql(spark,
+        """SELECT 1 FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts, event_id
+          |  MEASURES CLASSIFIER() AS var
+          |  ONE ROW PER MATCH
+          |  PATTERN (A)
+          |  DEFINE A AS event_type = 'signup'
+          |)""".stripMargin)
+    }
+    assert(err.getMessage.contains("ALL ROWS PER MATCH"))
+  }
+
   test("MATCH_RECOGNIZE over a streaming input runs the incremental NFA") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
