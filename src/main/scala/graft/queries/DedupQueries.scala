@@ -24,6 +24,11 @@ object DedupQueries {
   /** Per-bucket cap for LSH pair emission (see Ops.lshBucketPairs). */
   private val LshBucketCap = 64
 
+  /** Token-run length for substring-level (span) dedup. Production
+    * ExactSubstr uses ~50 tokens; the fixture docs are ≤100 tokens, so 5
+    * keeps the operator observable at test scale. */
+  private val SpanLen = 5
+
   /** Shingles appearing in more documents than this are dropped before
     * the Jaccard self-join: a shingle shared by k docs emits k² join
     * rows, and ubiquitous n-grams ("of the and") make k ≈ corpus size —
@@ -321,5 +326,89 @@ object DedupQueries {
            |  FROM tx GROUP BY doc_id)
            |SELECT doc_id, CAST($sim AS BIGINT) AS simhash
            |FROM bits ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // Substring-level (span) dedup — the ExactSubstr operator of
+    // training-data pipelines (Lee et al. 2021, "Deduplicating Training
+    // Data Makes Language Models Better"): find token runs of length
+    // ≥ SpanLen that occur verbatim in MORE THAN ONE document, and emit
+    // each document's duplicated regions as merged [span_start, span_end]
+    // token intervals (the spans a cleaning pass would cut).
+    //
+    // Scale design: positions + digests are produced scan-local (one
+    // md5 per window of SpanLen tokens — the md5 narrows the shuffle to
+    // a 16-byte key instead of the span text); cross-doc frequency is a
+    // partial-agg groupBy on the digest; the flag-back is a left-semi
+    // join on the same digest (two shuffles total, both on the digest);
+    // interval merging is a per-document window — state per task is one
+    // document's flagged positions. No step materializes pair lists, so
+    // a span duplicated across k docs costs O(k), not O(k²).
+    Query(
+      "q_dedup_substring",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val L = SpanLen
+        val toks = split(col("text"), " ")
+        val pos = t(s, d, "documents")
+          .where(size(toks) >= L)
+          .select(col("doc_id"), posexplode(transform(
+            sequence(lit(0), size(toks) - L),
+            i => md5(concat_ws(" ",
+              (0 until L).map(j => element_at(toks, i + j + 1)): _*)))))
+          .toDF("doc_id", "pos", "h")
+        val dup = pos.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") > 1)
+          .select(col("h"))
+        val flagged = pos.join(dup, Seq("h"), "left_semi")
+          .select(col("doc_id"), col("pos"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        // a flagged start p covers tokens [p, p+L-1]; runs whose covered
+        // intervals overlap or touch merge into one island
+        val prevEnd = max(col("pos") + (L - 1))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val isl = flagged
+          .withColumn("nw",
+            when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+          .withColumn("island", sum(col("nw")).over(w))
+        isl.groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).cast("long").as("span_start"),
+            (max(col("pos")) + (L - 1)).cast("long").as("span_end"),
+            count(lit(1)).as("n_shingles"))
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            col("n_shingles"))
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+              |    GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS idx
+              |  FROM documents),
+              |sh AS (
+              |  SELECT doc_id, idx - 1 AS pos,
+              |    MD5(w${(1 until SpanLen).map(j =>
+                     s" || ' ' || LEAD(w, $j) OVER win").mkString}) AS h
+              |  FROM tk WINDOW win AS (PARTITION BY doc_id ORDER BY idx)),
+              |ok AS (SELECT doc_id, pos, h FROM sh WHERE h IS NOT NULL),
+              |dup AS (
+              |  SELECT h FROM ok GROUP BY h
+              |  HAVING COUNT(DISTINCT doc_id) > 1),
+              |flagged AS (
+              |  SELECT o.doc_id, o.pos FROM ok o JOIN dup USING (h)),
+              |marked AS (
+              |  SELECT doc_id, pos,
+              |    CASE WHEN pos > COALESCE(MAX(pos + ${SpanLen - 1}) OVER (
+              |        PARTITION BY doc_id ORDER BY pos
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      -2) + 1 THEN 1 ELSE 0 END AS nw
+              |  FROM flagged),
+              |isl AS (
+              |  SELECT doc_id, pos,
+              |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              |  FROM marked)
+              |SELECT doc_id, MIN(pos) AS span_start,
+              |  MAX(pos) + ${SpanLen - 1} AS span_end,
+              |  COUNT(1) AS n_shingles
+              |FROM isl GROUP BY doc_id, island
+              |ORDER BY doc_id, span_start""".stripMargin),
+      bench = true))
 }

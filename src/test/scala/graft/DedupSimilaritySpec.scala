@@ -132,4 +132,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(joinRows(sh) === 30L * 29 / 2)
     assert(joinRows(filtered) === 0L)
   }
+
+  test("substring dedup merges overlapping duplicated runs into one span") {
+    val spans = Catalog.byName("q_dedup_substring").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty)
+    // every span covers at least SpanLen=5 tokens and is internally
+    // consistent: n_shingles flagged starts merged into [start, end]
+    assert(spans.forall { case (_, s, e, n) =>
+      e - s + 1 >= 5 && n >= 1 && e - s + 1 == n + 4
+    })
+    // islands are maximal: consecutive spans of one doc never touch
+    // (a touching pair would have merged)
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 + 1)
+        case _ =>
+      }
+    }
+  }
 }
