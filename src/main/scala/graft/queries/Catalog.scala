@@ -21,7 +21,8 @@ object Catalog {
   lazy val all: Seq[Query] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       TpcDsShapes.queries ++ TpcDsShapes2.queries ++
-      TpcDsShapes3.queries ++ TpcDsShapes4.queries ++ Aggregates.queries ++
+      TpcDsShapes3.queries ++ TpcDsShapes4.queries ++
+      TpcDsShapes5.queries ++ Aggregates.queries ++
       Windows.queries ++ SetOps.queries ++
       Functions.queries ++ EventQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++

@@ -38,13 +38,15 @@ object SimilarityQueries {
   private def planeSign(p: Int, i: Column): Column =
     when(((i * 2654435761L + lit(p) * 40503L) % 4) < 2, 1.0).otherwise(-1.0)
 
-  /** Sign-pattern LSH bucket key over `nPlanes` deterministic hyperplanes. */
-  private def lshKey(v: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
+  /** Sign-pattern LSH bucket key over `nPlanes` deterministic hyperplanes
+    * starting at absolute plane index `offset` (distinct offsets give the
+    * independent hash tables of multi-table LSH). */
+  private def lshKey(v: Column, nPlanes: Int, offset: Int = 0): Column = {
+    val bits = (offset until offset + nPlanes).map { p =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), lit(63)), (x, i) => x * planeSign(p, i)),
         lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+      when(proj >= 0, lit(1 << (p - offset))).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }
@@ -68,12 +70,12 @@ object SimilarityQueries {
   /** The LSH bucket key in DuckDB SQL: same integer plane signs, same
     * left-to-right sequential fold (list_reduce ≡ Spark's aggregate(), and
     * 0.0 + x0 == x0 bitwise), so the bucket assignment is bit-identical. */
-  private def lshKeySql(vExpr: String, nPlanes: Int): String =
-    (0 until nPlanes).map { p =>
+  private def lshKeySql(vExpr: String, nPlanes: Int, offset: Int = 0): String =
+    (offset until offset + nPlanes).map { p =>
       val sign = s"(CASE WHEN ((i - 1) * 2654435761 + $p * 40503) % 4 < 2" +
         " THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
       s"(CASE WHEN list_reduce(list_transform($vExpr, (x, i) -> x * $sign)," +
-        s" (a, b) -> a + b) >= 0 THEN ${1 << p} ELSE 0 END)"
+        s" (a, b) -> a + b) >= 0 THEN ${1 << (p - offset)} ELSE 0 END)"
     }.mkString(" + ")
 
   /** IVF-style ANN, parameterized by `nprobe` (how many nearest cells
@@ -205,6 +207,61 @@ object SimilarityQueries {
              |WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
              |  y.embedding::DOUBLE[]), 6) >= 0.4
              |ORDER BY a, b""".stripMargin)),
+
+    // Cosine near-dup pairs via multi-table random-hyperplane LSH — the
+    // 100 TB replacement for q_sim_pairs' label blocking (labels are a
+    // test-scale stand-in; a real corpus has no blocking column).
+    // Two independent 6-plane sign buckets (tables) per vector; candidate
+    // generation is an equi-join on (table, bucket); cosine runs only on
+    // candidates. Recall is tuned by adding tables, cost by planes per
+    // table — both leave the plan shape (explode → shuffle on a 4-byte
+    // key → windowless equi-join) unchanged. Missed pairs are those
+    // separated in BOTH tables; with p = 1 - θ/π per plane, miss rate is
+    // (1-p^6)² per pair — the standard multi-probe trade.
+    Query(
+      "q_sim_pairs_lsh",
+      (s, d) => {
+        val emb = embDouble(t(s, d, "embeddings"))
+        val keyed = emb.select(col("vec_id"), col("v"),
+          lshKey(col("v"), 6, 0).as("b0"), lshKey(col("v"), 6, 6).as("b1"))
+        val ex = keyed.select(col("vec_id"), col("v"),
+          explode(array(
+            struct(lit(0).as("t"), col("b0").as("b")),
+            struct(lit(1).as("t"), col("b1").as("b")))).as("tb"))
+          .select(col("vec_id"), col("v"),
+            col("tb.t").as("t"), col("tb.b").as("b"))
+        ex.as("x").join(ex.as("y"),
+            col("x.t") === col("y.t") && col("x.b") === col("y.b")
+              && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+            cosine(col("x.v"), col("y.v")).as("cos"))
+          .dropDuplicates("a", "b") // same pair found by both tables
+          .where(col("cos") >= 0.4)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |k AS (
+              |  SELECT vec_id, v,
+              |    ${lshKeySql("v", 6, 0)} AS b0,
+              |    ${lshKeySql("v", 6, 6)} AS b1
+              |  FROM e),
+              |ex AS (
+              |  SELECT vec_id, v, 0 AS t, b0 AS b FROM k
+              |  UNION ALL SELECT vec_id, v, 1 AS t, b1 AS b FROM k),
+              |cand AS (
+              |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+              |  FROM ex x JOIN ex y
+              |    ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id)
+              |SELECT c.a, c.b,
+              |  ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+              |    y.embedding::DOUBLE[]), 6) AS cos
+              |FROM cand c
+              |JOIN embeddings x ON x.vec_id = c.a
+              |JOIN embeddings y ON y.vec_id = c.b
+              |WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+              |  y.embedding::DOUBLE[]), 6) >= 0.4
+              |ORDER BY a, b""".stripMargin)),
 
     // Per-label centroids (embedding pooling — the aggregate an IVF index
     // or cluster-dedup pipeline needs): explode to (label, dim), exact

@@ -327,5 +327,41 @@ object TextQueries {
              |SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS domain,
              |  CAST(COUNT(1) AS BIGINT) AS n_docs,
              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
-             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Corpus profiling — the data-quality report every ingestion pipeline
+    // runs before training: per column, row/non-null/distinct counts and
+    // min/max, in ONE scan of the table. The single aggregate computes
+    // every column's stats together (Spark plans the multiple DISTINCTs
+    // as one Expand → one shuffle of rows×cols, not one scan per
+    // column — at 100 TB the difference between 1 and N passes); the
+    // one-row result is then reshaped to per-column rows driver-free.
+    // Shared SQL text runs verbatim on both engines.
+    Query(
+      "q_profile",
+      (s, d) => {
+        Catalog.registerViews(s, d, "documents")
+        s.sql(profileSql)
+      },
+      Some(profileSql)))
+
+  private lazy val profileSql = {
+    val cols = Seq("lang", "source", "n_chars")
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      // STRING: the one text-type name both Spark and DuckDB accept
+      // (Spark's VARCHAR demands a length; DuckDB aliases STRING→VARCHAR)
+      s"COUNT($c) AS nn$i, COUNT(DISTINCT $c) AS nd$i, " +
+        s"CAST(MIN($c) AS STRING) AS mn$i, CAST(MAX($c) AS STRING) AS mx$i"
+    }.mkString(",\n    ")
+    val branches = cols.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS col, n_rows, nn$i AS n_non_null, nd$i AS n_distinct, " +
+        s"mn$i AS min_value, mx$i AS max_value FROM s"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH s AS (
+       |  SELECT COUNT(1) AS n_rows,
+       |    $aggs
+       |  FROM documents)
+       |$branches
+       |ORDER BY col""".stripMargin
+  }
 }

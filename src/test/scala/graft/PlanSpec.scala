@@ -140,6 +140,45 @@ class PlanSpec extends AnyFunSuite {
   // work via CollectLimit's incremental task launch, so there is no
   // full-scan hazard to guard against.
 
+  test("runtime bloom filter: selective build side filters the fact scan") {
+    // SURVEY §2.3 runtime filtering (the reference plans this statically
+    // as a semi-join reduction; Spark injects it at optimization time):
+    // for a shuffle join whose build side is selective, a BloomFilter
+    // aggregate of the build keys is pushed to the probe side as a
+    // might_contain filter — at 100 TB this prunes the fact shuffle by
+    // the build side's selectivity before any data crosses the wire.
+    // Size thresholds are meant for real tables; force them for fixture
+    // scale to pin that the rewrite itself stays available.
+    val spark = SparkFixture.spark
+    import org.apache.spark.sql.functions.col
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold", // force a shuffle join
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prior = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    try {
+      val d = SparkFixture.sf
+      val orders = spark.read.parquet(s"$d/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val lineitem = graft.engine.Tables.load(spark, d, "lineitem")
+      val joined = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the probe side:\n$p")
+      assert(p.contains("bloom_filter_agg"),
+        s"no bloom filter aggregate on the build side:\n$p")
+    } finally keys.foreach(k => restore(spark, k, prior(k)))
+  }
+
   private def restore(spark: org.apache.spark.sql.SparkSession,
       key: String, prior: Option[String]): Unit = prior match {
     case Some(v) => spark.conf.set(key, v)
