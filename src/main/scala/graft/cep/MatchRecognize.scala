@@ -20,7 +20,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * SELECT ... FROM <table> MATCH_RECOGNIZE (
   *   PARTITION BY <keyCol>            -- long
   *   ORDER BY <tsCol>, <idCol>        -- timestamp, long id/tie-breaker
-  *   [MEASURES FIRST(v.col)|LAST(v.col)|COUNT(v.*)
+  *   [MEASURES [RUNNING|FINAL] FIRST(v.col)|LAST(v.col)|COUNT(v.*)
   *     |MATCH_NUMBER()|CLASSIFIER() AS name, ...]
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
@@ -28,6 +28,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *   PATTERN ( <vars with quantifiers: A B+ C? D{1,3} E+?> )
   *   [WITHIN INTERVAL '<n>' <SECOND|MINUTE|HOUR|DAY>]
   *   DEFINE <var> AS <boolean sql expr> [, ...]
+  *     -- exprs may navigate the ordered input partition with
+  *     -- PREV(col[, n]) / NEXT(col[, n]) (bounded inputs only)
   * ) [AS <alias>] ...
   * }}}
   *
@@ -55,7 +57,7 @@ object MatchRecognize {
     * variable ("" for the niladic fns), column (None = COUNT(v.*) and
     * the niladic fns), output alias. */
   private final case class Measure(fn: String, variable: String,
-      column: Option[String], alias: String)
+      column: Option[String], alias: String, finalSem: Boolean = false)
 
   private final case class Clause(
       table: String, alias: Option[String],
@@ -69,6 +71,13 @@ object MatchRecognize {
     * balanced-paren scan (DEFINE expressions may contain parens). */
   private val Head =
     """(?is)([A-Za-z_][\w.]*)\s+MATCH_RECOGNIZE\s*\(""".r
+
+  /** `PREV(col[, n])` / `NEXT(col[, n])` in DEFINE, with an optional
+    * (ignored) pattern-variable qualifier — per the SQL standard both
+    * navigate the input partition's row order, so the qualifier only
+    * names the expression's home variable. */
+  private val NavRe =
+    """(?i)\b(PREV|NEXT)\s*\(\s*(?:[A-Za-z_]\w*\s*\.\s*)?([A-Za-z_]\w*)\s*(?:,\s*(\d+))?\s*\)""".r
 
   def containsMatchRecognize(text: String): Boolean =
     Head.findFirstIn(text).isDefined
@@ -94,27 +103,31 @@ object MatchRecognize {
     val end = alias.fold(i)(a =>
       i + aliasRe.findFirstMatchIn(text.substring(i)).get.end)
 
-    // MEASURES: FIRST/LAST(var.col), COUNT(var.*), MATCH_NUMBER(),
-    // CLASSIFIER()
+    // MEASURES: [RUNNING|FINAL] FIRST/LAST(var.col), COUNT(var.*),
+    // MATCH_NUMBER(), CLASSIFIER(). RUNNING (the all-rows default) sees
+    // the match's rows up to the current one; FINAL sees the whole
+    // match. In one-row mode the two coincide (the standard: the single
+    // output row sits at the match's end).
     val measures = """(?is)MEASURES\s+(.*?)(?=(?:ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN\s*\(|WITHIN\s|DEFINE\s))""".r
       .findFirstMatchIn(body).map(_.group(1)).map { txt =>
         val itemRe =
-          """(?is)^\s*(FIRST|LAST|COUNT)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*(\*|[A-Za-z_]\w*)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
+          """(?is)^\s*(?:(RUNNING|FINAL)\s+)?(FIRST|LAST|COUNT)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*(\*|[A-Za-z_]\w*)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
         val niladicRe =
           """(?is)^\s*(MATCH_NUMBER|CLASSIFIER)\s*\(\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
         txt.split(",").toSeq.map {
-          case itemRe(fn, v, c, as) =>
+          case itemRe(sem, fn, v, c, as) =>
             val fnU = fn.toUpperCase
             require(fnU != "COUNT" || c == "*",
               s"MATCH_RECOGNIZE: COUNT measure must be COUNT($v.*)")
             require(fnU == "COUNT" || c != "*",
               s"MATCH_RECOGNIZE: $fnU measure needs a column, not *")
-            Measure(fnU, v, if (c == "*") None else Some(c), as)
+            Measure(fnU, v, if (c == "*") None else Some(c), as,
+              finalSem = sem != null && sem.toUpperCase == "FINAL")
           case niladicRe(fn, as) => Measure(fn.toUpperCase, "", None, as)
           case item => throw new IllegalArgumentException(
             "MATCH_RECOGNIZE: unsupported MEASURES item '" + item.trim +
-              "' — supported: FIRST(v.col)|LAST(v.col)|COUNT(v.*)" +
-              "|MATCH_NUMBER()|CLASSIFIER() AS name")
+              "' — supported: [RUNNING|FINAL] FIRST(v.col)|LAST(v.col)" +
+              "|COUNT(v.*)|MATCH_NUMBER()|CLASSIFIER() AS name")
         }
       }.getOrElse(Seq.empty)
     val allRows = """(?is)ALL\s+ROWS\s+PER\s+MATCH""".r
@@ -241,7 +254,36 @@ object MatchRecognize {
             s"MATCH_RECOGNIZE: input '${c.table}' is neither a catalog " +
               "table/view nor a CTE of this statement", e)
       }
-    val withPreds = c.defines.foldLeft(base) { case (acc, (name, e)) =>
+    // PREV/NEXT input navigation in DEFINE (SQL standard semantics:
+    // navigate the ORDERED INPUT PARTITION, not the match) — compiled to
+    // LAG/LEAD window columns before the NFA runs, so navigation is a
+    // codegen'd window over the same (key → ts, id) shuffle the match
+    // itself needs; the NFA still reads plain precomputed booleans.
+    // NULL navigation (partition edge) makes the predicate false, per
+    // the NFA's null-is-false contract.
+    val navCalls = c.defines.flatMap { case (_, e) =>
+      NavRe.findAllMatchIn(e).map(m => (m.group(1).toUpperCase,
+        m.group(2), Option(m.group(3)).fold(1)(_.toInt))).toSeq
+    }.distinct
+    require(navCalls.isEmpty || !base.isStreaming,
+      "MATCH_RECOGNIZE: PREV/NEXT in DEFINE needs a bounded input " +
+        "(navigation is a window over the full partition)")
+    val navWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(c.key)).orderBy(col(c.ts), col(c.id))
+    val withNav = navCalls.foldLeft(base) { case (acc, (dir, cn, n)) =>
+      require(base.columns.contains(cn),
+        s"MATCH_RECOGNIZE: $dir($cn) — column '$cn' not in input " +
+          s"(${base.columns.mkString(",")})")
+      val nav = if (dir == "PREV") lag(col(cn), n).over(navWin)
+        else lead(col(cn), n).over(navWin)
+      acc.withColumn(s"__nav_${dir.toLowerCase}${n}_$cn", nav)
+    }
+    val defines = c.defines.map { case (name, e) =>
+      name -> NavRe.replaceAllIn(e, m =>
+        s"__nav_${m.group(1).toLowerCase}${
+          Option(m.group(3)).fold(1)(_.toInt)}_${m.group(2)}")
+    }
+    val withPreds = defines.foldLeft(withNav) { case (acc, (name, e)) =>
       acc.withColumn(s"__p_$name", expr(e).cast("boolean"))
     }
     val schema = withPreds.schema.fieldNames
@@ -297,12 +339,16 @@ object MatchRecognize {
       // aggregate sees the match's rows up to and including the current
       // row (the SQL standard default in all-rows mode). One window
       // over (key, match_seq), same shuffle as the match itself.
-      val w = org.apache.spark.sql.expressions.Window
+      val wBase = org.apache.spark.sql.expressions.Window
         .partitionBy(col("key"), col("match_seq"))
         .orderBy(col(s"__in_${c.ts}"), col(s"__in_${c.id}"))
-        .rowsBetween(Long.MinValue, 0)
+      val running = wBase.rowsBetween(Long.MinValue, 0)
+      // FINAL: the aggregate over the WHOLE match on every row — the
+      // same window partition with an unbounded-both-ends frame
+      val whole = wBase.rowsBetween(Long.MinValue, Long.MaxValue)
       val measureCols = c.measures.map { ms =>
         val isVar = col("step") === ms.variable
+        val w = if (ms.finalSem) whole else running
         ms.fn match {
           case "FIRST" => first(
             when(isVar, col(s"__in_${ms.column.get}")), ignoreNulls = true)
@@ -315,7 +361,8 @@ object MatchRecognize {
           case "CLASSIFIER" => col("step").as(ms.alias)
         }
       }
-      val original = inCols.filterNot(_.startsWith("__p_"))
+      val original = inCols
+        .filterNot(n => n.startsWith("__p_") || n.startsWith("__nav_"))
         .map(n => col(s"__in_$n").as(n))
       joined.select(original ++ measureCols: _*)
     } else {

@@ -510,6 +510,120 @@ object EventQueries {
             |ORDER BY user_id, mno, event_id""".stripMargin
       }),
 
+    // PREV navigation in DEFINE (SQL-standard input navigation; the
+    // reference codegens PREV/NEXT calls in MatchCodeGenerator):
+    // rising-value click pairs — strict contiguity A B where B is a
+    // click whose value exceeds its input-predecessor's (= A's, since B
+    // immediately follows A). PREV compiles to LAG over the same
+    // (user_id → ts, id) shuffle the NFA needs. Oracle reproduces the
+    // NFA's greedy leftmost non-overlap: candidate starts p where
+    // (p, p+1) are rising clicks; within runs of CONSECUTIVE candidate
+    // positions every other one matches (taking p consumes p+1).
+    Query(
+      "q_cep_sql_prev",
+      (s, d) => {
+        Catalog.registerViews(s, d, "events")
+        graft.cep.MatchRecognize.sql(s,
+          """SELECT key, step, event_id, match_seq
+            |FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts, event_id
+            |  AFTER MATCH SKIP PAST LAST ROW
+            |  PATTERN (A B)
+            |  DEFINE A AS event_type = 'click',
+            |         B AS event_type = 'click' AND value > PREV(value)
+            |)
+            |ORDER BY key, match_seq, step, event_id""".stripMargin)
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, ts, event_type, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |cand AS (
+             |  SELECT a.user_id, a.rn AS p,
+             |    a.event_id AS a_id, b.event_id AS b_id
+             |  FROM ord a JOIN ord b
+             |    ON a.user_id = b.user_id AND b.rn = a.rn + 1
+             |  WHERE a.event_type = 'click' AND b.event_type = 'click'
+             |    AND b.value > a.value),
+             |runs AS (
+             |  SELECT user_id, p, a_id, b_id,
+             |    p - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p)
+             |      AS grp
+             |  FROM cand),
+             |sel AS (
+             |  SELECT user_id, p, a_id, b_id
+             |  FROM (SELECT *, ROW_NUMBER() OVER (
+             |      PARTITION BY user_id, grp ORDER BY p) AS rix
+             |    FROM runs) r
+             |  WHERE rix % 2 = 1),
+             |seq AS (
+             |  SELECT user_id, p, a_id, b_id,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p)
+             |      - 1 AS INT) AS match_seq
+             |  FROM sel)
+             |SELECT user_id AS key, 'A' AS step, a_id AS event_id,
+             |  match_seq FROM seq
+             |UNION ALL
+             |SELECT user_id, 'B', b_id, match_seq FROM seq
+             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
+
+    // RUNNING vs FINAL measure semantics in ALL ROWS mode (the SQL
+    // standard's two aggregation scopes; the reference distinguishes
+    // them in MatchCodeGenerator): RUNNING COUNT grows along the match,
+    // FINAL COUNT and FINAL LAST show the whole-match value on every
+    // row. Oracle: the same islands relation with an ordered-frame vs
+    // full-frame window per measure.
+    Query(
+      "q_cep_sql_final",
+      (s, d) => {
+        Catalog.registerViews(s, d, "events")
+        graft.cep.MatchRecognize.sql(s,
+          """SELECT user_id, event_id, mno, var, n_run, n_tot, last_b
+            |FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts, event_id
+            |  MEASURES MATCH_NUMBER() AS mno,
+            |           CLASSIFIER() AS var,
+            |           RUNNING COUNT(B.*) AS n_run,
+            |           FINAL COUNT(B.*) AS n_tot,
+            |           FINAL LAST(B.event_id) AS last_b
+            |  ALL ROWS PER MATCH
+            |  AFTER MATCH SKIP PAST LAST ROW
+            |  PATTERN (A B+)
+            |  DEFINE A AS event_type = 'signup',
+            |         B AS event_type = 'error'
+            |)
+            |ORDER BY user_id, mno, event_id""".stripMargin)
+      },
+      Some {
+        val prefix = cepNfaOracle.substring(0,
+          cepNfaOracle.indexOf("SELECT key, step"))
+        prefix +
+          """, m AS (
+            |  SELECT user_id, start_rn AS rn, a_id AS event_id,
+            |    'A' AS var, match_seq
+            |  FROM starts
+            |  UNION ALL
+            |  SELECT e.user_id, e.rn, e.event_id, 'B',
+            |    s.match_seq
+            |  FROM anchored e JOIN starts s
+            |    ON s.user_id = e.user_id AND s.start_rn = e.anchor_rn
+            |  WHERE e.event_type = 'error')
+            |SELECT user_id, event_id, CAST(match_seq AS INT) AS mno, var,
+            |  CAST(COUNT(CASE WHEN var = 'B' THEN 1 END) OVER (
+            |    PARTITION BY user_id, match_seq ORDER BY rn
+            |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_run,
+            |  CAST(COUNT(CASE WHEN var = 'B' THEN 1 END) OVER (
+            |    PARTITION BY user_id, match_seq) AS BIGINT) AS n_tot,
+            |  ARG_MAX(CASE WHEN var = 'B' THEN event_id END,
+            |    CASE WHEN var = 'B' THEN rn END) OVER (
+            |    PARTITION BY user_id, match_seq) AS last_b
+            |FROM m
+            |ORDER BY user_id, mno, event_id""".stripMargin
+      }),
+
     // Optional quantifier (reference Pattern.optional, Quantifier.java):
     // `signup error? purchase` strict-contiguity. The signup anchor can't
     // recur inside a match span, so leftmost skip-past-last matches are

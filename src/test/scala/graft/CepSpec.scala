@@ -880,6 +880,47 @@ class CepSpec extends AnyFunSuite {
     assert(got === Set(("A", 1L), ("B", 2L), ("B", 3L)))
   }
 
+  test("MATCH_RECOGNIZE NEXT navigation in DEFINE looks ahead in input order") {
+    import spark.implicits._
+    Seq((1L, 1L, 1L, "x", 1.0), (1L, 2L, 2L, "x", 5.0),
+      (1L, 3L, 3L, "x", 3.0), (1L, 4L, 4L, "x", 7.0))
+      .toDF("user_id", "secs", "event_id", "event_type", "value")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("nav_events")
+    val got = graft.cep.MatchRecognize.sql(spark,
+      """SELECT key, step, event_id, match_seq
+        |FROM nav_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  PATTERN (A)
+        |  DEFINE A AS value < NEXT(value)
+        |)""".stripMargin)
+      .collect().map(_.getLong(2)).toSet
+    // rows whose successor has a larger value; the last row's NEXT is
+    // NULL → predicate false
+    assert(got === Set(1L, 3L))
+  }
+
+  test("MATCH_RECOGNIZE rejects PREV on a streaming input") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"),
+        col("event_id").cast("double").as("value"))
+      .createOrReplaceTempView("nav_stream_events")
+    val e = intercept[IllegalArgumentException] {
+      graft.cep.MatchRecognize.sql(spark,
+        """SELECT key FROM nav_stream_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts, event_id
+          |  PATTERN (A) DEFINE A AS value > PREV(value))""".stripMargin)
+    }
+    assert(e.getMessage.contains("PREV/NEXT"))
+  }
+
   test("MATCH_RECOGNIZE rejects an unsupported MEASURES item clearly") {
     val e = intercept[IllegalArgumentException] {
       graft.cep.MatchRecognize.sql(spark,
