@@ -41,16 +41,21 @@ object DedupQueries {
 
   /** Distinct 3-token shingles per doc — pure per-row array transform
     * (no explode-then-window shuffle: at 100 TB the tokenize→shingle step
-    * must run scan-local, and this formulation is one narrow projection). */
+    * must run scan-local, and this formulation is one narrow projection).
+    * The token array is materialized ONCE per row before the lambda:
+    * Catalyst does not common-subexpression-eliminate across lambda
+    * boundaries, so an inline `split(...)` would re-tokenize the text for
+    * every element_at — O(tokens²) per document. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
+    val tk = col("__tk")
     t(s, d, "documents")
-      .where(size(toks) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+      .where(size(tk) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(transform(
-          sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", element_at(toks, i + 1),
-            element_at(toks, i + 2), element_at(toks, i + 3))))).as("sh"))
+          sequence(lit(0), size(tk) - 3),
+          i => concat_ws(" ", element_at(tk, i + 1),
+            element_at(tk, i + 2), element_at(tk, i + 3))))).as("sh"))
   }
 
   /** The same shingle set in DuckDB SQL. */
@@ -139,17 +144,21 @@ object DedupQueries {
         // slower end-to-end and pay seconds of extra planning/codegen on a
         // cold JVM — see tools.MinhashProbe3). MIN is duplicate-insensitive
         // so the shingle set needs no array_distinct/DISTINCT.
-        val toks = split(col("text"), " ")
+        // tokenize ONCE per row before the lambda (no CSE across lambda
+        // boundaries — an inline split re-tokenizes per element_at,
+        // O(tokens²) per doc; see shingles())
+        val tk = col("__tk")
         val shArr = transform(
-          sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", element_at(toks, i + 1),
-            element_at(toks, i + 2), element_at(toks, i + 3)))
+          sequence(lit(0), size(tk) - 3),
+          i => concat_ws(" ", element_at(tk, i + 1),
+            element_at(tk, i + 2), element_at(tk, i + 3)))
         // the repartition spreads docs across cores first: the fixture is
         // a single-row-group file = one scan split, and at 100 TB it is a
         // cheap narrow-row exchange ahead of the expensive hashing stage
         val n = s.sparkContext.defaultParallelism
         val sig = t(s, d, "documents")
-          .where(size(toks) >= 3)
+          .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+          .where(size(tk) >= 3)
           .repartition(n)
           .select(col("doc_id"), explode(shArr).as("sh"))
           // big-endian 32-bit prefix of md5 (hex chars 1-8), once per shingle
@@ -348,13 +357,16 @@ object DedupQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val L = SpanLen
-        val toks = split(col("text"), " ")
+        // tokenize ONCE per row (see shingles(): no CSE across lambdas —
+        // an inline split would re-tokenize per position, O(tokens²)/doc);
+        // slice+array_join beats L element_at calls for the same reason
+        val tk = col("__tk")
         val pos = t(s, d, "documents")
-          .where(size(toks) >= L)
+          .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+          .where(size(tk) >= L)
           .select(col("doc_id"), posexplode(transform(
-            sequence(lit(0), size(toks) - L),
-            i => md5(concat_ws(" ",
-              (0 until L).map(j => element_at(toks, i + j + 1)): _*)))))
+            sequence(lit(0), size(tk) - L),
+            i => md5(array_join(slice(tk, i + 1, lit(L)), " ")))))
           .toDF("doc_id", "pos", "h")
         val dup = pos.groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("nd"))

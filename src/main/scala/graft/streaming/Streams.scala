@@ -248,6 +248,51 @@ object Streams {
     out.toDF("user_id", "ts", "event_id", "value")
   }
 
+  /** Event-time stream sort (reference RowTimeSortOperator / a
+    * StreamExecSort on a rowtime key): emits each key's rows in EVENT-time
+    * order, not arrival order, holding a row only until the watermark
+    * passes its timestamp (at which point nothing earlier can arrive).
+    * The reference sorts per parallel instance; here the unit is the key
+    * — keys scale out, and per-key output order is total: a batch emits
+    * only rows at-or-below the current watermark (sorted), and every
+    * later-arriving row is strictly above that watermark, so appended
+    * emissions never interleave backwards. State per key = the rows
+    * inside the watermark horizon (bounded by lateness × rate) + one
+    * event-time timer that drains the buffer as the watermark advances
+    * even when the key goes quiet. Emits (user_id, ts, event_id, value). */
+  def eventTimeSortStream(events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    val out = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long, Double)], (Long, java.sql.Timestamp, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        // state: (eventMs, id, value) rows inside the watermark horizon
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+            state: GroupState[List[(Long, Long, Double)]]) =>
+          val buf = state.getOption.getOrElse(Nil) ++
+            it.map(e => (e._2.getTime, e._3, e._4))
+          val wm = state.getCurrentWatermarkMs
+          val (ready, open) = buf.partition(_._1 <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // drain on the next watermark advance past the earliest
+            // held row (timers must sit strictly above the watermark)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_._1).min, wm + 1))
+          }
+          ready.sortBy(r => (r._1, r._2)).iterator
+            .map(r => (user, new java.sql.Timestamp(r._1), r._2, r._3))
+      }
+    out.toDF("user_id", "ts", "event_id", "value")
+  }
+
   /** Count-based tumbling windows per key (DataStream countWindow —
     * reference flink-streaming-java CountTrigger/GlobalWindows; Spark has
     * no native count windows). Custom keyed state via

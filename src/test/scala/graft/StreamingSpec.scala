@@ -558,6 +558,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains(2L -> 20L))
   }
 
+  test("event-time stream sort emits rows in event-time order, not arrival order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "value")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("value"))
+    val q = Streams.eventTimeSortStream(df, lateness = "1 minute")
+      .writeStream.format("memory").queryName("t_et_sort")
+      .outputMode("append").start()
+    val h = 3600L
+    // batch 1: user 1 arrives OUT of event-time order (300s before 100s);
+    // after the batch the watermark advances to 300-60 = 240s, sealing
+    // and emitting the 100s row while the 300s row stays held
+    mem.addData((1L, 300L, 13L, 1.0), (1L, 100L, 11L, 2.0))
+    q.processAllAvailable()
+    // batch 2: a row BETWEEN the held row and the watermark (250s —
+    // above 240s, so not late) must emit before the 300s row; a
+    // far-future row then advances the watermark past both
+    mem.addData((1L, 250L, 12L, 3.0), (2L, 2 * h, 20L, 4.0))
+    q.processAllAvailable()
+    // batch 3: drain user 2 as well
+    mem.addData((3L, 4 * h, 30L, 5.0))
+    q.processAllAvailable()
+    mem.addData((4L, 8 * h, 40L, 6.0))
+    q.processAllAvailable()
+    // memory sink appends per batch in emission order; within a key the
+    // emitted sequence must be event-time sorted and complete
+    val u1 = spark.table("t_et_sort").collect()
+      .filter(_.getLong(0) == 1L).map(_.getLong(2)).toSeq
+    q.stop()
+    assert(u1 === Seq(11L, 12L, 13L),
+      s"arrival order was 13,11,12 — event-time order expected, got $u1")
+  }
+
   test("changelog sink emits +I/-U/+U per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
