@@ -166,6 +166,55 @@ object Ops {
       df.groupBy(md5(concat_ws("\u0000", contentCols: _*)).as("__h"))
         .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
         .drop("__h")
+
+    /** Substring-level (span) dedup — ExactSubstr (Lee et al. 2021):
+      * merged [span_start, span_end] token intervals (0-based, inclusive)
+      * of every run of ≥ `spanLen` whitespace tokens that occurs verbatim
+      * in MORE THAN ONE document. Output: (id, span_start, span_end,
+      * n_shingles), unordered — the regions a cleaning pass cuts.
+      *
+      * Scale: positions+digests are scan-local (one md5 per position —
+      * a 16-byte shuffle key, never the span text); cross-doc frequency
+      * is a partial-agg groupBy on the digest, the flag-back a left-semi
+      * join on it (two digest shuffles total); interval merging is a
+      * per-document window. A span duplicated across k docs costs O(k)
+      * rows — no pair materialization. The token array materializes once
+      * per row BEFORE the position lambda (Catalyst does not CSE across
+      * lambda boundaries; inline split is O(tokens²)/doc). */
+    def duplicatedSpans(idCol: Column, textCol: Column,
+        spanLen: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+      val tk = col("__tk")
+      val pos = df
+        .select(idCol.as("__id"), split(textCol, " ").as("__tk"))
+        .where(size(tk) >= spanLen)
+        .select(col("__id"), posexplode(transform(
+          sequence(lit(0), size(tk) - spanLen),
+          i => md5(array_join(slice(tk, i + 1, lit(spanLen)), " ")))))
+        .toDF("__id", "pos", "h")
+      val dup = pos.groupBy(col("h"))
+        .agg(countDistinct(col("__id")).as("nd"))
+        .where(col("nd") > 1)
+        .select(col("h"))
+      val flagged = pos.join(dup, Seq("h"), "left_semi")
+        .select(col("__id"), col("pos"))
+      val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+      // a flagged start p covers tokens [p, p+spanLen-1]; runs whose
+      // covered intervals overlap or touch merge into one island
+      val prevEnd = max(col("pos") + (spanLen - 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      flagged
+        .withColumn("nw",
+          when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+        .withColumn("island", sum(col("nw")).over(w))
+        .groupBy(col("__id"), col("island"))
+        .agg(min(col("pos")).cast("long").as("span_start"),
+          (max(col("pos")) + (spanLen - 1)).cast("long").as("span_end"),
+          count(lit(1)).as("n_shingles"))
+        .select(col("__id").as("id"), col("span_start"), col("span_end"),
+          col("n_shingles"))
+    }
   }
 
   /** Candidate pairs per LSH band bucket, with BOUNDED per-bucket state —

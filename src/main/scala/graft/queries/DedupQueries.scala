@@ -105,6 +105,52 @@ object DedupQueries {
        |    AND x.doc_id < y.doc_id)""".stripMargin
   }
 
+
+  /** Merged duplicated-span intervals per document (the ExactSubstr core):
+    * (doc_id, span_start, span_end, n_shingles), unordered. Shared by
+    * q_dedup_substring (the span listing) and q_dedup_span_ratio (the
+    * per-doc coverage metric). */
+  private def spanIslands(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Ops._
+    t(s, d, "documents")
+      .duplicatedSpans(col("doc_id"), col("text"), SpanLen)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** The same span relation as DuckDB CTEs ending in `spans`. */
+  private lazy val spanCtes: String =
+    s"""tk AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+       |    GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS idx
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, idx - 1 AS pos,
+       |    MD5(w${(1 until SpanLen).map(j =>
+             s" || ' ' || LEAD(w, $j) OVER win").mkString}) AS h
+       |  FROM tk WINDOW win AS (PARTITION BY doc_id ORDER BY idx)),
+       |ok AS (SELECT doc_id, pos, h FROM sh WHERE h IS NOT NULL),
+       |dup AS (
+       |  SELECT h FROM ok GROUP BY h
+       |  HAVING COUNT(DISTINCT doc_id) > 1),
+       |flagged AS (
+       |  SELECT o.doc_id, o.pos FROM ok o JOIN dup USING (h)),
+       |marked AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > COALESCE(MAX(pos + ${SpanLen - 1}) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -2) + 1 THEN 1 ELSE 0 END AS nw
+       |  FROM flagged),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM marked),
+       |spans AS (
+       |  SELECT doc_id, MIN(pos) AS span_start,
+       |    MAX(pos) + ${SpanLen - 1} AS span_end,
+       |    COUNT(1) AS n_shingles
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
   val queries: Seq[Query] = Seq(
 
     // Exact dedup: hash-groupBy on content digest, keep lowest doc_id —
@@ -354,73 +400,46 @@ object DedupQueries {
     // a span duplicated across k docs costs O(k), not O(k²).
     Query(
       "q_dedup_substring",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val L = SpanLen
-        // tokenize ONCE per row (see shingles(): no CSE across lambdas —
-        // an inline split would re-tokenize per position, O(tokens²)/doc);
-        // slice+array_join beats L element_at calls for the same reason
-        val tk = col("__tk")
-        val pos = t(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("__tk"))
-          .where(size(tk) >= L)
-          .select(col("doc_id"), posexplode(transform(
-            sequence(lit(0), size(tk) - L),
-            i => md5(array_join(slice(tk, i + 1, lit(L)), " ")))))
-          .toDF("doc_id", "pos", "h")
-        val dup = pos.groupBy(col("h"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .where(col("nd") > 1)
-          .select(col("h"))
-        val flagged = pos.join(dup, Seq("h"), "left_semi")
-          .select(col("doc_id"), col("pos"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        // a flagged start p covers tokens [p, p+L-1]; runs whose covered
-        // intervals overlap or touch merge into one island
-        val prevEnd = max(col("pos") + (L - 1))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1))
-        val isl = flagged
-          .withColumn("nw",
-            when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
-          .withColumn("island", sum(col("nw")).over(w))
-        isl.groupBy(col("doc_id"), col("island"))
-          .agg(min(col("pos")).cast("long").as("span_start"),
-            (max(col("pos")) + (L - 1)).cast("long").as("span_end"),
-            count(lit(1)).as("n_shingles"))
-          .select(col("doc_id"), col("span_start"), col("span_end"),
-            col("n_shingles"))
-          .orderBy(col("doc_id"), col("span_start"))
-      },
-      Some(s"""WITH tk AS (
-              |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
-              |    GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS idx
-              |  FROM documents),
-              |sh AS (
-              |  SELECT doc_id, idx - 1 AS pos,
-              |    MD5(w${(1 until SpanLen).map(j =>
-                     s" || ' ' || LEAD(w, $j) OVER win").mkString}) AS h
-              |  FROM tk WINDOW win AS (PARTITION BY doc_id ORDER BY idx)),
-              |ok AS (SELECT doc_id, pos, h FROM sh WHERE h IS NOT NULL),
-              |dup AS (
-              |  SELECT h FROM ok GROUP BY h
-              |  HAVING COUNT(DISTINCT doc_id) > 1),
-              |flagged AS (
-              |  SELECT o.doc_id, o.pos FROM ok o JOIN dup USING (h)),
-              |marked AS (
-              |  SELECT doc_id, pos,
-              |    CASE WHEN pos > COALESCE(MAX(pos + ${SpanLen - 1}) OVER (
-              |        PARTITION BY doc_id ORDER BY pos
-              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-              |      -2) + 1 THEN 1 ELSE 0 END AS nw
-              |  FROM flagged),
-              |isl AS (
-              |  SELECT doc_id, pos,
-              |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-              |  FROM marked)
-              |SELECT doc_id, MIN(pos) AS span_start,
-              |  MAX(pos) + ${SpanLen - 1} AS span_end,
-              |  COUNT(1) AS n_shingles
-              |FROM isl GROUP BY doc_id, island
+      (s, d) => spanIslands(s, d).orderBy(col("doc_id"), col("span_start")),
+      Some(s"""WITH $spanCtes
+              |SELECT doc_id, span_start, span_end, n_shingles
+              |FROM spans
               |ORDER BY doc_id, span_start""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // Per-document duplication coverage — the number a cleaning pass
+    // actually thresholds on: fraction of a doc's tokens inside
+    // cross-document duplicated spans. Docs with no duplicated span
+    // report 0.0 (left join), so the output is a full per-doc quality
+    // column. One extra agg + a left join against the doc lengths;
+    // both sides partition by doc_id.
+    Query(
+      "q_dedup_span_ratio",
+      (s, d) => {
+        val covered = spanIslands(s, d)
+          .groupBy(col("doc_id"))
+          .agg(sum(col("span_end") - col("span_start") + 1).as("covered"))
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        docs.join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("covered"), lit(0L)).as("covered"),
+            (coalesce(col("covered"), lit(0L)) / col("n_tokens"))
+              .as("dup_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $spanCtes,
+              |cov AS (
+              |  SELECT doc_id,
+              |    SUM(span_end - span_start + 1) AS covered
+              |  FROM spans GROUP BY doc_id)
+              |SELECT d.doc_id AS doc_id,
+              |  CAST(LEN(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+              |  CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered,
+              |  CAST(COALESCE(c.covered, 0) AS BIGINT)
+              |    / CAST(LEN(string_split(d.text, ' ')) AS BIGINT)
+              |    AS dup_ratio
+              |FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id
+              |ORDER BY doc_id""".stripMargin)))
 }
