@@ -83,4 +83,24 @@ class SourcesSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("file metadata columns surface provenance (SupportsReadingMetadata)") {
+    // SURVEY §2.1 source abilities: the reference's
+    // SupportsReadingMetadata exposes connector metadata as virtual
+    // columns; Spark's file sources expose the hidden _metadata struct.
+    // Provenance columns are how a 100 TB ingestion pipeline tracks
+    // which input file produced each row (dead-lettering, re-ingestion).
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(s"${SparkFixture.sf}/documents.parquet")
+      .select(col("doc_id"), col("_metadata.file_path").as("src_file"),
+        col("_metadata.file_size").as("src_size"))
+    val row = df.limit(1).collect().head
+    assert(row.getString(1).endsWith("documents.parquet"))
+    assert(row.getLong(2) > 0L)
+    // metadata projection must not widen the data read: only doc_id is a
+    // real column in the scan's ReadSchema
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"metadata columns must not widen the scan:\n$plan")
+  }
 }
