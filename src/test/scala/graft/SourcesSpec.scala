@@ -84,6 +84,54 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("avro round-trip preserves rows, schema, timestamps, arrays (flink-avro)") {
+    // the spark-avro connector jar is absent in this container, so the
+    // format is implemented on the bundled avro-core jars: AvroIO.write
+    // (one container file per partition) + AvroDataSource (DSv2 reader)
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
+
+    // strings + longs
+    val nation = graft.engine.Tables.load(spark, SparkFixture.sf, "nation")
+    graft.sources.AvroIO.write(nation, s"$dir/nation")
+    val nBack = spark.read.format("graft.sources.AvroDataSource")
+      .load(s"$dir/nation")
+    assert(nBack.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      nation.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(nBack.collect().map(_.toSeq).toSet ===
+      nation.collect().map(_.toSeq).toSet)
+
+    // timestamps (micros precision) + doubles
+    val events = graft.engine.Tables.load(spark, SparkFixture.sf, "events")
+      .select(col("event_id"), col("ts"), col("value")).limit(200)
+    graft.sources.AvroIO.write(events, s"$dir/events")
+    val eBack = spark.read.format("graft.sources.AvroDataSource")
+      .load(s"$dir/events")
+    assert(eBack.collect().map(_.toSeq).toSet ===
+      events.collect().map(_.toSeq).toSet)
+
+    // float arrays
+    val emb = graft.engine.Tables.load(spark, SparkFixture.sf, "embeddings")
+      .limit(50)
+    graft.sources.AvroIO.write(emb, s"$dir/emb")
+    val aBack = spark.read.format("graft.sources.AvroDataSource")
+      .load(s"$dir/emb")
+    assert(aBack.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSet ===
+      emb.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSet)
+
+    // column pruning reaches the avro scan's conversion schema
+    val pruned = spark.read.format("graft.sources.AvroDataSource")
+      .load(s"$dir/nation").select("n_name")
+    // BatchScan prints the pruned output attributes: exactly n_name
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).get
+    assert(scanLine.matches(""".*BatchScan avro:.*\[n_name#\d+\].*"""),
+      s"column pruning did not reach the avro scan: $scanLine")
+    assert(pruned.collect().length === nation.count())
+  }
+
   test("file metadata columns surface provenance (SupportsReadingMetadata)") {
     // SURVEY §2.1 source abilities: the reference's
     // SupportsReadingMetadata exposes connector metadata as virtual
