@@ -271,7 +271,9 @@ object MatchRecognize {
     val navWin = org.apache.spark.sql.expressions.Window
       .partitionBy(col(c.key)).orderBy(col(c.ts), col(c.id))
     val withNav = navCalls.foldLeft(base) { case (acc, (dir, cn, n)) =>
-      require(base.columns.contains(cn),
+      // case-insensitive, matching Spark's default column resolution —
+      // a bare `Value` that resolves outside PREV() must resolve inside
+      require(base.columns.exists(_.equalsIgnoreCase(cn)),
         s"MATCH_RECOGNIZE: $dir($cn) — column '$cn' not in input " +
           s"(${base.columns.mkString(",")})")
       val nav = if (dir == "PREV") lag(col(cn), n).over(navWin)

@@ -52,6 +52,29 @@ object EventQueries {
       |  WHERE e.event_type = 'error') m
       |ORDER BY key, match_seq, step, event_id""".stripMargin
 
+  /** The islands-CTE prefix of [[cepNfaOracle]] (everything before its
+    * final per-event SELECT) — shared by every oracle that re-aggregates
+    * the same match relation. */
+  private lazy val cepOraclePrefix: String =
+    cepNfaOracle.substring(0, cepNfaOracle.indexOf("SELECT key, step"))
+
+  /** Per-event match relation `m(user_id, rn, event_id, var, match_seq
+    * [, extras])` over the islands CTEs — the ALL-ROWS oracles' shared
+    * core. `aExtras`/`bExtras` append aligned projection columns to the
+    * A-row and B-row branches. */
+  private def cepPerEventCte(aExtras: String = "",
+      bExtras: String = ""): String =
+    s""", m AS (
+       |  SELECT user_id, start_rn AS rn, a_id AS event_id,
+       |    'A' AS var, match_seq$aExtras
+       |  FROM starts
+       |  UNION ALL
+       |  SELECT e.user_id, e.rn, e.event_id, 'B',
+       |    s.match_seq$bExtras
+       |  FROM anchored e JOIN starts s
+       |    ON s.user_id = e.user_id AND s.start_rn = e.anchor_rn
+       |  WHERE e.event_type = 'error')""".stripMargin
+
   val queries: Seq[Query] = Seq(
 
     // Tumbling window aggregation (reference WindowOperator.java:96 +
@@ -447,9 +470,7 @@ object EventQueries {
       Some {
         // reuse the islands CTE prefix of cepNfaOracle, swap the final
         // per-event select for the per-match aggregation
-        val prefix = cepNfaOracle.substring(0,
-          cepNfaOracle.indexOf("SELECT key, step"))
-        prefix +
+        cepOraclePrefix +
           """SELECT s.user_id AS key, s.match_seq, s.a_id,
             |  ARG_MAX(e.event_id, e.rn) AS last_err,
             |  CAST(COUNT(1) AS BIGINT) AS n_errors
@@ -488,19 +509,11 @@ object EventQueries {
             |ORDER BY user_id, mno, event_id""".stripMargin)
       },
       Some {
-        val prefix = cepNfaOracle.substring(0,
-          cepNfaOracle.indexOf("SELECT key, step"))
-        prefix +
-          """, m AS (
-            |  SELECT user_id, start_rn AS rn, a_id AS event_id,
-            |    'signup' AS event_type, 'A' AS var, match_seq, a_id
-            |  FROM starts
-            |  UNION ALL
-            |  SELECT e.user_id, e.rn, e.event_id, e.event_type, 'B',
-            |    s.match_seq, s.a_id
-            |  FROM anchored e JOIN starts s
-            |    ON s.user_id = e.user_id AND s.start_rn = e.anchor_rn
-            |  WHERE e.event_type = 'error')
+        cepOraclePrefix +
+          cepPerEventCte(
+            aExtras = ", 'signup' AS event_type, a_id",
+            bExtras = ", e.event_type, s.a_id") +
+          """
             |SELECT user_id, event_id, event_type,
             |  CAST(match_seq AS INT) AS mno, var, a_id,
             |  CAST(COUNT(CASE WHEN var = 'B' THEN 1 END) OVER (
@@ -598,19 +611,8 @@ object EventQueries {
             |ORDER BY user_id, mno, event_id""".stripMargin)
       },
       Some {
-        val prefix = cepNfaOracle.substring(0,
-          cepNfaOracle.indexOf("SELECT key, step"))
-        prefix +
-          """, m AS (
-            |  SELECT user_id, start_rn AS rn, a_id AS event_id,
-            |    'A' AS var, match_seq
-            |  FROM starts
-            |  UNION ALL
-            |  SELECT e.user_id, e.rn, e.event_id, 'B',
-            |    s.match_seq
-            |  FROM anchored e JOIN starts s
-            |    ON s.user_id = e.user_id AND s.start_rn = e.anchor_rn
-            |  WHERE e.event_type = 'error')
+        cepOraclePrefix + cepPerEventCte() +
+          """
             |SELECT user_id, event_id, CAST(match_seq AS INT) AS mno, var,
             |  CAST(COUNT(CASE WHEN var = 'B' THEN 1 END) OVER (
             |    PARTITION BY user_id, match_seq ORDER BY rn

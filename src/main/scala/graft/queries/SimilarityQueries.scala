@@ -234,8 +234,13 @@ object SimilarityQueries {
             col("x.t") === col("y.t") && col("x.b") === col("y.b")
               && col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-            cosine(col("x.v"), col("y.v")).as("cos"))
-          .dropDuplicates("a", "b") // same pair found by both tables
+            col("x.v").as("va"), col("y.v").as("vb"))
+          // dedupe pairs found by BOTH tables BEFORE the cosine — true
+          // near-dups co-bucket in both tables, so computing first would
+          // evaluate the dominant 64-dim fold twice for exactly the
+          // pairs that survive; vectors ride along, no join-back needed
+          .dropDuplicates("a", "b")
+          .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
           .where(col("cos") >= 0.4)
           .orderBy(col("a"), col("b"))
       },

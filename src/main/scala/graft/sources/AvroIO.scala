@@ -138,7 +138,10 @@ object AvroIO {
 
   private def toAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
     case (t: java.sql.Timestamp, TimestampType) =>
-      java.lang.Long.valueOf(t.getTime / 1000 * 1000000L + t.getNanos / 1000)
+      // floorDiv: plain / truncates toward zero, which shifts pre-epoch
+      // timestamps with fractional seconds forward by one second
+      java.lang.Long.valueOf(
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)
     case (b: Array[Byte], BinaryType) => ByteBuffer.wrap(b)
     case (s: scala.collection.Seq[_], ArrayType(et, _)) =>
       s.map(e => if (e == null) null else toAvroValue(e, et)).asJava
