@@ -22,7 +22,7 @@ object Catalog {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       TpcDsShapes.queries ++ TpcDsShapes2.queries ++
       TpcDsShapes3.queries ++ TpcDsShapes4.queries ++
-      TpcDsShapes5.queries ++ Aggregates.queries ++
+      TpcDsShapes5.queries ++ TpcDsShapes6.queries ++ Aggregates.queries ++
       Windows.queries ++ SetOps.queries ++
       Functions.queries ++ EventQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
