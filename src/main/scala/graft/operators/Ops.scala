@@ -148,6 +148,26 @@ object Ops {
         .drop("__ord", "__rn")
     }
 
+    /** Sequence packing for training-batch construction: assign each
+      * document to a bin so every bin's token total stays within
+      * `budget`, filling greedily in id order (a document larger than
+      * the budget gets a bin of its own). Output: (id, n_tokens,
+      * bin_id), bin ids globally unique.
+      *
+      * Determinism & scale: rows are range-partitioned and sorted by id,
+      * then each partition packs sequentially (packing is inherently a
+      * sequential scan — the reset-on-overflow running sum has no
+      * window-function form). Bins never span partitions, so bin ids
+      * compose as (partition << 32 | local); at 100 TB each task packs
+      * its own id range independently — no shuffle beyond the range
+      * exchange, no driver involvement, and the SAME assignment for any
+      * executor count because range boundaries only move bin SPLITS at
+      * partition edges (at most one underfilled bin per partition, the
+      * standard distributed-packing trade). */
+    def packByTokenBudget(idCol: Column, tokensCol: Column,
+        budget: Long, partitions: Int = 0): DataFrame =
+      Ops.packByTokenBudgetImpl(df, idCol, tokensCol, budget, partitions)
+
     /** Stratified sample: per-stratum Bernoulli fractions, seeded
       * (training-pipeline class balancing; `DataSet.sample` analogue with
       * per-key control). Scan-local — no shuffle. */
@@ -375,5 +395,35 @@ object Ops {
     }
     sym.unpersist()
     labels
+  }
+  /** Implementation of [[GraftDataFrameOps.packByTokenBudget]] — lives on the
+    * object because the value-class wrapper cannot hold the closure's
+    * anonymous classes. */
+  private[operators] def packByTokenBudgetImpl(df: DataFrame, idCol: Column,
+      tokensCol: Column, budget: Long, partitions: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    val typed = df.select(idCol.cast("long").as("id"),
+        tokensCol.cast("long").as("n_tokens"))
+      .repartitionByRange(n, col("id"))
+      .sortWithinPartitions(col("id"))
+      .as[(Long, Long)]
+    typed.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var localBin = 0L
+      var filled = 0L
+      var first = true
+      rows.map { case (id, tokens) =>
+        if (!first && filled + tokens > budget) {
+          localBin += 1; filled = 0L
+        }
+        first = false
+        filled += tokens
+        (id, tokens, (pid << 32) | localBin)
+      }
+    }.toDF("id", "n_tokens", "bin_id")
   }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cep.Cep
+
+/** Randomized differential test: the CEP NFA against `java.util.regex`.
+  *
+  * The NFA's documented contract — leftmost start, per-quantifier greedy
+  * (or reluctant) consumption with backtracking, strict contiguity,
+  * SKIP_PAST_LAST non-overlap — is exactly Java regex `find()`-loop
+  * semantics over the per-key event-type string, with each step compiled
+  * to a capture group `(x+)`, `(x?)`, `(x{m,n})`, `(x+?)`, …. So for
+  * random patterns and random event strings the two must agree on every
+  * match: consumed range AND the per-step event assignment. A mismatch in
+  * either direction is a real NFA bug (or a semantics drift from the
+  * reference, which implements the same contract).
+  */
+class CepPropSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+
+  private val letters = Vector("a", "b", "c")
+  // (pattern-spec suffix, regex suffix) — identical quantifier surface
+  private val quants = Vector(
+    "" -> "", "+" -> "+", "?" -> "?", "+?" -> "+?",
+    "{1,2}" -> "{1,2}", "{2,3}" -> "{2,3}", "{1,2}?" -> "{1,2}?",
+    "{2}" -> "{2}")
+
+  test("NFA matches == java.util.regex find() matches on random inputs") {
+    import spark.implicits._
+    val rnd = new Random(20260813L)
+    var totalMatches = 0
+
+    (1 to 14).foreach { trial =>
+      // 2-3 steps; letters may repeat across steps (overlapping
+      // predicates are the backtracking stress case); not all-optional
+      val nSteps = 2 + rnd.nextInt(2)
+      val stepDefs = (0 until nSteps).map { i =>
+        (s"s$i", letters(rnd.nextInt(3)), quants(rnd.nextInt(quants.size)))
+      }
+      val allOpt = stepDefs.forall(d => d._3._1 == "?" || d._3._1 == "??")
+      val defs = if (allOpt) stepDefs.updated(0,
+        (stepDefs.head._1, stepDefs.head._2, "+" -> "+")) else stepDefs
+
+      val spec = defs.map(d => d._1 + d._3._1).mkString(" ")
+      val regex = java.util.regex.Pattern.compile(
+        defs.map(d => s"(${d._2}${d._3._2})").mkString)
+      val preds: Map[String, org.apache.spark.sql.Row => Boolean] =
+        defs.map(d => d._1 -> ((r: org.apache.spark.sql.Row) =>
+          r.getString(3) == d._2)).toMap
+
+      // 15 random event strings, one key each, matched in ONE Spark job
+      val strings = (0 until 15).map(k =>
+        k.toLong -> (1 to 6 + rnd.nextInt(9))
+          .map(_ => letters(rnd.nextInt(3))).mkString).toMap
+      val rows = strings.toSeq.flatMap { case (k, s) =>
+        s.zipWithIndex.map { case (ch, i) =>
+          (k, new java.sql.Timestamp(1000L * i), i.toLong, ch.toString)
+        }
+      }
+      val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+
+      val steps = Cep.pattern(spec, preds)
+      val got = Cep.matchPattern(df, "user_id", "ts", "event_id", steps)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        .groupBy(_._1)
+        .view.mapValues(_.groupBy(_._4).toSeq.sortBy(_._1).map {
+          case (_, hits) =>
+            defs.map(d => hits.filter(_._2 == d._1).map(_._3).sorted.toSeq)
+        }).toMap
+
+      strings.foreach { case (k, s) =>
+        // expected: regex find() loop = leftmost, greedy-backtracking,
+        // skip past last (advance by 1 on an empty match)
+        val m = regex.matcher(s)
+        val expected = scala.collection.mutable.ArrayBuffer
+          .empty[Seq[Seq[Long]]]
+        var from = 0
+        while (from <= s.length && m.find(from)) {
+          expected += defs.indices.map { g =>
+            val st = m.start(g + 1)
+            if (st < 0) Seq.empty[Long]
+            else (st.toLong until m.end(g + 1).toLong).toSeq
+          }
+          from = if (m.end > m.start) m.end else m.start + 1
+        }
+        val actual = got.getOrElse(k, Seq.empty)
+        assert(actual === expected.toSeq,
+          s"trial $trial pattern '$spec' events '$s': NFA=$actual " +
+            s"regex=${expected.toSeq}")
+        totalMatches += expected.map(_.map(_.size).sum).sum
+      }
+    }
+    // the generator must actually exercise matches, not vacuous agreement
+    assert(totalMatches > 200, s"only $totalMatches matched events")
+  }
+}

@@ -141,4 +141,43 @@ class OpsSpec extends AnyFunSuite {
     assert((0L to 63L).forall(i => got(i) === 0L),
       "64-node chain must fully collapse within 12 star rounds")
   }
+
+  test("packByTokenBudget: bins respect the budget, cover all docs, stay deterministic") {
+    import graft.operators.Ops._
+    import org.apache.spark.sql.functions.{col, size, split}
+    val docs = graft.engine.Tables.load(spark, SparkFixture.sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("toks"))
+    val budget = 256L
+    def run() = docs.packByTokenBudget(col("doc_id"), col("toks"), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val packed = run()
+    val input = docs.collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+    // complete and exactly-once
+    assert(packed.map(_._1).sorted.toSeq === input.map(_._1).sorted.toSeq)
+    // every bin within budget unless it is a single oversized doc
+    packed.groupBy(_._3).foreach { case (bin, ds) =>
+      val total = ds.map(_._2).sum
+      assert(total <= budget || ds.length == 1,
+        s"bin $bin holds $total tokens across ${ds.length} docs")
+    }
+    // greedy fill: bins are dense — at most one doc per bin would also
+    // have fit in the PREVIOUS bin of its partition (the one that
+    // overflowed it); equivalently each non-final bin's total plus its
+    // successor's first doc exceeds the budget
+    val byPartition = packed.groupBy(_._3 >> 32)
+    byPartition.values.foreach { part =>
+      val bins = part.groupBy(_._3).toSeq.sortBy(_._1)
+        .map { case (_, ds) => ds.sortBy(_._1) }
+      bins.sliding(2).foreach {
+        case Seq(prev, next) =>
+          assert(prev.map(_._2).sum + next.head._2 > budget ||
+            next.head._2 > budget,
+            "a doc was placed in a new bin although it fit the previous")
+        case _ =>
+      }
+    }
+    // deterministic across runs
+    assert(run().toSeq === packed.toSeq)
+  }
 }
