@@ -340,6 +340,13 @@ object Streams {
   def intervalJoinLeftOuterStream(events: DataFrame): DataFrame =
     intervalJoin(events, "left_outer")
 
+  /** Stream-stream FULL OUTER interval join — both sides null-pad at
+    * watermark seal (the reference's symmetric OuterJoinRecordStateViews
+    * mode): a signup with no in-horizon error AND an error with no
+    * preceding in-horizon signup each emit exactly once. */
+  def intervalJoinFullOuterStream(events: DataFrame): DataFrame =
+    intervalJoin(events, "full_outer")
+
   private def intervalJoin(events: DataFrame,
       joinType: String): DataFrame = {
     val signups = events.where(col("event_type") === "signup")

@@ -96,6 +96,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, 10L), (2L, -1L), (98L, 99L), (100L, 101L)))
   }
 
+  test("stream-stream FULL OUTER interval join null-pads both sides") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val q = Streams.intervalJoinFullOuterStream(df)
+      .writeStream.format("memory").queryName("t_sj_fouter")
+      .outputMode("append").start()
+    // u1: matched pair; u2: signup with no error (left null-pad);
+    // u4: error with no signup (right null-pad)
+    mem.addData((1L, 600L, 1L, "signup"), (2L, 600L, 2L, "signup"),
+      (1L, 1200L, 10L, "error"), (4L, 1200L, 40L, "error"))
+    q.processAllAvailable()
+    mem.addData((3L, 90000L, 98L, "signup"), (3L, 90000L, 99L, "error"))
+    q.processAllAvailable()
+    mem.addData((3L, 95000L, 100L, "signup"), (3L, 95000L, 101L, "error"))
+    q.processAllAvailable()
+    val got = spark.table("t_sj_fouter").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    q.stop()
+    assert(got === Set((1L, 10L), (2L, -1L), (-1L, 40L),
+      (98L, 99L), (100L, 101L)))
+  }
+
   test("broadcast control table re-reads at each epoch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
