@@ -220,6 +220,62 @@ object TextQueries {
              |WHERE rn <= 3
              |ORDER BY source, doc_id""".stripMargin)),
 
+    // Mixture sampling — the data-MIXING step of a training pipeline:
+    // each source is down/up-weighted by a target rate and rows are kept
+    // by a seeded content-hash Bernoulli draw, so the exact mixture is
+    // deterministic under any partitioning, retry, or executor count
+    // (rand() is none of those). Scan-local: one md5 + compare per row,
+    // no shuffle before the ordering. The md5 32-bit prefix is the
+    // cross-engine uniform variate, so the exact kept set (not just the
+    // counts) is oracle-checked.
+    Query(
+      "q_sample_mixture",
+      (s, d) => {
+        val rate = when(col("source").isin("src0", "src1", "src2", "src3"),
+          0.9)
+          .when(col("source").isin("src4", "src5", "src6", "src7"), 0.5)
+          .otherwise(0.2)
+        val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":mix42"))), 1, 8), 16, 10).cast("double") / 4294967296.0
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"), u.as("__u"), rate.as("__r"))
+          .where(col("__u") < col("__r"))
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |    CAST((u & 255) * 16777216 + ((u >> 8) & 255) * 65536
+             |      + ((u >> 16) & 255) * 256 + ((u >> 24) & 255) AS BIGINT)
+             |      / 4294967296.0 AS uu,
+             |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+             |        THEN 0.9
+             |      WHEN source IN ('src4', 'src5', 'src6', 'src7') THEN 0.5
+             |      ELSE 0.2 END AS r
+             |  FROM (SELECT doc_id, source,
+             |      md5_number_upper(CAST(doc_id AS VARCHAR) || ':mix42') AS u
+             |    FROM documents) h) x
+             |WHERE uu < r
+             |ORDER BY doc_id""".stripMargin)),
+
+    // URL canonicalization + dedup — the provenance-level dedup of a
+    // crawl pipeline: case-fold, strip www., tracking params, and
+    // trailing slashes, then count copies per canonical URL. Synthetic
+    // URLs derive variants deterministically from doc_id (case noise,
+    // utm params, trailing slash, and a doc_id%100 collision group so
+    // canonicalization visibly MERGES). Regex patterns use character
+    // classes instead of backslash escapes — the one regex form that
+    // parses identically in Spark SQL string literals and DuckDB's RE2.
+    // Scan-local canonicalization + one groupBy; shared SQL text runs
+    // verbatim on both engines.
+    Query(
+      "q_text_url_canon",
+      (s, d) => {
+        Catalog.registerViews(s, d, "documents")
+        s.sql(urlCanonSql)
+      },
+      Some(urlCanonSql)),
+
     // Gopher-style composite quality filter (Rae et al. 2021 §A1.1 rules,
     // the standard pretraining-corpus gate): token-count bounds, mean
     // word length band, token-repetition ceiling → one keep/reject flag.
@@ -344,6 +400,29 @@ object TextQueries {
         s.sql(profileSql)
       },
       Some(profileSql)))
+
+  private lazy val urlCanonSql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://' ||
+      |      (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+      |      source || '.example.com/doc/' || (doc_id % 100) ||
+      |      (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+      |      (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END)
+      |      AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    REGEXP_REPLACE(
+      |      REGEXP_REPLACE(
+      |        REGEXP_REPLACE(LOWER(url), '[?]utm_[a-z_=]*$', ''),
+      |        '://www[.]', '://'),
+      |      '/$', '') AS url
+      |  FROM u)
+      |SELECT url, COUNT(1) AS n_copies,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM c GROUP BY url
+      |ORDER BY url""".stripMargin
 
   private lazy val profileSql = {
     val cols = Seq("lang", "source", "n_chars")
