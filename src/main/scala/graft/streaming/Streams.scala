@@ -611,6 +611,56 @@ object Streams {
     out.toDF("key", "total", "n")
   }
 
+  /** Processing-timeout trigger (reference flink-streaming-java
+    * ProcessingTimeoutTrigger.java — fire when a key has been IDLE for
+    * `timeoutMs` of processing time, regardless of watermarks): per key,
+    * buffer a running (sum, n) and emit it only when no new element has
+    * arrived for the timeout. The wall-clock member of the trigger
+    * taxonomy (count → countWindows, event-time → window aggs, delta →
+    * deltaTriggerSum). State per key: two numbers + one processing-time
+    * timer; cleared on firing, so each burst of activity yields exactly
+    * one row. Input: (keyCol long, valueCol double); emits (key, total,
+    * n). Timers fire at the NEXT micro-batch after expiry (micro-batch
+    * granularity — same contract as every timer here).
+    *
+    * Run the query with a NONZERO processing-time trigger interval:
+    * while any timeout is armed Spark schedules no-data batches to fire
+    * timers, and at `Trigger.ProcessingTime(0)` that degenerates into a
+    * busy loop of empty batches (observed to starve
+    * `processAllAvailable`). An interval of the timeout's order bounds
+    * both the firing latency and the idle batch rate. */
+  def idleTimeoutAgg(updates: DataFrame, keyCol: String,
+      valueCol: String, timeoutMs: Long): DataFrame = {
+    require(timeoutMs > 0, s"bad timeoutMs=$timeoutMs")
+    val spark = updates.sparkSession
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val fields = updates.schema.fieldNames
+    val kIdx = fields.indexOf(keyCol)
+    val vIdx = fields.indexOf(valueCol)
+    require(kIdx >= 0 && vIdx >= 0)
+    val out = updates.groupByKey(_.getLong(kIdx))
+      .flatMapGroupsWithState[(Double, Long), (Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: Long, it: Iterator[Row],
+            state: org.apache.spark.sql.streaming.GroupState[(Double, Long)]) =>
+          if (state.hasTimedOut) {
+            val (sum, n) = state.get
+            state.remove()
+            Iterator.single((key, sum, n))
+          } else {
+            var (sum, n) = state.getOption.getOrElse((0.0, 0L))
+            it.foreach { r => sum += r.getDouble(vIdx); n += 1 }
+            state.update((sum, n))
+            // every new element re-arms the idle clock — the reference's
+            // trigger resets its timer on each registered element
+            state.setTimeoutDuration(timeoutMs)
+            Iterator.empty
+          }
+      }
+    out.toDF("key", "total", "n")
+  }
+
   /** Changelog emission (reference's +I/-U/+U retraction stream —
     * StreamExecChangelogNormalize / RowKind.java; SURVEY §1's documented
     * delta, made concrete): wraps an update-mode aggregation's foreachBatch

@@ -411,6 +411,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq((1L, 12.0, 3L), (1L, 23.0, 5L)))
   }
 
+  test("idle-timeout trigger fires only after a key goes quiet") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("k", "v")
+      .select(col("k").cast("long").as("k"), col("v"))
+    // a NONZERO trigger interval: with processing-time timeouts armed,
+    // Spark schedules no-data batches to fire timers — at interval 0
+    // that is a busy loop that can starve processAllAvailable (see the
+    // operator's scaladoc); once timers are armed we POLL the sink with
+    // a deadline instead of calling processAllAvailable at all
+    val q = Streams.idleTimeoutAgg(df, "k", "v", timeoutMs = 1500)
+      .writeStream.format("memory").queryName("t_idle")
+      .outputMode("append").trigger(Trigger.ProcessingTime(250)).start()
+    def rows() = spark.table("t_idle").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting: $what")
+        Thread.sleep(200)
+      }
+    }
+    // two elements for key 1 while it is ACTIVE (second re-arms the idle
+    // clock); the no-data batches then flush it 1.5s after the last one
+    mem.addData((1L, 1.0))
+    mem.addData((1L, 2.0))
+    waitFor("key 1 idle flush")(rows().exists(_._1 == 1L))
+    val k1 = rows().filter(_._1 == 1L).toSeq
+    assert(k1 === Seq((1L, 3.0, 2L)),
+      s"key 1 must flush once with the FULL buffered (sum, n): $k1")
+    // a later key flushes independently; key 1 must not fire again
+    mem.addData((2L, 5.0))
+    waitFor("key 2 idle flush")(rows().exists(_._1 == 2L))
+    val got = rows().toSeq
+    q.stop()
+    assert(got.filter(_._1 == 2L) === Seq((2L, 5.0, 1L)))
+    assert(got.count(_._1 == 1L) === 1, s"key 1 flushed twice: $got")
+  }
+
   test("side-output routing partitions each batch exactly") {
     import org.apache.spark.sql.functions.col
     val counts = new java.util.concurrent.atomic.AtomicLongArray(2)
