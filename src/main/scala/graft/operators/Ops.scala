@@ -152,21 +152,27 @@ object Ops {
       * document to a bin so every bin's token total stays within
       * `budget`, filling greedily in id order (a document larger than
       * the budget gets a bin of its own). Output: (id, n_tokens,
-      * bin_id), bin ids globally unique.
+      * bin_id), bin ids globally unique. Null or negative token counts
+      * fail fast with a clear error.
       *
-      * Determinism & scale: rows are range-partitioned and sorted by id,
-      * then each partition packs sequentially (packing is inherently a
-      * sequential scan — the reset-on-overflow running sum has no
-      * window-function form). Bins never span partitions, so bin ids
-      * compose as (partition << 32 | local); at 100 TB each task packs
-      * its own id range independently — no shuffle beyond the range
-      * exchange, no driver involvement, and the SAME assignment for any
-      * executor count because range boundaries only move bin SPLITS at
-      * partition edges (at most one underfilled bin per partition, the
-      * standard distributed-packing trade). */
+      * Determinism & scale: ids are bucketed into `buckets` equal-width
+      * id-range BLOCKS computed from the exact (min, max) id — a pure
+      * function of the data and the argument, NOT of sampling, RDD ids,
+      * or executor count (repartitionByRange would be none of those: its
+      * boundaries come from reservoir sampling seeded by the
+      * per-execution RDD id). Each block packs sequentially (packing is
+      * inherently a sequential scan — the reset-on-overflow running sum
+      * has no window-function form); bins never span blocks, so bin ids
+      * compose as (block << 32 | local). Cost: one O(1) min/max
+      * aggregate + one hash exchange on the block id; the same
+      * assignment on every run, retry, and cluster size for a fixed
+      * `buckets`. At most one underfilled bin per block — the standard
+      * distributed-packing trade. Id-range blocks assume roughly
+      * uniform id density (true for sequence ids); a skewed id space
+      * packs correctly but with uneven task sizes. */
     def packByTokenBudget(idCol: Column, tokensCol: Column,
-        budget: Long, partitions: Int = 0): DataFrame =
-      Ops.packByTokenBudgetImpl(df, idCol, tokensCol, budget, partitions)
+        budget: Long, buckets: Int = 0): DataFrame =
+      Ops.packByTokenBudgetImpl(df, idCol, tokensCol, budget, buckets)
 
     /** Stratified sample: per-stratum Bernoulli fractions, seeded
       * (training-pipeline class balancing; `DataSet.sample` analogue with
@@ -400,30 +406,44 @@ object Ops {
     * object because the value-class wrapper cannot hold the closure's
     * anonymous classes. */
   private[operators] def packByTokenBudgetImpl(df: DataFrame, idCol: Column,
-      tokensCol: Column, budget: Long, partitions: Int): DataFrame = {
+      tokensCol: Column, budget: Long, buckets: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = df.sparkSession
     import spark.implicits._
-    val n = if (partitions > 0) partitions
+    val n = if (buckets > 0) buckets
       else spark.sparkContext.defaultParallelism
-    val typed = df.select(idCol.cast("long").as("id"),
-        tokensCol.cast("long").as("n_tokens"))
-      .repartitionByRange(n, col("id"))
-      .sortWithinPartitions(col("id"))
-      .as[(Long, Long)]
+    val base = df.select(idCol.cast("long").as("id"),
+      when(tokensCol.isNull || tokensCol < 0,
+        raise_error(concat(lit("packByTokenBudget: null or negative " +
+          "token count for id "), idCol.cast("string"))))
+        .otherwise(tokensCol).cast("long").as("n_tokens"))
+    // exact id range → equal-width blocks: deterministic for fixed
+    // (data, buckets), unlike sampled range boundaries
+    val Array(lo, hi) = base.agg(min(col("id")), max(col("id")))
+      .collect().headOption.map(r =>
+        if (r.isNullAt(0)) Array(0L, -1L)
+        else Array(r.getLong(0), r.getLong(1))).getOrElse(Array(0L, -1L))
+    if (hi < lo) return base.withColumn("bin_id", lit(0L)).limit(0)
+    val width = math.max(1L, (hi - lo) / n + 1)
+    val typed = base
+      .withColumn("__blk", ((col("id") - lo) / width).cast("long"))
+      .repartition(n, col("__blk"))
+      .sortWithinPartitions(col("__blk"), col("id"))
+      .select(col("__blk"), col("id"), col("n_tokens"))
+      .as[(Long, Long, Long)]
     typed.mapPartitions { rows =>
-      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      // a partition may hold several blocks (hash assignment); packing
+      // state resets at each block boundary so bins never span blocks
+      var blk = -1L
       var localBin = 0L
       var filled = 0L
-      var first = true
-      rows.map { case (id, tokens) =>
-        if (!first && filled + tokens > budget) {
-          localBin += 1; filled = 0L
-        }
-        first = false
+      rows.map { case (b, id, tokens) =>
+        if (b != blk) { blk = b; localBin = 0L; filled = 0L }
+        else if (filled + tokens > budget) { localBin += 1; filled = 0L }
         filled += tokens
-        (id, tokens, (pid << 32) | localBin)
+        (id, tokens, (blk << 32) | localBin)
       }
     }.toDF("id", "n_tokens", "bin_id")
   }
+
 }

@@ -24,11 +24,17 @@ class CepPropSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 
   private val letters = Vector("a", "b", "c")
-  // (pattern-spec suffix, regex suffix) — identical quantifier surface
+  // (pattern-spec suffix, regex suffix) — the FULL quantifier surface
+  // Cep.pattern parses: greedy/reluctant one-or-more and optional,
+  // bounded and open-ended Times, zero-min Times
   private val quants = Vector(
-    "" -> "", "+" -> "+", "?" -> "?", "+?" -> "+?",
+    "" -> "", "+" -> "+", "?" -> "?", "+?" -> "+?", "??" -> "??",
     "{1,2}" -> "{1,2}", "{2,3}" -> "{2,3}", "{1,2}?" -> "{1,2}?",
-    "{2}" -> "{2}")
+    "{2}" -> "{2}", "{1,}" -> "{1,}", "{0,2}" -> "{0,2}")
+
+  /** quantifiers that can match ZERO events (an all-zero-min pattern
+    * matches empty everywhere — excluded by construction). */
+  private val zeroMin = Set("?", "??", "{0,2}")
 
   test("NFA matches == java.util.regex find() matches on random inputs") {
     import spark.implicits._
@@ -42,7 +48,7 @@ class CepPropSpec extends AnyFunSuite {
       val stepDefs = (0 until nSteps).map { i =>
         (s"s$i", letters(rnd.nextInt(3)), quants(rnd.nextInt(quants.size)))
       }
-      val allOpt = stepDefs.forall(d => d._3._1 == "?" || d._3._1 == "??")
+      val allOpt = stepDefs.forall(d => zeroMin.contains(d._3._1))
       val defs = if (allOpt) stepDefs.updated(0,
         (stepDefs.head._1, stepDefs.head._2, "+" -> "+")) else stepDefs
 

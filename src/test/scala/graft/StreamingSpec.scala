@@ -436,10 +436,11 @@ class StreamingSpec extends AnyFunSuite {
         Thread.sleep(200)
       }
     }
-    // two elements for key 1 while it is ACTIVE (second re-arms the idle
-    // clock); the no-data batches then flush it 1.5s after the last one
-    mem.addData((1L, 1.0))
-    mem.addData((1L, 2.0))
+    // both key-1 elements in ONE source offset so they land in one
+    // batch atomically — separate addData calls could straddle a >1.5s
+    // stall and split the burst into two flushes (a timing flake, not
+    // an operator property)
+    mem.addData((1L, 1.0), (1L, 2.0))
     waitFor("key 1 idle flush")(rows().exists(_._1 == 1L))
     val k1 = rows().filter(_._1 == 1L).toSeq
     assert(k1 === Seq((1L, 3.0, 2L)),
