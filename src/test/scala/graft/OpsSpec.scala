@@ -142,6 +142,44 @@ class OpsSpec extends AnyFunSuite {
       "64-node chain must fully collapse within 12 star rounds")
   }
 
+  test("asofJoin equals the brute-force latest-at-or-before scan on random data") {
+    // differential check: for random keyed timelines (duplicate
+    // timestamps included), the single-shuffle union+window formulation
+    // must agree with the obvious per-row definition — the latest right
+    // payload whose ts is <= the left ts (ties between right versions
+    // at one timestamp broken by the larger tie-breaker id, per the
+    // window's (ts, side, tieBreaker) order)
+    import graft.operators.Ops._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(99L)
+    val lefts = (1 to 300).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(40).toLong, i.toLong))
+    val rights = (1 to 200).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(40).toLong, i * 1000.0, i.toLong))
+    val l = lefts.toDF("k", "secs", "event_id")
+      .select(col("k"), col("secs").cast("timestamp").as("lts"),
+        col("event_id"))
+    val r = rights.toDF("k", "secs", "price", "rid")
+      .select(col("k"), col("secs").cast("timestamp").as("rts"),
+        col("price"), col("rid"))
+      .withColumnRenamed("rid", "event_id")
+    val got = l.asofJoin(r, "k", "lts", "rts", "price", "event_id")
+      .collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1).getTime / 1000,
+        x.getLong(2), if (x.isNullAt(3)) -1.0 else x.getDouble(3)))
+      .toSet
+    val expected = lefts.map { case (k, ts, id) =>
+      val cand = rights.filter(rr => rr._1 == k && rr._2 <= ts)
+      // -1.0 sentinel for "no version yet": NaN breaks set equality
+      val pay = if (cand.isEmpty) -1.0
+        else cand.maxBy(rr => (rr._2, rr._4))._3
+      (k, ts, id, pay)
+    }.toSet
+    assert(got.size === lefts.size)
+    assert(got === expected)
+  }
+
   test("packByTokenBudget: bins respect the budget, cover all docs, stay deterministic") {
     import graft.operators.Ops._
     import org.apache.spark.sql.functions.{col, size, split}
