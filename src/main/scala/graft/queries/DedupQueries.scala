@@ -441,5 +441,61 @@ object DedupQueries {
               |    / CAST(LEN(string_split(d.text, ' ')) AS BIGINT)
               |    AS dup_ratio
               |FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id
-              |ORDER BY doc_id""".stripMargin)))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // The CUT: rebuild each document's text with every duplicated span
+    // removed — detect (q_dedup_substring) → measure (q_dedup_span_ratio)
+    // → cut. Per doc, the merged span list folds back as an array column
+    // (bounded by the doc's own length — per-doc state, same unit as the
+    // merge window); the rebuild is a scan-local indexed filter over the
+    // token array, with the containment test a nested lambda over the
+    // span array. One extra shuffle (the span collect) + one join.
+    Query(
+      "q_dedup_cut",
+      (s, d) => {
+        val spanArr = spanIslands(s, d)
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("span_start").as("s"),
+            col("span_end").as("e"))).as("spans"))
+        val tk = col("__tk")
+        t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+          .join(spanArr, Seq("doc_id"), "left")
+          .select(col("doc_id"), tk,
+            coalesce(col("spans"),
+              array().cast("array<struct<s:bigint,e:bigint>>")).as("sp"))
+          .select(col("doc_id"),
+            filter(tk, (x, i) =>
+              !exists(col("sp"), sp => i >= sp.getField("s")
+                && i <= sp.getField("e"))).as("kept"),
+            size(tk).as("n_tokens"))
+          .select(col("doc_id"),
+            array_join(col("kept"), " ").as("clean_text"),
+            (col("n_tokens") - size(col("kept"))).cast("long")
+              .as("n_removed"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $spanCtes,
+              |sp AS (
+              |  SELECT doc_id,
+              |    LIST(STRUCT_PACK(s := span_start, e := span_end)) AS spans
+              |  FROM spans GROUP BY doc_id),
+              |base AS (
+              |  SELECT d.doc_id, string_split(d.text, ' ') AS tk,
+              |    CASE WHEN sp.spans IS NULL
+              |      THEN CAST([] AS STRUCT(s BIGINT, e BIGINT)[])
+              |      ELSE sp.spans END AS sp
+              |  FROM documents d LEFT JOIN sp ON d.doc_id = sp.doc_id),
+              |cut AS (
+              |  SELECT doc_id,
+              |    list_filter(tk, (x, i) -> LEN(list_filter(sp,
+              |      r -> i - 1 >= r.s AND i - 1 <= r.e)) = 0) AS kept,
+              |    LEN(tk) AS n_tokens
+              |  FROM base)
+              |-- COALESCE: DuckDB's array_to_string([]) is NULL where
+              |-- Spark's array_join([]) is '' (a fully-duplicated doc)
+              |SELECT doc_id,
+              |  COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+              |  CAST(n_tokens - LEN(kept) AS BIGINT) AS n_removed
+              |FROM cut ORDER BY doc_id""".stripMargin)))
 }
