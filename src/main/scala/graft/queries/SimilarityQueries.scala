@@ -268,6 +268,48 @@ object SimilarityQueries {
               |  y.embedding::DOUBLE[]), 6) >= 0.4
               |ORDER BY a, b""".stripMargin)),
 
+    // SemDeDup (Abbas et al. 2023, semantic deduplication): embedding-
+    // space near-duplicates — cluster-blocked cosine pairs → connected
+    // components → keep the minimum id of each duplicate group. Composes
+    // the engine's own pieces (q_sim_pairs blocking + Ops
+    // .connectedComponents + broadcast anti-join keep-one), the same
+    // shape as q_dedup_corpus on the lexical side. Label cells stand in
+    // for the learned k-means cells (KMeans.fit is the library path) so
+    // the whole pipeline stays deterministic and oracle-checkable.
+    Query(
+      "q_semdedup",
+      (s, d) => {
+        val pairs = Catalog.byName("q_sim_pairs").run(s, d)
+          .select(col("a"), col("b"))
+        val drop = graft.operators.Ops.connectedComponents(pairs)
+          .toDF("vec_id", "component")
+          .where(col("vec_id") =!= col("component"))
+          .select(col("vec_id"))
+        t(s, d, "embeddings")
+          .join(broadcast(drop), Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("label"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH RECURSIVE pairs AS (
+             |  SELECT x.vec_id AS a, y.vec_id AS b
+             |  FROM embeddings x JOIN embeddings y
+             |    ON x.label = y.label AND x.vec_id < y.vec_id
+             |  WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+             |    y.embedding::DOUBLE[]), 6) >= 0.4),
+             |edges AS (
+             |  SELECT a AS src, b AS dst FROM pairs
+             |  UNION ALL SELECT b, a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT DISTINCT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, reach.r FROM reach
+             |  JOIN edges e ON e.src = reach.id),
+             |comp AS (
+             |  SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+             |SELECT vec_id, label FROM embeddings
+             |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)
+             |ORDER BY vec_id""".stripMargin)),
+
     // Per-label centroids (embedding pooling — the aggregate an IVF index
     // or cluster-dedup pipeline needs): explode to (label, dim), exact
     // decimal mean per dimension. One shuffle on (label, dim); at 100 TB
