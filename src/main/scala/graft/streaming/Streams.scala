@@ -364,6 +364,31 @@ object Streams {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Stream-stream WINDOW join (reference DataStream JoinedStreams /
+    * CoGroupedStreams — pair elements of two streams that fall in the
+    * SAME tumbling window): the window assignment joins as an equality
+    * key next to the user key, which is exactly Spark's documented
+    * time-window-join shape — the window struct equality doubles as the
+    * time constraint, so both sides' state is bounded to the watermark
+    * horizon without an explicit range predicate. Emits
+    * (a_id, b_id, w_start) for signup×error pairs per (user, hour). */
+  def windowJoinStream(events: DataFrame,
+      size: String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id").as("u"), col("event_id").as("a_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", lateness)
+      .withColumn("w", window(col("a_ts"), size))
+    val errors = events.where(col("event_type") === "error")
+      .select(col("user_id").as("u2"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", lateness)
+      .withColumn("w2", window(col("b_ts"), size))
+    signups.join(errors,
+        col("u") === col("u2") && col("w") === col("w2"))
+      .select(col("a_id"), col("b_id"), col("w.start").as("w_start"))
+  }
+
   /** Broadcast-state pattern (reference BroadcastState /
     * BroadcastConnectedStream): a slow-changing control table re-read
     * and re-BROADCAST at every micro-batch epoch, joined against the

@@ -126,6 +126,34 @@ class StreamingSpec extends AnyFunSuite {
       (98L, 99L), (100L, 101L)))
   }
 
+  test("stream-stream window join pairs only same-window events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val q = Streams.windowJoinStream(df)
+      .writeStream.format("memory").queryName("t_sj_window")
+      .outputMode("append").start()
+    val h = 3600L
+    // u1: signup+error inside hour 0 (pair) and an error in hour 1 (no
+    // pair — different window despite being within any interval bound);
+    // u2: signup hour 0, error hour 0 → pair
+    mem.addData((1L, 600L, 1L, "signup"), (1L, 1200L, 10L, "error"),
+      (1L, h + 60L, 11L, "error"),
+      (2L, 1800L, 2L, "signup"), (2L, 2400L, 20L, "error"))
+    q.processAllAvailable()
+    mem.addData((3L, 10 * h, 98L, "signup"), (3L, 10 * h, 99L, "error"))
+    q.processAllAvailable()
+    val got = spark.table("t_sj_window").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got === Set((1L, 10L), (2L, 20L), (98L, 99L)))
+  }
+
   test("broadcast control table re-reads at each epoch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
