@@ -59,7 +59,13 @@ object KMeans {
         .collect()(0).getSeq[Double](0).toArray
       seeds += far
     }
-    var cents: Array[Array[Double]] = seeds.toArray
+    lloyd(points, vecCol, seeds.toArray, iters)
+  }
+
+  /** The Lloyd refinement loop shared by both inits. */
+  private def lloyd(points: DataFrame, vecCol: String,
+      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    var cents = init
     for (_ <- 1 to iters) {
       val assigned = assign(points, vecCol, cents, "__cell")
       // per-(cell, dim) mean: map-side partials collapse each partition
@@ -79,6 +85,80 @@ object KMeans {
       }.toArray
     }
     cents
+  }
+
+  /** Learn `k` centroids with k-means‖ initialization (Bahmani et al.,
+    * PVLDB 2012) — the SCALE path: where farthest-first runs k
+    * sequential full scans (prohibitive for large k), k-means‖ runs
+    * `rounds` (≈5) scans, each pseudo-sampling ~`oversample`·k candidates
+    * with probability ∝ their squared distance to the candidate set so
+    * far, then reduces the ≤ rounds·oversample·k weighted candidates to
+    * k seeds ON THE DRIVER (weighted farthest-first — the candidate set
+    * is tiny). Sampling uses seeded content-hash thresholds, not rand():
+    * the same candidates on every run, retry, and partitioning. The
+    * running min-distance column is MATERIALIZED per round via
+    * localCheckpoint, so round r's plan compares only against round r's
+    * NEW candidates instead of re-deriving a k·rounds-wide least()
+    * expression over the whole history. */
+  def fitParallel(points: DataFrame, vecCol: String, k: Int, iters: Int,
+      rounds: Int = 5, oversample: Double = 2.0,
+      seed: Long = 42L): Array[Array[Double]] = {
+    require(k >= 1 && iters >= 1 && rounds >= 1 && oversample > 0,
+      s"bad k-means|| params k=$k iters=$iters rounds=$rounds")
+    val hashed = points
+      .select(col(vecCol).as("v"))
+      .withColumn("__h", md5(concat_ws(",",
+        col("v").cast("string"), lit(seed.toString))))
+    val firstRows = hashed.orderBy(col("__h")).limit(1).collect()
+    require(firstRows.nonEmpty,
+      s"KMeans.fitParallel: input has no rows (column $vecCol)")
+    val first = firstRows(0).getSeq[Double](0).toArray
+    val cand = scala.collection.mutable.ArrayBuffer(first -> 1L)
+    // __d = squared distance to the nearest candidate so far
+    var df = hashed.withColumn("__d", sqDist(col("v"), typedLit(first.toSeq)))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val sumD = df.agg(sum(col("__d"))).collect()(0).getDouble(0)
+      if (sumD > 0) {
+        // P(pick x) = min(1, oversample·k·d²(x)/Σd²) via a per-round
+        // seeded hash uniform — deterministic Bernoulli
+        val u = conv(substring(md5(concat_ws(",", col("__h"),
+          lit(s"r$r"))), 1, 8), 16, 10).cast("double") / 4294967296.0
+        val picked = df.where(u < lit(oversample * k) * col("__d") / sumD)
+          .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+        if (picked.nonEmpty) {
+          cand ++= picked.map(_ -> 0L)
+          val newMin = picked.map(c => sqDist(col("v"), typedLit(c.toSeq)))
+            .reduce((a, b) => least(a, b))
+          df = df.withColumn("__d", least(col("__d"), newMin))
+            .localCheckpoint()
+        }
+      }
+    }
+    // weight candidates by their captured population (one assign pass)
+    val candArr = cand.map(_._1).toArray
+    val weights = assign(df, "v", candArr, "__c")
+      .groupBy(col("__c")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // driver-side weighted farthest-first down to k seeds (candidates
+    // number ≤ 1 + rounds·oversample·k — trivial)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val weighted = candArr.zipWithIndex.map { case (c, i) =>
+      c -> weights.getOrElse(i, 0L).toDouble.max(1.0)
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(weighted.head._1)
+    while (seeds.length < math.min(k, weighted.length)) {
+      val next = weighted.maxBy { case (c, w) =>
+        w * seeds.map(s0 => d2(c, s0)).min
+      }._1
+      seeds += next
+    }
+    while (seeds.length < k) seeds += seeds.head // degenerate tiny input
+    lloyd(points, vecCol, seeds.toArray, iters)
   }
 
   /** Nearest-centroid cell id per row (squared euclidean, ties to the

@@ -125,6 +125,27 @@ class KMeansSpec extends AnyFunSuite {
     assert(kRecall >= 0.9, s"kmeans-cell recall too low: $kRecall")
   }
 
+  test("fitParallel (k-means||) recovers the same clusters as farthest-first fit") {
+    val viaFF = KMeans.fit(corpus, "v", k = 3, iters = 5)
+    val viaPar = KMeans.fitParallel(corpus, "v", k = 3, iters = 5)
+    assert(viaPar.length === 3)
+    // same clustering quality: within-cluster squared distance of the
+    // parallel init must match farthest-first (both find the 3 natural
+    // clusters on this well-separated fixture)
+    def wcss(cents: Array[Array[Double]]): Double =
+      KMeans.assign(corpus, "v", cents, "__c")
+        .select(col("__c"), col("v")).collect().map { r =>
+          val v = r.getSeq[Double](1).toArray
+          val c = cents(r.getInt(0))
+          v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum
+        }.sum
+    val a = wcss(viaFF); val b = wcss(viaPar)
+    assert(b <= a * 1.05, s"k-means|| init degraded quality: $b vs $a")
+    // deterministic: content-hash sampling, not rand()
+    val again = KMeans.fitParallel(corpus, "v", k = 3, iters = 5)
+    assert(viaPar.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("fit is deterministic and an emptied cell keeps its centroid") {
     val a = KMeans.fit(corpus, "v", k = 3, iters = 3)
     val b = KMeans.fit(corpus, "v", k = 3, iters = 3)
