@@ -830,6 +830,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 === n1, "restart duplicated rows — exactly-once broken")
   }
 
+  test("custom keyed state survives a checkpointed restart") {
+    // the reference's state-backend recovery contract for custom keyed
+    // operators: a flatMapGroupsWithState count-window buffers 2 of 3
+    // events, the query STOPS, and a restarted query (same checkpoint)
+    // must complete the window from RECOVERED state — an emission of
+    // (n=3, sum over both runs) proves the buffer crossed the restart
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val srcDir = s"$base/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    def run(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(srcDir)
+      val q = Streams.countWindows(in, size = 3).writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/cp")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((7L, 1.0), (7L, 2.0)).toDF("user_id", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run() // buffers 2 events in state, emits nothing
+    Seq((7L, 4.0)).toDF("user_id", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run() // restart: only the new file is unread; state must carry over
+    val got = spark.read.parquet(s"$base/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((7L, 0L, 3L, 7.0)),
+      s"state did not survive the restart: ${got.toSeq}")
+  }
+
   test("epoch reconfiguration: config re-read at micro-batch boundaries") {
     val ctrl = new ReconfigController[Int](10)
     @volatile var seen = Vector.empty[(Long, Int)]
