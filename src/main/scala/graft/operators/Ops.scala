@@ -201,12 +201,20 @@ object Ops {
       *
       * Scale: positions+digests are scan-local (one md5 per position —
       * a 16-byte shuffle key, never the span text); cross-doc frequency
-      * is a partial-agg groupBy on the digest, the flag-back a left-semi
-      * join on it (two digest shuffles total); interval merging is a
-      * per-document window. A span duplicated across k docs costs O(k)
-      * rows — no pair materialization. The token array materializes once
-      * per row BEFORE the position lambda (Catalyst does not CSE across
-      * lambda boundaries; inline split is O(tokens²)/doc). */
+      * and the flag-back share ONE digest shuffle: two pipelined windows
+      * over `partition by h` (dense_rank by doc id, then partition max =
+      * distinct-doc count) replace the groupBy + semi-join, which forked
+      * the plan into two scans of the tokenize+md5 explode — at 100 TB
+      * that explode IS the dominant cost, so the fork was a guaranteed
+      * 2×. The second window reuses the first's exchange AND sort (same
+      * partitioning, prefix ordering — the lshBucketPairs pattern), and
+      * WindowExec buffers spill per bucket, so a degenerate shingle
+      * (boilerplate in millions of docs) stays disk-bounded. Interval
+      * merging is a per-document window. A span duplicated across k docs
+      * costs O(k) rows — no pair materialization. The token array
+      * materializes once per row BEFORE the position lambda (Catalyst
+      * does not CSE across lambda boundaries; inline split is
+      * O(tokens²)/doc). */
     def duplicatedSpans(idCol: Column, textCol: Column,
         spanLen: Int): DataFrame = {
       import org.apache.spark.sql.expressions.Window
@@ -219,11 +227,14 @@ object Ops {
           sequence(lit(0), size(tk) - spanLen),
           i => md5(array_join(slice(tk, i + 1, lit(spanLen)), " ")))))
         .toDF("__id", "pos", "h")
-      val dup = pos.groupBy(col("h"))
-        .agg(countDistinct(col("__id")).as("nd"))
-        .where(col("nd") > 1)
-        .select(col("h"))
-      val flagged = pos.join(dup, Seq("h"), "left_semi")
+      // distinct docs per digest without re-reading the input: rank docs
+      // within the digest bucket, then the bucket-wide max rank IS the
+      // distinct-doc count (ties collapse under dense_rank)
+      val wH = Window.partitionBy(col("h"))
+      val flagged = pos
+        .withColumn("__dr", dense_rank().over(wH.orderBy(col("__id"))))
+        .withColumn("__nd", max(col("__dr")).over(wH))
+        .where(col("__nd") > 1)
         .select(col("__id"), col("pos"))
       val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
       // a flagged start p covers tokens [p, p+spanLen-1]; runs whose

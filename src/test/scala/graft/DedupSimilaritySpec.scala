@@ -133,6 +133,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(joinRows(filtered) === 0L)
   }
 
+  test("duplicatedSpans: degenerate corpus (10k identical docs) stays bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Ops.GraftDataFrameOps
+    // the span-path failure mode: every shingle of every doc lands in one
+    // digest bucket of 10k rows. The windows over h must spill per bucket
+    // (not hold a groupBy/join state explosion), and the per-doc merge
+    // must produce exactly one whole-doc span per document
+    val n = 10000
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = (1 to n).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val spans = docs.duplicatedSpans(col("doc_id"), col("text"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.length === n)
+    assert(spans.forall { case (_, s, e, c) => s == 0L && e == 29L && c == 26L })
+  }
+
   test("substring dedup merges overlapping duplicated runs into one span") {
     val spans = Catalog.byName("q_dedup_substring").run(spark, sf)
       .collect()

@@ -110,6 +110,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("label"), s"unused column read:\n$p")
   }
 
+  test("q_dedup_substring: single scan — position pipeline not forked") {
+    // the tokenize+md5 explode is the dominant cost at corpus scale; the
+    // duplicate-digest flagging must share one shuffle (windows over h),
+    // not fork the plan into a groupBy branch and a semi-join branch that
+    // each re-scan and re-hash the documents table
+    val p = plan("q_dedup_substring")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"documents scanned more than once:\n$p")
+    assert("Generate posexplode".r.findAllIn(p).size === 1,
+      s"position explode evaluated more than once:\n$p")
+  }
+
   test("DSv2 aggregate pushdown: MIN/MAX/COUNT answered from parquet metadata") {
     // SURVEY §2.1 source abilities (SupportsAggregatePushDown): with
     // the flag on, a whole-table MIN/MAX/COUNT never scans data pages —
