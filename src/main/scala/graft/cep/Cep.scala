@@ -5,8 +5,10 @@ import org.apache.spark.sql.{DataFrame, Row}
 
 /** CEP / MATCH_RECOGNIZE core (reference StreamExecMatch.java:90 +
   * flink-libraries/flink-cep Pattern.java:50 — NFA pattern API): a
-  * compact strict-contiguity NFA with One/Plus quantifiers and an
-  * optional `within` horizon, run per key over event-time order.
+  * compact NFA with One/Plus/Opt/Times quantifiers, strict (`next`) and
+  * relaxed (`followedBy`) contiguity, negative guards (`notNext` /
+  * `notFollowedBy`) and an optional `within` horizon, run per key over
+  * event-time order.
   *
   * Execution shape: one shuffle on the key (groupBy via flatMapGroups),
   * in-memory sort of each key's timeline, linear NFA scan with
@@ -57,8 +59,41 @@ object Cep {
   final case class SkipToFirst(step: String) extends SkipStrategy
   final case class SkipToLast(step: String) extends SkipStrategy
 
+  /** One pattern element. `relaxed` is the reference's FOLLOWED_BY
+    * contiguity (Pattern.followedBy — Pattern.java:50): the step may
+    * skip events that do not match it between the previous step's last
+    * consumed event and its own first take (and between its own
+    * iterations when quantified). `negated` inverts the element into a
+    * guard that consumes nothing: strict ⇒ notNext (the event
+    * immediately after the previous consumed one must not match);
+    * relaxed ⇒ notFollowedBy (no event the NEXT positive step's relaxed
+    * scan skips before its first take may match). Guard checks are
+    * window-scoped: an event beyond the `within` horizon cannot kill a
+    * match (the reference prunes such branches identically, since any
+    * later take would be out of window too). A notFollowedBy armed
+    * before a strict-attach step guards an empty gap — a no-op, as in
+    * the reference. */
   final case class Step(name: String, pred: Row => Boolean,
-      quant: Quant = One)
+      quant: Quant = One, relaxed: Boolean = false,
+      negated: Boolean = false)
+
+  /** Shared structural validation for batch and streaming runs. */
+  private def validateSteps(steps: Seq[Step]): Unit = {
+    require(steps.nonEmpty, "empty pattern")
+    require(!steps.head.negated,
+      "pattern cannot start with a negation (reference Pattern.begin)")
+    steps.zipWithIndex.foreach { case (s, i) =>
+      if (s.negated) {
+        require(s.quant == One,
+          s"negated step '${s.name}' cannot be quantified " +
+            "(reference notNext/notFollowedBy take no quantifier)")
+        if (s.relaxed)
+          require(steps.drop(i + 1).exists(!_.negated),
+            s"notFollowedBy '${s.name}' needs a later positive step to " +
+              "bound its gap (reference forbids trailing notFollowedBy)")
+      }
+    }
+  }
 
   /** Event time in microseconds — Timestamp.getTime truncates to ms and
     * the fixtures (and oracles) carry microsecond precision, so ordering
@@ -87,6 +122,7 @@ object Cep {
     val iIdx = fields.indexOf(idCol)
     require(kIdx >= 0 && tIdx >= 0 && iIdx >= 0)
 
+    validateSteps(steps)
     val out = df.groupByKey(_.getLong(kIdx))
       .flatMapGroups { (key: Long, it: Iterator[Row]) =>
         val events = it.toArray.sortBy(r =>
@@ -97,25 +133,32 @@ object Cep {
         var i = 0
         while (i < events.length) {
           attemptAt(events, i, steps, withinMicros, tIdx) match {
-            case Some(stepHits) =>
-              stepHits.zip(steps).foreach { case (hits, st) =>
-                hits.foreach(e =>
-                  matches += ((key, st.name, e.getLong(iIdx), seq)))
+            case Some(posHits) =>
+              posHits.zip(steps).foreach { case (hits, st) =>
+                hits.foreach(p =>
+                  matches += ((key, st.name, events(p).getLong(iIdx), seq)))
               }
               seq += 1
-              i += (skip match {
-                // all-optional patterns can match zero events; always move
-                case SkipPastLast => math.max(1, stepHits.map(_.length).sum)
-                case SkipToNext => 1
+              // after-match skip on CONSUMED POSITIONS (with relaxed
+              // contiguity a match is not a contiguous run, so length
+              // sums no longer locate its events); all-optional patterns
+              // can match zero events — always advance at least one
+              val all = posHits.flatten
+              i = skip match {
+                case SkipPastLast => if (all.isEmpty) i + 1 else all.max + 1
+                case SkipToNext => i + 1
                 case SkipToFirst(name) =>
                   val idx = steps.indexWhere(_.name == name)
                   require(idx >= 0, s"skip-to-first: no step '$name'")
-                  math.max(1, stepHits.take(idx).map(_.length).sum)
+                  val cand = posHits.drop(idx).flatten
+                  math.max(i + 1, if (cand.nonEmpty) cand.min
+                    else if (all.isEmpty) i + 1 else all.max + 1)
                 case SkipToLast(name) =>
                   val idx = steps.indexWhere(_.name == name)
                   require(idx >= 0, s"skip-to-last: no step '$name'")
-                  math.max(1, stepHits.take(idx + 1).map(_.length).sum - 1)
-              })
+                  val cand = posHits.take(idx + 1).flatten
+                  math.max(i + 1, if (cand.nonEmpty) cand.max else i + 1)
+              }
             case None => i += 1
           }
         }
@@ -124,37 +167,75 @@ object Cep {
     out.toDF("key", "step", "event_id", "match_seq")
   }
 
-  /** Try to match the full pattern starting at events(start) with strict
-    * contiguity. Each quantifier consumes greedily (longest first) and
-    * backtracks one event at a time when the remaining steps can't match —
-    * the reference NFA's greedy semantics over a bounded run. Returns the
-    * per-step consumed events (empty seq for an Opt/Times(0,_) that
-    * matched zero). */
+  /** Try to match the full pattern starting at events(start). Strict
+    * steps consume a contiguous run; relaxed steps scan forward skipping
+    * events that do not match them (the reference's FOLLOWED_BY ignore
+    * transition). Each quantifier consumes greedily (longest first) and
+    * backtracks when the remaining steps can't match — the reference
+    * NFA's greedy semantics over a bounded run. Negated steps consume
+    * nothing: strict ⇒ the event at the current position must not match
+    * (notNext); relaxed ⇒ the predicate is armed as a gap guard and
+    * kills any branch whose next positive relaxed scan skips a matching
+    * event before its first take (notFollowedBy — the reference's STOP
+    * state). Returns the per-step consumed POSITIONS (empty for a
+    * zero-match quantifier or a negation). */
   private def attemptAt(events: Array[Row], start: Int, steps: Seq[Step],
-      withinMicros: Option[Long], tIdx: Int): Option[Seq[Seq[Row]]] = {
+      withinMicros: Option[Long], tIdx: Int): Option[Seq[Seq[Int]]] = {
     val startUs = tsMicros(events(start).getTimestamp(tIdx))
-    def inWindow(r: Row): Boolean = withinMicros.forall(w =>
-      tsMicros(r.getTimestamp(tIdx)) - startUs <= w)
+    def inWindow(i: Int): Boolean = withinMicros.forall(w =>
+      tsMicros(events(i).getTimestamp(tIdx)) - startUs <= w)
 
-    def rec(si: Int, pos: Int, acc: List[Seq[Row]]): Option[Seq[Seq[Row]]] = {
+    def rec(si: Int, pos: Int, guards: List[Row => Boolean],
+        acc: List[Seq[Int]]): Option[Seq[Seq[Int]]] = {
       if (si == steps.length) return Some(acc.reverse)
       val st = steps(si)
-      val (mn, mx, greedy) = bounds(st.quant)
-      // longest feasible contiguous run for this step from pos
-      var run = 0
-      while (run < mx && pos + run < events.length
-        && st.pred(events(pos + run)) && inWindow(events(pos + run))) run += 1
-      // greedy: longest first, hand back on failure; reluctant: shortest
-      // first, extend on failure
-      val order = if (greedy) run to mn by -1 else mn to run
-      for (k <- order) {
-        val res = rec(si + 1, pos + k,
-          events.slice(pos, pos + k).toSeq :: acc)
-        if (res.isDefined) return res
+      if (st.negated) {
+        if (!st.relaxed) {
+          // notNext: window-scoped check of the immediately-following
+          // event; absence (end of timeline) passes
+          if (pos < events.length && inWindow(pos) && st.pred(events(pos)))
+            None
+          else rec(si + 1, pos, guards, Nil :: acc)
+        } else
+          // notFollowedBy: arm the guard for the next positive step's gap
+          rec(si + 1, pos, st.pred :: guards, Nil :: acc)
+      } else {
+        val (mn, mx, greedy) = bounds(st.quant)
+        val takes = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var p = pos
+        if (!st.relaxed) {
+          // contiguous run; an armed guard sees an empty gap — no-op
+          while (takes.length < mx && p < events.length
+            && st.pred(events(p)) && inWindow(p)) { takes += p; p += 1 }
+        } else {
+          // skip non-matching events; before the first take, a skipped
+          // event matching an armed guard caps the scan (STOP state) —
+          // takes found earlier are impossible then (takes.isEmpty), so
+          // only a zero-consume branch can survive and the guard stays
+          // armed for the next positive step, which re-encounters the
+          // offending event in its own gap
+          var live = true
+          while (live && takes.length < mx && p < events.length
+            && inWindow(p)) {
+            if (st.pred(events(p))) { takes += p; p += 1 }
+            else if (takes.isEmpty && guards.exists(_(events(p)))) live = false
+            else p += 1
+          }
+        }
+        // greedy: longest first, hand back on failure; reluctant:
+        // shortest first, extend on failure. Consuming k > 0 events
+        // releases the armed guards (the gap they bound has closed).
+        val order = if (greedy) takes.length to mn by -1 else mn to takes.length
+        for (k <- order) {
+          val (nPos, nGuards) =
+            if (k == 0) (pos, guards) else (takes(k - 1) + 1, Nil)
+          val res = rec(si + 1, nPos, nGuards, takes.take(k).toList :: acc)
+          if (res.isDefined) return res
+        }
+        None
       }
-      None
     }
-    rec(0, start, Nil)
+    rec(0, start, Nil, Nil)
   }
 
   /** Incremental streaming NFA (strict contiguity): keyed partial-match
@@ -214,10 +295,13 @@ object Cep {
     require(kIdx >= 0 && tIdx >= 0 && iIdx >= 0,
       s"matchPatternStream: missing column among " +
         s"$keyCol/$tsCol/$idCol in ${fields.mkString(",")}")
+    validateSteps(steps)
     val nSteps = steps.length
     val stepBounds = steps.map(s => bounds(s.quant)).toArray
     val stepNames = steps.map(_.name).toArray
     val stepPreds = steps.map(_.pred).toArray
+    val stepRelaxed = steps.map(_.relaxed).toArray
+    val stepNegated = steps.map(_.negated).toArray
 
     val timeoutConf =
       if (flushOnHorizon) GroupStateTimeout.EventTimeTimeout
@@ -237,47 +321,87 @@ object Cep {
           // leftmost start = buffer head. Outcome:
           //   DEAD     — no match from this start, no future event helps
           //   PARTIAL  — no match yet, but more events could complete one
-          //   COMPLETE — hits (per-step ids) + end (consumed count);
+          //   COMPLETE — hits (per-step consumed BUFFER POSITIONS);
           //              `closed` = no future event could change it.
           // `touchedEnd` is set whenever a step's feasible run was cut
           // short by buffer exhaustion (run < max && ran off the end) on
-          // any branch explored up to the first success: exactly the
-          // branches whose outcome a future event could flip. In flush
+          // any branch explored up to the first success — exactly the
+          // branches whose outcome a future event could flip — and when
+          // a notNext guard's target event has not arrived yet. In flush
           // mode every future event is out of horizon, so exhaustion is
-          // equivalent to a window failure and touchedEnd is moot.
-          final case class Att(hits: Array[List[Long]], end: Int,
-              closed: Boolean)
+          // equivalent to a window failure (guards are window-scoped)
+          // and touchedEnd is moot.
+          final case class Att(hits: Array[List[Int]], closed: Boolean)
           def attempt(flush: Boolean): (Int, Att) = { // (0 dead,1 partial,2 complete)
             if (buffer.isEmpty) return (1, null)
             val startUs = buffer(0)._2
             def inWin(i: Int): Boolean =
               withinMicros.forall(w => buffer(i)._2 - startUs <= w)
+            def bit(si: Int, p: Int): Boolean =
+              ((buffer(p)._3 >> si) & 1L) == 1L
             var touchedEnd = false
-            def rec(si: Int, pos: Int, acc: List[List[Long]]): Att = {
+            def rec(si: Int, pos: Int, guards: List[Int],
+                acc: List[List[Int]]): Att = {
               if (si == nSteps)
-                return Att(acc.reverse.toArray, pos, closed = true)
-              val (mn, mx, greedy) = stepBounds(si)
-              var run = 0
-              while (run < mx && pos + run < buffer.length
-                && ((buffer(pos + run)._3 >> si) & 1L) == 1L
-                && inWin(pos + run)) run += 1
-              val truncated = run < mx && pos + run == buffer.length
-              // a truncated GREEDY run flips the first k tried, so any
-              // success below is provisional; a truncated RELUCTANT run
-              // only matters if every k ≤ run fails (larger k was never
-              // explorable) — reluctant tries shortest first, so a found
-              // match can't change with more events
-              if (greedy && truncated) touchedEnd = true
-              val order = if (greedy) run to mn by -1 else mn to run
-              for (k <- order) {
-                val hit = rec(si + 1, pos + k,
-                  buffer.slice(pos, pos + k).map(_._1).toList :: acc)
-                if (hit != null) return hit
+                return Att(acc.reverse.toArray, closed = true)
+              if (stepNegated(si)) {
+                if (!stepRelaxed(si)) {
+                  // notNext: window-scoped immediate-event guard. At the
+                  // buffer tip the target event hasn't arrived — outcome
+                  // provisional unless flushing (future events are then
+                  // beyond the horizon and cannot kill)
+                  if (pos < buffer.length) {
+                    if (bit(si, pos) && inWin(pos)) return null
+                    rec(si + 1, pos, guards, Nil :: acc)
+                  } else {
+                    if (!flush) touchedEnd = true
+                    rec(si + 1, pos, guards, Nil :: acc)
+                  }
+                } else rec(si + 1, pos, si :: guards, Nil :: acc)
+              } else {
+                val (mn, mx, greedy) = stepBounds(si)
+                val takes = scala.collection.mutable.ArrayBuffer.empty[Int]
+                var p = pos
+                var truncated = false
+                if (!stepRelaxed(si)) {
+                  while (takes.length < mx && p < buffer.length
+                    && bit(si, p) && inWin(p)) { takes += p; p += 1 }
+                  truncated = takes.length < mx && p == buffer.length
+                } else {
+                  // relaxed scan: skip non-matching events; an armed gap
+                  // guard hit before the first take caps the scan (STOP)
+                  // — and is final: future events extend the buffer, not
+                  // the gap before the violation
+                  var live = true
+                  while (live && takes.length < mx && p < buffer.length
+                    && inWin(p)) {
+                    if (bit(si, p)) { takes += p; p += 1 }
+                    else if (takes.isEmpty && guards.exists(bit(_, p)))
+                      live = false
+                    else p += 1
+                  }
+                  truncated = live && takes.length < mx && p == buffer.length
+                }
+                // a truncated GREEDY run flips the first k tried, so any
+                // success below is provisional; a truncated RELUCTANT run
+                // only matters if every k ≤ run fails (larger k was never
+                // explorable) — reluctant tries shortest first, so a found
+                // match can't change with more events
+                if (greedy && truncated) touchedEnd = true
+                val order =
+                  if (greedy) takes.length to mn by -1 else mn to takes.length
+                for (k <- order) {
+                  val (nPos, nGuards) =
+                    if (k == 0) (pos, guards) else (takes(k - 1) + 1, Nil)
+                  val hit = rec(si + 1, nPos, nGuards,
+                    takes.take(k).toList :: acc)
+                  if (hit != null) return hit
+                }
+                if (!greedy && truncated) touchedEnd = true
+                null
               }
-              if (!greedy && truncated) touchedEnd = true
-              null
             }
-            val att = rec(0, 0, Nil)
+            val att = rec(0, 0, Nil, Nil)
             if (att == null) (if (touchedEnd && !flush) 1 else 0, null)
             else (2, att.copy(closed = !touchedEnd || flush))
           }
@@ -285,22 +409,27 @@ object Cep {
           def emitMatch(att: Att): Unit = {
             var si = 0
             while (si < nSteps) {
-              att.hits(si).foreach(id =>
-                emitted += ((key, stepNames(si), id, seq)))
+              att.hits(si).foreach(p =>
+                emitted += ((key, stepNames(si), buffer(p)._1, seq)))
               si += 1
             }
             seq += 1
-            // after-match skip — same arithmetic as the batch scan; an
+            // after-match skip on consumed positions — same arithmetic
+            // as the batch scan (buffer head = position 0); an
             // all-optional empty match still advances one event
+            val all = att.hits.toIndexedSeq.flatten
             val advance = skip match {
-              case SkipPastLast => att.end
+              case SkipPastLast => if (all.isEmpty) 1 else all.max + 1
               case SkipToNext => 1
               case SkipToFirst(name) =>
                 val idx = steps.indexWhere(_.name == name)
-                att.hits.take(idx).map(_.length).sum
+                val cand = att.hits.drop(idx).toIndexedSeq.flatten
+                if (cand.nonEmpty) cand.min
+                else if (all.isEmpty) 1 else all.max + 1
               case SkipToLast(name) =>
                 val idx = steps.indexWhere(_.name == name)
-                att.hits.take(idx + 1).map(_.length).sum - 1
+                val cand = att.hits.take(idx + 1).toIndexedSeq.flatten
+                if (cand.nonEmpty) cand.max else 1
             }
             buffer = buffer.drop(math.max(1, advance))
           }
@@ -371,17 +500,36 @@ object Cep {
     * for reluctant mode (e.g. `+?`, `{1,3}?`). Each name must have a
     * predicate in `preds`; the name doubles as the output step label.
     *
+    * Contiguity (reference Pattern.next/followedBy/notNext/
+    * notFollowedBy — Pattern.java:50): a bare step attaches strictly
+    * (`next`); a `~>` token before it attaches it relaxed
+    * (`followedBy` — non-matching events between are skipped). A `!`
+    * prefix negates: `!C` is `notNext(C)` (the immediately-following
+    * event must not match), `~> !C` is `notFollowedBy(C)` (no matching
+    * event in the gap before the next positive step's first take).
+    * Negated steps take no quantifier.
+    *
     * `Cep.pattern("signup error+ purchase?", preds)` ==
-    * `Seq(Step("signup",…), Step("error",…,Plus), Step("purchase",…,Opt))`.
+    * `Seq(Step("signup",…), Step("error",…,Plus), Step("purchase",…,Opt))`;
+    * `Cep.pattern("signup ~> !error ~> purchase", preds)` ==
+    * signup `notFollowedBy` error `followedBy` purchase.
     */
   def pattern(spec: String,
       preds: Map[String, Row => Boolean]): Seq[Step] = {
     val StepRe =
-      """([A-Za-z_][A-Za-z0-9_]*)(\+\??|\?\??|\{\d+(?:,\d*)?\}\??)?""".r
-    spec.trim.split("\\s+").toSeq.map {
-      case StepRe(name, quant) =>
+      """(!)?([A-Za-z_][A-Za-z0-9_]*)(\+\??|\?\??|\{\d+(?:,\d*)?\}\??)?""".r
+    val out = scala.collection.mutable.ArrayBuffer.empty[Step]
+    var relaxedNext = false
+    spec.trim.split("\\s+").foreach {
+      case "~>" =>
+        require(!relaxedNext, "dangling '~>' in pattern")
+        relaxedNext = true
+      case StepRe(bang, name, quant) =>
         val pred = preds.getOrElse(name,
           throw new IllegalArgumentException(s"no predicate for step '$name'"))
+        val negated = bang != null
+        require(!negated || quant == null,
+          s"negated step '!$name' cannot carry a quantifier")
         val q = Option(quant).getOrElse("") match {
           case "" => One
           case "+" => Plus
@@ -397,10 +545,13 @@ object Cep {
               case Array(m, n) => Times(m.toInt, n.toInt, greedy)
             }
         }
-        Step(name, pred, q)
+        out += Step(name, pred, q, relaxed = relaxedNext, negated = negated)
+        relaxedNext = false
       case tok =>
         throw new IllegalArgumentException(s"bad pattern token '$tok'")
     }
+    require(!relaxedNext, "pattern ends with a dangling '~>'")
+    out.toSeq
   }
 
   /** The catalog's demo pattern: signup followed immediately by one or

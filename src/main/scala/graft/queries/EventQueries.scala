@@ -762,6 +762,122 @@ object EventQueries {
              |  AND p.grp = s.grp AND p.pair = s.pair
              |ORDER BY key, match_seq, step, p.event_id""".stripMargin)),
 
+    // Relaxed contiguity — the reference CEP library's followedBy
+    // (Pattern.java:50): `signup ~> purchase` skips interleaved
+    // non-purchase noise (clicks, views, errors) between the two steps.
+    // SKIP_TO_NEXT makes every start independent, so the oracle is a
+    // windowed first-purchase-after-each-signup lookup.
+    Query(
+      "q_cep_relaxed",
+      (s, d) => cepQuery(s, d,
+        Cep.pattern("A ~> B", Map(
+          "A" -> (_.getString(3) == "signup"),
+          "B" -> (_.getString(3) == "purchase"))),
+        skip = Cep.SkipToNext),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events),
+             |nxt AS (
+             |  SELECT user_id, event_id, rn, event_type,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN rn END) OVER
+             |      (PARTITION BY user_id ORDER BY rn
+             |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS b_rn
+             |  FROM ordered),
+             |starts AS (
+             |  SELECT user_id, event_id AS a_id, rn, b_rn,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY rn) - 1 AS INT) AS match_seq
+             |  FROM nxt WHERE event_type = 'signup' AND b_rn IS NOT NULL)
+             |SELECT key, step, event_id, match_seq FROM (
+             |  SELECT user_id AS key, 'A' AS step, a_id AS event_id,
+             |    match_seq FROM starts
+             |  UNION ALL
+             |  SELECT s.user_id, 'B', o.event_id, s.match_seq
+             |  FROM starts s JOIN ordered o
+             |    ON o.user_id = s.user_id AND o.rn = s.b_rn) m
+             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
+
+    // notFollowedBy (reference Pattern.notFollowedBy): `signup ~> !error
+    // ~> purchase` — the purchase counts only if NO error occurred in
+    // the skipped gap. Oracle: first-purchase / first-error windowed
+    // lookups; the match survives iff the error (if any) comes after the
+    // purchase.
+    Query(
+      "q_cep_not_followed",
+      (s, d) => cepQuery(s, d,
+        Cep.pattern("A ~> !E ~> B", Map(
+          "A" -> (_.getString(3) == "signup"),
+          "E" -> (_.getString(3) == "error"),
+          "B" -> (_.getString(3) == "purchase"))),
+        skip = Cep.SkipToNext),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events),
+             |nxt AS (
+             |  SELECT user_id, event_id, rn, event_type,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN rn END) OVER fw AS b_rn,
+             |    MIN(CASE WHEN event_type = 'error' THEN rn END) OVER fw AS e_rn
+             |  FROM ordered
+             |  WINDOW fw AS (PARTITION BY user_id ORDER BY rn
+             |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+             |starts AS (
+             |  SELECT user_id, event_id AS a_id, rn, b_rn,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY rn) - 1 AS INT) AS match_seq
+             |  FROM nxt WHERE event_type = 'signup' AND b_rn IS NOT NULL
+             |    AND (e_rn IS NULL OR e_rn > b_rn))
+             |SELECT key, step, event_id, match_seq FROM (
+             |  SELECT user_id AS key, 'A' AS step, a_id AS event_id,
+             |    match_seq FROM starts
+             |  UNION ALL
+             |  SELECT s.user_id, 'B', o.event_id, s.match_seq
+             |  FROM starts s JOIN ordered o
+             |    ON o.user_id = s.user_id AND o.rn = s.b_rn) m
+             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
+
+    // notNext (reference Pattern.notNext): `signup !error ~> purchase` —
+    // only the event IMMEDIATELY after the signup must not be an error;
+    // later errors in the gap are fine (contrast q_cep_not_followed).
+    Query(
+      "q_cep_not_next",
+      (s, d) => cepQuery(s, d,
+        Cep.pattern("A !E ~> B", Map(
+          "A" -> (_.getString(3) == "signup"),
+          "E" -> (_.getString(3) == "error"),
+          "B" -> (_.getString(3) == "purchase"))),
+        skip = Cep.SkipToNext),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events),
+             |nxt AS (
+             |  SELECT user_id, event_id, rn, event_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+             |      AS next_type,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN rn END) OVER
+             |      (PARTITION BY user_id ORDER BY rn
+             |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS b_rn
+             |  FROM ordered),
+             |starts AS (
+             |  SELECT user_id, event_id AS a_id, rn, b_rn,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY rn) - 1 AS INT) AS match_seq
+             |  FROM nxt WHERE event_type = 'signup' AND b_rn IS NOT NULL
+             |    AND (next_type IS NULL OR next_type <> 'error'))
+             |SELECT key, step, event_id, match_seq FROM (
+             |  SELECT user_id AS key, 'A' AS step, a_id AS event_id,
+             |    match_seq FROM starts
+             |  UNION ALL
+             |  SELECT s.user_id, 'B', o.event_id, s.match_seq
+             |  FROM starts s JOIN ordered o
+             |    ON o.user_id = s.user_id AND o.rn = s.b_rn) m
+             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
+
     // Temporal / as-of join (reference TemporalRowTimeJoinOperator.java:78):
     // for each error, the latest signup of the same user at-or-before it.
     // Scalable pattern: union both sides, one shuffle on user_id, running

@@ -107,4 +107,104 @@ class CepPropSpec extends AnyFunSuite {
     // the generator must actually exercise matches, not vacuous agreement
     assert(totalMatches > 200, s"only $totalMatches matched events")
   }
+
+  test("relaxed/negated NFA matches == regex with gap classes and lookahead") {
+    import spark.implicits._
+    // followedBy with leftmost-take semantics IS `(?:[^L]*)(L)` — the gap
+    // skips exactly the events the step predicate rejects; notNext is a
+    // negative lookahead `(?!x)`; notFollowedBy restricts the gap class
+    // to `[^Lx]*`. Relaxed steps are quant-One here (a quantified relaxed
+    // step consumes non-contiguous positions, which a regex capture group
+    // cannot express — covered by hand-built CepSpec cases instead).
+    val rnd = new Random(20260814L)
+    var totalMatches = 0
+
+    // element: (specToken, regexFragment, emitName or null for negatives)
+    (1 to 10).foreach { trial =>
+      val nPos = 2 + rnd.nextInt(2)
+      val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
+      val regexSb = new StringBuilder
+      var preds = Map.empty[String, org.apache.spark.sql.Row => Boolean]
+      (0 until nPos).foreach { i =>
+        val letter = letters(rnd.nextInt(3))
+        val name = s"s$i"
+        preds += name -> ((r: org.apache.spark.sql.Row) =>
+          r.getString(3) == letter)
+        val relaxed = i > 0 && rnd.nextBoolean()
+        // optional negative guard before a non-first step
+        var gapGuard: Option[String] = None
+        if (i > 0 && rnd.nextInt(10) < 4) {
+          val gl = letters(rnd.nextInt(3))
+          val gname = s"n$i"
+          preds += gname -> ((r: org.apache.spark.sql.Row) =>
+            r.getString(3) == gl)
+          if (relaxed && rnd.nextBoolean()) {
+            tokens += "~>"; tokens += s"!$gname" // notFollowedBy
+            gapGuard = Some(gl)
+          } else {
+            tokens += s"!$gname" // notNext
+            regexSb ++= s"(?!$gl)"
+          }
+        }
+        if (relaxed) {
+          tokens += "~>"; tokens += name
+          val excl = (Set(letter) ++ gapGuard).mkString
+          regexSb ++= s"(?:[^$excl]*)($letter)"
+        } else {
+          val (qSpec, qRe) =
+            if (i == 0) quants.filterNot(q => zeroMin(q._1))(
+              rnd.nextInt(quants.size - zeroMin.size))
+            else quants(rnd.nextInt(quants.size))
+          tokens += name + qSpec
+          regexSb ++= s"($letter$qRe)"
+        }
+      }
+      val spec = tokens.mkString(" ")
+      val regex = java.util.regex.Pattern.compile(regexSb.toString)
+
+      val strings = (0 until 15).map(k =>
+        k.toLong -> (1 to 6 + rnd.nextInt(9))
+          .map(_ => letters(rnd.nextInt(3))).mkString).toMap
+      val rows = strings.toSeq.flatMap { case (k, s) =>
+        s.zipWithIndex.map { case (ch, i) =>
+          (k, new java.sql.Timestamp(1000L * i), i.toLong, ch.toString)
+        }
+      }
+      val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+
+      val steps = Cep.pattern(spec, preds)
+      val posNames = steps.filterNot(_.negated).map(_.name)
+      val got = Cep.matchPattern(df, "user_id", "ts", "event_id", steps)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        .groupBy(_._1)
+        .view.mapValues(_.groupBy(_._4).toSeq.sortBy(_._1).map {
+          case (_, hits) =>
+            posNames.map(n => hits.filter(_._2 == n).map(_._3).sorted.toSeq)
+        }).toMap
+
+      strings.foreach { case (k, s) =>
+        val m = regex.matcher(s)
+        val expected = scala.collection.mutable.ArrayBuffer
+          .empty[Seq[Seq[Long]]]
+        var from = 0
+        while (from <= s.length && m.find(from)) {
+          expected += posNames.indices.map { g =>
+            val st = m.start(g + 1)
+            if (st < 0) Seq.empty[Long]
+            else (st.toLong until m.end(g + 1).toLong).toSeq
+          }
+          from = if (m.end > m.start) m.end else m.start + 1
+        }
+        val actual = got.getOrElse(k, Seq.empty)
+        assert(actual === expected.toSeq,
+          s"trial $trial pattern '$spec' regex '${regexSb}' events '$s': " +
+            s"NFA=$actual regex=${expected.toSeq}")
+        totalMatches += expected.map(_.map(_.size).sum).sum
+      }
+    }
+    assert(totalMatches > 150, s"only $totalMatches matched events")
+  }
 }

@@ -105,6 +105,168 @@ class CepSpec extends AnyFunSuite {
     assert(Cep.signupThenErrors(events).count() === 0)
   }
 
+  private def runPattern(events: org.apache.spark.sql.DataFrame,
+      spec: String, preds: Map[String, org.apache.spark.sql.Row => Boolean],
+      skip: Cep.SkipStrategy = Cep.SkipPastLast) =
+    Cep.matchPattern(events, "user_id", "ts", "event_id",
+        Cep.pattern(spec, preds), skip = skip)
+      .collect()
+      .map(r => (r.getInt(3), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+
+  private val typePreds: Map[String, org.apache.spark.sql.Row => Boolean] =
+    Map("A" -> (_.getString(3) == "signup"),
+      "B" -> (_.getString(3) == "purchase"),
+      "E" -> (_.getString(3) == "error"),
+      "ERR" -> (_.getString(3) == "error"))
+
+  test("followedBy skips non-matching noise; skip-past-last resumes after" +
+      " the real last consumed event") {
+    // s1 s2 p1 s3 c p2: first match pairs s1 with p1 ACROSS s2 (relaxed
+    // gap); skip-past-last must resume after p1's true position — the
+    // interleaved s2 is consumed-over and never matches — then s3+p2
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "signup"),
+      (1L, 30L, 3L, "purchase"), (1L, 40L, 4L, "signup"),
+      (1L, 50L, 5L, "click"), (1L, 60L, 6L, "purchase"))
+    val m = runPattern(events, "A ~> B", typePreds)
+    assert(m === Map(
+      0 -> Set(("A", 1L), ("B", 3L)),
+      1 -> Set(("A", 4L), ("B", 6L))))
+  }
+
+  test("strict next fails where followedBy matches") {
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "purchase"))
+    assert(runPattern(events, "A B", typePreds).isEmpty)
+    assert(runPattern(events, "A ~> B", typePreds) ===
+      Map(0 -> Set(("A", 1L), ("B", 3L))))
+  }
+
+  test("quantified relaxed step skips noise between its iterations") {
+    // signup, errors interleaved with clicks: relaxed ERR+ collects all
+    // three errors (internal relaxed contiguity, the reference's default
+    // for followedBy loops); strict ERR+ takes none (click after signup)
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "error"), (1L, 40L, 4L, "view"),
+      (1L, 50L, 5L, "error"), (1L, 60L, 6L, "error"))
+    val m = runPattern(events, "A ~> ERR+", typePreds)
+    assert(m === Map(0 -> Set(("A", 1L), ("ERR", 3L), ("ERR", 5L),
+      ("ERR", 6L))))
+    assert(runPattern(events, "A ERR+", typePreds).isEmpty)
+  }
+
+  test("notFollowedBy kills a match whose gap contains the guard event") {
+    val bad = mkEvents( // error before the first purchase → dead
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "error"), (1L, 40L, 4L, "purchase"))
+    val good = mkEvents( // error only after the purchase → survives
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "purchase"), (1L, 40L, 4L, "error"))
+    assert(runPattern(bad, "A ~> !E ~> B", typePreds).isEmpty)
+    assert(runPattern(good, "A ~> !E ~> B", typePreds) ===
+      Map(0 -> Set(("A", 1L), ("B", 3L))))
+  }
+
+  test("notNext guards only the immediately-following event") {
+    val immediate = mkEvents( // error right after signup → dead
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "purchase"))
+    val later = mkEvents( // error later in the gap → fine for notNext
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "error"), (1L, 40L, 4L, "purchase"))
+    assert(runPattern(immediate, "A !E ~> B", typePreds).isEmpty)
+    assert(runPattern(later, "A !E ~> B", typePreds) ===
+      Map(0 -> Set(("A", 1L), ("B", 4L))))
+    // the same timeline dies under notFollowedBy (whole-gap guard)
+    assert(runPattern(later, "A ~> !E ~> B", typePreds).isEmpty)
+  }
+
+  test("relaxed scan respects the within horizon") {
+    // purchase exists but beyond the 60 s window → the relaxed scan
+    // stops at the horizon, no match; a purchase inside matches
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "click"),
+      (1L, 200L, 3L, "purchase"),
+      (2L, 10L, 10L, "signup"), (2L, 30L, 11L, "purchase"))
+    val m = Cep.matchPattern(events, "user_id", "ts", "event_id",
+        Cep.pattern("A ~> B", typePreds),
+        withinMicros = Some(60L * 1000000L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(m === Set((2L, "A", 10L), (2L, "B", 11L)))
+  }
+
+  test("pattern validation rejects malformed relaxed/negated specs") {
+    intercept[IllegalArgumentException] {
+      Cep.matchPattern(mkEvents((1L, 10L, 1L, "signup")),
+        "user_id", "ts", "event_id",
+        Cep.pattern("!E ~> B", typePreds)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Cep.pattern("A ~> ~> B", typePreds)
+    }
+    intercept[IllegalArgumentException] {
+      Cep.pattern("A !E+ B", typePreds)
+    }
+    intercept[IllegalArgumentException] { // trailing notFollowedBy
+      Cep.matchPattern(mkEvents((1L, 10L, 1L, "signup")),
+        "user_id", "ts", "event_id",
+        Cep.pattern("A ~> !E", typePreds)).collect()
+    }
+  }
+
+  test("streaming NFA equals batch NFA on relaxed + negated patterns") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // fixture slice, split mid-timeline so gaps span batch boundaries
+    val ev = graft.engine.Tables.load(spark, SparkFixture.sf, "events")
+      .select("user_id", "ts", "event_id", "event_type")
+      .where(col("user_id") < 200)
+    val rows = ev.collect().map(r => (r.getLong(0),
+      r.getTimestamp(1).getTime / 1000, r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._2, t._3))
+    for (spec <- Seq("A ~> B", "A ~> !E ~> B", "A !E ~> B")) {
+      val steps = Cep.pattern(spec, typePreds)
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+        .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+      val name = "t_cep_relaxed_" + spec.count(_ == '>')
+      val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id",
+          steps, skip = Cep.SkipToNext)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      // a terminal event per key closes every key's open tail: purchases
+      // close relaxed B-scans, and the guard-free type closes notNext
+      // (timestamps past the fixture's max so batch order == arrival order)
+      val maxSec = rows.map(_._2).max
+      val closers = rows.map(_._1).distinct.zipWithIndex.map {
+        case (u, i) => (u, maxSec + 100 + i, 900000L + i, "purchase")
+      }
+      mem.addData(closers.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      q.stop()
+      val closed = mkEvents((rows ++ closers).toIndexedSeq: _*)
+      val want = Cep.matchPattern(closed, "user_id", "ts", "event_id",
+          steps, skip = Cep.SkipToNext)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getInt(3).toLong)).toSet
+      assert(got === want, s"stream/batch divergence for '$spec'")
+      assert(got.nonEmpty, s"vacuous parity for '$spec'")
+    }
+  }
+
   test("streaming NFA within-horizon abandons stale partial matches") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
