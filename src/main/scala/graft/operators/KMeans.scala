@@ -9,8 +9,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Scale shape per iteration:
   *   - assignment is SCAN-LOCAL: the k centroids are a driver-held array
-  *     planted as an array literal, and argmin runs as a codegen'd
-  *     higher-order-function fold per row — no shuffle, no crossJoin;
+  *     planted as an array literal (argmin as a codegen'd
+  *     higher-order-function fold) for small k, or shipped as a Spark
+  *     broadcast consumed by one mapPartitions argmin beyond
+  *     [[LiteralCentroidLimit]] — no shuffle, no crossJoin either way;
   *   - the update is ONE partial-aggregated shuffle of (cell, dim) sums
   *     — k·dim rows cross the exchange regardless of corpus size;
   *   - the k·dim update result is collected to the driver (control flow
@@ -161,14 +163,57 @@ object KMeans {
     lloyd(points, vecCol, seeds.toArray, iters)
   }
 
+  /** Above this k the centroid set must leave the plan: a `typedLit`
+    * array is an expression tree of k·dim double literals — at IVF scale
+    * (k = 4k–65k cells × 64+ dims) that is a multi-MB plan that blows up
+    * codegen long before data size matters. Large sets ship as a Spark
+    * broadcast variable consumed by one scan-local mapPartitions argmin
+    * instead. */
+  private[graft] val LiteralCentroidLimit = 256
+
   /** Nearest-centroid cell id per row (squared euclidean, ties to the
-    * lower cell id) — scan-local codegen'd argmin over the broadcast
-    * centroid literals. */
+    * lower cell id) — always scan-local, no shuffle. Small centroid sets
+    * are planted as plan literals (whole-stage codegen'd fold); sets
+    * beyond [[LiteralCentroidLimit]] go through the broadcast path. */
   def assign(points: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], cellCol: String): DataFrame =
+    if (centroids.length <= LiteralCentroidLimit) {
+      val centArr = array(centroids.map(c => typedLit(c.toSeq)): _*)
+      val scored = transform(centArr, (cv, i) =>
+        struct(sqDist(col(vecCol), cv).as("d"), i.as("cell")))
+      points.withColumn(cellCol, array_min(scored).getField("cell"))
+    } else assignBroadcast(points, vecCol, centroids, cellCol)
+
+  /** Large-k assignment: centroids travel once per executor as a
+    * broadcast array (one contiguous struct, not k literals) and a
+    * single mapPartitions computes the argmin imperatively — the plan
+    * stays O(1) in k. Ties resolve to the lower cell id (strict `<`
+    * keeps the first minimum), matching the literal path's
+    * struct-ordered array_min. */
+  private[graft] def assignBroadcast(points: DataFrame, vecCol: String,
       centroids: Array[Array[Double]], cellCol: String): DataFrame = {
-    val centArr = array(centroids.map(c => typedLit(c.toSeq)): _*)
-    val scored = transform(centArr, (cv, i) =>
-      struct(sqDist(col(vecCol), cv).as("d"), i.as("cell")))
-    points.withColumn(cellCol, array_min(scored).getField("cell"))
+    import org.apache.spark.sql.types.IntegerType
+    import org.apache.spark.sql.{Encoders, Row}
+    val bc = points.sparkSession.sparkContext.broadcast(centroids)
+    val vIdx = points.schema.fieldIndex(vecCol)
+    val outSchema = points.schema.add(cellCol, IntegerType, nullable = false)
+    points.mapPartitions { it =>
+      val cents = bc.value
+      it.map { r =>
+        val v = r.getSeq[Double](vIdx)
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cents.length) {
+          val cv = cents(c)
+          var s = 0.0
+          var i = 0
+          while (i < cv.length) { val t = v(i) - cv(i); s += t * t; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        Row.fromSeq(r.toSeq :+ best)
+      }
+    }(Encoders.row(outSchema))
   }
 }

@@ -146,6 +146,41 @@ class KMeansSpec extends AnyFunSuite {
     assert(viaPar.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("large-k assignment: broadcast path agrees with literals, bounded plan") {
+    // k = 1024 synthetic centroids: the typedLit path would plant
+    // k·dim = 8192 double literals in the plan (the codegen blowup the
+    // verdict flagged); the broadcast path must keep the plan O(1) in k
+    // and agree with the literal path's argmin (incl. tie-to-lower-cell)
+    val k = 1024
+    val cents = Array.tabulate(k) { c =>
+      Array.tabulate(dim)(d => ((c * 13 + d * 7) % 29 - 14) * 0.25)
+    }
+    val viaBroadcast = KMeans.assign(corpus, "v", cents, "cell")
+    assert(k > KMeans.LiteralCentroidLimit)
+    val planLen = viaBroadcast.queryExecution.executedPlan.toString.length
+    assert(planLen < 20000, s"large-k plan not bounded: $planLen chars")
+    val got = viaBroadcast.select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    // ground truth: driver-side argmin with first-minimum tie-breaking
+    val rows = corpus.select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    rows.foreach { case (id, v) =>
+      val want = cents.zipWithIndex.minBy { case (c, i) =>
+        (v.indices.map(j => (v(j) - c(j)) * (v(j) - c(j))).sum, i)
+      }._2
+      assert(got(id) === want, s"vec $id")
+    }
+    // both paths agree where both are feasible (same small centroid set)
+    val small = cents.take(8)
+    val lit = KMeans.assign(corpus, "v", small, "cell")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val bc = KMeans.assignBroadcast(corpus, "v", small, "cell")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(lit === bc)
+  }
+
   test("fit is deterministic and an emptied cell keeps its centroid") {
     val a = KMeans.fit(corpus, "v", k = 3, iters = 3)
     val b = KMeans.fit(corpus, "v", k = 3, iters = 3)
