@@ -10,13 +10,11 @@ import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 /** DSv2 avro READER over avro-core (see [[AvroIO]] for why this exists
   * and the writer): `spark.read.format("graft.sources.AvroDataSource")
@@ -31,7 +29,19 @@ class AvroDataSource extends TableProvider {
     val files = AvroDataSource.listFiles(AvroDataSource.path(options))
     require(files.nonEmpty,
       s"AvroDataSource: no .avro files under ${AvroDataSource.path(options)}")
-    AvroIO.toStructType(AvroDataSource.fileSchema(files.head))
+    // a heterogeneous directory (evolved schemas) would otherwise decode
+    // later files against the first file's expectations and surface as a
+    // ClassCastException (or silent wrong values) at scan time — fail at
+    // planning with the offending file named instead. Header-only reads:
+    // cheap relative to the scan this plan is about to run.
+    val first = AvroIO.toStructType(AvroDataSource.fileSchema(files.head))
+    files.tail.foreach { f =>
+      val st = AvroIO.toStructType(AvroDataSource.fileSchema(f))
+      require(st == first,
+        s"AvroDataSource: schema of $f does not match ${files.head}: " +
+          s"$st vs $first — heterogeneous avro directories are not supported")
+    }
+    first
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -107,6 +117,18 @@ private final class AvroPartitionReader(file: String, required: StructType)
 
   private val reader = new DataFileReader[GenericRecord](new File(file),
     new GenericDatumReader[GenericRecord]())
+  // converters come from the FILE's schema + the pruned Spark type, so
+  // per-file encodings (timestamp-millis vs -micros, decimal scale)
+  // decode by what the file declares — see AvroIO.readConverter
+  private val converters: Array[Any => Any] = {
+    val fileSchema = reader.getSchema
+    required.fields.map { f =>
+      val af = fileSchema.getField(f.name)
+      require(af != null,
+        s"AvroDataSource: column '${f.name}' absent in $file")
+      AvroIO.readConverter(AvroIO.unwrap(af.schema), f.dataType)
+    }
+  }
   private var current: GenericRecord = _
 
   override def next(): Boolean =
@@ -116,26 +138,12 @@ private final class AvroPartitionReader(file: String, required: StructType)
     val out = new Array[Any](required.length)
     var i = 0
     while (i < required.length) {
-      val f = required.fields(i)
-      out(i) = convert(current.get(f.name), f.dataType)
+      val v = current.get(required.fields(i).name)
+      out(i) = if (v == null) null else converters(i)(v)
       i += 1
     }
     new GenericInternalRow(out)
   }
-
-  private def convert(v: Any, dt: DataType): Any =
-    if (v == null) null
-    else dt match {
-      case StringType => UTF8String.fromString(v.toString)
-      case BinaryType =>
-        val bb = v.asInstanceOf[java.nio.ByteBuffer]
-        val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
-      case TimestampType => v.asInstanceOf[java.lang.Long].longValue()
-      case ArrayType(et, _) =>
-        val items = v.asInstanceOf[java.util.Collection[_]].asScala
-        new GenericArrayData(items.map(convert(_, et)).toArray)
-      case _ => v // boolean / int / long / float / double pass through
-    }
 
   override def close(): Unit = reader.close()
 }

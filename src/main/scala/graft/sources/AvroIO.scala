@@ -5,11 +5,14 @@ import java.nio.ByteBuffer
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
-import org.apache.avro.file.{DataFileReader, DataFileWriter}
-import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.{LogicalTypes, Schema}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Avro format support built directly on the avro-core jars Spark ships
   * (`avro-1.12`), closing the reference's `flink-formats/flink-avro` row:
@@ -17,12 +20,14 @@ import org.apache.spark.sql.types._
   * file format is implemented here — writer in this object, DSv2 reader
   * in [[AvroDataSource]].
   *
-  * Type surface (the fixture/pipeline types): BOOLEAN, INT, LONG, FLOAT,
-  * DOUBLE, STRING, BINARY, TIMESTAMP (micros logical type), and ARRAYs
-  * of those. Every field is written as a nullable union, matching Spark's
-  * default nullability. Maps/structs are out of scope (documented; the
-  * reference's flink-avro maps those too, but nothing in the fixture
-  * schema needs them).
+  * Type surface (reference AvroSchemaConverter.java): BOOLEAN, INT, LONG,
+  * FLOAT, DOUBLE, STRING, BINARY, TIMESTAMP (timestamp-micros written;
+  * timestamp-millis also read), DECIMAL(p,s) (bytes + decimal logical
+  * type), DATE (int + date logical type), MAP (string keys, as the avro
+  * spec requires), nested RECORDs, and ARRAYs of all of these. Avro
+  * time-millis/time-micros read as the underlying int/long (Spark has no
+  * TIME type — the same mapping spark-avro uses). Every field is written
+  * as a nullable union, matching Spark's default nullability.
   *
   * Scale: the writer runs one avro container file per partition (the
   * same layout every distributed avro sink produces); the reader plans
@@ -37,7 +42,7 @@ object AvroIO {
 
   private[sources] def toAvroSchema(st: StructType, name: String): Schema = {
     val fields = st.fields.map { f =>
-      new Schema.Field(f.name, nullable(toAvro(f.dataType)),
+      new Schema.Field(f.name, nullable(toAvro(f.dataType, s"${name}_${f.name}")),
         null, Schema.Field.NULL_DEFAULT_VALUE)
     }
     Schema.createRecord(name, null, "graft.avro", false, fields.toList.asJava)
@@ -46,7 +51,9 @@ object AvroIO {
   private def nullable(s: Schema): Schema =
     Schema.createUnion(Schema.create(Schema.Type.NULL), s)
 
-  private def toAvro(dt: DataType): Schema = dt match {
+  /** `path` seeds unique names for nested record schemas (avro requires
+    * record names to be unique within one schema document). */
+  private def toAvro(dt: DataType, path: String): Schema = dt match {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case IntegerType => Schema.create(Schema.Type.INT)
     case LongType => Schema.create(Schema.Type.LONG)
@@ -57,10 +64,20 @@ object AvroIO {
     case TimestampType =>
       LogicalTypes.timestampMicros()
         .addToSchema(Schema.create(Schema.Type.LONG))
-    case ArrayType(et, _) => Schema.createArray(nullable(toAvro(et)))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case ArrayType(et, _) =>
+      Schema.createArray(nullable(toAvro(et, s"${path}_item")))
+    case MapType(StringType, vt, _) =>
+      Schema.createMap(nullable(toAvro(vt, s"${path}_value")))
+    case st: StructType => toAvroSchema(st, path)
     case other => throw new IllegalArgumentException(
       s"AvroIO: unsupported Spark type $other (supported: boolean, int, " +
-        "long, float, double, string, binary, timestamp, arrays thereof)")
+        "long, float, double, string, binary, timestamp, decimal, date, " +
+        "string-keyed maps, structs, arrays thereof)")
   }
 
   // ---- avro Schema -> Spark StructType ----------------------------------
@@ -81,26 +98,108 @@ object AvroIO {
       nonNull.head
     } else s
 
+  private def logicalName(s: Schema): String =
+    Option(s.getLogicalType).map(_.getName).getOrElse("")
+
   private def toSpark(s: Schema): DataType = s.getType match {
     case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.INT => IntegerType
-    case Schema.Type.LONG =>
-      if (s.getLogicalType != null &&
-        s.getLogicalType.getName == "timestamp-micros") TimestampType
-      else LongType
+    case Schema.Type.INT => logicalName(s) match {
+      case "date" => DateType
+      case _ => IntegerType // incl. time-millis: millis since midnight
+    }
+    case Schema.Type.LONG => logicalName(s) match {
+      case "timestamp-micros" | "timestamp-millis" => TimestampType
+      case _ => LongType // incl. time-micros: micros since midnight
+    }
     case Schema.Type.FLOAT => FloatType
     case Schema.Type.DOUBLE => DoubleType
     case Schema.Type.STRING => StringType
-    case Schema.Type.BYTES => BinaryType
+    case Schema.Type.BYTES => s.getLogicalType match {
+      case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case _ => BinaryType
+    }
     case Schema.Type.ARRAY => ArrayType(toSpark(unwrap(s.getElementType)))
+    case Schema.Type.MAP =>
+      MapType(StringType, toSpark(unwrap(s.getValueType)))
+    case Schema.Type.RECORD => toStructType(s)
     case other => throw new IllegalArgumentException(
       s"AvroIO: unsupported avro type $other")
   }
 
+  // ---- reader conversion (avro datum -> Spark internal value) -----------
+
+  /** Converter for NON-NULL datums of one field. Built once per file from
+    * the file's own avro schema + the pruned Spark type, so millis/micros
+    * timestamp encodings (and decimal scales) follow what the file
+    * actually declares, not what the writer would have produced. */
+  private[sources] def readConverter(s: Schema, dt: DataType): Any => Any =
+    dt match {
+      case StringType => v => UTF8String.fromString(v.toString)
+      case BinaryType => v => {
+        val bb = v.asInstanceOf[ByteBuffer]
+        val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+      }
+      case d: DecimalType => v => {
+        val bb = v.asInstanceOf[ByteBuffer]
+        val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b)
+        Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(b), d.scale), d.precision, d.scale)
+      }
+      case TimestampType =>
+        if (logicalName(s) == "timestamp-millis")
+          v => v.asInstanceOf[java.lang.Long].longValue() * 1000L
+        else v => v.asInstanceOf[java.lang.Long].longValue()
+      case DateType => v => v.asInstanceOf[java.lang.Integer].intValue()
+      case ArrayType(et, _) =>
+        val ec = readConverter(unwrap(s.getElementType), et)
+        v => {
+          val items = v.asInstanceOf[java.util.Collection[_]].asScala
+          new GenericArrayData(
+            items.map(e => if (e == null) null else ec(e)).toArray)
+        }
+      case MapType(_, vt, _) =>
+        val vc = readConverter(unwrap(s.getValueType), vt)
+        v => {
+          val entries = v.asInstanceOf[java.util.Map[_, _]].asScala.toSeq
+          new ArrayBasedMapData(
+            new GenericArrayData(entries.map(e =>
+              UTF8String.fromString(e._1.toString)).toArray[Any]),
+            new GenericArrayData(entries.map(e =>
+              if (e._2 == null) null else vc(e._2)).toArray[Any]))
+        }
+      case st: StructType =>
+        val fields = st.fields.map { f =>
+          val af = s.getField(f.name)
+          require(af != null, s"AvroIO: field '${f.name}' absent in $s")
+          f.name -> readConverter(unwrap(af.schema), f.dataType)
+        }
+        v => {
+          val rec = v.asInstanceOf[GenericRecord]
+          val out = new Array[Any](fields.length)
+          var i = 0
+          while (i < fields.length) {
+            val d = rec.get(fields(i)._1)
+            out(i) = if (d == null) null else fields(i)._2(d)
+            i += 1
+          }
+          new GenericInternalRow(out)
+        }
+      case _ => identity // boolean / int / long / float / double
+    }
+
   // ---- writer ------------------------------------------------------------
 
   /** Write `df` as a directory of avro container files, one per partition
-    * (part-NNNNN.avro). Overwrites `path`. */
+    * (part-NNNNN.avro). Overwrites `path`.
+    *
+    * Each task writes to a task-private temp file and atomically renames
+    * it into place on success, so a retried/speculative attempt can never
+    * leave a half-written part file and the last successful attempt wins.
+    * Like the DSv2 reader, this writer addresses a LOCAL (or shared,
+    * e.g. NFS) filesystem visible to every executor — the in-container
+    * stand-in for an HDFS/object-store committer; there is no job-level
+    * commit protocol (no _SUCCESS marker), so readers should not list a
+    * directory that is concurrently being overwritten. */
   def write(df: DataFrame, path: String): Unit = {
     val schema = df.schema
     val avroJson = toAvroSchema(schema, "row").toString
@@ -113,15 +212,22 @@ object AvroIO {
       // closures, the canonical json is
       val sch = new Schema.Parser().parse(avroJson)
       val out = new File(dir, f"part-$i%05d.avro")
+      val tmp = new File(dir,
+        f".part-$i%05d.avro.${java.util.UUID.randomUUID().toString}.tmp")
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](sch))
-      w.create(sch, out)
+      w.create(sch, tmp)
       var n = 0L
-      rows.foreach { row =>
-        w.append(toRecord(row, sch, schema))
-        n += 1
-      }
-      w.close()
+      try {
+        rows.foreach { row =>
+          w.append(toRecord(row, sch, schema))
+          n += 1
+        }
+        w.close()
+        java.nio.file.Files.move(tmp.toPath, out.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally tmp.delete(): Unit // no-op after a successful move
       Iterator.single(n)
     }.count(): Unit
   }
@@ -131,20 +237,41 @@ object AvroIO {
     st.fields.zipWithIndex.foreach { case (f, i) =>
       rec.put(f.name,
         if (row.isNullAt(i)) null
-        else toAvroValue(row.get(i), f.dataType))
+        else toAvroValue(row.get(i), f.dataType,
+          unwrap(sch.getField(f.name).schema)))
     }
     rec
   }
 
-  private def toAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
-    case (t: java.sql.Timestamp, TimestampType) =>
-      // floorDiv: plain / truncates toward zero, which shifts pre-epoch
-      // timestamps with fractional seconds forward by one second
-      java.lang.Long.valueOf(
-        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)
-    case (b: Array[Byte], BinaryType) => ByteBuffer.wrap(b)
-    case (s: scala.collection.Seq[_], ArrayType(et, _)) =>
-      s.map(e => if (e == null) null else toAvroValue(e, et)).asJava
-    case (other, _) => other
-  }
+  private def toAvroValue(v: Any, dt: DataType, sch: Schema): Any =
+    (v, dt) match {
+      case (t: java.sql.Timestamp, TimestampType) =>
+        // floorDiv: plain / truncates toward zero, which shifts pre-epoch
+        // timestamps with fractional seconds forward by one second
+        java.lang.Long.valueOf(
+          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)
+      case (t: java.time.Instant, TimestampType) =>
+        java.lang.Long.valueOf(
+          Math.multiplyExact(t.getEpochSecond, 1000000L) + t.getNano / 1000)
+      case (b: Array[Byte], BinaryType) => ByteBuffer.wrap(b)
+      case (bd: java.math.BigDecimal, d: DecimalType) =>
+        ByteBuffer.wrap(bd.setScale(d.scale).unscaledValue().toByteArray)
+      case (dv: java.sql.Date, DateType) =>
+        java.lang.Integer.valueOf(dv.toLocalDate.toEpochDay.toInt)
+      case (dv: java.time.LocalDate, DateType) =>
+        java.lang.Integer.valueOf(dv.toEpochDay.toInt)
+      case (s: scala.collection.Seq[_], ArrayType(et, _)) =>
+        val es = unwrap(sch.getElementType)
+        s.map(e => if (e == null) null else toAvroValue(e, et, es)).asJava
+      case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
+        val vs = unwrap(sch.getValueType)
+        val jm = new java.util.HashMap[String, Any](m.size * 2)
+        m.foreach { case (k, value) =>
+          jm.put(k.toString,
+            if (value == null) null else toAvroValue(value, vt, vs))
+        }
+        jm
+      case (r: Row, st: StructType) => toRecord(r, sch, st)
+      case (other, _) => other
+    }
 }

