@@ -40,13 +40,16 @@ object Streams {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(dir, "events.parquet")
-    // ONE scratch dir per source path; a stamp marker (mtime + size)
-    // detects fixture regeneration — stale contents are wiped and
-    // restaged rather than served from a dead hard link, and no
-    // per-version sibling dirs accumulate in tmp
+    // ONE scratch dir per source path, keyed by an md5 of the FULL path
+    // (a 32-bit hashCode could collide across two fixture dirs and
+    // cross-contaminate their staged streams); a stamp marker
+    // (mtime + size) detects fixture regeneration — stale contents are
+    // wiped and restaged rather than served from a dead hard link, and
+    // no per-version sibling dirs accumulate in tmp
+    val pathKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_streams",
-      java.lang.Integer.toHexString(dir.hashCode))
+      sys.props("java.io.tmpdir"), "graft_streams", pathKey)
     java.nio.file.Files.createDirectories(streamDir)
     val stamp = s"${java.nio.file.Files.getLastModifiedTime(src)}|" +
       s"${java.nio.file.Files.size(src)}"
@@ -259,7 +262,15 @@ object Streams {
     * emissions never interleave backwards. State per key = the rows
     * inside the watermark horizon (bounded by lateness × rate) + one
     * event-time timer that drains the buffer as the watermark advances
-    * even when the key goes quiet. Emits (user_id, ts, event_id, value). */
+    * even when the key goes quiet. Emits (user_id, ts, event_id, value).
+    *
+    * CONSUME FROM A SINK (or a non-event-time operator): rows emit with
+    * timestamps at-or-below this operator's current watermark, so a
+    * downstream event-time stateful operator (window agg, stream-stream
+    * join, another watermark) would classify the ENTIRE output as late
+    * and drop it — Spark propagates watermarks through chained stateful
+    * operators, unlike the reference's rowtime sort, which forwards
+    * elements just ahead of the watermark. Sort last, not mid-pipeline. */
   def eventTimeSortStream(events: DataFrame,
       lateness: String = "10 minutes"): DataFrame = {
     val spark = events.sparkSession
@@ -346,6 +357,13 @@ object Streams {
     * preceding in-horizon signup each emit exactly once. */
   def intervalJoinFullOuterStream(events: DataFrame): DataFrame =
     intervalJoin(events, "full_outer")
+
+  /** Stream-stream RIGHT OUTER interval join — the mirror of
+    * [[intervalJoinLeftOuterStream]] (reference OuterJoinRecordStateViews
+    * right mode): every error emits, null-padded once the watermark
+    * proves no in-horizon signup preceded it. */
+  def intervalJoinRightOuterStream(events: DataFrame): DataFrame =
+    intervalJoin(events, "right_outer")
 
   private def intervalJoin(events: DataFrame,
       joinType: String): DataFrame = {
@@ -523,6 +541,124 @@ object Streams {
           emitted.iterator
       }
     out.toDF("user_id", "event_id", "frame_sum", "n_in_frame")
+  }
+
+  /** Incremental streaming OVER with an event-time RANGE frame
+    * (reference RowTimeRangeBoundedPrecedingFunction.java:55 — the
+    * value-based sibling of [[overRowsSlidingStream]]): per key and per
+    * event, the count over `RANGE BETWEEN <range> PRECEDING AND CURRENT
+    * ROW`. Keyed state is the (ts, id) history inside the range horizon
+    * of the latest seen timestamp — O(events per range window) per key,
+    * pruned as time advances, exactly the reference's retract-list
+    * cleanup. A RANGE frame is value-based, so equal-timestamp peers all
+    * share one frame (the whole peer group counts for each of its rows);
+    * peers are grouped within a batch — cross-batch peer splits follow
+    * the file's arrival-order contract (align source order with time for
+    * full event-time semantics). Emits (user_id, event_id, n_last_range).
+    * Timestamp arithmetic is in MICROSECONDS (the fixture precision), so
+    * boundaries agree with the batch RANGE window to the microsecond. */
+  def overTimeRangeStream(events: DataFrame, rangeMicros: Long): DataFrame = {
+    require(rangeMicros > 0, s"bad range $rangeMicros")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val out = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long)], (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[Seq[(Long, Long)]]) =>
+          var hist = state.getOption.getOrElse(Seq.empty[(Long, Long)]).toVector
+          val ordered = it.toArray.map(e => (micros(e._2), e._3))
+            .sortBy(identity)
+          val emitted = scala.collection.mutable.ListBuffer
+            .empty[(Long, Long, Long)]
+          var i = 0
+          while (i < ordered.length) {
+            // one peer group = all rows at this exact timestamp
+            val t = ordered(i)._1
+            var j = i
+            while (j < ordered.length && ordered(j)._1 == t) j += 1
+            hist = hist.dropWhile(_._1 < t - rangeMicros) ++
+              ordered.slice(i, j)
+            val n = hist.length.toLong
+            ordered.slice(i, j).foreach(e => emitted += ((user, e._2, n)))
+            i = j
+          }
+          state.update(hist)
+          emitted.iterator
+      }
+    out.toDF("user_id", "event_id", "n_last_range")
+  }
+
+  /** Streaming CUMULATE windows (reference SqlCumulateTableFunction.java:37
+    * + the cumulative slice assigner): expanding prefix windows
+    * `[W, W + i·step)` inside each max-size window, each prefix emitted
+    * when the watermark passes its end — the reference's fire-per-step
+    * contract. Keyed by the max-window start; state = per-step partial
+    * (count, cents-scaled sum) plus the emit cursor, O(maxSize/step) per
+    * open window, removed after the final prefix fires. An event landing
+    * in an already-emitted prefix (late within the allowed lateness)
+    * still counts toward the remaining prefixes — emitted rows are
+    * immutable, as in the reference. Max-window alignment is epoch-based
+    * (floor(ts / maxSize)) — the UTC-hour alignment of the batch twin.
+    * Emits (w_start, w_end, n, sum_value). */
+  def cumulateAgg(events: DataFrame, maxSizeMs: Long = 3600000L,
+      stepMs: Long = 1200000L, lateness: String = "10 minutes"): DataFrame = {
+    require(maxSizeMs > 0 && stepMs > 0 && maxSizeMs % stepMs == 0,
+      s"cumulate: step $stepMs must divide max size $maxSizeMs")
+    val nSteps = (maxSizeMs / stepMs).toInt
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .withWatermark("ts", lateness)
+      .select(col("ts"), col("value"))
+      .as[(java.sql.Timestamp, Double)]
+    // state: (per-step counts, per-step cents-scaled sums, prefixes emitted)
+    val out = typed
+      .groupByKey(e => Math.floorDiv(e._1.getTime, maxSizeMs) * maxSizeMs)
+      .flatMapGroupsWithState[(Seq[Long], Seq[Long], Int),
+          (java.sql.Timestamp, java.sql.Timestamp, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wStart: Long, it: Iterator[(java.sql.Timestamp, Double)],
+            state: GroupState[(Seq[Long], Seq[Long], Int)]) =>
+          var (ns, sums, done) = state.getOption.getOrElse(
+            (Seq.fill(nSteps)(0L), Seq.fill(nSteps)(0L), 0))
+          val emitted = scala.collection.mutable.ListBuffer
+            .empty[(java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+          if (!state.hasTimedOut) {
+            val na = ns.toArray; val sa = sums.toArray
+            it.foreach { case (t, v) =>
+              val slot = ((t.getTime - wStart) / stepMs).toInt
+              na(slot) += 1
+              sa(slot) += (v * 100 + (if (v < 0) -0.5 else 0.5)).toLong
+            }
+            ns = na.toSeq; sums = sa.toSeq
+          }
+          // emit every prefix the watermark has passed (also on data
+          // batches — a prefix may have expired while events for later
+          // slots of the same window were arriving)
+          val wm = state.getCurrentWatermarkMs
+          while (done < nSteps && wStart + (done + 1L) * stepMs <= wm) {
+            done += 1
+            emitted += ((new java.sql.Timestamp(wStart),
+              new java.sql.Timestamp(wStart + done.toLong * stepMs),
+              ns.take(done).sum, sums.take(done).sum / 100.0))
+          }
+          if (done >= nSteps) state.remove()
+          else {
+            state.update((ns, sums, done))
+            state.setTimeoutTimestamp(math.max(
+              wStart + (done + 1L) * stepMs, wm + 1))
+          }
+          emitted.iterator
+      }
+    out.toDF("w_start", "w_end", "n", "sum_value")
   }
 
   /** Streaming Top-N (reference StreamExecRank.java:69): per micro-batch

@@ -621,6 +621,137 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 6)
   }
 
+  test("stream-stream RIGHT OUTER interval join null-pads unmatched errors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val q = Streams.intervalJoinRightOuterStream(df)
+      .writeStream.format("memory").queryName("t_sj_router")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // u1: matched pair; u4: error with no signup → right null-pad (the
+    // mirror of the left-outer case); u2's unmatched SIGNUP must NOT
+    // emit under right-outer semantics
+    mem.addData((1L, 600L, 1L, "signup"), (2L, 600L, 2L, "signup"),
+      (1L, 1200L, 10L, "error"), (4L, 1200L, 40L, "error"))
+    q.processAllAvailable()
+    mem.addData((3L, 90000L, 98L, "signup"), (3L, 90000L, 99L, "error"))
+    q.processAllAvailable()
+    mem.addData((3L, 95000L, 100L, "signup"), (3L, 95000L, 101L, "error"))
+    q.processAllAvailable()
+    val got = spark.table("t_sj_router").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+      .toSet
+    q.stop()
+    assert(got === Set((1L, 10L), (-1L, 40L), (98L, 99L), (100L, 101L)))
+  }
+
+  test("streaming OVER event-time RANGE frame equals batch window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "value")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("value"))
+    // 60 s range; frames must prune across the batch boundary and
+    // equal-ts peers (events 4/5) must share one frame
+    val q = Streams.overTimeRangeStream(df, rangeMicros = 60L * 1000000L)
+      .writeStream.format("memory").queryName("t_over_range")
+      .outputMode("append").start()
+    mem.addData((1L, 10L, 1L, 1.0), (1L, 50L, 2L, 1.0), (2L, 10L, 3L, 1.0))
+    q.processAllAvailable()
+    mem.addData((1L, 100L, 4L, 1.0), (1L, 100L, 5L, 1.0),
+      (1L, 200L, 6L, 1.0), (2L, 300L, 7L, 1.0))
+    q.processAllAvailable()
+    val got = spark.table("t_over_range").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val all = Seq((1L, 10L, 1L, 1.0), (1L, 50L, 2L, 1.0), (2L, 10L, 3L, 1.0),
+      (1L, 100L, 4L, 1.0), (1L, 100L, 5L, 1.0), (1L, 200L, 6L, 1.0),
+      (2L, 300L, 7L, 1.0))
+      .toDF("user_id", "secs", "event_id", "value")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("value"))
+    all.createOrReplaceTempView("t_over_range_in")
+    val want = spark.sql(
+        """SELECT user_id, event_id,
+          |  COUNT(1) OVER (PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 60 SECONDS PRECEDING AND CURRENT ROW)
+          |    AS n
+          |FROM t_over_range_in""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    // pin the peer-group contract explicitly: events 4 and 5 both see
+    // {2, 4, 5} (event 1 pruned, both peers counted)
+    assert(got.contains((1L, 4L, 3L)) && got.contains((1L, 5L, 3L)))
+  }
+
+  test("streaming CUMULATE prefix windows equal the batch expansion") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("secs", "value")
+      .select(col("secs").cast("timestamp").as("ts"), col("value"))
+    // 1 h max window, 20 min steps, 1 s lateness so the watermark chases
+    // event time closely
+    val q = Streams.cumulateAgg(df, maxSizeMs = 3600000L,
+        stepMs = 1200000L, lateness = "1 second")
+      .writeStream.format("memory").queryName("t_cumulate")
+      .outputMode("append").start()
+    val h = 3600L
+    // hour 0: events in slices 0, 1, 2; hour 1: slice 0 only; events
+    // split across batches mid-hour so partials carry over
+    mem.addData((600L, 1.50), (700L, 2.25))
+    q.processAllAvailable()
+    mem.addData((1500L, 4.00), (2500L, 8.00), (h + 60L, 16.00))
+    q.processAllAvailable()
+    // sentinel far in the future: pushes the watermark past every
+    // prefix end of hours 0 and 1 (its own window stays open, unemitted)
+    mem.addData((10 * h, 0.0))
+    q.processAllAvailable()
+    val got = spark.table("t_cumulate").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getTimestamp(1).getTime / 1000,
+        r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    // batch twin: explode each event into its prefix windows, aggregate
+    val want = Set(
+      (0L, 1200L, 2L, 3.75),          // [0, 20min): events at 600, 700
+      (0L, 2400L, 3L, 7.75),          // [0, 40min): + 1500
+      (0L, 3600L, 4L, 15.75),         // [0, 60min): + 2500
+      (h, h + 1200L, 1L, 16.00),      // hour 1 prefixes all hold event 1
+      (h, h + 2400L, 1L, 16.00),
+      (h, h + 3600L, 1L, 16.00))
+    assert(got === want)
+  }
+
+  test("events staging keys scratch dirs by full path md5 (no collisions)") {
+    // two fixture dirs must stage into two distinct scratch dirs whose
+    // contents match their own source (a 32-bit hashCode key could
+    // collide and cross-contaminate)
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    val staged = dirs.map { d =>
+      Streams.events(spark, d) // stages eagerly
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_streams", key, "events.parquet")
+      assert(java.nio.file.Files.exists(p), s"not staged: $p")
+      assert(java.nio.file.Files.size(p) ===
+        java.nio.file.Files.size(java.nio.file.Paths.get(d, "events.parquet")))
+      p
+    }
+    assert(staged.distinct.size === 2)
+  }
+
   test("event-time keep-first dedup: late-but-earlier duplicate wins") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
