@@ -72,12 +72,15 @@ object MatchRecognize {
   private val Head =
     """(?is)([A-Za-z_][\w.]*)\s+MATCH_RECOGNIZE\s*\(""".r
 
-  /** `PREV(col[, n])` / `NEXT(col[, n])` in DEFINE, with an optional
-    * (ignored) pattern-variable qualifier — per the SQL standard both
-    * navigate the input partition's row order, so the qualifier only
-    * names the expression's home variable. */
+  /** `PREV([var.]col[, n])` / `NEXT([var.]col[, n])` in DEFINE — per the
+    * SQL standard both navigate the input partition's row order, so a
+    * qualifier may only name the variable being defined (the reference
+    * validates this and rejects foreign-variable navigation; accepting
+    * `PREV(A.x)` inside DEFINE B would silently run bare current-row
+    * navigation the author did not intend). Groups: dir, qualifier
+    * (optional), column, offset (optional). */
   private val NavRe =
-    """(?i)\b(PREV|NEXT)\s*\(\s*(?:[A-Za-z_]\w*\s*\.\s*)?([A-Za-z_]\w*)\s*(?:,\s*(\d+))?\s*\)""".r
+    """(?i)\b(PREV|NEXT)\s*\(\s*(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s*(?:,\s*(\d+))?\s*\)""".r
 
   def containsMatchRecognize(text: String): Boolean =
     Head.findFirstIn(text).isDefined
@@ -261,9 +264,17 @@ object MatchRecognize {
     // itself needs; the NFA still reads plain precomputed booleans.
     // NULL navigation (partition edge) makes the predicate false, per
     // the NFA's null-is-false contract.
-    val navCalls = c.defines.flatMap { case (_, e) =>
-      NavRe.findAllMatchIn(e).map(m => (m.group(1).toUpperCase,
-        m.group(2), Option(m.group(3)).fold(1)(_.toInt))).toSeq
+    val navCalls = c.defines.flatMap { case (name, e) =>
+      NavRe.findAllMatchIn(e).map { m =>
+        Option(m.group(2)).filterNot(_.equalsIgnoreCase(name)).foreach(q =>
+          throw new IllegalArgumentException(
+            s"MATCH_RECOGNIZE: ${m.group(1).toUpperCase}($q.${m.group(3)}) " +
+              s"inside DEFINE $name — a navigation qualifier may only name " +
+              s"the variable being defined (PREV/NEXT navigate the ordered " +
+              s"input partition, not another variable's rows)"))
+        (m.group(1).toUpperCase,
+          m.group(3), Option(m.group(4)).fold(1)(_.toInt))
+      }.toSeq
     }.distinct
     require(navCalls.isEmpty || !base.isStreaming,
       "MATCH_RECOGNIZE: PREV/NEXT in DEFINE needs a bounded input " +
@@ -283,7 +294,7 @@ object MatchRecognize {
     val defines = c.defines.map { case (name, e) =>
       name -> NavRe.replaceAllIn(e, m =>
         s"__nav_${m.group(1).toLowerCase}${
-          Option(m.group(3)).fold(1)(_.toInt)}_${m.group(2)}")
+          Option(m.group(4)).fold(1)(_.toInt)}_${m.group(3)}")
     }
     val withPreds = defines.foldLeft(withNav) { case (acc, (name, e)) =>
       acc.withColumn(s"__p_$name", expr(e).cast("boolean"))

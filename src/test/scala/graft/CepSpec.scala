@@ -1064,6 +1064,42 @@ class CepSpec extends AnyFunSuite {
     assert(got === Set(1L, 3L))
   }
 
+  test("MATCH_RECOGNIZE navigation qualifier: self accepted, foreign rejected") {
+    import spark.implicits._
+    Seq((1L, 1L, 1L, "x", 1.0), (1L, 2L, 2L, "x", 5.0),
+      (1L, 3L, 3L, "x", 3.0), (1L, 4L, 4L, "x", 7.0))
+      .toDF("user_id", "secs", "event_id", "event_type", "value")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("nav_q_events")
+    // a qualifier naming the variable being defined is the standard's
+    // home-variable spelling — same result as the bare form
+    val got = graft.cep.MatchRecognize.sql(spark,
+      """SELECT key, step, event_id, match_seq
+        |FROM nav_q_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  PATTERN (A)
+        |  DEFINE A AS value < NEXT(A.value)
+        |)""".stripMargin)
+      .collect().map(_.getLong(2)).toSet
+    assert(got === Set(1L, 3L))
+    // a FOREIGN qualifier would silently run bare current-row
+    // navigation — reject it, naming the offending reference
+    val e = intercept[IllegalArgumentException] {
+      graft.cep.MatchRecognize.sql(spark,
+        """SELECT key FROM nav_q_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts, event_id
+          |  PATTERN (A B)
+          |  DEFINE A AS value > 0,
+          |         B AS value > PREV(A.value)
+          |)""".stripMargin)
+    }
+    assert(e.getMessage.contains("PREV(A.value)")
+      && e.getMessage.contains("DEFINE B"))
+  }
+
   test("MATCH_RECOGNIZE rejects PREV on a streaming input") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
