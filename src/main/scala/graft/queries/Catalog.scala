@@ -22,7 +22,8 @@ object Catalog {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       TpcDsShapes.queries ++ TpcDsShapes2.queries ++
       TpcDsShapes3.queries ++ TpcDsShapes4.queries ++
-      TpcDsShapes5.queries ++ TpcDsShapes6.queries ++ Aggregates.queries ++
+      TpcDsShapes5.queries ++ TpcDsShapes6.queries ++
+      TpcDsShapes7.queries ++ Aggregates.queries ++
       Windows.queries ++ SetOps.queries ++
       Functions.queries ++ EventQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
