@@ -17,9 +17,10 @@ import org.apache.spark.sql.{DataFrame, Row}
   * reference's keyed NFA state holds; a key's history must fit an
   * executor, keys scale out horizontally.
   *
-  * Batch-first: on bounded input this equals the reference's streaming
-  * result; an incremental `flatMapGroupsWithState` variant would buffer
-  * until watermark — documented as round-2 work.
+  * Batch `matchPattern` and the incremental `matchPatternStream` share
+  * the same pattern surface — quantifiers, contiguity modes, negations,
+  * alternation groups, skip strategies — and are differentially tested
+  * for parity (`CepPropSpec`).
   */
 object Cep {
 
@@ -75,7 +76,21 @@ object Cep {
     * the reference. */
   final case class Step(name: String, pred: Row => Boolean,
       quant: Quant = One, relaxed: Boolean = false,
-      negated: Boolean = false)
+      negated: Boolean = false,
+      alts: Seq[(String, Row => Boolean)] = Nil)
+
+  /** An alternation group `(A|B)` as one step: matches events satisfying
+    * ANY alternative; each consumed event is emitted under the FIRST
+    * alternative (in declaration order) whose predicate holds — the
+    * classifier contract. Quantifies like any step (`(A|B)+` = a run of
+    * events each matching A or B). Calcite's MATCH_RECOGNIZE grammar
+    * admits this; the reference SQL layer rejects it (parity-plus here,
+    * library-level only). */
+  def alt(alternatives: (String, Row => Boolean)*): Step = {
+    require(alternatives.size >= 2, "alternation needs >= 2 alternatives")
+    Step(alternatives.map(_._1).mkString("|"),
+      r => alternatives.exists(_._2(r)), alts = alternatives)
+  }
 
   /** Shared structural validation for batch and streaming runs. */
   private def validateSteps(steps: Seq[Step]): Unit = {
@@ -87,6 +102,8 @@ object Cep {
         require(s.quant == One,
           s"negated step '${s.name}' cannot be quantified " +
             "(reference notNext/notFollowedBy take no quantifier)")
+        require(s.alts.isEmpty,
+          s"negated step '${s.name}' cannot be an alternation")
         if (s.relaxed)
           require(steps.drop(i + 1).exists(!_.negated),
             s"notFollowedBy '${s.name}' needs a later positive step to " +
@@ -94,6 +111,12 @@ object Cep {
       }
     }
   }
+
+  /** Output label for the event a step consumed: the step name, or the
+    * first matching alternative of an alternation group. */
+  private def labelFor(st: Step, row: Row): String =
+    if (st.alts.isEmpty) st.name
+    else st.alts.find(_._2(row)).fold(st.name)(_._1)
 
   /** Event time in microseconds — Timestamp.getTime truncates to ms and
     * the fixtures (and oracles) carry microsecond precision, so ordering
@@ -135,8 +158,8 @@ object Cep {
           attemptAt(events, i, steps, withinMicros, tIdx) match {
             case Some(posHits) =>
               posHits.zip(steps).foreach { case (hits, st) =>
-                hits.foreach(p =>
-                  matches += ((key, st.name, events(p).getLong(iIdx), seq)))
+                hits.foreach(p => matches += ((key, labelFor(st, events(p)),
+                  events(p).getLong(iIdx), seq)))
               }
               seq += 1
               // after-match skip on CONSUMED POSITIONS (with relaxed
@@ -277,7 +300,6 @@ object Cep {
       skip: SkipStrategy = SkipPastLast): DataFrame = {
     require(!flushOnHorizon || withinMicros.isDefined,
       "flushOnHorizon needs a withinMicros horizon (and a watermarked input)")
-    require(steps.length <= 63, "streaming NFA supports at most 63 steps")
     skip match {
       case SkipToFirst(name) => require(steps.exists(_.name == name),
         s"skip-to-first: no step '$name'")
@@ -299,9 +321,28 @@ object Cep {
     val nSteps = steps.length
     val stepBounds = steps.map(s => bounds(s.quant)).toArray
     val stepNames = steps.map(_.name).toArray
-    val stepPreds = steps.map(_.pred).toArray
     val stepRelaxed = steps.map(_.relaxed).toArray
     val stepNegated = steps.map(_.negated).toArray
+    // predicate SLOTS: one per plain step, one per alternative of an
+    // alternation group — the per-event bitmask stores slot bits, so the
+    // emit-time classifier label is recoverable without the row (state
+    // never holds rows). A step matches when any of its slots match.
+    val slotPreds = scala.collection.mutable.ArrayBuffer.empty[Row => Boolean]
+    val slotLabels = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stepMasks = new Array[Long](nSteps)
+    steps.zipWithIndex.foreach { case (st, si) =>
+      val slots = if (st.alts.isEmpty) Seq(st.name -> st.pred) else st.alts
+      slots.foreach { case (label, p) =>
+        require(slotPreds.length < 63,
+          "streaming NFA supports at most 63 predicate slots " +
+            "(steps + alternation alternatives)")
+        stepMasks(si) |= 1L << slotPreds.length
+        slotPreds += p
+        slotLabels += label
+      }
+    }
+    val slotPredArr = slotPreds.toArray
+    val slotLabelArr = slotLabels.toArray
 
     val timeoutConf =
       if (flushOnHorizon) GroupStateTimeout.EventTimeTimeout
@@ -338,7 +379,7 @@ object Cep {
             def inWin(i: Int): Boolean =
               withinMicros.forall(w => buffer(i)._2 - startUs <= w)
             def bit(si: Int, p: Int): Boolean =
-              ((buffer(p)._3 >> si) & 1L) == 1L
+              (buffer(p)._3 & stepMasks(si)) != 0L
             var touchedEnd = false
             def rec(si: Int, pos: Int, guards: List[Int],
                 acc: List[List[Int]]): Att = {
@@ -409,8 +450,14 @@ object Cep {
           def emitMatch(att: Att): Unit = {
             var si = 0
             while (si < nSteps) {
-              att.hits(si).foreach(p =>
-                emitted += ((key, stepNames(si), buffer(p)._1, seq)))
+              att.hits(si).foreach { p =>
+                // classifier: the lowest set slot = first declared
+                // alternative whose predicate held for this event
+                val m = buffer(p)._3 & stepMasks(si)
+                val label = if (m == 0L) stepNames(si)
+                  else slotLabelArr(java.lang.Long.numberOfTrailingZeros(m))
+                emitted += ((key, label, buffer(p)._1, seq))
+              }
               si += 1
             }
             seq += 1
@@ -466,8 +513,8 @@ object Cep {
             ordered.foreach { e =>
               var bits = 0L
               var s = 0
-              while (s < nSteps) {
-                if (stepPreds(s)(e)) bits |= (1L << s)
+              while (s < slotPredArr.length) {
+                if (slotPredArr(s)(e)) bits |= (1L << s)
                 s += 1
               }
               buffer = buffer :+ ((e.getLong(iIdx),
@@ -507,7 +554,10 @@ object Cep {
     * prefix negates: `!C` is `notNext(C)` (the immediately-following
     * event must not match), `~> !C` is `notFollowedBy(C)` (no matching
     * event in the gap before the next positive step's first take).
-    * Negated steps take no quantifier.
+    * Negated steps take no quantifier. `(A|B)` is an alternation group
+    * (see [[alt]]) and quantifies like any step — `(A|B)+` consumes a
+    * run of events each matching A or B, labeling every consumed event
+    * with its first matching alternative.
     *
     * `Cep.pattern("signup error+ purchase?", preds)` ==
     * `Seq(Step("signup",…), Step("error",…,Plus), Step("purchase",…,Opt))`;
@@ -518,34 +568,43 @@ object Cep {
       preds: Map[String, Row => Boolean]): Seq[Step] = {
     val StepRe =
       """(!)?([A-Za-z_][A-Za-z0-9_]*)(\+\??|\?\??|\{\d+(?:,\d*)?\}\??)?""".r
+    val AltRe =
+      """\(([A-Za-z_]\w*(?:\|[A-Za-z_]\w*)+)\)(\+\??|\?\??|\{\d+(?:,\d*)?\}\??)?""".r
+    def parseQuant(quant: String): Quant = Option(quant).getOrElse("") match {
+      case "" => One
+      case "+" => Plus
+      case "+?" => Times(1, Int.MaxValue, greedy = false)
+      case "?" => Opt
+      case "??" => Times(0, 1, greedy = false)
+      case s =>
+        val greedy = !s.endsWith("}?")
+        val body = s.stripSuffix("?").stripPrefix("{").stripSuffix("}")
+        body.split(",", -1) match {
+          case Array(m) => Times(m.toInt, m.toInt, greedy)
+          case Array(m, "") => Times(m.toInt, Int.MaxValue, greedy)
+          case Array(m, n) => Times(m.toInt, n.toInt, greedy)
+        }
+    }
+    def predOf(name: String): Row => Boolean = preds.getOrElse(name,
+      throw new IllegalArgumentException(s"no predicate for step '$name'"))
     val out = scala.collection.mutable.ArrayBuffer.empty[Step]
     var relaxedNext = false
     spec.trim.split("\\s+").foreach {
       case "~>" =>
         require(!relaxedNext, "dangling '~>' in pattern")
         relaxedNext = true
+      case AltRe(names, quant) =>
+        val group = alt(names.split('|').toIndexedSeq
+          .map(n => n -> predOf(n)): _*)
+        out += group.copy(quant = parseQuant(quant), relaxed = relaxedNext)
+        relaxedNext = false
       case StepRe(bang, name, quant) =>
-        val pred = preds.getOrElse(name,
-          throw new IllegalArgumentException(s"no predicate for step '$name'"))
+        val pred = predOf(name)
         val negated = bang != null
         require(!negated || quant == null,
           s"negated step '!$name' cannot carry a quantifier")
-        val q = Option(quant).getOrElse("") match {
-          case "" => One
-          case "+" => Plus
-          case "+?" => Times(1, Int.MaxValue, greedy = false)
-          case "?" => Opt
-          case "??" => Times(0, 1, greedy = false)
-          case s =>
-            val greedy = !s.endsWith("}?")
-            val body = s.stripSuffix("?").stripPrefix("{").stripSuffix("}")
-            body.split(",", -1) match {
-              case Array(m) => Times(m.toInt, m.toInt, greedy)
-              case Array(m, "") => Times(m.toInt, Int.MaxValue, greedy)
-              case Array(m, n) => Times(m.toInt, n.toInt, greedy)
-            }
-        }
-        out += Step(name, pred, q, relaxed = relaxedNext, negated = negated)
+        out += Step(name, pred, parseQuant(quant),
+          relaxed = relaxedNext, negated = negated)
         relaxedNext = false
       case tok =>
         throw new IllegalArgumentException(s"bad pattern token '$tok'")

@@ -878,6 +878,103 @@ object EventQueries {
              |    ON o.user_id = s.user_id AND o.rn = s.b_rn) m
              |ORDER BY key, match_seq, step, event_id""".stripMargin)),
 
+    // Pattern alternation `(A|B)+` with classifier labeling — Calcite's
+    // MATCH_RECOGNIZE grammar admits it, the reference SQL layer rejects
+    // it (parity-plus, library-level): signup, then a maximal run of
+    // errors-OR-clicks, closed immediately by a purchase; every consumed
+    // run event is emitted under ITS OWN alternative's label. Greedy +
+    // strict: only the maximal run can match (handing back still leaves
+    // a non-purchase adjacent), so the oracle is gaps-and-islands — runs
+    // of error/click anchored at the preceding non-run event, kept iff
+    // that anchor is a signup and the event right after the run is a
+    // purchase.
+    Query(
+      "q_cep_alt",
+      (s, d) => cepQuery(s, d,
+        Cep.pattern("A (E|C)+ P", Map(
+          "A" -> (_.getString(3) == "signup"),
+          "E" -> (_.getString(3) == "error"),
+          "C" -> (_.getString(3) == "click"),
+          "P" -> (_.getString(3) == "purchase")))),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events),
+             |marked AS (
+             |  SELECT *,
+             |    MAX(CASE WHEN event_type NOT IN ('error','click')
+             |      THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
+             |        ROWS UNBOUNDED PRECEDING) AS anchor_rn
+             |  FROM ordered),
+             |runs AS (
+             |  SELECT user_id, anchor_rn, MAX(rn) AS end_rn
+             |  FROM marked WHERE event_type IN ('error','click')
+             |  GROUP BY 1, 2),
+             |hits AS (
+             |  SELECT a.user_id, a.rn AS a_rn, a.event_id AS a_id,
+             |    r.end_rn, p.event_id AS p_id,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY a.user_id
+             |      ORDER BY a.rn) - 1 AS INT) AS match_seq
+             |  FROM ordered a
+             |  JOIN runs r ON r.user_id = a.user_id AND r.anchor_rn = a.rn
+             |  JOIN ordered p ON p.user_id = a.user_id
+             |    AND p.rn = r.end_rn + 1 AND p.event_type = 'purchase'
+             |  WHERE a.event_type = 'signup')
+             |SELECT key, step, event_id, match_seq FROM (
+             |  SELECT user_id AS key, 'A' AS step, a_id AS event_id,
+             |    match_seq FROM hits
+             |  UNION ALL
+             |  SELECT h.user_id, CASE WHEN m.event_type = 'error'
+             |      THEN 'E' ELSE 'C' END, m.event_id, h.match_seq
+             |  FROM marked m JOIN hits h ON m.user_id = h.user_id
+             |    AND m.anchor_rn = h.a_rn
+             |  WHERE m.event_type IN ('error','click')
+             |  UNION ALL
+             |  SELECT user_id, 'P', p_id, match_seq FROM hits) u
+             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
+
+    // Relaxed contiguity bounded by a WITHIN horizon: the purchase must
+    // arrive within 2 hours of the signup — the relaxed scan stops at
+    // the first out-of-window event (events are time-ordered, so no
+    // later take can be in-window either).
+    Query(
+      "q_cep_relaxed_within",
+      (s, d) => cepQuery(s, d,
+        Cep.pattern("A ~> B", Map(
+          "A" -> (_.getString(3) == "signup"),
+          "B" -> (_.getString(3) == "purchase"))),
+        skip = Cep.SkipToNext,
+        withinMicros = Some(2L * 3600L * 1000000L)),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events),
+             |nxt AS (
+             |  SELECT user_id, event_id, ts, rn, event_type,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN rn END) OVER
+             |      (PARTITION BY user_id ORDER BY rn
+             |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS b_rn
+             |  FROM ordered),
+             |starts AS (
+             |  SELECT n.user_id, n.event_id AS a_id, n.rn, n.b_rn,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY n.user_id
+             |      ORDER BY n.rn) - 1 AS INT) AS match_seq
+             |  FROM nxt n JOIN ordered b
+             |    ON b.user_id = n.user_id AND b.rn = n.b_rn
+             |  WHERE n.event_type = 'signup'
+             |    AND b.ts <= n.ts + INTERVAL '2 hours')
+             |SELECT key, step, event_id, match_seq FROM (
+             |  SELECT user_id AS key, 'A' AS step, a_id AS event_id,
+             |    match_seq FROM starts
+             |  UNION ALL
+             |  SELECT s.user_id, 'B', o.event_id, s.match_seq
+             |  FROM starts s JOIN ordered o
+             |    ON o.user_id = s.user_id AND o.rn = s.b_rn) m
+             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
+
     // Temporal / as-of join (reference TemporalRowTimeJoinOperator.java:78):
     // for each error, the latest signup of the same user at-or-before it.
     // Scalable pattern: union both sides, one shuffle on user_id, running
@@ -940,11 +1037,12 @@ object EventQueries {
     * frame is event_type) in the canonical output order. */
   private def cepQuery(s: org.apache.spark.sql.SparkSession, d: String,
       steps: Seq[Cep.Step],
-      skip: Cep.SkipStrategy = Cep.SkipPastLast): org.apache.spark.sql.DataFrame =
+      skip: Cep.SkipStrategy = Cep.SkipPastLast,
+      withinMicros: Option[Long] = None): org.apache.spark.sql.DataFrame =
     Cep.matchPattern(
       t(s, d, "events").select(col("user_id"), col("ts"), col("event_id"),
         col("event_type")),
       keyCol = "user_id", tsCol = "ts", idCol = "event_id",
-      steps = steps, skip = skip)
+      steps = steps, withinMicros = withinMicros, skip = skip)
       .orderBy(col("key"), col("match_seq"), col("step"), col("event_id"))
 }

@@ -207,4 +207,113 @@ class CepPropSpec extends AnyFunSuite {
     }
     assert(totalMatches > 150, s"only $totalMatches matched events")
   }
+
+  test("streaming NFA == batch NFA on random strict/relaxed/negated/alt patterns") {
+    // the strongest guard on the incremental matcher's emission
+    // discipline (touchedEnd / provisional-guard logic): for random
+    // patterns over the full surface and random streams split across
+    // micro-batches, the streaming output must equal the batch scan of
+    // the same data. A trailing round of one event per letter closes
+    // every key's open tail (both sides see it, so parity is exact).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new Random(20260815L)
+    var totalMatches = 0
+    (1 to 6).foreach { trial =>
+      val nPos = 2 + rnd.nextInt(2)
+      val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
+      var preds = Map.empty[String, org.apache.spark.sql.Row => Boolean]
+      (0 until nPos).foreach { i =>
+        def letterPred(l: String): org.apache.spark.sql.Row => Boolean =
+          r => r.getString(3) == l
+        val relaxed = i > 0 && rnd.nextBoolean()
+        if (i > 0 && rnd.nextInt(10) < 3) { // negation before the step
+          val gl = letters(rnd.nextInt(3)); val gname = s"n$i"
+          preds += gname -> letterPred(gl)
+          if (relaxed && rnd.nextBoolean()) { tokens += "~>"; tokens += s"!$gname" }
+          else tokens += s"!$gname"
+        }
+        if (relaxed) tokens += "~>"
+        if (!relaxed && rnd.nextInt(10) < 3) { // alternation group
+          val l1 = letters(rnd.nextInt(3))
+          val l2 = letters.filterNot(_ == l1)(rnd.nextInt(2))
+          preds += s"x$i" -> letterPred(l1)
+          preds += s"y$i" -> letterPred(l2)
+          val q = if (i == 0) "+" else quants(rnd.nextInt(quants.size))._1
+          tokens += s"(x$i|y$i)$q"
+        } else {
+          val name = s"s$i"
+          preds += name -> letterPred(letters(rnd.nextInt(3)))
+          val q =
+            if (relaxed) "" // relaxed steps: quant-One keeps runtimes sane
+            else if (i == 0) quants.filterNot(p => zeroMin(p._1))(
+              rnd.nextInt(quants.size - zeroMin.size))._1
+            else quants(rnd.nextInt(quants.size))._1
+          tokens += name + q
+        }
+      }
+      val spec = tokens.mkString(" ")
+      val steps = Cep.pattern(spec, preds)
+
+      // timeline starts WELL past the initial watermark (0): an event at
+      // ms 0 would be dropped as late by the EventTimeTimeout operator
+      // before reaching the NFA — standard watermark semantics, not a
+      // matcher property
+      val t0 = 3_600_000L
+      val baseRows = (0 until 12).flatMap { k =>
+        (0 until 6 + rnd.nextInt(8)).map(i =>
+          (k.toLong, t0 + 1000L * i, i.toLong, letters(rnd.nextInt(3))))
+      }
+      // closers: one event of each letter per key near the end (creates
+      // tail matches), plus ONE far-future no-letter sentinel that
+      // advances the watermark past every start's `within` horizon so
+      // the stream force-resolves open greedy tails (flushOnHorizon) —
+      // without a flush, a trailing `x{0,2}` at end-of-input is
+      // legitimately provisional forever. The sentinel matches no
+      // predicate, so it anchors nothing on either side; `within` is
+      // far wider than the stream span, so it never constrains a match.
+      val keys = baseRows.map(_._1).distinct
+      val closers = keys.flatMap(k => letters.zipWithIndex.map {
+        case (l, j) => (k, t0 + 100000L + 1000L * j, 500L + j, l)
+      })
+      val withinMs = 1000_000L // 1000 s >> the ~103 s stream span
+      val sentinel = Seq((0L, 10_000_000_000L, 999L, "z"))
+      val all = baseRows ++ closers ++ sentinel
+
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val df = mem.toDF().toDF("user_id", "ms", "event_id", "event_type")
+        .select(col("user_id"),
+          (col("ms") / 1000).cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+        .withWatermark("ts", "1 second")
+      val name = s"t_cep_rand_$trial"
+      val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps,
+          withinMicros = Some(withinMs * 1000L), flushOnHorizon = true)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      // time-ordered arrival, three batch splits + the closer batch
+      val ordered = all.sortBy(e => (e._2, e._3))
+      ordered.grouped(math.max(1, ordered.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      q.stop()
+      val batchDf = all.toDF("user_id", "ms", "event_id", "event_type")
+        .select(col("user_id"),
+          (col("ms") / 1000).cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+      val want = Cep.matchPattern(batchDf, "user_id", "ts", "event_id",
+          steps, withinMicros = Some(withinMs * 1000L))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getInt(3).toLong)).toSet
+      assert(got === want, s"trial $trial pattern '$spec'")
+      totalMatches += want.size
+    }
+    assert(totalMatches > 100, s"only $totalMatches matched rows")
+  }
 }

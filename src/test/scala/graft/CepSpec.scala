@@ -185,6 +185,88 @@ class CepSpec extends AnyFunSuite {
     assert(runPattern(later, "A ~> !E ~> B", typePreds).isEmpty)
   }
 
+  test("alternation consumes mixed runs, labeling by matching alternative") {
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "click"), (1L, 40L, 4L, "error"),
+      (1L, 50L, 5L, "purchase"))
+    val m = runPattern(events, "A (E|C)+ P", typePreds ++ Map[String,
+        org.apache.spark.sql.Row => Boolean](
+      "C" -> (_.getString(3) == "click"),
+      "P" -> (_.getString(3) == "purchase")))
+    assert(m === Map(0 -> Set(("A", 1L), ("E", 2L), ("C", 3L),
+      ("E", 4L), ("P", 5L))))
+    // a pure-single-type pattern rejects the mixed run
+    assert(runPattern(events, "A ERR+ B", typePreds).isEmpty)
+  }
+
+  test("alternation: overlapping alternatives label by declaration order") {
+    // 'high' matches BOTH alternatives → first declared (H) wins; the
+    // classifier is deterministic, not predicate-set-dependent
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"))
+    val preds: Map[String, org.apache.spark.sql.Row => Boolean] = Map(
+      "A" -> (_.getString(3) == "signup"),
+      "H" -> (_.getString(3) == "error"),
+      "E" -> (_.getString(3) == "error"))
+    val m = runPattern(events, "A (H|E)+", preds)
+    assert(m === Map(0 -> Set(("A", 1L), ("H", 2L))))
+  }
+
+  test("alternation backtracking hands back run events like a plain step") {
+    // greedy (E|C)+ takes e c e, P needs the purchase right after — the
+    // run cannot shorten (the handed-back event is not a purchase), so
+    // only the maximal-run match exists; with the purchase mid-run the
+    // pattern must match the shorter prefix ending right before it
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "purchase"), (1L, 40L, 4L, "click"))
+    val preds = typePreds ++ Map[String,
+        org.apache.spark.sql.Row => Boolean](
+      "C" -> (_.getString(3) == "click"),
+      "P" -> (_.getString(3) == "purchase"))
+    val m = runPattern(events, "A (E|C)+ P", preds)
+    assert(m === Map(0 -> Set(("A", 1L), ("E", 2L), ("P", 3L))))
+  }
+
+  test("streaming NFA alternation labels equal batch across batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val preds = typePreds ++ Map[String,
+        org.apache.spark.sql.Row => Boolean](
+      "C" -> (_.getString(3) == "click"),
+      "P" -> (_.getString(3) == "purchase"))
+    val steps = Cep.pattern("A (E|C)+ P", preds)
+    val rows = Seq(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "click"), (1L, 40L, 4L, "error"),
+      (1L, 50L, 5L, "purchase"), (2L, 10L, 20L, "signup"),
+      (2L, 20L, 21L, "click"), (2L, 30L, 22L, "purchase"))
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps)
+      .writeStream.format("memory").queryName("t_cep_alt")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // split mid-run so the alternation run spans the batch boundary
+    mem.addData(rows.take(3).toIndexedSeq); q.processAllAvailable()
+    mem.addData(rows.drop(3).toIndexedSeq); q.processAllAvailable()
+    val got = spark.table("t_cep_alt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    q.stop()
+    val want = Cep.matchPattern(mkEvents(rows: _*), "user_id", "ts",
+        "event_id", steps)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3).toLong)).toSet
+    assert(got === want)
+    assert(got.exists(_._2 == "E") && got.exists(_._2 == "C"))
+  }
+
   test("relaxed scan respects the within horizon") {
     // purchase exists but beyond the 60 s window → the relaxed scan
     // stops at the horizon, no match; a purchase inside matches
