@@ -25,7 +25,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
   *     | SKIP TO FIRST <step> | SKIP TO LAST <step>]
-  *   PATTERN ( <vars with quantifiers: A B+ C? D{1,3} E+?> )
+  *   PATTERN ( <vars with quantifiers: A B+ C? D{1,3} E+?;
+  *     alternation groups (A|B)+ — beyond the reference, which
+  *     rejects alternation; CLASSIFIER() labels each event with its
+  *     matching alternative> )
   *   [WITHIN INTERVAL '<n>' <SECOND|MINUTE|HOUR|DAY>]
   *   DEFINE <var> AS <boolean sql expr> [, ...]
   *     -- exprs may navigate the ordered input partition with
@@ -147,7 +150,9 @@ object MatchRecognize {
     val List(ts, id) = one(
       """(?is)ORDER\s+BY\s+([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)""",
       "ORDER BY <tsCol>, <idCol> (two columns: event time + long id)")
-    val List(patternSpec) = one("""(?is)PATTERN\s*\(([^()]*)\)""",
+    // one nesting level admits alternation groups: PATTERN ((A|B)+ C)
+    val List(patternSpec) = one(
+      """(?is)PATTERN\s*\(((?:[^()]|\([^()]*\))*)\)""",
       "PATTERN (...)")
     val skip = """(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+FIRST\s+[A-Za-z_]\w*|TO\s+LAST\s+[A-Za-z_]\w*)""".r
       .findFirstMatchIn(body).map(_.group(1)) match {
@@ -300,8 +305,14 @@ object MatchRecognize {
       acc.withColumn(s"__p_$name", expr(e).cast("boolean"))
     }
     val schema = withPreds.schema.fieldNames
+    // flatten alternation groups: `(A|B)+` contributes variables A and B
+    // (each may carry its own DEFINE; classifier labels them separately)
     val stepNames = c.patternSpec.split("\\s+").toSeq
       .map(_.replaceAll("""[+?{].*$""", ""))
+      .flatMap(t =>
+        if (t.startsWith("("))
+          t.stripPrefix("(").stripSuffix(")").split('|').toSeq
+        else Seq(t))
     val preds: Map[String, Row => Boolean] = stepNames.map { n =>
       val i = schema.indexOf(s"__p_$n")
       n -> (if (i < 0) (_: Row) => true

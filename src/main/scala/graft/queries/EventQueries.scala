@@ -52,6 +52,51 @@ object EventQueries {
       |  WHERE e.event_type = 'error') m
       |ORDER BY key, match_seq, step, event_id""".stripMargin
 
+  /** Gaps-and-islands oracle for the `A (E|C)+ P` alternation pattern —
+    * shared by q_cep_alt (DataFrame NFA API) and q_cep_sql_alt (the SQL
+    * surface, where the reference rejects alternation): runs of
+    * error/click anchored at the preceding non-run event, kept iff that
+    * anchor is a signup and the event right after the run is a purchase,
+    * each run event labeled with its own alternative. */
+  private val cepAltOracle =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events),
+      |marked AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN event_type NOT IN ('error','click')
+      |      THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
+      |        ROWS UNBOUNDED PRECEDING) AS anchor_rn
+      |  FROM ordered),
+      |runs AS (
+      |  SELECT user_id, anchor_rn, MAX(rn) AS end_rn
+      |  FROM marked WHERE event_type IN ('error','click')
+      |  GROUP BY 1, 2),
+      |hits AS (
+      |  SELECT a.user_id, a.rn AS a_rn, a.event_id AS a_id,
+      |    r.end_rn, p.event_id AS p_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY a.user_id
+      |      ORDER BY a.rn) - 1 AS INT) AS match_seq
+      |  FROM ordered a
+      |  JOIN runs r ON r.user_id = a.user_id AND r.anchor_rn = a.rn
+      |  JOIN ordered p ON p.user_id = a.user_id
+      |    AND p.rn = r.end_rn + 1 AND p.event_type = 'purchase'
+      |  WHERE a.event_type = 'signup')
+      |SELECT key, step, event_id, match_seq FROM (
+      |  SELECT user_id AS key, 'A' AS step, a_id AS event_id,
+      |    match_seq FROM hits
+      |  UNION ALL
+      |  SELECT h.user_id, CASE WHEN m.event_type = 'error'
+      |      THEN 'E' ELSE 'C' END, m.event_id, h.match_seq
+      |  FROM marked m JOIN hits h ON m.user_id = h.user_id
+      |    AND m.anchor_rn = h.a_rn
+      |  WHERE m.event_type IN ('error','click')
+      |  UNION ALL
+      |  SELECT user_id, 'P', p_id, match_seq FROM hits) u
+      |ORDER BY key, match_seq, step, event_id""".stripMargin
+
   /** The islands-CTE prefix of [[cepNfaOracle]] (everything before its
     * final per-event SELECT) — shared by every oracle that re-aggregates
     * the same match relation. */
@@ -896,43 +941,31 @@ object EventQueries {
           "E" -> (_.getString(3) == "error"),
           "C" -> (_.getString(3) == "click"),
           "P" -> (_.getString(3) == "purchase")))),
-      Some("""WITH ordered AS (
-             |  SELECT user_id, event_id, event_type,
-             |    ROW_NUMBER() OVER (PARTITION BY user_id
-             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-             |  FROM events),
-             |marked AS (
-             |  SELECT *,
-             |    MAX(CASE WHEN event_type NOT IN ('error','click')
-             |      THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
-             |        ROWS UNBOUNDED PRECEDING) AS anchor_rn
-             |  FROM ordered),
-             |runs AS (
-             |  SELECT user_id, anchor_rn, MAX(rn) AS end_rn
-             |  FROM marked WHERE event_type IN ('error','click')
-             |  GROUP BY 1, 2),
-             |hits AS (
-             |  SELECT a.user_id, a.rn AS a_rn, a.event_id AS a_id,
-             |    r.end_rn, p.event_id AS p_id,
-             |    CAST(ROW_NUMBER() OVER (PARTITION BY a.user_id
-             |      ORDER BY a.rn) - 1 AS INT) AS match_seq
-             |  FROM ordered a
-             |  JOIN runs r ON r.user_id = a.user_id AND r.anchor_rn = a.rn
-             |  JOIN ordered p ON p.user_id = a.user_id
-             |    AND p.rn = r.end_rn + 1 AND p.event_type = 'purchase'
-             |  WHERE a.event_type = 'signup')
-             |SELECT key, step, event_id, match_seq FROM (
-             |  SELECT user_id AS key, 'A' AS step, a_id AS event_id,
-             |    match_seq FROM hits
-             |  UNION ALL
-             |  SELECT h.user_id, CASE WHEN m.event_type = 'error'
-             |      THEN 'E' ELSE 'C' END, m.event_id, h.match_seq
-             |  FROM marked m JOIN hits h ON m.user_id = h.user_id
-             |    AND m.anchor_rn = h.a_rn
-             |  WHERE m.event_type IN ('error','click')
-             |  UNION ALL
-             |  SELECT user_id, 'P', p_id, match_seq FROM hits) u
-             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
+      Some(cepAltOracle)),
+
+    // The same alternation pattern through the SQL surface: the
+    // reference (Flink 1.13) rejects PATTERN alternation outright, so a
+    // graft user gets strictly more SQL than the reference here; the SQL
+    // path and the DataFrame API must agree row for row (shared oracle).
+    Query(
+      "q_cep_sql_alt",
+      (s, d) => {
+        Catalog.registerViews(s, d, "events")
+        graft.cep.MatchRecognize.sql(s,
+          """SELECT key, step, event_id, match_seq
+            |FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts, event_id
+            |  AFTER MATCH SKIP PAST LAST ROW
+            |  PATTERN (A (E|C)+ P)
+            |  DEFINE A AS event_type = 'signup',
+            |         E AS event_type = 'error',
+            |         C AS event_type = 'click',
+            |         P AS event_type = 'purchase'
+            |)
+            |ORDER BY key, match_seq, step, event_id""".stripMargin)
+      },
+      Some(cepAltOracle)),
 
     // Relaxed contiguity bounded by a WITHIN horizon: the purchase must
     // arrive within 2 hours of the signup — the relaxed scan stops at

@@ -1146,6 +1146,32 @@ class CepSpec extends AnyFunSuite {
     assert(got === Set(1L, 3L))
   }
 
+  test("MATCH_RECOGNIZE alternation: CLASSIFIER labels each alternative") {
+    import spark.implicits._
+    Seq((1L, 1L, 1L, "signup"), (1L, 2L, 2L, "error"),
+      (1L, 3L, 3L, "click"), (1L, 4L, 4L, "purchase"))
+      .toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+      .createOrReplaceTempView("alt_events")
+    val got = graft.cep.MatchRecognize.sql(spark,
+      """SELECT user_id, event_id, var, mno
+        |FROM alt_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS var
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A (E|C)+ P)
+        |  DEFINE A AS event_type = 'signup',
+        |         E AS event_type = 'error',
+        |         C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((1L, "A"), (2L, "E"), (3L, "C"), (4L, "P")))
+  }
+
   test("MATCH_RECOGNIZE navigation qualifier: self accepted, foreign rejected") {
     import spark.implicits._
     Seq((1L, 1L, 1L, "x", 1.0), (1L, 2L, 2L, "x", 5.0),
