@@ -287,17 +287,24 @@ object Cep {
     * prefixes (`A A B` over stream A A A B) and non-disjoint step
     * predicates match exactly what batch `matchPattern` finds.
     *
-    * Events are processed in event-time order within each batch and
-    * arrival order across batches (proctime semantics across batches;
-    * align file/offset order with time for event-time behavior). State
-    * per key is O(active attempt span); a `within` horizon bounds that
-    * span in event time.
+    * Ordering: by default events are processed in event-time order
+    * within each batch and arrival order across batches (proctime
+    * semantics across batches). With `eventTime = true` (requires a
+    * watermarked input) the operator is FULLY event-time ordered — the
+    * reference's rowtime NFA contract: arrivals wait in a pending
+    * buffer and enter the NFA in (ts, id) order only once the watermark
+    * passes their timestamp (nothing earlier can still arrive; Spark
+    * drops at-or-below-watermark input), so out-of-order events ACROSS
+    * micro-batches match exactly like the batch scan of the time-sorted
+    * data. State per key is O(active attempt span + in-flight pending);
+    * a `within` horizon bounds the attempt span in event time.
     */
   def matchPatternStream(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, steps: Seq[Step],
       withinMicros: Option[Long] = None,
       flushOnHorizon: Boolean = false,
-      skip: SkipStrategy = SkipPastLast): DataFrame = {
+      skip: SkipStrategy = SkipPastLast,
+      eventTime: Boolean = false): DataFrame = {
     require(!flushOnHorizon || withinMicros.isDefined,
       "flushOnHorizon needs a withinMicros horizon (and a watermarked input)")
     skip match {
@@ -345,16 +352,21 @@ object Cep {
     val slotLabelArr = slotLabels.toArray
 
     val timeoutConf =
-      if (flushOnHorizon) GroupStateTimeout.EventTimeTimeout
+      if (flushOnHorizon || eventTime) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
     val out = events.groupByKey(_.getLong(kIdx))
-      .flatMapGroupsWithState[(Seq[(Long, Long, Long)], Long), (Long, String, Long, Long)](
+      .flatMapGroupsWithState[
+          (Seq[(Long, Long, Long)], Seq[(Long, Long, Long)], Long),
+          (Long, String, Long, Long)](
         OutputMode.Append, timeoutConf) {
         (key: Long, it: Iterator[Row],
-            state: GroupState[(Seq[(Long, Long, Long)], Long)]) =>
-          val st0 = state.getOption.getOrElse((Seq.empty[(Long, Long, Long)], 0L))
-          var buffer: Vector[(Long, Long, Long)] = st0._1.toVector
-          var seq: Long = st0._2
+            state: GroupState[(Seq[(Long, Long, Long)], Seq[(Long, Long, Long)], Long)]) =>
+          val st0 = state.getOption.getOrElse(
+            (Seq.empty[(Long, Long, Long)], Seq.empty[(Long, Long, Long)], 0L))
+          // pending = watermark-held arrivals (eventTime mode only)
+          var pending: Vector[(Long, Long, Long)] = st0._1.toVector
+          var buffer: Vector[(Long, Long, Long)] = st0._2.toVector
+          var seq: Long = st0._3
           val emitted = scala.collection.mutable.ListBuffer
             .empty[(Long, String, Long, Long)]
 
@@ -494,6 +506,33 @@ object Cep {
             }
           }
 
+          if (!state.hasTimedOut) {
+            val ordered = it.toArray.sortBy(r =>
+              (tsMicros(r.getTimestamp(tIdx)), r.getLong(iIdx)))
+            ordered.foreach { e =>
+              var bits = 0L
+              var s = 0
+              while (s < slotPredArr.length) {
+                if (slotPredArr(s)(e)) bits |= (1L << s)
+                s += 1
+              }
+              val triple = (e.getLong(iIdx),
+                tsMicros(e.getTimestamp(tIdx)), bits)
+              if (eventTime) pending = pending :+ triple
+              else buffer = buffer :+ triple
+            }
+          }
+          if (eventTime) {
+            // release watermark-finalized arrivals into the NFA in
+            // (ts, id) order: later arrivals are strictly above the
+            // watermark, so nothing can land before a released event
+            val wmUs = state.getCurrentWatermarkMs * 1000L
+            val (ripe, hold) = pending.partition(_._2 <= wmUs)
+            if (ripe.nonEmpty) {
+              pending = hold
+              buffer = buffer ++ ripe.sortBy(e => (e._2, e._1))
+            }
+          }
           if (flushOnHorizon && state.hasTimedOut) {
             // watermark passed the head anchor's horizon: no future event
             // can be in-window for it, so force-resolve every expired
@@ -506,34 +545,24 @@ object Cep {
               if (outcome == 2) emitMatch(att)
               else buffer = buffer.drop(1)
             }
-            pump()
-          } else {
-            val ordered = it.toArray.sortBy(r =>
-              (tsMicros(r.getTimestamp(tIdx)), r.getLong(iIdx)))
-            ordered.foreach { e =>
-              var bits = 0L
-              var s = 0
-              while (s < slotPredArr.length) {
-                if (slotPredArr(s)(e)) bits |= (1L << s)
-                s += 1
-              }
-              buffer = buffer :+ ((e.getLong(iIdx),
-                tsMicros(e.getTimestamp(tIdx)), bits))
-            }
-            // ONE pump per batch: attempt() is a pure function of the
-            // final buffer and only closed (future-proof) matches emit,
-            // so per-event pumping would produce identical output while
-            // re-scanning the whole buffer per event — O(batch²) on a
-            // long open run
-            pump()
           }
-          state.update((buffer, seq))
-          if (flushOnHorizon && buffer.nonEmpty) {
-            // wake when the head anchor's horizon expires
-            state.setTimeoutTimestamp(math.max(
-              (buffer(0)._2 + withinMicros.get) / 1000L + 1,
+          // ONE pump per invocation: attempt() is a pure function of the
+          // final buffer and only closed (future-proof) matches emit,
+          // so per-event pumping would produce identical output while
+          // re-scanning the whole buffer per event — O(batch²) on a
+          // long open run
+          pump()
+          state.update((pending, buffer, seq))
+          // wake at the earliest actionable instant: the next pending
+          // release (eventTime) and/or the head anchor's horizon expiry
+          val wakeups =
+            (if (eventTime && pending.nonEmpty)
+              Seq(pending.map(_._2).min / 1000L + 1) else Nil) ++
+            (if (flushOnHorizon && buffer.nonEmpty)
+              Seq((buffer(0)._2 + withinMicros.get) / 1000L + 1) else Nil)
+          if (wakeups.nonEmpty)
+            state.setTimeoutTimestamp(math.max(wakeups.min,
               state.getCurrentWatermarkMs + 1))
-          }
           emitted.iterator
       }
     out.toDF("key", "step", "event_id", "match_seq")

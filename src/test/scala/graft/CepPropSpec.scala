@@ -313,6 +313,33 @@ class CepPropSpec extends AnyFunSuite {
           r.getInt(3).toLong)).toSet
       assert(got === want, s"trial $trial pattern '$spec'")
       totalMatches += want.size
+
+      // event-time mode under DISORDERED arrival: shuffle within 5-row
+      // blocks (≤ 5 s displacement, inside the 30 s watermark delay so
+      // nothing is dropped as late); the pending buffer must restore
+      // (ts, id) order and reproduce the same batch result
+      val memEt = MemoryStream[(Long, Long, Long, String)]
+      val dfEt = memEt.toDF().toDF("user_id", "ms", "event_id", "event_type")
+        .select(col("user_id"),
+          (col("ms") / 1000).cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+        .withWatermark("ts", "30 seconds")
+      val nameEt = s"t_cep_rand_et_$trial"
+      val qEt = Cep.matchPatternStream(dfEt, "user_id", "ts", "event_id",
+          steps, withinMicros = Some(withinMs * 1000L),
+          flushOnHorizon = true, eventTime = true)
+        .writeStream.format("memory").queryName(nameEt)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      val disordered = ordered.grouped(5).flatMap(b =>
+        rnd.shuffle(b)).toIndexedSeq
+      disordered.grouped(math.max(1, disordered.length / 3)).foreach { c =>
+        memEt.addData(c); qEt.processAllAvailable()
+      }
+      val gotEt = spark.table(nameEt).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      qEt.stop()
+      assert(gotEt === want, s"trial $trial (event-time) pattern '$spec'")
     }
     assert(totalMatches > 100, s"only $totalMatches matched rows")
   }

@@ -349,6 +349,45 @@ class CepSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time streaming NFA reorders across micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val steps = Seq(
+      Cep.Step("A", _.getString(3) == "signup"),
+      Cep.Step("B", _.getString(3) == "error"))
+    def feed(eventTime: Boolean, name: String) = {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+        .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+        .withWatermark("ts", "2 minutes")
+      val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id",
+          steps, eventTime = eventTime)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      // the ERROR arrives a batch BEFORE the earlier signup (out of
+      // order across batches, inside the 2 min watermark delay); a
+      // later event then advances the watermark past both
+      mem.addData((1L, 100L, 2L, "error")); q.processAllAvailable()
+      mem.addData((1L, 50L, 1L, "signup")); q.processAllAvailable()
+      mem.addData((1L, 500L, 9L, "view")); q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSet
+      q.stop()
+      got
+    }
+    // event-time mode: the pending buffer re-establishes (ts, id) order
+    // once the watermark passes — signup@50 then error@100 match A B,
+    // exactly the batch scan of the time-sorted data
+    assert(feed(eventTime = true, "t_cep_et") ===
+      Set(("A", 1L), ("B", 2L)))
+    // arrival mode (the default): the error precedes the signup in the
+    // NFA buffer — no match; this is the documented proctime contract
+    assert(feed(eventTime = false, "t_cep_arr") === Set.empty)
+  }
+
   test("streaming NFA within-horizon abandons stale partial matches") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
