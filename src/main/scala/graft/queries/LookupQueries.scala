@@ -25,7 +25,12 @@ object LookupQueries {
     Query(
       "q_lookup_join",
       (s, d) => {
-        // the simulated external store: customer key → (name, segment)
+        // TEST HARNESS, not the operator: this collect builds the
+        // stand-in external store (no JDBC/HBase endpoint exists
+        // in-container). A production deployment points LookupClient at
+        // the real service; the operator itself never collects —
+        // lookups run distributed inside mapPartitions on the probe
+        // side's existing partitioning.
         val dim = Catalog.t(s, d, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
           .collect()
