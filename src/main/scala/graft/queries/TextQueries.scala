@@ -399,7 +399,122 @@ object TextQueries {
         Catalog.registerViews(s, d, "documents")
         s.sql(profileSql)
       },
-      Some(profileSql)))
+      Some(profileSql)),
+
+    // Decontamination — the benchmark-overlap stage of every LLM data
+    // pipeline: documents sharing any 5-gram with the held-out "eval"
+    // slice (here: doc_id % 7 == 0, a deterministic fixture stand-in
+    // for the real benchmark suite) are flagged with their hit count
+    // and first offending shingle. Scale shape: eval shingles are a
+    // TINY relation (the benchmark suite, not the corpus) → broadcast
+    // inner join against scan-local corpus shingles, one partial-agg
+    // shuffle on doc_id for the report. No corpus self-join anywhere.
+    Query(
+      "q_text_decontaminate",
+      (s, d) => {
+        val tk = col("__tk")
+        val n = 5
+        def grams(in: org.apache.spark.sql.DataFrame) = in
+          .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+          .where(size(tk) >= n)
+          .select(col("doc_id"),
+            explode(array_distinct(transform(
+              sequence(lit(0), size(tk) - n),
+              i => concat_ws(" ", (1 to n).map(j =>
+                element_at(tk, i + j)): _*)))).as("g"))
+        val docs = t(s, d, "documents")
+        val evalGrams = grams(docs.where(col("doc_id") % 7 === 0))
+          .select(col("g")).distinct()
+        grams(docs.where(col("doc_id") % 7 =!= 0))
+          .join(broadcast(evalGrams), Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"), min(col("g")).as("first_hit"))
+          .orderBy(col("doc_id"))
+      },
+      Some(decontaminateSql)),
+
+    // Bigram language-model fluency scoring — the KenLM-style filter:
+    // the corpus trains its own bigram model (c(w1,w2) and the
+    // bigram-prefix total c(w1)) and every document scores by its mean
+    // conditional bigram probability. Arithmetic is EXACT on both
+    // engines: per-bigram scaled probability floor(1e6·c12/c1) is an
+    // integer (identical IEEE division of identical integers), summed
+    // as BIGINT (order-independent), one final double division — no
+    // accumulation-order ulp drift. Scale shape: model = one partial-agg
+    // shuffle over bigrams; scoring = equi-joins on (w1,w2)/(w1) and a
+    // partial-agg groupBy doc — everything shuffles on small keys, no
+    // driver materialization.
+    Query(
+      "q_text_lm_score",
+      (s, d) => {
+        val tk = col("__tk")
+        val bigrams = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+          .where(size(tk) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(0), size(tk) - 2),
+            i => struct(element_at(tk, i + 1).as("w1"),
+              element_at(tk, i + 2).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c12 = bigrams.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        bigrams
+          .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .select(col("doc_id"),
+            floor(col("c12") * lit(1000000L) / col("c1"))
+              .cast("long").as("p"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum(col("p")).cast("double") / count(lit(1)) / 1000000.0)
+              .as("mean_cond_p"))
+          .orderBy(col("doc_id"))
+      },
+      Some(lmScoreSql)))
+
+  /** 5-gram eval-overlap oracle: same shingling as the Spark side
+    * (window LEADs over the split token list), eval slice = doc_id%97. */
+  private lazy val decontaminateSql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+      |    GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS idx
+      |  FROM documents),
+      |g5 AS (
+      |  SELECT DISTINCT doc_id,
+      |    w || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5 AS g
+      |  FROM (
+      |    SELECT doc_id, w,
+      |      LEAD(w, 1) OVER win AS w2, LEAD(w, 2) OVER win AS w3,
+      |      LEAD(w, 3) OVER win AS w4, LEAD(w, 4) OVER win AS w5
+      |    FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY idx)) x
+      |  WHERE w5 IS NOT NULL),
+      |ev AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 7 = 0)
+      |SELECT doc_id, COUNT(1) AS n_hits, MIN(g) AS first_hit
+      |FROM g5 JOIN ev USING (g)
+      |WHERE doc_id % 7 <> 0
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Bigram-LM scoring oracle — identical integer-exact arithmetic. */
+  private lazy val lmScoreSql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+      |    GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS idx
+      |  FROM documents),
+      |bigrams AS (
+      |  SELECT doc_id, w1, w2 FROM (
+      |    SELECT doc_id, w AS w1,
+      |      LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS w2
+      |    FROM toks) b
+      |  WHERE w2 IS NOT NULL),
+      |m12 AS (SELECT w1, w2, COUNT(1) AS c12 FROM bigrams GROUP BY 1, 2),
+      |m1 AS (SELECT w1, COUNT(1) AS c1 FROM bigrams GROUP BY 1)
+      |SELECT doc_id, COUNT(1) AS n_bigrams,
+      |  CAST(SUM(CAST(FLOOR(c12 * 1000000 / c1) AS BIGINT)) AS DOUBLE)
+      |    / COUNT(1) / 1000000.0 AS mean_cond_p
+      |FROM bigrams JOIN m12 USING (w1, w2) JOIN m1 USING (w1)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   private lazy val urlCanonSql =
     """WITH u AS (
