@@ -328,8 +328,18 @@ object MatchRecognize {
           "MATCH_RECOGNIZE: MEASURES / ALL ROWS PER MATCH on a " +
             "streaming input is not supported — join/aggregate the raw " +
             "matched relation downstream")
+        // WITHIN on a watermarked stream enables horizon flushing — the
+        // reference's within-bounded NFA: an open match emits (and dead
+        // prefixes GC) once the watermark passes its start's horizon,
+        // instead of waiting for a closing event that may never come
+        val watermarked = withPreds.queryExecution.analyzed.collectFirst {
+          case e: org.apache.spark.sql.catalyst.plans.logical
+            .EventTimeWatermark => e
+        }.isDefined
         Cep.matchPatternStream(withPreds, c.key, c.ts, c.id, steps,
-          c.withinMicros, flushOnHorizon = false, c.skip)
+          c.withinMicros,
+          flushOnHorizon = c.withinMicros.isDefined && watermarked,
+          c.skip)
       } else Cep.matchPattern(withPreds, c.key, c.ts, c.id, steps,
         c.withinMicros, c.skip)
     if (c.measures.isEmpty && !c.allRows) return matched

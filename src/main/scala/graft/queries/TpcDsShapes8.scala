@@ -105,7 +105,7 @@ object TpcDsShapes8 {
       |SELECT a.sk, a.mo AS mo1, b.mo AS mo2,
       |  a.cv2 AS cv2_m1, b.cv2 AS cv2_m2
       |FROM cv a JOIN cv b ON a.sk = b.sk AND b.mo = a.mo + 1
-      |WHERE a.cv2 > 0.5 AND b.cv2 > 0.5
+      |WHERE a.cv2 > 0.3 AND b.cv2 > 0.3
       |ORDER BY a.sk, a.mo""".stripMargin
 
   private def sqlQuery(name: String, sql: String,

@@ -1163,6 +1163,48 @@ class CepSpec extends AnyFunSuite {
     assert(got === Set(("A", 1L), ("B", 2L), ("B", 3L)))
   }
 
+  test("streaming MATCH_RECOGNIZE WITHIN flushes open tails at the horizon") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    // watermarked view → WITHIN routes to the horizon-flushing NFA
+    mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+      .withWatermark("ts", "10 seconds")
+      .createOrReplaceTempView("stream_within_events")
+    val out = graft.cep.MatchRecognize.sql(spark,
+      """SELECT key, step, event_id, match_seq
+        |FROM stream_within_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  PATTERN (A B+)
+        |  WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS event_type = 'signup',
+        |         B AS event_type = 'error'
+        |)""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("t_mr_within")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // greedy B+ tail stays open (no closing event for key 1 ever
+    // arrives); timeline starts past epoch (EventTimeTimeout drops
+    // at-or-below-watermark input)
+    val h = 3600L
+    mem.addData((1L, h + 10L, 1L, "signup"), (1L, h + 20L, 2L, "error"))
+    q.processAllAvailable()
+    val before = spark.table("t_mr_within").count()
+    // an unrelated key's event pushes the watermark past key 1's
+    // horizon (start + 1 min) → the open tail force-emits
+    mem.addData((2L, h + 600L, 99L, "click"))
+    q.processAllAvailable()
+    val got = spark.table("t_mr_within").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(before === 0L, "tail emitted before its horizon expired")
+    assert(got === Set(("A", 1L), ("B", 2L)))
+  }
+
   test("MATCH_RECOGNIZE NEXT navigation in DEFINE looks ahead in input order") {
     import spark.implicits._
     Seq((1L, 1L, 1L, "x", 1.0), (1L, 2L, 2L, "x", 5.0),
