@@ -328,10 +328,14 @@ object MatchRecognize {
           "MATCH_RECOGNIZE: MEASURES / ALL ROWS PER MATCH on a " +
             "streaming input is not supported — join/aggregate the raw " +
             "matched relation downstream")
-        // WITHIN on a watermarked stream enables horizon flushing — the
-        // reference's within-bounded NFA: an open match emits (and dead
-        // prefixes GC) once the watermark passes its start's horizon,
-        // instead of waiting for a closing event that may never come
+        // a WATERMARKED stream gets the reference's full rowtime
+        // semantics: event-time ordering across micro-batches (arrivals
+        // wait until the watermark passes them — StreamExecMatch sorts
+        // on rowtime), and with WITHIN also horizon flushing — an open
+        // match emits (and dead prefixes GC) once the watermark passes
+        // its start's horizon, instead of waiting for a closing event
+        // that may never come. An unwatermarked stream keeps
+        // arrival-order (proctime) semantics.
         val watermarked = withPreds.queryExecution.analyzed.collectFirst {
           case e: org.apache.spark.sql.catalyst.plans.logical
             .EventTimeWatermark => e
@@ -339,7 +343,7 @@ object MatchRecognize {
         Cep.matchPatternStream(withPreds, c.key, c.ts, c.id, steps,
           c.withinMicros,
           flushOnHorizon = c.withinMicros.isDefined && watermarked,
-          c.skip)
+          c.skip, eventTime = watermarked)
       } else Cep.matchPattern(withPreds, c.key, c.ts, c.id, steps,
         c.withinMicros, c.skip)
     if (c.measures.isEmpty && !c.allRows) return matched

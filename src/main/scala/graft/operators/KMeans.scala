@@ -192,15 +192,23 @@ object KMeans {
     * struct-ordered array_min. */
   private[graft] def assignBroadcast(points: DataFrame, vecCol: String,
       centroids: Array[Array[Double]], cellCol: String): DataFrame = {
-    import org.apache.spark.sql.types.IntegerType
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
     import org.apache.spark.sql.{Encoders, Row}
     val bc = points.sparkSession.sparkContext.broadcast(centroids)
     val vIdx = points.schema.fieldIndex(vecCol)
+    // float embeddings (the embeddings fixture) read as Seq[Float]; the
+    // literal path coerces through Catalyst, so match that here
+    val isFloat = points.schema(vIdx).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
     val outSchema = points.schema.add(cellCol, IntegerType, nullable = false)
     points.mapPartitions { it =>
       val cents = bc.value
       it.map { r =>
-        val v = r.getSeq[Double](vIdx)
+        val v: scala.collection.Seq[Double] =
+          if (isFloat) r.getSeq[Float](vIdx).map(_.toDouble)
+          else r.getSeq[Double](vIdx)
         var best = 0
         var bestD = Double.PositiveInfinity
         var c = 0

@@ -194,12 +194,13 @@ object AvroIO {
     *
     * Each task writes to a task-private temp file and atomically renames
     * it into place on success, so a retried/speculative attempt can never
-    * leave a half-written part file and the last successful attempt wins.
-    * Like the DSv2 reader, this writer addresses a LOCAL (or shared,
-    * e.g. NFS) filesystem visible to every executor — the in-container
-    * stand-in for an HDFS/object-store committer; there is no job-level
-    * commit protocol (no _SUCCESS marker), so readers should not list a
-    * directory that is concurrently being overwritten. */
+    * leave a half-written part file and the last successful attempt wins;
+    * the driver stamps a `_SUCCESS` marker once the whole job completes
+    * (readers wanting job-level atomicity should gate on it — the listing
+    * itself does not, matching Spark's own file sources). Like the DSv2
+    * reader, this writer addresses a LOCAL (or shared, e.g. NFS)
+    * filesystem visible to every executor — the in-container stand-in
+    * for an HDFS/object-store committer. */
   def write(df: DataFrame, path: String): Unit = {
     val schema = df.schema
     val avroJson = toAvroSchema(schema, "row").toString
@@ -230,6 +231,8 @@ object AvroIO {
       } finally tmp.delete(): Unit // no-op after a successful move
       Iterator.single(n)
     }.count(): Unit
+    java.nio.file.Files.write(new File(dir, "_SUCCESS").toPath,
+      Array.empty[Byte]): Unit
   }
 
   private def toRecord(row: Row, sch: Schema, st: StructType): GenericRecord = {

@@ -1205,6 +1205,40 @@ class CepSpec extends AnyFunSuite {
     assert(got === Set(("A", 1L), ("B", 2L)))
   }
 
+  test("streaming MATCH_RECOGNIZE on a watermarked view is event-time ordered") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+      .withWatermark("ts", "2 minutes")
+      .createOrReplaceTempView("stream_rowtime_events")
+    val out = graft.cep.MatchRecognize.sql(spark,
+      """SELECT key, step, event_id, match_seq
+        |FROM stream_rowtime_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  PATTERN (A B)
+        |  DEFINE A AS event_type = 'signup',
+        |         B AS event_type = 'error'
+        |)""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("t_mr_rowtime")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // the error arrives a batch BEFORE its earlier signup (inside the
+    // watermark delay); rowtime semantics must still match A then B
+    val h = 3600L
+    mem.addData((1L, h + 100L, 2L, "error")); q.processAllAvailable()
+    mem.addData((1L, h + 50L, 1L, "signup")); q.processAllAvailable()
+    mem.addData((1L, h + 500L, 9L, "view")); q.processAllAvailable()
+    val got = spark.table("t_mr_rowtime").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got === Set(("A", 1L), ("B", 2L)))
+  }
+
   test("MATCH_RECOGNIZE NEXT navigation in DEFINE looks ahead in input order") {
     import spark.implicits._
     Seq((1L, 1L, 1L, "x", 1.0), (1L, 2L, 2L, "x", 5.0),

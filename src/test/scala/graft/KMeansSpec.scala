@@ -181,6 +181,18 @@ class KMeansSpec extends AnyFunSuite {
     assert(lit === bc)
   }
 
+  test("assignBroadcast handles float embedding vectors") {
+    import spark.implicits._
+    // the embeddings fixture carries array<float>; the broadcast path
+    // must coerce like the literal path's Catalyst cast
+    val fdf = Seq((1L, Seq(0.1f, 0.2f)), (2L, Seq(5.0f, 5.1f)))
+      .toDF("id", "v")
+    val cents = Array(Array(0.0, 0.0), Array(5.0, 5.0))
+    val got = KMeans.assignBroadcast(fdf, "v", cents, "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(got === Map(1L -> 0, 2L -> 1))
+  }
+
   test("fit is deterministic and an emptied cell keeps its centroid") {
     val a = KMeans.fit(corpus, "v", k = 3, iters = 3)
     val b = KMeans.fit(corpus, "v", k = 3, iters = 3)

@@ -163,6 +163,8 @@ class SourcesSpec extends AnyFunSuite {
     val scanLine = back.select("dec").queryExecution.executedPlan.toString
       .linesIterator.find(_.contains("BatchScan")).get
     assert(scanLine.matches(""".*BatchScan avro:.*\[dec#\d+\].*"""), scanLine)
+    // job-level completion marker stamped by the driver
+    assert(new java.io.File(s"$dir/lt", "_SUCCESS").exists())
   }
 
   test("avro reader decodes foreign time encodings and rejects drifted dirs") {
