@@ -405,10 +405,13 @@ object TextQueries {
     // pipeline: documents sharing any 5-gram with the held-out "eval"
     // slice (here: doc_id % 7 == 0, a deterministic fixture stand-in
     // for the real benchmark suite) are flagged with their hit count
-    // and first offending shingle. Scale shape: eval shingles are a
-    // TINY relation (the benchmark suite, not the corpus) → broadcast
-    // inner join against scan-local corpus shingles, one partial-agg
-    // shuffle on doc_id for the report. No corpus self-join anywhere.
+    // and first offending shingle. Scale shape: a REAL benchmark suite
+    // is a tiny relation, so Catalyst broadcasts its shingles against
+    // the scan-local corpus shingles automatically (no hint: an
+    // oversized eval slice — like this fixture's 1/7 stand-in at 100 TB
+    // — degrades gracefully to a shuffle equi-join instead of OOMing a
+    // forced broadcast), then one partial-agg shuffle on doc_id for the
+    // report. No corpus self-join anywhere.
     Query(
       "q_text_decontaminate",
       (s, d) => {
@@ -426,7 +429,7 @@ object TextQueries {
         val evalGrams = grams(docs.where(col("doc_id") % 7 === 0))
           .select(col("g")).distinct()
         grams(docs.where(col("doc_id") % 7 =!= 0))
-          .join(broadcast(evalGrams), Seq("g"))
+          .join(evalGrams, Seq("g"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_hits"), min(col("g")).as("first_hit"))
           .orderBy(col("doc_id"))
@@ -442,8 +445,10 @@ object TextQueries {
     // as BIGINT (order-independent), one final double division — no
     // accumulation-order ulp drift. Scale shape: model = one partial-agg
     // shuffle over bigrams; scoring = equi-joins on (w1,w2)/(w1) and a
-    // partial-agg groupBy doc — everything shuffles on small keys, no
-    // driver materialization.
+    // partial-agg groupBy doc — no driver materialization. The w1 join
+    // key is Zipf-skewed ('the'-class prefixes); AQE's skew-join split
+    // handles the hot partitions, and the c1/c12 sides are vocab-sized
+    // (broadcast-able at fixture scale, shuffle joins beyond).
     Query(
       "q_text_lm_score",
       (s, d) => {

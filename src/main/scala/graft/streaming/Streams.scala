@@ -919,6 +919,20 @@ object Streams {
     }
   }
 
+  /** Drop UPDATE_BEFORE rows from an op-tagged changelog (reference
+    * StreamExecDropUpdateBefore.java — the planner inserts it when the
+    * downstream consumes the changelog as UPSERT, i.e. keyed last-wins):
+    * `-U` rows carry the retracted prior value, which an upsert consumer
+    * ([[ChangelogIngest]], [[changelogNormalizeStream]]) never reads, so
+    * dropping them upstream halves every update's changelog traffic with
+    * an identical materialization. A narrow filter — fuses into the
+    * scan/exchange, no shuffle, no state. Do NOT use before a consumer
+    * that aggregates the changelog itself (a true retraction consumer
+    * needs the -U to subtract). */
+  def dropUpdateBefore(changes: DataFrame,
+      opCol: String = "op"): DataFrame =
+    changes.where(col(opCol) =!= "-U")
+
   /** Streaming upsert-source normalization (reference
     * StreamExecChangelogNormalize.java:61 as a source-side operator): a
     * keyed stream of upserts/deletes becomes a stream of the key's

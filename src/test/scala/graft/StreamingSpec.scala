@@ -878,6 +878,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set(("a", 3L), ("b", 1L), ("c", 1L)))
   }
 
+  test("dropUpdateBefore: identical upsert materialization, -U traffic gone") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Double)]
+    val agg = mem.toDF().toDF("k", "v").groupBy(col("k")).count()
+    val cs = new Streams.ChangelogSink(Seq("k"))
+    val ci = new Streams.ChangelogIngest(Seq("k"))
+    var sawMinusU = 0L
+    var total = 0L
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch(cs { (df, _) =>
+        val d = df.persist()
+        sawMinusU += d.where(col("op") === "-U").count()
+        val pruned = Streams.dropUpdateBefore(d)
+        total += pruned.count()
+        ci(pruned)
+        d.unpersist(): Unit
+      })
+      .start()
+    mem.addData(("a", 1.0), ("a", 2.0), ("c", 9.0))
+    q.processAllAvailable()
+    mem.addData(("a", 3.0), ("b", 1.0)) // 'a' updates → a -U is emitted
+    q.processAllAvailable()
+    q.stop()
+    val got = ci.materialized.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // same materialization as the unpruned round trip; the -U rows
+    // existed upstream and none crossed the filter
+    assert(got === Set(("a", 3L), ("b", 1L), ("c", 1L)))
+    assert(sawMinusU > 0, "fixture produced no -U rows — vacuous test")
+    assert(total > 0)
+  }
+
   test("changelogNormalizeStream: upserts, delete, out-of-order shield") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
