@@ -26,8 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * type), DATE (int + date logical type), MAP (string keys, as the avro
   * spec requires), nested RECORDs, and ARRAYs of all of these. Avro
   * time-millis/time-micros read as the underlying int/long (Spark has no
-  * TIME type — the same mapping spark-avro uses). Every field is written
-  * as a nullable union, matching Spark's default nullability.
+  * TIME type — the same mapping spark-avro uses); foreign-written ENUMs
+  * read as strings and FIXED as binary (or decimal per logical type) —
+  * read-only, since Spark has no enum/fixed types to write from. Every
+  * field is written as a nullable union, matching Spark's default
+  * nullability.
   *
   * Scale: the writer runs one avro container file per partition (the
   * same layout every distributed avro sink produces); the reader plans
@@ -118,6 +121,11 @@ object AvroIO {
       case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
       case _ => BinaryType
     }
+    case Schema.Type.ENUM => StringType // symbols surface as strings
+    case Schema.Type.FIXED => s.getLogicalType match {
+      case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case _ => BinaryType
+    }
     case Schema.Type.ARRAY => ArrayType(toSpark(unwrap(s.getElementType)))
     case Schema.Type.MAP =>
       MapType(StringType, toSpark(unwrap(s.getValueType)))
@@ -135,13 +143,22 @@ object AvroIO {
   private[sources] def readConverter(s: Schema, dt: DataType): Any => Any =
     dt match {
       case StringType => v => UTF8String.fromString(v.toString)
-      case BinaryType => v => {
-        val bb = v.asInstanceOf[ByteBuffer]
-        val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+      case BinaryType => v => v match {
+        case bb: ByteBuffer =>
+          val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+        case f: org.apache.avro.generic.GenericFixed => f.bytes()
+        case other => throw new IllegalArgumentException(
+          s"AvroIO: unexpected binary carrier ${other.getClass}")
       }
       case d: DecimalType => v => {
-        val bb = v.asInstanceOf[ByteBuffer]
-        val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b)
+        // bytes-backed or fixed-backed decimal
+        val b = v match {
+          case bb: ByteBuffer =>
+            val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+          case f: org.apache.avro.generic.GenericFixed => f.bytes()
+          case other => throw new IllegalArgumentException(
+            s"AvroIO: unexpected decimal carrier ${other.getClass}")
+        }
         Decimal(new java.math.BigDecimal(
           new java.math.BigInteger(b), d.scale), d.precision, d.scale)
       }

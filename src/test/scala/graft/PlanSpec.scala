@@ -122,6 +122,21 @@ class PlanSpec extends AnyFunSuite {
       s"position explode evaluated more than once:\n$p")
   }
 
+  test("q_text_decontaminate: equi-join only — no cartesian, no self-join blowup") {
+    val p = plan("q_text_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"decontamination must stay an equi-join:\n$p")
+    // the report aggregation combines map-side before the exchange
+    assert(p.contains("partial_count"), s"no map-side partial agg:\n$p")
+  }
+
+  test("q_text_lm_score: model and scoring are partial-agged equi-joins") {
+    val p = plan("q_text_lm_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"LM scoring must stay equi-joins:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partial agg:\n$p")
+  }
+
   test("DSv2 aggregate pushdown: MIN/MAX/COUNT answered from parquet metadata") {
     // SURVEY §2.1 source abilities (SupportsAggregatePushDown): with
     // the flag on, a whole-table MIN/MAX/COUNT never scans data pages —

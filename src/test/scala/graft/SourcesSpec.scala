@@ -178,9 +178,17 @@ class SourcesSpec extends AnyFunSuite {
       .addToSchema(Schema.create(Schema.Type.LONG))
     val timeMillis = LogicalTypes.timeMillis()
       .addToSchema(Schema.create(Schema.Type.INT))
+    val enumSch = SchemaBuilder.enumeration("color")
+      .symbols("RED", "GREEN", "BLUE")
+    val fixedSch = SchemaBuilder.fixed("f4").size(4)
+    val decArr = Schema.createArray(
+      LogicalTypes.decimal(10, 2).addToSchema(Schema.create(Schema.Type.BYTES)))
     val sch = SchemaBuilder.record("r").fields()
       .name("ts").`type`(tsMillis).noDefault()
       .name("t").`type`(timeMillis).noDefault()
+      .name("c").`type`(enumSch).noDefault()
+      .name("fx").`type`(fixedSch).noDefault()
+      .name("ds").`type`(decArr).noDefault()
       .endRecord()
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](sch))
@@ -188,11 +196,21 @@ class SourcesSpec extends AnyFunSuite {
     val rec = new GenericData.Record(sch)
     rec.put("ts", 1700000000123L) // epoch millis
     rec.put("t", 12 * 3600 * 1000) // noon, millis since midnight
+    rec.put("c", new GenericData.EnumSymbol(enumSch, "GREEN"))
+    rec.put("fx", new GenericData.Fixed(fixedSch,
+      Array[Byte](1, 2, 3, 4)))
+    rec.put("ds", java.util.Arrays.asList(
+      java.nio.ByteBuffer.wrap( // 12.34 unscaled at scale 2
+        java.math.BigDecimal.valueOf(1234, 0).unscaledValue().toByteArray)))
     w.append(rec); w.close()
     val back = spark.read.format("graft.sources.AvroDataSource")
       .load(dir.toString).collect()
     assert(back.head.getTimestamp(0).getTime === 1700000000123L)
     assert(back.head.getInt(1) === 12 * 3600 * 1000)
+    assert(back.head.getString(2) === "GREEN") // enum → string
+    assert(back.head.getAs[Array[Byte]](3).toSeq === Seq[Byte](1, 2, 3, 4))
+    assert(back.head.getSeq[java.math.BigDecimal](4).head ===
+      new java.math.BigDecimal("12.34"))
 
     // a second file with a drifted schema must fail at planning, naming it
     val sch2 = SchemaBuilder.record("r").fields()
