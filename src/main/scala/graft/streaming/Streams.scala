@@ -976,6 +976,24 @@ object Streams {
     out.toDF("key", "ts_ms", "payload", "live")
   }
 
+  /** Queryable state (reference QueryableStateClient — the queryable
+    * state API): read a streaming query's KEYED STATE from outside the
+    * query, via Spark's state-store data source over the checkpoint.
+    * Where the reference serves point lookups from the live
+    * TaskManager's state backend, Spark reads the persisted state-store
+    * snapshot — the same state, at most one micro-batch behind the hot
+    * path (the micro-batch model's freshness bound). Returns
+    * (key struct, value struct, partition_id); filter on `key.*` for a
+    * point lookup, or time-travel with `batchId`. `operatorId` selects
+    * the stateful operator in a multi-operator query (plan order). */
+  def queryableState(spark: SparkSession, checkpoint: String,
+      batchId: Option[Long] = None, operatorId: Int = 0): DataFrame = {
+    val r = spark.read.format("statestore")
+      .option("operatorId", operatorId)
+    batchId.foreach(b => r.option("batchId", b))
+    r.load(checkpoint)
+  }
+
   /** Side-output routing (reference OutputTag/getSideOutput): one pass per
     * micro-batch, rows matching `cond` to the main handler, the rest to
     * the side handler — two filtered writes from one foreachBatch. */

@@ -914,6 +914,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(total > 0)
   }
 
+  test("queryableState: external point lookups + batch time-travel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qstate").toString
+    val mem = MemoryStream[(Long, Double)]
+    val agg = mem.toDF().toDF("k", "v").groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val q = agg.writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    mem.addData((1L, 2.0), (1L, 3.0), (2L, 5.0))
+    q.processAllAvailable()
+    mem.addData((1L, 10.0))
+    q.processAllAvailable()
+    q.stop()
+    // point lookup against the LATEST state: key 1 saw three rows
+    val point = Streams.queryableState(spark, ckpt)
+      .where(col("key.k") === 1L)
+      .select(col("value.count"), col("value.sum")).collect()
+    assert(point.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((3L, 15.0)))
+    // time-travel to batch 0: key 1 had only its first two rows
+    val old = Streams.queryableState(spark, ckpt, batchId = Some(0L))
+      .where(col("key.k") === 1L)
+      .select(col("value.count"), col("value.sum")).collect()
+    assert(old.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((2L, 5.0)))
+    // full-state scan: both keys present
+    assert(Streams.queryableState(spark, ckpt)
+      .select(col("key.k")).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L))
+  }
+
   test("changelogNormalizeStream: upserts, delete, out-of-order shield") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
