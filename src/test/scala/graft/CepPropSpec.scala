@@ -256,6 +256,10 @@ class CepPropSpec extends AnyFunSuite {
       }
       val spec = tokens.mkString(" ")
       val steps = Cep.pattern(spec, preds)
+      // skip strategy fuzzed too: skip-past-last (disjoint matches) and
+      // skip-to-next (overlapping) exercise the position-based
+      // after-match arithmetic on non-contiguous relaxed matches
+      val skip = if (rnd.nextBoolean()) Cep.SkipPastLast else Cep.SkipToNext
 
       // timeline starts WELL past the initial watermark (0): an event at
       // ms 0 would be dropped as late by the EventTimeTimeout operator
@@ -290,7 +294,8 @@ class CepPropSpec extends AnyFunSuite {
         .withWatermark("ts", "1 second")
       val name = s"t_cep_rand_$trial"
       val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps,
-          withinMicros = Some(withinMs * 1000L), flushOnHorizon = true)
+          withinMicros = Some(withinMs * 1000L), flushOnHorizon = true,
+          skip = skip)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
       // time-ordered arrival, three batch splits + the closer batch
@@ -307,7 +312,7 @@ class CepPropSpec extends AnyFunSuite {
           (col("ms") / 1000).cast("timestamp").as("ts"),
           col("event_id"), col("event_type"))
       val want = Cep.matchPattern(batchDf, "user_id", "ts", "event_id",
-          steps, withinMicros = Some(withinMs * 1000L))
+          steps, withinMicros = Some(withinMs * 1000L), skip = skip)
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
           r.getInt(3).toLong)).toSet
@@ -327,7 +332,7 @@ class CepPropSpec extends AnyFunSuite {
       val nameEt = s"t_cep_rand_et_$trial"
       val qEt = Cep.matchPatternStream(dfEt, "user_id", "ts", "event_id",
           steps, withinMicros = Some(withinMs * 1000L),
-          flushOnHorizon = true, eventTime = true)
+          flushOnHorizon = true, eventTime = true, skip = skip)
         .writeStream.format("memory").queryName(nameEt)
         .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
       val disordered = ordered.grouped(5).flatMap(b =>
