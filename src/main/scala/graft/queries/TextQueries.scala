@@ -475,7 +475,7 @@ object TextQueries {
               .as("mean_cond_p"))
           .orderBy(col("doc_id"))
       },
-      Some(lmScoreSql)))
+      Some(lmScoreSql), bench = true))
 
   /** 5-gram eval-overlap oracle: same shingling as the Spark side
     * (window LEADs over the split token list), eval slice = doc_id%97. */
