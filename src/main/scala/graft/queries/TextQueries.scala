@@ -405,31 +405,36 @@ object TextQueries {
     // pipeline: documents sharing any 5-gram with the held-out "eval"
     // slice (here: doc_id % 7 == 0, a deterministic fixture stand-in
     // for the real benchmark suite) are flagged with their hit count
-    // and first offending shingle. Scale shape: a REAL benchmark suite
-    // is a tiny relation, so Catalyst broadcasts its shingles against
-    // the scan-local corpus shingles automatically (no hint: an
-    // oversized eval slice — like this fixture's 1/7 stand-in at 100 TB
-    // — degrades gracefully to a shuffle equi-join instead of OOMing a
-    // forced broadcast), then one partial-agg shuffle on doc_id for the
-    // report. No corpus self-join anywhere.
+    // and first offending shingle. SINGLE SCAN: one explode over ALL
+    // documents carries an `is_eval` flag, and a whole-partition window
+    // max over the gram key marks every gram the eval slice contains —
+    // the duplicatedSpans pattern (Ops.scala) replacing the former
+    // eval-branch/corpus-branch join that re-tokenized and re-exploded
+    // the corpus twice. At 100 TB the 5-gram explode IS the dominant
+    // cost, so the fork was a guaranteed 2×; now the corpus shingles
+    // once, shuffles once on the gram (WindowExec buffers spill per
+    // bucket, so a boilerplate gram shared by millions of docs stays
+    // disk-bounded), and the report is one partial-agged doc_id shuffle.
     Query(
       "q_text_decontaminate",
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val tk = col("__tk")
         val n = 5
-        def grams(in: org.apache.spark.sql.DataFrame) = in
+        val grams = t(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("__tk"))
           .where(size(tk) >= n)
           .select(col("doc_id"),
             explode(array_distinct(transform(
               sequence(lit(0), size(tk) - n),
               i => concat_ws(" ", (1 to n).map(j =>
-                element_at(tk, i + j)): _*)))).as("g"))
-        val docs = t(s, d, "documents")
-        val evalGrams = grams(docs.where(col("doc_id") % 7 === 0))
-          .select(col("g")).distinct()
-        grams(docs.where(col("doc_id") % 7 =!= 0))
-          .join(evalGrams, Seq("g"))
+                element_at(tk, i + j)): _*)))).as("g"),
+            (col("doc_id") % 7 === 0).as("is_eval"))
+        grams
+          .withColumn("has_eval",
+            max(when(col("is_eval"), 1).otherwise(0))
+              .over(Window.partitionBy(col("g"))))
+          .where(!col("is_eval") && col("has_eval") === 1)
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_hits"), min(col("g")).as("first_hit"))
           .orderBy(col("doc_id"))
@@ -443,17 +448,25 @@ object TextQueries {
     // engines: per-bigram scaled probability floor(1e6·c12/c1) is an
     // integer (identical IEEE division of identical integers), summed
     // as BIGINT (order-independent), one final double division — no
-    // accumulation-order ulp drift. Scale shape: model = one partial-agg
-    // shuffle over bigrams; scoring = equi-joins on (w1,w2)/(w1) and a
-    // partial-agg groupBy doc — no driver materialization. The w1 join
-    // key is Zipf-skewed ('the'-class prefixes); AQE's skew-join split
-    // handles the hot partitions, and the c1/c12 sides are vocab-sized
-    // (broadcast-able at fixture scale, shuffle joins beyond).
+    // accumulation-order ulp drift. SINGLE SCAN: the corpus tokenizes
+    // and explodes exactly once into the per-doc bigram counts g =
+    // (doc_id, w1, w2, n); the model is DERIVED from g — c12 re-groups
+    // g, and c1 is a marginal of c12, never a corpus re-scan — and the
+    // scoring probe is g itself, weighted by n. The three consumers of
+    // g share one physical shuffle (Spark reuses the identical
+    // exchange; pinned in PlanSpec), replacing the former plan that
+    // evaluated the tokenize+explode three times. Scale shape: one
+    // partial-agged bigram shuffle + vocab-sized model aggregates;
+    // scoring = equi-joins on (w1,w2)/(w1) and a partial-agg groupBy
+    // doc — no driver materialization. The w1 join key is Zipf-skewed
+    // ('the'-class prefixes); AQE's skew-join split handles the hot
+    // partitions, and the c1/c12 sides are vocab-sized (broadcast-able
+    // at fixture scale, shuffle joins beyond).
     Query(
       "q_text_lm_score",
       (s, d) => {
         val tk = col("__tk")
-        val bigrams = t(s, d, "documents")
+        val g = t(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("__tk"))
           .where(size(tk) >= 2)
           .select(col("doc_id"), explode(transform(
@@ -461,24 +474,32 @@ object TextQueries {
             i => struct(element_at(tk, i + 1).as("w1"),
               element_at(tk, i + 2).as("w2")))).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        val c12 = bigrams.groupBy(col("w1"), col("w2"))
-          .agg(count(lit(1)).as("c12"))
-        val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-        bigrams
+          // tokens are never null (explode bounds guarantee it), but the
+          // joins below infer DIFFERENT IsNotNull filters per branch
+          // (w1+w2 for the c12 probe, w1 alone for the c1 marginal) —
+          // filtering here makes all three subtrees canonically
+          // identical so AQE reuses ONE shuffle for all of them
+          .where(col("w1").isNotNull && col("w2").isNotNull)
+          .groupBy(col("doc_id"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("n"))
+        val c12 = g.groupBy(col("w1"), col("w2"))
+          .agg(sum(col("n")).as("c12"))
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        g
           .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("n"),
             floor(col("c12") * lit(1000000L) / col("c1"))
               .cast("long").as("p"))
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            (sum(col("p")).cast("double") / count(lit(1)) / 1000000.0)
-              .as("mean_cond_p"))
+          .agg(sum(col("n")).as("n_bigrams"),
+            (sum(col("p") * col("n")).cast("double") / sum(col("n"))
+              / 1000000.0).as("mean_cond_p"))
           .orderBy(col("doc_id"))
       },
       Some(lmScoreSql), bench = true))
 
   /** 5-gram eval-overlap oracle: same shingling as the Spark side
-    * (window LEADs over the split token list), eval slice = doc_id%97. */
+    * (window LEADs over the split token list), eval slice = doc_id%7. */
   private lazy val decontaminateSql =
     """WITH toks AS (
       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,

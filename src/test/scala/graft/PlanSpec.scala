@@ -122,19 +122,46 @@ class PlanSpec extends AnyFunSuite {
       s"position explode evaluated more than once:\n$p")
   }
 
-  test("q_text_decontaminate: equi-join only — no cartesian, no self-join blowup") {
+  test("q_text_decontaminate: single scan — eval flag via window, no fork") {
+    // the 5-gram explode is the dominant cost at corpus scale; the eval
+    // overlap must come from ONE exploded relation (window max over the
+    // gram key), not an eval branch and a corpus branch that each
+    // re-tokenize and re-explode the documents table
     val p = plan("q_text_decontaminate")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"documents scanned more than once:\n$p")
+    assert("Generate explode".r.findAllIn(p).size === 1,
+      s"5-gram explode evaluated more than once:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
-      s"decontamination must stay an equi-join:\n$p")
+      s"decontamination must stay equi-keyed:\n$p")
     // the report aggregation combines map-side before the exchange
     assert(p.contains("partial_count"), s"no map-side partial agg:\n$p")
   }
 
-  test("q_text_lm_score: model and scoring are partial-agged equi-joins") {
-    val p = plan("q_text_lm_score")
+  test("q_text_lm_score: single scan — model derived from the probe relation") {
+    // c12 and c1 are aggregates OF the per-doc bigram counts g, so all
+    // three consumers share one physical shuffle (ReusedExchange) over
+    // ONE tokenize+explode — not three independent corpus subtrees.
+    // Stage reuse is a RUNTIME decision under AQE, so execute first and
+    // read the final plan (the initial plan prints the un-deduped
+    // subtrees); the explicit IsNotNull in g is what makes the three
+    // consumer subtrees canonically identical (the joins would otherwise
+    // infer different null filters per branch and defeat the reuse)
+    val df = Catalog.byName("q_text_lm_score")
+      .run(SparkFixture.spark, SparkFixture.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"documents scanned more than once at runtime:\n$p")
+    assert("Generate explode".r.findAllIn(p).size === 1,
+      s"bigram explode evaluated more than once at runtime:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"g's shuffle not shared across its consumers:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"LM scoring must stay equi-joins:\n$p")
-    assert(p.contains("partial_count"), s"no map-side partial agg:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no map-side partial agg:\n$p")
   }
 
   test("DSv2 aggregate pushdown: MIN/MAX/COUNT answered from parquet metadata") {
