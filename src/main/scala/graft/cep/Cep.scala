@@ -38,6 +38,13 @@ object Cep {
   final case class Times(min: Int, max: Int,
       greedy: Boolean = true) extends Quant
 
+  /** `min` or more occurrences, unbounded above (reference
+    * Pattern.timesOrMore — Pattern.java:50): `timesOrMore(2)` =
+    * `Times(2, ∞)`. Pair with `Step.until` to predicate-bound the
+    * otherwise open-ended loop. */
+  def timesOrMore(min: Int, greedy: Boolean = true): Times =
+    Times(min, Int.MaxValue, greedy)
+
   private def bounds(q: Quant): (Int, Int, Boolean) = q match {
     case One => (1, 1, true)
     case Plus => (1, Int.MaxValue, true)
@@ -73,11 +80,18 @@ object Cep {
     * match (the reference prunes such branches identically, since any
     * later take would be out of window too). A notFollowedBy armed
     * before a strict-attach step guards an empty gap — a no-op, as in
-    * the reference. */
+    * the reference. `until` is the reference's predicate stop-condition
+    * for looping patterns (Pattern.until — Pattern.java:50): the moment
+    * an event satisfies it, the loop accepts NO further events — the
+    * stop event itself is not consumed by the loop (the next step may
+    * consume it), and a relaxed loop may not skip past it either. Only
+    * meaningful on a looping quantifier (Plus / Times with max > 1);
+    * with an open-ended `timesOrMore` it is what bounds the run. */
   final case class Step(name: String, pred: Row => Boolean,
       quant: Quant = One, relaxed: Boolean = false,
       negated: Boolean = false,
-      alts: Seq[(String, Row => Boolean)] = Nil)
+      alts: Seq[(String, Row => Boolean)] = Nil,
+      until: Option[Row => Boolean] = None)
 
   /** An alternation group `(A|B)` as one step: matches events satisfying
     * ANY alternative; each consumed event is emitted under the FIRST
@@ -109,6 +123,14 @@ object Cep {
             s"notFollowedBy '${s.name}' needs a later positive step to " +
               "bound its gap (reference forbids trailing notFollowedBy)")
       }
+      if (s.until.isDefined) {
+        require(!s.negated,
+          s"until on negated step '${s.name}' (guards consume nothing)")
+        val (_, mx, _) = bounds(s.quant)
+        require(mx > 1,
+          s"until on non-looping step '${s.name}' (reference restricts " +
+            "until to looping patterns — oneOrMore/times)")
+      }
     }
   }
 
@@ -122,7 +144,10 @@ object Cep {
     * the fixtures (and oracles) carry microsecond precision, so ordering
     * and `within` arithmetic must not quantize. */
   private def tsMicros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    // floorDiv: getTime truncates toward zero, which mis-orders
+    // pre-epoch timestamps with fractional seconds (getNanos is always
+    // the positive sub-second part, so the millis must floor)
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
   /** A match: key, per-step matched event ids, first/last timestamps. */
   final case class PatternMatch(key: Long, step_ids: Map[String, Seq[Long]],
@@ -224,11 +249,16 @@ object Cep {
           rec(si + 1, pos, st.pred :: guards, Nil :: acc)
       } else {
         val (mn, mx, greedy) = bounds(st.quant)
+        // until: predicate stop-condition — the loop accepts nothing at
+        // or beyond the first event satisfying it (the stop event is
+        // left for the NEXT step to consume)
+        val stopAt: Row => Boolean = st.until.getOrElse(_ => false)
         val takes = scala.collection.mutable.ArrayBuffer.empty[Int]
         var p = pos
         if (!st.relaxed) {
           // contiguous run; an armed guard sees an empty gap — no-op
           while (takes.length < mx && p < events.length
+            && !stopAt(events(p))
             && st.pred(events(p)) && inWindow(p)) { takes += p; p += 1 }
         } else {
           // skip non-matching events; before the first take, a skipped
@@ -240,7 +270,8 @@ object Cep {
           var live = true
           while (live && takes.length < mx && p < events.length
             && inWindow(p)) {
-            if (st.pred(events(p))) { takes += p; p += 1 }
+            if (stopAt(events(p))) live = false
+            else if (st.pred(events(p))) { takes += p; p += 1 }
             else if (takes.isEmpty && guards.exists(_(events(p)))) live = false
             else p += 1
           }
@@ -337,15 +368,27 @@ object Cep {
     val slotPreds = scala.collection.mutable.ArrayBuffer.empty[Row => Boolean]
     val slotLabels = scala.collection.mutable.ArrayBuffer.empty[String]
     val stepMasks = new Array[Long](nSteps)
+    // until stop-conditions get their own slots: evaluated at ingest
+    // like any predicate, but excluded from stepMasks so the classifier
+    // can never pick them as an output label
+    val untilMasks = new Array[Long](nSteps)
     steps.zipWithIndex.foreach { case (st, si) =>
       val slots = if (st.alts.isEmpty) Seq(st.name -> st.pred) else st.alts
       slots.foreach { case (label, p) =>
         require(slotPreds.length < 63,
           "streaming NFA supports at most 63 predicate slots " +
-            "(steps + alternation alternatives)")
+            "(steps + alternation alternatives + until conditions)")
         stepMasks(si) |= 1L << slotPreds.length
         slotPreds += p
         slotLabels += label
+      }
+      st.until.foreach { up =>
+        require(slotPreds.length < 63,
+          "streaming NFA supports at most 63 predicate slots " +
+            "(steps + alternation alternatives + until conditions)")
+        untilMasks(si) = 1L << slotPreds.length
+        slotPreds += up
+        slotLabels += st.name + "#until"
       }
     }
     val slotPredArr = slotPreds.toArray
@@ -392,6 +435,8 @@ object Cep {
               withinMicros.forall(w => buffer(i)._2 - startUs <= w)
             def bit(si: Int, p: Int): Boolean =
               (buffer(p)._3 & stepMasks(si)) != 0L
+            def ubit(si: Int, p: Int): Boolean =
+              (buffer(p)._3 & untilMasks(si)) != 0L
             var touchedEnd = false
             def rec(si: Int, pos: Int, guards: List[Int],
                 acc: List[List[Int]]): Att = {
@@ -417,18 +462,24 @@ object Cep {
                 var p = pos
                 var truncated = false
                 if (!stepRelaxed(si)) {
+                  // an until stop (ubit) exits with p < buffer.length, so
+                  // the run reads as closed, not truncated — correct:
+                  // future events cannot reopen a predicate-stopped loop
                   while (takes.length < mx && p < buffer.length
+                    && !ubit(si, p)
                     && bit(si, p) && inWin(p)) { takes += p; p += 1 }
                   truncated = takes.length < mx && p == buffer.length
                 } else {
                   // relaxed scan: skip non-matching events; an armed gap
                   // guard hit before the first take caps the scan (STOP)
                   // — and is final: future events extend the buffer, not
-                  // the gap before the violation
+                  // the gap before the violation. An until stop is final
+                  // the same way (the loop may not skip past it)
                   var live = true
                   while (live && takes.length < mx && p < buffer.length
                     && inWin(p)) {
-                    if (bit(si, p)) { takes += p; p += 1 }
+                    if (ubit(si, p)) live = false
+                    else if (bit(si, p)) { takes += p; p += 1 }
                     else if (takes.isEmpty && guards.exists(bit(_, p)))
                       live = false
                     else p += 1

@@ -1008,6 +1008,102 @@ object EventQueries {
              |    ON o.user_id = s.user_id AND o.rn = s.b_rn) m
              |ORDER BY key, match_seq, step, event_id""".stripMargin)),
 
+    // Open-ended quantifier (reference Pattern.timesOrMore —
+    // Pattern.java:50): `signup error{2,} purchase` — an unbounded
+    // lower-bounded run. Greedy consumes the WHOLE consecutive error
+    // island (backtracking cannot shorten it: a handed-back position
+    // holds an error, never the purchase), so a match is exactly a
+    // signup, a maximal error run of length >= 2, and the purchase
+    // immediately after the run.
+    Query(
+      "q_cep_times_or_more",
+      (s, d) => cepQuery(s, d,
+        Seq(Cep.Step("A", _.getString(3) == "signup"),
+          Cep.Step("B", _.getString(3) == "error", Cep.timesOrMore(2)),
+          Cep.Step("C", _.getString(3) == "purchase"))),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events),
+             |err AS (
+             |  SELECT user_id, rn, event_id,
+             |    rn - ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY rn) AS grp
+             |  FROM ordered WHERE event_type = 'error'),
+             |isl AS (
+             |  SELECT user_id, grp, MIN(rn) AS r0, MAX(rn) AS r1,
+             |    COUNT(1) AS len
+             |  FROM err GROUP BY user_id, grp),
+             |m AS (
+             |  SELECT i.user_id, i.grp, i.r0, i.r1, a.event_id AS a_id,
+             |    c.event_id AS c_id
+             |  FROM isl i
+             |  JOIN ordered a ON a.user_id = i.user_id AND a.rn = i.r0 - 1
+             |    AND a.event_type = 'signup'
+             |  JOIN ordered c ON c.user_id = i.user_id AND c.rn = i.r1 + 1
+             |    AND c.event_type = 'purchase'
+             |  WHERE i.len >= 2),
+             |seq AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+             |    ORDER BY r0) - 1 AS INT) AS match_seq FROM m)
+             |SELECT key, step, event_id, match_seq FROM (
+             |  SELECT user_id AS key, 'A' AS step, a_id AS event_id,
+             |    match_seq FROM seq
+             |  UNION ALL
+             |  SELECT s.user_id, 'B', e.event_id, s.match_seq
+             |  FROM seq s JOIN err e ON e.user_id = s.user_id
+             |    AND e.rn BETWEEN s.r0 AND s.r1
+             |  UNION ALL SELECT user_id, 'C', c_id, match_seq FROM seq) u
+             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
+
+    // Predicate stop-condition (reference Pattern.until —
+    // Pattern.java:50): after a signup, consume ANY run of non-signup
+    // activity `until` a purchase appears; the purchase stops the loop
+    // WITHOUT being consumed by it, and the next step takes it. The
+    // observable difference from a plain greedy loop: the match closes
+    // at the FIRST purchase after the signup (greedy-without-until
+    // would swallow it and match a later one); a signup arriving before
+    // any purchase kills the attempt (contiguity break, and no purchase
+    // exists in the handed-back run for C to take).
+    Query(
+      "q_cep_until",
+      (s, d) => cepQuery(s, d,
+        Seq(Cep.Step("A", _.getString(3) == "signup"),
+          Cep.Step("B", _.getString(3) != "signup", Cep.Plus,
+            until = Some(_.getString(3) == "purchase")),
+          Cep.Step("C", _.getString(3) == "purchase"))),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events),
+             |marks AS (
+             |  SELECT user_id, rn, event_id, event_type FROM ordered
+             |  WHERE event_type IN ('signup', 'purchase')),
+             |nxt AS (
+             |  SELECT user_id, rn, event_id, event_type,
+             |    LEAD(event_type) OVER uw AS nt,
+             |    LEAD(rn) OVER uw AS nrn,
+             |    LEAD(event_id) OVER uw AS nid
+             |  FROM marks WINDOW uw AS (PARTITION BY user_id ORDER BY rn)),
+             |m AS (
+             |  SELECT user_id, rn AS arn, event_id AS a_id,
+             |    nrn AS crn, nid AS c_id
+             |  FROM nxt
+             |  WHERE event_type = 'signup' AND nt = 'purchase'
+             |    AND nrn >= rn + 2),
+             |seq AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+             |    ORDER BY arn) - 1 AS INT) AS match_seq FROM m)
+             |SELECT key, step, event_id, match_seq FROM (
+             |  SELECT user_id AS key, 'A' AS step, a_id AS event_id,
+             |    match_seq FROM seq
+             |  UNION ALL
+             |  SELECT s.user_id, 'B', o.event_id, s.match_seq
+             |  FROM seq s JOIN ordered o ON o.user_id = s.user_id
+             |    AND o.rn > s.arn AND o.rn < s.crn
+             |  UNION ALL SELECT user_id, 'C', c_id, match_seq FROM seq) u
+             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
+
     // Temporal / as-of join (reference TemporalRowTimeJoinOperator.java:78):
     // for each error, the latest signup of the same user at-or-before it.
     // Scalable pattern: union both sides, one shuffle on user_id, running

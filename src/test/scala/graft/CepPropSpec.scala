@@ -348,4 +348,102 @@ class CepPropSpec extends AnyFunSuite {
     }
     assert(totalMatches > 100, s"only $totalMatches matched rows")
   }
+
+  test("streaming NFA == batch NFA on random until/timesOrMore loop patterns") {
+    // the predicate stop-condition surface: random loop quantifiers
+    // (Plus / timesOrMore / bounded Times), strict and relaxed, with an
+    // `until` stop letter that the following step consumes. Streaming
+    // must equal batch, and for STRICT loops `until` must equal the
+    // conjunction rewrite pred ∧ ¬stop (they are provably the same for
+    // contiguous runs — a cheap cross-engine-path oracle; for RELAXED
+    // loops they differ by design: the conjunction skips the stop
+    // event, until hard-stops at it).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new Random(20260813L)
+    var total = 0
+    (1 to 5).foreach { trial =>
+      def letterPred(l: String): org.apache.spark.sql.Row => Boolean =
+        r => r.getString(3) == l
+      val aL = letters(rnd.nextInt(3))
+      val stopL = letters(rnd.nextInt(3))
+      val bL = letters(rnd.nextInt(3))
+      val bPred: org.apache.spark.sql.Row => Boolean =
+        if (rnd.nextBoolean()) (r => r.getString(3) != aL) else letterPred(bL)
+      val quant = Seq(Cep.Plus, Cep.timesOrMore(2),
+        Cep.Times(1, 3))(rnd.nextInt(3))
+      val relaxed = rnd.nextBoolean()
+      val steps = Seq(
+        Cep.Step("A", letterPred(aL)),
+        Cep.Step("B", bPred, quant, relaxed = relaxed,
+          until = Some(letterPred(stopL))),
+        Cep.Step("C", letterPred(stopL), relaxed = relaxed))
+      val skip = if (rnd.nextBoolean()) Cep.SkipPastLast else Cep.SkipToNext
+
+      val t0 = 3_600_000L
+      val baseRows = (0 until 12).flatMap { k =>
+        (0 until 6 + rnd.nextInt(8)).map(i =>
+          (k.toLong, t0 + 1000L * i, i.toLong, letters(rnd.nextInt(3))))
+      }
+      val keys = baseRows.map(_._1).distinct
+      val closers = keys.flatMap(k => letters.zipWithIndex.map {
+        case (l, j) => (k, t0 + 100000L + 1000L * j, 500L + j, l)
+      })
+      val withinMs = 1000_000L
+      val sentinel = Seq((0L, 10_000_000_000L, 999L, "z"))
+      val all = baseRows ++ closers ++ sentinel
+
+      val batchDf = all.toDF("user_id", "ms", "event_id", "event_type")
+        .select(col("user_id"),
+          (col("ms") / 1000).cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+      val want = Cep.matchPattern(batchDf, "user_id", "ts", "event_id",
+          steps, withinMicros = Some(withinMs * 1000L), skip = skip)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getInt(3).toLong)).toSet
+
+      if (!relaxed) {
+        val conj = Seq(
+          Cep.Step("A", letterPred(aL)),
+          Cep.Step("B", r => bPred(r) && !letterPred(stopL)(r), quant),
+          Cep.Step("C", letterPred(stopL)))
+        val wantConj = Cep.matchPattern(batchDf, "user_id", "ts",
+            "event_id", conj, withinMicros = Some(withinMs * 1000L),
+            skip = skip)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getInt(3).toLong)).toSet
+        assert(want === wantConj,
+          s"trial $trial: strict until != conjunction rewrite")
+      }
+
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val df = mem.toDF().toDF("user_id", "ms", "event_id", "event_type")
+        .select(col("user_id"),
+          (col("ms") / 1000).cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+        .withWatermark("ts", "1 second")
+      val name = s"t_cep_until_$trial"
+      val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id",
+          steps, withinMicros = Some(withinMs * 1000L),
+          flushOnHorizon = true, skip = skip)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      val ordered = all.sortBy(e => (e._2, e._3))
+      ordered.grouped(math.max(1, ordered.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      q.stop()
+      assert(got === want, s"trial $trial until pattern " +
+        s"(a=$aL stop=$stopL quant=$quant relaxed=$relaxed skip=$skip)")
+      total += want.size
+    }
+    assert(total > 20, s"only $total matched rows across until trials")
+  }
 }

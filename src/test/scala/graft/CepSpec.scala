@@ -1352,4 +1352,84 @@ class CepSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("MEASURES"))
   }
+
+  test("until: the loop stops at the FIRST stop event, which the next step consumes") {
+    // reference Pattern.until — the stop condition caps the loop; the
+    // stop event is NOT consumed by the loop. Observable vs plain
+    // greedy: without until, B+ swallows purchase(4) and C matches the
+    // LAST purchase; with until, C is the FIRST purchase after signup.
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 11L, 2L, "click"),
+      (1L, 12L, 3L, "error"), (1L, 13L, 4L, "purchase"),
+      (1L, 14L, 5L, "click"), (1L, 15L, 6L, "purchase"))
+    def steps(until: Option[org.apache.spark.sql.Row => Boolean]) = Seq(
+      Cep.Step("A", _.getString(3) == "signup"),
+      Cep.Step("B", _.getString(3) != "signup", Cep.Plus, until = until),
+      Cep.Step("C", _.getString(3) == "purchase"))
+    val withUntil = Cep.matchPattern(events, "user_id", "ts", "event_id",
+        steps(Some(_.getString(3) == "purchase")))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(withUntil === Set(("A", 1L), ("B", 2L), ("B", 3L), ("C", 4L)))
+    val without = Cep.matchPattern(events, "user_id", "ts", "event_id",
+        steps(None))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    // control: greedy-without-until consumes through purchase(4) and
+    // matches the later purchase — proving until changed the semantics
+    assert(without === Set(("A", 1L), ("B", 2L), ("B", 3L), ("B", 4L),
+      ("B", 5L), ("C", 6L)))
+  }
+
+  test("until on a relaxed loop: the scan may not skip past the stop event") {
+    // relaxed B (followedBy) skips non-matching events — but an until
+    // hit is a hard stop, not skippable: error(5) after the first
+    // purchase must NOT be taken even though B's relaxed scan could
+    // otherwise reach it
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 11L, 2L, "click"),
+      (1L, 12L, 3L, "error"), (1L, 13L, 4L, "purchase"),
+      (1L, 14L, 5L, "error"), (1L, 15L, 6L, "purchase"))
+    val steps = Seq(
+      Cep.Step("A", _.getString(3) == "signup"),
+      Cep.Step("B", _.getString(3) == "error", Cep.Plus, relaxed = true,
+        until = Some(_.getString(3) == "purchase")),
+      Cep.Step("C", _.getString(3) == "purchase", relaxed = true))
+    val got = Cep.matchPattern(events, "user_id", "ts", "event_id", steps)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("A", 1L), ("B", 3L), ("C", 4L)))
+  }
+
+  test("timesOrMore: open-ended lower-bounded run with backtracking") {
+    // user 1: three consecutive errors -> all consumed (greedy,
+    // unbounded above); user 2: one error -> below the min, no match
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 11L, 2L, "error"),
+      (1L, 12L, 3L, "error"), (1L, 13L, 4L, "error"),
+      (1L, 14L, 5L, "purchase"),
+      (2L, 10L, 6L, "signup"), (2L, 11L, 7L, "error"),
+      (2L, 12L, 8L, "purchase"))
+    val steps = Seq(
+      Cep.Step("A", _.getString(3) == "signup"),
+      Cep.Step("B", _.getString(3) == "error", Cep.timesOrMore(2)),
+      Cep.Step("C", _.getString(3) == "purchase"))
+    val got = Cep.matchPattern(events, "user_id", "ts", "event_id", steps)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1L, "A", 1L), (1L, "B", 2L), (1L, "B", 3L),
+      (1L, "B", 4L), (1L, "C", 5L)))
+  }
+
+  test("until validation: rejected on non-looping and negated steps") {
+    val events = mkEvents((1L, 10L, 1L, "signup"))
+    val stop: org.apache.spark.sql.Row => Boolean =
+      _.getString(3) == "purchase"
+    intercept[IllegalArgumentException] {
+      Cep.matchPattern(events, "user_id", "ts", "event_id", Seq(
+        Cep.Step("A", _.getString(3) == "signup", until = Some(stop))))
+    }
+    intercept[IllegalArgumentException] {
+      Cep.matchPattern(events, "user_id", "ts", "event_id", Seq(
+        Cep.Step("A", _.getString(3) == "signup"),
+        Cep.Step("N", _.getString(3) == "error", negated = true,
+          until = Some(stop))))
+    }
+  }
 }
