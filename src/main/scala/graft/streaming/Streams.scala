@@ -183,6 +183,108 @@ object Streams {
       .toDF("user_id", "start_ms", "end_ms", "n_events", "event_ids")
   }
 
+  /** Session windows with a DYNAMIC per-event gap (reference
+    * DynamicEventTimeSessionWindows + SessionWindowTimeGapExtractor —
+    * flink-streaming-java window assigners): each event opens a window
+    * [ts, ts + gap(event)); overlapping windows merge — exactly the
+    * batch `session_window(ts, gapExpr)` semantics that
+    * `q_window_session_dynamic` oracle-checks. The gap extractor is a
+    * Column evaluated per event BEFORE the stateful operator (the
+    * Spark-idiomatic analogue of the reference's extractor interface:
+    * any row-derived expression works, and it runs in codegen, not in
+    * the state loop).
+    *
+    * State per key: ListState of OPEN (ts_ms, end_ms, event_id,
+    * value_cents) rows + one event-time timer just past the earliest
+    * open session's max end — the first instant the watermark can seal
+    * anything (anchoring later would starve a continuously active
+    * key, the sessionizeWithState lesson). Merge is INCLUSIVE at the
+    * boundary — an event at exactly a session's end extends it, which
+    * is the batch built-in's behavior (probed: two events 5 s apart
+    * with a 5 s gap form ONE session) — so a session is sealed only
+    * when wm > max(end): a future event can still tie max(end) when
+    * wm == max(end). Emits (user_id, s_start_ms, n, sum_value) with
+    * the catalog's exact cent-scaled sum — bit-identical to the batch
+    * `dsum`.
+    * Input cols: user_id, ts (watermarked), event_id, value;
+    * `gapMs` = per-event gap in milliseconds. */
+  def sessionAggDynamic(events: DataFrame, gapMs: Column): DataFrame = {
+    val spark = events.sparkSession
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        (unix_millis(col("ts")) + gapMs.cast("long")).as("end_ms"),
+        col("event_id"),
+        // exact 2-decimal accumulation (Catalog.scaledLong): round each
+        // value to cents here so the state loop only sums longs
+        (col("value") * 100 + when(col("value") < 0, lit(-0.5))
+          .otherwise(lit(0.5))).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long, Long)]
+    val proc = new StatefulProcessor[Long,
+        (Long, Long, Long, Long, Long),
+        (Long, Long, Long, Double)] {
+      @transient private var buf:
+          org.apache.spark.sql.streaming.ListState[(Long, Long, Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        buf = getHandle.getListState[(Long, Long, Long, Long)]("open",
+          implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Long)]],
+          TTLConfig.NONE)
+      // merge-by-overlap partition: sorted by (ts, id), an event joins
+      // the current session iff its ts is AT or under the running max
+      // end (inclusive boundary, matching the batch built-in)
+      private def split(evs: Array[(Long, Long, Long, Long)])
+          : List[scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]] = {
+        var out = List.empty[scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]]
+        var maxEnd = Long.MinValue
+        evs.foreach { e =>
+          if (out.nonEmpty && e._1 <= maxEnd) {
+            out.head += e
+            maxEnd = math.max(maxEnd, e._2)
+          } else {
+            out = scala.collection.mutable.ArrayBuffer(e) :: out
+            maxEnd = e._2
+          }
+        }
+        out.reverse
+      }
+      private def sessions()
+          : List[scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]] =
+        split(buf.get().toArray.sortBy(e => (e._1, e._3)))
+      private def rearm(ss: List[scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]]): Unit = {
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        // +1: the session stays extendable while wm == maxEnd (an event
+        // at exactly maxEnd still merges), so fire strictly past it
+        ss.headOption.foreach(s => getHandle.registerTimer(s.map(_._2).max + 1))
+      }
+      override def handleInputRows(key: Long,
+          rows: Iterator[(Long, Long, Long, Long, Long)],
+          timerValues: TimerValues): Iterator[(Long, Long, Long, Double)] = {
+        rows.foreach(r => buf.appendValue((r._2, r._3, r._4, r._5)))
+        rearm(sessions())
+        Iterator.empty
+      }
+      override def handleExpiredTimer(key: Long,
+          timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo)
+          : Iterator[(Long, Long, Long, Double)] = {
+        val wm = timerValues.getCurrentWatermarkInMs()
+        val ss = sessions()
+        val (closed, open) = ss.partition(_.map(_._2).max < wm)
+        buf.clear()
+        open.flatten.foreach(buf.appendValue)
+        rearm(open)
+        closed.iterator.map { s =>
+          (key, s.head._1, s.length.toLong, s.map(_._4).sum / 100.0)
+        }
+      }
+    }
+    typed.groupByKey(_._1)
+      .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "start_ms", "n", "sum_value")
+  }
+
   /** Unwindowed streaming group aggregation in update mode (reference
     * StreamExecGroupAggregate.java:71 / GroupAggFunction keyed-state
     * aggregation): per-key running count/sum, each micro-batch emitting

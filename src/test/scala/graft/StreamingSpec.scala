@@ -355,6 +355,83 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionAggDynamic equals the batch dynamic-gap session window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // per-event gap: views hold a session open 10 s, clicks 3 s —
+      // the q_window_session_dynamic shape at test scale
+      val rnd = new scala.util.Random(42)
+      val t0 = 3600L // start well past epoch: ts <= wm rows are dropped
+      val rows = (1L to 6L).flatMap { k =>
+        var t = t0 + rnd.nextInt(5)
+        (0 until 15).map { i =>
+          t += rnd.nextInt(9)
+          (k, t, k * 100 + i,
+            if (rnd.nextBoolean()) "view" else "click",
+            rnd.nextInt(2000) / 100.0)
+        }
+      }
+      def gapStr = when(col("event_type") === "view", "10 seconds")
+        .otherwise(lit("3 seconds"))
+      def gapMs = when(col("event_type") === "view", 10000L)
+        .otherwise(lit(3000L))
+      val batchDf = rows
+        .toDF("user_id", "secs", "event_id", "event_type", "value")
+        .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"), col("value"))
+      val want = batchDf
+        .groupBy(session_window(col("ts"), gapStr), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          graft.queries.Catalog.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("start_ms"),
+          col("n"), col("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+
+      val mem = MemoryStream[(Long, Long, Long, String, Double)]
+      val df = mem.toDF()
+        .toDF("user_id", "secs", "event_id", "event_type", "value")
+        .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"), col("value"))
+        .withWatermark("ts", "0 seconds")
+      val q = Streams.sessionAggDynamic(df, gapMs)
+        .writeStream.format("memory").queryName("t_session_dyn")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      val ordered = rows.sortBy(e => (e._2, e._3))
+      ordered.grouped(math.max(1, ordered.length / 4)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+      // two flush batches: one to advance the watermark past every open
+      // session's end, one for the timers armed by it to fire
+      mem.addData((99L, t0 + 100000L, 1L, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData((99L, t0 + 100001L, 2L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("t_session_dyn").collect()
+        .filter(_.getLong(0) < 90L)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      q.stop()
+      assert(got === want)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incremental streaming Top-N treats a re-arriving id as an update") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
