@@ -69,13 +69,16 @@ object KMeans {
       init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
     var cents = init
     for (_ <- 1 to iters) {
-      val assigned = assign(points, vecCol, cents, "__cell")
+      val (assigned, bc) = assignTracked(points, vecCol, cents, "__cell")
       // per-(cell, dim) mean: map-side partials collapse each partition
       // to ≤ k·dim rows before the exchange
       val sums = assigned.select(col("__cell"), posexplode(col(vecCol)))
         .groupBy(col("__cell"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
         .collect()
+      // the collect() above fully consumed the assignment: release the
+      // per-iteration centroid broadcast instead of leaking one per round
+      bc.foreach(_.destroy())
       val byCell = sums.groupBy(_.getInt(0))
       cents = cents.indices.map { c =>
         byCell.get(c) match {
@@ -139,9 +142,11 @@ object KMeans {
     }
     // weight candidates by their captured population (one assign pass)
     val candArr = cand.map(_._1).toArray
-    val weights = assign(df, "v", candArr, "__c")
+    val (candAssigned, candBc) = assignTracked(df, "v", candArr, "__c")
+    val weights = candAssigned
       .groupBy(col("__c")).agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    candBc.foreach(_.destroy())
     // driver-side weighted farthest-first down to k seeds (candidates
     // number ≤ 1 + rounds·oversample·k — trivial)
     def d2(a: Array[Double], b: Array[Double]): Double = {
@@ -177,11 +182,21 @@ object KMeans {
     * beyond [[LiteralCentroidLimit]] go through the broadcast path. */
   def assign(points: DataFrame, vecCol: String,
       centroids: Array[Array[Double]], cellCol: String): DataFrame =
+    assignTracked(points, vecCol, centroids, cellCol)._1
+
+  /** Like [[assign]], but surfaces the broadcast the large-k path
+    * created so a caller that fully consumes the result (e.g. the Lloyd
+    * loop's per-iteration collect) can `destroy()` it instead of
+    * leaking one broadcast of the whole centroid set per call. None on
+    * the literal path. */
+  private def assignTracked(points: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], cellCol: String)
+      : (DataFrame, Option[org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]) =
     if (centroids.length <= LiteralCentroidLimit) {
       val centArr = array(centroids.map(c => typedLit(c.toSeq)): _*)
       val scored = transform(centArr, (cv, i) =>
         struct(sqDist(col(vecCol), cv).as("d"), i.as("cell")))
-      points.withColumn(cellCol, array_min(scored).getField("cell"))
+      (points.withColumn(cellCol, array_min(scored).getField("cell")), None)
     } else assignBroadcast(points, vecCol, centroids, cellCol)
 
   /** Large-k assignment: centroids travel once per executor as a
@@ -191,7 +206,8 @@ object KMeans {
     * keeps the first minimum), matching the literal path's
     * struct-ordered array_min. */
   private[graft] def assignBroadcast(points: DataFrame, vecCol: String,
-      centroids: Array[Array[Double]], cellCol: String): DataFrame = {
+      centroids: Array[Array[Double]], cellCol: String)
+      : (DataFrame, Option[org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]) = {
     import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
     import org.apache.spark.sql.{Encoders, Row}
     val bc = points.sparkSession.sparkContext.broadcast(centroids)
@@ -202,26 +218,32 @@ object KMeans {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
-    val outSchema = points.schema.add(cellCol, IntegerType, nullable = false)
-    points.mapPartitions { it =>
+    // nullable: a null vector gets a null cell, matching the literal
+    // path (where sqDist of a null array folds to a null array_min)
+    val outSchema = points.schema.add(cellCol, IntegerType, nullable = true)
+    val out = points.mapPartitions { it =>
       val cents = bc.value
       it.map { r =>
-        val v: scala.collection.Seq[Double] =
-          if (isFloat) r.getSeq[Float](vIdx).map(_.toDouble)
-          else r.getSeq[Double](vIdx)
-        var best = 0
-        var bestD = Double.PositiveInfinity
-        var c = 0
-        while (c < cents.length) {
-          val cv = cents(c)
-          var s = 0.0
-          var i = 0
-          while (i < cv.length) { val t = v(i) - cv(i); s += t * t; i += 1 }
-          if (s < bestD) { bestD = s; best = c }
-          c += 1
+        if (r.isNullAt(vIdx)) Row.fromSeq(r.toSeq :+ null)
+        else {
+          val v: scala.collection.Seq[Double] =
+            if (isFloat) r.getSeq[Float](vIdx).map(_.toDouble)
+            else r.getSeq[Double](vIdx)
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cents.length) {
+            val cv = cents(c)
+            var s = 0.0
+            var i = 0
+            while (i < cv.length) { val t = v(i) - cv(i); s += t * t; i += 1 }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          Row.fromSeq(r.toSeq :+ best)
         }
-        Row.fromSeq(r.toSeq :+ best)
       }
     }(Encoders.row(outSchema))
+    (out, Some(bc))
   }
 }

@@ -25,24 +25,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * One input partition per container file. */
 class AvroDataSource extends TableProvider {
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = AvroDataSource.listFiles(AvroDataSource.path(options))
-    require(files.nonEmpty,
-      s"AvroDataSource: no .avro files under ${AvroDataSource.path(options)}")
-    // a heterogeneous directory (evolved schemas) would otherwise decode
-    // later files against the first file's expectations and surface as a
-    // ClassCastException (or silent wrong values) at scan time — fail at
-    // planning with the offending file named instead. Header-only reads:
-    // cheap relative to the scan this plan is about to run.
-    val first = AvroIO.toStructType(AvroDataSource.fileSchema(files.head))
-    files.tail.foreach { f =>
-      val st = AvroIO.toStructType(AvroDataSource.fileSchema(f))
-      require(st == first,
-        s"AvroDataSource: schema of $f does not match ${files.head}: " +
-          s"$st vs $first — heterogeneous avro directories are not supported")
-    }
-    first
-  }
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    AvroDataSource.inferAndValidate(AvroDataSource.path(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -71,6 +55,37 @@ private object AvroDataSource {
       new GenericDatumReader[GenericRecord]())
     try r.getSchema
     finally r.close()
+  }
+
+  // validated schema per directory STAMP (path + file count + max mtime
+  // + total bytes): planning re-reads every file header only when the
+  // directory actually changed, not on every query over a static dir
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long, Long), StructType]()
+
+  def inferAndValidate(path: String): StructType = {
+    val files = listFiles(path)
+    require(files.nonEmpty, s"AvroDataSource: no .avro files under $path")
+    val stamp = (path, files.length,
+      files.map(_.lastModified()).max, files.map(_.length()).sum)
+    schemaCache.computeIfAbsent(stamp, _ => {
+      // a heterogeneous directory (evolved schemas) would otherwise
+      // decode later files against the first file's expectations and
+      // surface as a ClassCastException (or silent wrong values) at scan
+      // time — fail at planning with the offending file named instead.
+      // Field ORDER may differ across files (the partition reader
+      // resolves columns by name against each file's own schema), so
+      // compare the name→type sets, not the ordered struct.
+      val first = AvroIO.toStructType(fileSchema(files.head))
+      def keyed(st: StructType) = StructType(st.fields.sortBy(_.name))
+      files.tail.foreach { f =>
+        val st = AvroIO.toStructType(fileSchema(f))
+        require(keyed(st) == keyed(first),
+          s"AvroDataSource: schema of $f does not match ${files.head}: " +
+            s"$st vs $first — heterogeneous avro directories are not supported")
+      }
+      first
+    })
   }
 }
 

@@ -27,10 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * spec requires), nested RECORDs, and ARRAYs of all of these. Avro
   * time-millis/time-micros read as the underlying int/long (Spark has no
   * TIME type — the same mapping spark-avro uses); foreign-written ENUMs
-  * read as strings and FIXED as binary (or decimal per logical type) —
-  * read-only, since Spark has no enum/fixed types to write from. Every
-  * field is written as a nullable union, matching Spark's default
-  * nullability.
+  * read as strings and FIXED as binary (or decimal per logical type).
+  * Spark has no enum/fixed types of its own, so WRITING them goes
+  * through the schema-directed `write(df, path, writerSchemaJson)`
+  * overload: the target schema declares ENUM/FIXED and the writer
+  * validates and encodes string/binary/decimal columns against it —
+  * closing the round-trip. Every field the default writer emits is a
+  * nullable union, matching Spark's default nullability.
   *
   * Scale: the writer runs one avro container file per partition (the
   * same layout every distributed avro sink produces); the reader plans
@@ -218,9 +221,72 @@ object AvroIO {
     * reader, this writer addresses a LOCAL (or shared, e.g. NFS)
     * filesystem visible to every executor — the in-container stand-in
     * for an HDFS/object-store committer. */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String): Unit =
+    writeAs(df, path, toAvroSchema(df.schema, "row"))
+
+  /** Schema-DIRECTED write (reference AvroSchemaConverter.java's
+    * schema-first direction): encode `df` against a caller-supplied
+    * target avro schema instead of the one [[write]] derives. This is
+    * what closes the enum/fixed asymmetry — Spark has no enum or fixed
+    * types, so those can only be written when the target schema declares
+    * them: StringType → ENUM (symbols validated per value; a non-symbol
+    * value fails the task naming value and field), BinaryType → FIXED
+    * (exact length enforced), DecimalType → FIXED with a decimal logical
+    * type (unscaled bytes sign-extended to the fixed size). All other
+    * fields must declare exactly the encoding the default writer
+    * produces — checked structurally up front, so an incompatible schema
+    * fails at the driver, not per-row in tasks. */
+  def write(df: DataFrame, path: String, writerSchemaJson: String): Unit = {
+    val target = new Schema.Parser().parse(writerSchemaJson)
+    validateWriterSchema(df.schema, target, "row")
+    writeAs(df, path, target)
+  }
+
+  /** Compatibility walk: every Spark field needs a same-named target
+    * field whose (unwrapped) avro type either equals the default mapping
+    * or is one of the enum/fixed extensions. */
+  private def validateWriterSchema(st: StructType, sch: Schema,
+      path: String): Unit = {
+    require(sch.getType == Schema.Type.RECORD,
+      s"AvroIO: writer schema at $path must be a record, got ${sch.getType}")
+    st.fields.foreach { f =>
+      val af = sch.getField(f.name)
+      require(af != null,
+        s"AvroIO: writer schema lacks field '$path.${f.name}'")
+      validateFieldSchema(f.dataType, unwrap(af.schema), s"$path.${f.name}")
+    }
+  }
+
+  private def validateFieldSchema(dt: DataType, s: Schema,
+      path: String): Unit = (dt, s.getType) match {
+    case (StringType, Schema.Type.ENUM) => () // symbols checked per value
+    case (BinaryType, Schema.Type.FIXED) => ()
+    case (d: DecimalType, Schema.Type.FIXED) =>
+      s.getLogicalType match {
+        case dec: LogicalTypes.Decimal =>
+          require(dec.getPrecision == d.precision && dec.getScale == d.scale,
+            s"AvroIO: $path fixed decimal(${dec.getPrecision},${dec.getScale})" +
+              s" != Spark decimal(${d.precision},${d.scale})")
+        case _ => throw new IllegalArgumentException(
+          s"AvroIO: $path maps decimal to fixed without a decimal logical type")
+      }
+    case (ArrayType(et, _), Schema.Type.ARRAY) =>
+      validateFieldSchema(et, unwrap(s.getElementType), s"$path[]")
+    case (MapType(StringType, vt, _), Schema.Type.MAP) =>
+      validateFieldSchema(vt, unwrap(s.getValueType), s"$path{}")
+    case (nested: StructType, Schema.Type.RECORD) =>
+      validateWriterSchema(nested, s, path)
+    case _ =>
+      val default = toAvro(dt, "probe")
+      require(default.getType == s.getType &&
+          logicalName(default) == logicalName(s),
+        s"AvroIO: $path target $s incompatible with Spark type $dt " +
+          s"(writer would emit $default)")
+  }
+
+  private def writeAs(df: DataFrame, path: String, avro: Schema): Unit = {
     val schema = df.schema
-    val avroJson = toAvroSchema(schema, "row").toString
+    val avroJson = avro.toString
     val dir = new File(path)
     if (dir.exists()) {
       Option(dir.listFiles()).foreach(_.foreach(_.delete()))
@@ -236,16 +302,23 @@ object AvroIO {
         new GenericDatumWriter[GenericRecord](sch))
       w.create(sch, tmp)
       var n = 0L
+      var closed = false
       try {
         rows.foreach { row =>
           w.append(toRecord(row, sch, schema))
           n += 1
         }
         w.close()
+        closed = true
         java.nio.file.Files.move(tmp.toPath, out.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } finally tmp.delete(): Unit // no-op after a successful move
+      } finally {
+        // a toRecord/append throw must still release the file handle
+        // (leaked handles accumulate across failed task retries)
+        if (!closed) { try w.close() catch { case _: Exception => () } }
+        tmp.delete(): Unit // no-op after a successful move
+      }
       Iterator.single(n)
     }.count(): Unit
     java.nio.file.Files.write(new File(dir, "_SUCCESS").toPath,
@@ -265,6 +338,32 @@ object AvroIO {
 
   private def toAvroValue(v: Any, dt: DataType, sch: Schema): Any =
     (v, dt) match {
+      // schema-directed extensions first: the TARGET type decides when a
+      // string is an enum symbol or bytes/decimal are a fixed
+      case (s: String, StringType) if sch.getType == Schema.Type.ENUM =>
+        if (!sch.hasEnumSymbol(s)) throw new IllegalArgumentException(
+          s"AvroIO: '$s' is not a symbol of enum ${sch.getFullName} " +
+            s"(symbols: ${sch.getEnumSymbols.asScala.mkString(", ")})")
+        new GenericData.EnumSymbol(sch, s)
+      case (b: Array[Byte], BinaryType) if sch.getType == Schema.Type.FIXED =>
+        require(b.length == sch.getFixedSize,
+          s"AvroIO: fixed ${sch.getFullName} needs ${sch.getFixedSize} " +
+            s"bytes, got ${b.length}")
+        new GenericData.Fixed(sch, b)
+      case (bd: java.math.BigDecimal, d: DecimalType)
+          if sch.getType == Schema.Type.FIXED =>
+        // two's-complement sign-extension of the unscaled value into the
+        // declared fixed width (the avro spec's fixed-decimal encoding)
+        val unscaled = bd.setScale(d.scale).unscaledValue().toByteArray
+        val size = sch.getFixedSize
+        require(unscaled.length <= size,
+          s"AvroIO: decimal $bd needs ${unscaled.length} bytes, fixed " +
+            s"${sch.getFullName} holds $size")
+        val out = new Array[Byte](size)
+        if (bd.signum() < 0) java.util.Arrays.fill(out, 0xFF.toByte)
+        System.arraycopy(unscaled, 0, out, size - unscaled.length,
+          unscaled.length)
+        new GenericData.Fixed(sch, out)
       case (t: java.sql.Timestamp, TimestampType) =>
         // floorDiv: plain / truncates toward zero, which shifts pre-epoch
         // timestamps with fractional seconds forward by one second

@@ -668,7 +668,10 @@ object Streams {
       .select(col("user_id"), col("ts"), col("event_id"))
       .as[(Long, java.sql.Timestamp, Long)]
     def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+      // floorDiv: getTime truncates toward zero, which mis-converts
+      // pre-epoch timestamps with fractional seconds (getNanos is always
+      // the positive sub-second part, so the millis must floor)
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     val out = typed.groupByKey(_._1)
       .flatMapGroupsWithState[Seq[(Long, Long)], (Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

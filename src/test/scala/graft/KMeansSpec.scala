@@ -175,7 +175,7 @@ class KMeansSpec extends AnyFunSuite {
     val lit = KMeans.assign(corpus, "v", small, "cell")
       .select(col("vec_id"), col("cell")).collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
-    val bc = KMeans.assignBroadcast(corpus, "v", small, "cell")
+    val bc = KMeans.assignBroadcast(corpus, "v", small, "cell")._1
       .select(col("vec_id"), col("cell")).collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(lit === bc)
@@ -188,9 +188,21 @@ class KMeansSpec extends AnyFunSuite {
     val fdf = Seq((1L, Seq(0.1f, 0.2f)), (2L, Seq(5.0f, 5.1f)))
       .toDF("id", "v")
     val cents = Array(Array(0.0, 0.0), Array(5.0, 5.0))
-    val got = KMeans.assignBroadcast(fdf, "v", cents, "cell")
+    val got = KMeans.assignBroadcast(fdf, "v", cents, "cell")._1
       .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
     assert(got === Map(1L -> 0, 2L -> 1))
+  }
+
+  test("assignBroadcast gives a null cell for a null vector (literal-path parity)") {
+    import spark.implicits._
+    val df = Seq((1L, Some(Seq(0.0, 0.0))), (2L, None)).toDF("id", "v")
+    // > LiteralCentroidLimit forces the broadcast path
+    val cents = (0 until 300).map(i =>
+      Array(i.toDouble + 1, i.toDouble + 1)).toArray
+    val got = KMeans.assign(df, "v", cents, "cell").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    assert(got === Map(1L -> Some(0), 2L -> None))
   }
 
   test("fit is deterministic and an emptied cell keeps its centroid") {

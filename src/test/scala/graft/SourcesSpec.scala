@@ -228,6 +228,73 @@ class SourcesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("part-00001.avro"))
   }
 
+  test("schema-directed avro write: enum + fixed + fixed-decimal round-trip") {
+    // the write(df, path, writerSchemaJson) overload encodes against a
+    // TARGET schema declaring types Spark doesn't have — closing the
+    // formerly read-only enum/fixed asymmetry
+    import org.apache.spark.sql.functions._
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_sd").toString
+    val df = spark.range(6).select(
+      col("id"),
+      element_at(array(lit("RED"), lit("GREEN"), lit("BLUE")),
+        (col("id") % 3 + 1).cast("int")).as("c"),
+      unhex(lpad(hex(col("id")), 8, "0")).as("fx"),
+      // negatives exercise the two's-complement sign-extension
+      (col("id").cast("decimal(10,2)") - 3.5).cast("decimal(10,2)").as("dec"))
+    val enumSch = SchemaBuilder.enumeration("color")
+      .symbols("RED", "GREEN", "BLUE")
+    val fixedSch = SchemaBuilder.fixed("f4").size(4)
+    val fixedDec = LogicalTypes.decimal(10, 2)
+      .addToSchema(SchemaBuilder.fixed("d8").size(8))
+    val target = SchemaBuilder.record("row").fields()
+      .name("id").`type`().unionOf().nullType().and().longType()
+        .endUnion().noDefault()
+      .name("c").`type`(enumSch).noDefault()
+      .name("fx").`type`(fixedSch).noDefault()
+      .name("dec").`type`(fixedDec).noDefault()
+      .endRecord()
+    graft.sources.AvroIO.write(df, s"$dir/sd", target.toString)
+    // the container files really declare ENUM/FIXED (not string/bytes)
+    val f0 = new java.io.File(s"$dir/sd").listFiles()
+      .filter(_.getName.endsWith(".avro")).minBy(_.getName)
+    val written = {
+      val r = new org.apache.avro.file.DataFileReader[Any](f0,
+        new org.apache.avro.generic.GenericDatumReader[Any]())
+      try r.getSchema finally r.close()
+    }
+    assert(written.getField("c").schema.getType === Schema.Type.ENUM)
+    assert(written.getField("fx").schema.getType === Schema.Type.FIXED)
+    assert(written.getField("dec").schema.getType === Schema.Type.FIXED)
+    assert(written.getField("dec").schema.getLogicalType
+      .isInstanceOf[LogicalTypes.Decimal])
+    // and the DSv2 reader round-trips the values
+    val back = spark.read.format("graft.sources.AvroDataSource")
+      .load(s"$dir/sd").orderBy("id").collect()
+    val want = df.orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq === want.map(_.getLong(0)).toSeq)
+    assert(back.map(_.getString(1)).toSeq === want.map(_.getString(1)).toSeq)
+    assert(back.map(_.getAs[Array[Byte]](2).toSeq).toSeq ===
+      want.map(_.getAs[Array[Byte]](2).toSeq).toSeq)
+    assert(back.map(_.getDecimal(3)).toSeq === want.map(_.getDecimal(3)).toSeq)
+    // a non-symbol value fails the task naming value and enum
+    val bad = spark.range(1).select(col("id"), lit("MAUVE").as("c"),
+      unhex(lit("00000000")).as("fx"),
+      lit(1.5).cast("decimal(10,2)").as("dec"))
+    val e = intercept[Exception] {
+      graft.sources.AvroIO.write(bad, s"$dir/bad", target.toString)
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${msgs(t.getCause)}"
+    assert(msgs(e).contains("not a symbol"))
+    // an incompatible schema fails AT THE DRIVER, before any task runs
+    val missing = intercept[IllegalArgumentException] {
+      graft.sources.AvroIO.write(
+        df.withColumnRenamed("c", "zzz"), s"$dir/bad2", target.toString)
+    }
+    assert(missing.getMessage.contains("zzz"))
+  }
+
   test("file metadata columns surface provenance (SupportsReadingMetadata)") {
     // SURVEY §2.1 source abilities: the reference's
     // SupportsReadingMetadata exposes connector metadata as virtual
