@@ -10,12 +10,15 @@ import org.apache.spark.sql.{DataFrame, Row}
   * `notFollowedBy`) and an optional `within` horizon, run per key over
   * event-time order.
   *
-  * Execution shape: one shuffle on the key (groupBy via flatMapGroups),
-  * in-memory sort of each key's timeline, linear NFA scan with
+  * Execution shape: one shuffle on the key, linear NFA scan with
   * after-match skip-past-last (the reference's default skip strategy).
-  * Per-key timelines are the unit of state — the same contract the
-  * reference's keyed NFA state holds; a key's history must fit an
-  * executor, keys scale out horizontally.
+  * With a `within` horizon, the shuffle feeds Spark's spillable
+  * external sort and a horizon-bounded streaming scan — peak task
+  * state is O(events per `within` window), so a single hot key with an
+  * arbitrarily long history cannot OOM a task. Without a horizon the
+  * key's full timeline is the unit of state (the same contract the
+  * reference's keyed NFA holds): a key's history must fit an executor,
+  * keys scale out horizontally.
   *
   * Batch `matchPattern` and the incremental `matchPatternStream` share
   * the same pattern surface — quantifiers, contiguity modes, negations,
@@ -171,48 +174,166 @@ object Cep {
     require(kIdx >= 0 && tIdx >= 0 && iIdx >= 0)
 
     validateSteps(steps)
-    val out = df.groupByKey(_.getLong(kIdx))
-      .flatMapGroups { (key: Long, it: Iterator[Row]) =>
-        val events = it.toArray.sortBy(r =>
-          (tsMicros(r.getTimestamp(tIdx)), r.getLong(iIdx)))
-        val matches = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, String, Long, Int)]
-        var seq = 0
-        var i = 0
-        while (i < events.length) {
-          attemptAt(events, i, steps, withinMicros, tIdx) match {
-            case Some(posHits) =>
-              posHits.zip(steps).foreach { case (hits, st) =>
-                hits.foreach(p => matches += ((key, labelFor(st, events(p)),
-                  events(p).getLong(iIdx), seq)))
+    val out = withinMicros match {
+      case Some(w) =>
+        // Hot-key bound: with a `within` horizon the leftmost-start scan
+        // never needs the whole timeline at once — an attempt at position
+        // i is decided entirely by events in [ts_i, ts_i + within] (every
+        // take and every negation check is window-scoped), and the scan
+        // position only moves forward. So: shuffle on the key, let
+        // Spark's SPILLABLE external sort order each partition by
+        // (key, ts, id) — replacing the in-task toArray.sortBy — and
+        // stream the sorted rows through a HorizonScanner that buffers
+        // only the active attempt's horizon. Peak task state is O(events
+        // per `within` window), not O(timeline): a single hot key with a
+        // 100M-event history no longer OOMs its task.
+        df.repartition(col(keyCol))
+          .sortWithinPartitions(col(keyCol), col(tsCol), col(idCol))
+          .mapPartitions { it =>
+            new Iterator[(Long, String, Long, Int)] {
+              private var cur: HorizonScanner = null
+              private var curKey = 0L
+              private val pending =
+                scala.collection.mutable.Queue.empty[(Long, String, Long, Int)]
+              private def fill(): Unit = {
+                while (pending.isEmpty && (it.hasNext || cur != null)) {
+                  if (!it.hasNext) { pending ++= cur.finish(); cur = null }
+                  else {
+                    val r = it.next()
+                    val k = r.getLong(kIdx)
+                    if (cur == null || k != curKey) {
+                      if (cur != null) pending ++= cur.finish()
+                      cur = new HorizonScanner(k, steps, w, skip, tIdx, iIdx)
+                      curKey = k
+                    }
+                    pending ++= cur.push(r)
+                  }
+                }
               }
-              seq += 1
-              // after-match skip on CONSUMED POSITIONS (with relaxed
-              // contiguity a match is not a contiguous run, so length
-              // sums no longer locate its events); all-optional patterns
-              // can match zero events — always advance at least one
-              val all = posHits.flatten
-              i = skip match {
-                case SkipPastLast => if (all.isEmpty) i + 1 else all.max + 1
-                case SkipToNext => i + 1
-                case SkipToFirst(name) =>
-                  val idx = steps.indexWhere(_.name == name)
-                  require(idx >= 0, s"skip-to-first: no step '$name'")
-                  val cand = posHits.drop(idx).flatten
-                  math.max(i + 1, if (cand.nonEmpty) cand.min
-                    else if (all.isEmpty) i + 1 else all.max + 1)
-                case SkipToLast(name) =>
-                  val idx = steps.indexWhere(_.name == name)
-                  require(idx >= 0, s"skip-to-last: no step '$name'")
-                  val cand = posHits.take(idx + 1).flatten
-                  math.max(i + 1, if (cand.nonEmpty) cand.max else i + 1)
-              }
-            case None => i += 1
+              def hasNext: Boolean = { fill(); pending.nonEmpty }
+              def next(): (Long, String, Long, Int) = { fill(); pending.dequeue() }
+            }
           }
-        }
-        matches.iterator
-      }
+      case None =>
+        // No horizon ⇒ an attempt may reach arbitrarily far ahead, so the
+        // key's FULL timeline is the unit of state (the same bound the
+        // reference's keyed NFA holds). Documented contract: a key's
+        // history must fit an executor; keys scale out horizontally. For
+        // unbounded single-key timelines, set a `within` horizon to get
+        // the bounded-scan path above.
+        df.groupByKey(_.getLong(kIdx))
+          .flatMapGroups { (key: Long, it: Iterator[Row]) =>
+            val events = it.toArray.sortBy(r =>
+              (tsMicros(r.getTimestamp(tIdx)), r.getLong(iIdx)))
+            scanTimeline(events, key, steps, None, skip, tIdx, iIdx)
+          }
+    }
     out.toDF("key", "step", "event_id", "match_seq")
+  }
+
+  /** Leftmost-start scan of one key's full in-memory timeline (the
+    * `within`-less batch path; also the differential reference for
+    * `HorizonScanner`). */
+  private[graft] def scanTimeline(events: scala.collection.IndexedSeq[Row], key: Long,
+      steps: Seq[Step], withinMicros: Option[Long], skip: SkipStrategy,
+      tIdx: Int, iIdx: Int): Iterator[(Long, String, Long, Int)] = {
+    val matches = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Int)]
+    var seq = 0
+    var i = 0
+    while (i < events.length) {
+      attemptAt(events, i, steps, withinMicros, tIdx) match {
+        case Some(posHits) =>
+          i = emitAndSkip(events, i, posHits, steps, skip, iIdx, key, seq,
+            matches)
+          seq += 1
+        case None => i += 1
+      }
+    }
+    matches.iterator
+  }
+
+  /** Emit one completed match and return the position the after-match
+    * skip resumes at. Skip works on CONSUMED POSITIONS (with relaxed
+    * contiguity a match is not a contiguous run, so length sums no
+    * longer locate its events); all-optional patterns can match zero
+    * events — always advance at least one. */
+  private def emitAndSkip(events: scala.collection.IndexedSeq[Row], i: Int,
+      posHits: Seq[Seq[Int]], steps: Seq[Step], skip: SkipStrategy,
+      iIdx: Int, key: Long, seq: Int,
+      out: scala.collection.mutable.Growable[(Long, String, Long, Int)])
+      : Int = {
+    posHits.zip(steps).foreach { case (hits, st) =>
+      hits.foreach(p => out += ((key, labelFor(st, events(p)),
+        events(p).getLong(iIdx), seq)))
+    }
+    val all = posHits.flatten
+    skip match {
+      case SkipPastLast => if (all.isEmpty) i + 1 else all.max + 1
+      case SkipToNext => i + 1
+      case SkipToFirst(name) =>
+        val idx = steps.indexWhere(_.name == name)
+        require(idx >= 0, s"skip-to-first: no step '$name'")
+        val cand = posHits.drop(idx).flatten
+        math.max(i + 1, if (cand.nonEmpty) cand.min
+          else if (all.isEmpty) i + 1 else all.max + 1)
+      case SkipToLast(name) =>
+        val idx = steps.indexWhere(_.name == name)
+        require(idx >= 0, s"skip-to-last: no step '$name'")
+        val cand = posHits.take(idx + 1).flatten
+        math.max(i + 1, if (cand.nonEmpty) cand.max else i + 1)
+    }
+  }
+
+  /** Streaming per-key scanner for the `within`-bounded batch path: feed
+    * (ts, id)-ordered events via `push`, then `finish()`. An attempt at
+    * buffer position a runs only once its horizon is COMPLETE — an event
+    * with ts > ts_a + within has arrived, so nothing still unseen can be
+    * in window (any event the scan or a window-scoped negation check
+    * would consult is already buffered) — or on finish(). The decided
+    * prefix is compacted away once it dominates the buffer (amortized
+    * O(1)/event), so peak state is ~2× the largest number of events
+    * inside one `within` window plus the 64-row compaction floor,
+    * independent of timeline length. `peakBufferSize` exposes the
+    * high-water mark for the spec's bound pin. */
+  private[graft] final class HorizonScanner(key: Long, steps: Seq[Step],
+      withinMicros: Long, skip: SkipStrategy, tIdx: Int, iIdx: Int) {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    private var attempt = 0 // next attempt start, index into buf
+    private var seq = 0
+    private var peak = 0
+    def peakBufferSize: Int = peak
+
+    def push(r: Row): Seq[(Long, String, Long, Int)] = {
+      buf += r
+      if (buf.length > peak) peak = buf.length
+      drain(tsMicros(r.getTimestamp(tIdx)), fin = false)
+    }
+
+    def finish(): Seq[(Long, String, Long, Int)] = drain(0L, fin = true)
+
+    private def drain(tipUs: Long, fin: Boolean)
+        : Seq[(Long, String, Long, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Long, Int)]
+      var live = true
+      while (live && attempt < buf.length) {
+        val startUs = tsMicros(buf(attempt).getTimestamp(tIdx))
+        if (!fin && tipUs - startUs <= withinMicros) live = false // horizon open
+        else attemptAt(buf, attempt, steps, Some(withinMicros), tIdx) match {
+          case Some(posHits) =>
+            attempt = emitAndSkip(buf, attempt, posHits, steps, skip, iIdx,
+              key, seq, out)
+            seq += 1
+          case None => attempt += 1
+        }
+      }
+      if (attempt >= 64 && attempt * 2 >= buf.length) {
+        buf.remove(0, attempt)
+        attempt = 0
+      }
+      out.toSeq
+    }
   }
 
   /** Try to match the full pattern starting at events(start). Strict
@@ -227,7 +348,7 @@ object Cep {
     * event before its first take (notFollowedBy — the reference's STOP
     * state). Returns the per-step consumed POSITIONS (empty for a
     * zero-match quantifier or a negation). */
-  private def attemptAt(events: Array[Row], start: Int, steps: Seq[Step],
+  private def attemptAt(events: scala.collection.IndexedSeq[Row], start: Int, steps: Seq[Step],
       withinMicros: Option[Long], tIdx: Int): Option[Seq[Seq[Int]]] = {
     val startUs = tsMicros(events(start).getTimestamp(tIdx))
     def inWindow(i: Int): Boolean = withinMicros.forall(w =>

@@ -24,7 +24,8 @@ object Catalog {
       TpcDsShapes3.queries ++ TpcDsShapes4.queries ++
       TpcDsShapes5.queries ++ TpcDsShapes6.queries ++
       TpcDsShapes7.queries ++ TpcDsShapes8.queries ++
-      TpcDsShapes9.queries ++ Aggregates.queries ++
+      TpcDsShapes9.queries ++ TpcDsShapes10.queries ++
+      Aggregates.queries ++
       Windows.queries ++ SetOps.queries ++
       Functions.queries ++ EventQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++

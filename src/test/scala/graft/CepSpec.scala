@@ -1417,6 +1417,73 @@ class CepSpec extends AnyFunSuite {
       (1L, "B", 4L), (1L, "C", 5L)))
   }
 
+  test("hot-key bound: within-horizon scan holds O(window), not O(timeline)") {
+    import org.apache.spark.sql.Row
+    // One key, 50k events at 1 event/second, within = 10 s. The pre-r5
+    // path buffered the whole timeline in the task; the HorizonScanner's
+    // high-water mark must stay at window scale (~11 in-window events,
+    // doubled by compaction slack plus the 64-row floor) — three orders
+    // of magnitude under the timeline — while producing exactly the
+    // matches of the in-memory reference scan.
+    val n = 50000
+    val rows: IndexedSeq[Row] = (0 until n).map { i =>
+      val t = i % 10 match {
+        case 3 => "a"; case 4 => "b"; case 5 => "b"; case _ => "x"
+      }
+      Row(1L, new Timestamp(i * 1000L), i.toLong, t)
+    }
+    val steps = Seq(
+      Cep.Step("A", _.getString(3) == "a"),
+      Cep.Step("B", _.getString(3) == "b", quant = Cep.Plus, relaxed = true))
+    val w = 10L * 1000000L
+    val sc = new Cep.HorizonScanner(1L, steps, w, Cep.SkipPastLast,
+      tIdx = 1, iIdx = 2)
+    val got = rows.flatMap(sc.push(_)) ++ sc.finish()
+    val want = Cep.scanTimeline(rows, 1L, steps, Some(w), Cep.SkipPastLast,
+      1, 2).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+    assert(sc.peakBufferSize <= 160,
+      s"peak buffer ${sc.peakBufferSize} must be window-scale, " +
+        s"not timeline-scale ($n)")
+  }
+
+  test("within-horizon matchPattern equals the in-memory scan, all skips") {
+    // End-to-end through the sorted-partition path: random multi-key
+    // soup, every after-match skip strategy, compared against a per-key
+    // scanTimeline reference on the same data.
+    val rnd = new scala.util.Random(42)
+    val types = Array("a", "b", "c", "x")
+    val data = (0 until 600).map { i =>
+      ((i % 3).toLong + 1, rnd.nextInt(300).toLong, i.toLong,
+        types(rnd.nextInt(types.length)))
+    }
+    val df = mkEvents(data: _*)
+    df.cache().count()
+    val steps = Seq(
+      Cep.Step("A", _.getString(3) == "a"),
+      Cep.Step("B", _.getString(3) == "b", quant = Cep.Times(1, 3),
+        relaxed = true),
+      Cep.Step("C", _.getString(3) == "c", relaxed = true))
+    val w = 30L * 1000000L
+    val byKey = df.collect().groupBy(_.getLong(0))
+    for (skip <- Seq(Cep.SkipPastLast, Cep.SkipToNext, Cep.SkipToFirst("B"),
+        Cep.SkipToLast("B"))) {
+      val got = Cep.matchPattern(df, "user_id", "ts", "event_id", steps,
+        withinMicros = Some(w), skip = skip)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      val want = byKey.flatMap { case (k, krows) =>
+        val sorted = krows.sortBy(r => (r.getTimestamp(1).getTime,
+          r.getLong(2)))
+        Cep.scanTimeline(sorted.toIndexedSeq, k, steps, Some(w), skip, 1, 2)
+      }.toSet
+      assert(got == want, s"skip=$skip")
+    }
+    df.unpersist()
+  }
+
   test("until validation: rejected on non-looping and negated steps") {
     val events = mkEvents((1L, 10L, 1L, "signup"))
     val stop: org.apache.spark.sql.Row => Boolean =
