@@ -75,7 +75,11 @@ object TpcDsShapes10 {
   // is at most half that store's average item revenue — per-(store,
   // item) aggregate, per-store average of those aggregates, join and
   // band filter. Revenues are exact decimal sums cast to DOUBLE, so the
-  // 0.5× threshold compares identical values on both engines.
+  // 0.5× threshold compares identical values on both engines. The rev
+  // CTE is referenced twice; its two planned subtrees are canonically
+  // identical, so AQE materializes one shuffle stage and feeds the
+  // second consumer a ReusedExchange — the fact scan runs ONCE at
+  // runtime (pinned in PlanSpec).
   private val belowAvgItemsSql =
     """WITH rev AS (
       |  SELECT s_nationkey AS nk, l_partkey AS pk,

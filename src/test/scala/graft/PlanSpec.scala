@@ -164,6 +164,21 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side partial agg:\n$p")
   }
 
+  test("q_ds_below_avg_items: rev CTE computed once at runtime (AQE reuse)") {
+    // the SQL text references the rev CTE twice (rev itself + its
+    // per-store average), and the initial plan prints two identical
+    // lineitem⋈supplier partial-agg subtrees; both hash to the same
+    // canonical exchange, so AQE must materialize ONE stage and feed the
+    // second consumer a ReusedExchange — the fact side is scanned once
+    val df = Catalog.byName("q_ds_below_avg_items")
+      .run(SparkFixture.spark, SparkFixture.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"),
+      s"rev's shuffle not shared across its two consumers:\n$p")
+  }
+
   test("DSv2 aggregate pushdown: MIN/MAX/COUNT answered from parquet metadata") {
     // SURVEY §2.1 source abilities (SupportsAggregatePushDown): with
     // the flag on, a whole-table MIN/MAX/COUNT never scans data pages —
