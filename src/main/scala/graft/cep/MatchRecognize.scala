@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 /** SQL `MATCH_RECOGNIZE` surface over the graft NFA (reference
   * StreamExecMatch.java:90 + MatchCodeGenerator.scala — the reference
@@ -30,6 +30,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *     rejects alternation; CLASSIFIER() labels each event with its
   *     matching alternative> )
   *   [WITHIN INTERVAL '<n>' <SECOND|MINUTE|HOUR|DAY>]
+  *   [SUBSET <name> = (<var>, ...), ...]
+  *     -- union variables (SQL:2016 R010): a SUBSET name used in a
+  *     -- MEASURES item aggregates over the union of its members'
+  *     -- rows; parity-plus — the reference SQL surface has none
   *   DEFINE <var> AS <boolean sql expr> [, ...]
   *     -- exprs may navigate the ordered input partition with
   *     -- PREV(col[, n]) / NEXT(col[, n]) (bounded inputs only)
@@ -68,6 +72,7 @@ object MatchRecognize {
       skip: Cep.SkipStrategy, patternSpec: String,
       withinMicros: Option[Long], defines: Seq[(String, String)],
       measures: Seq[Measure], allRows: Boolean,
+      subsets: Seq[(String, Seq[String])],
       start: Int, end: Int)
 
   /** The `<table> MATCH_RECOGNIZE (` head; the clause body is found by
@@ -182,6 +187,29 @@ object MatchRecognize {
             s"MATCH_RECOGNIZE: bad WITHIN unit '$u'")
         }
       }
+    // SUBSET U = (A, B), V = (B, C): union variables (SQL standard
+    // 2016 R010; Calcite grammar puts the clause between PATTERN and
+    // DEFINE). A subset name stands for the union of its members' rows
+    // and is usable wherever a MEASURES item names a variable —
+    // parity-plus: the reference's 1.13 SQL surface has no SUBSET.
+    val subsets = """(?is)\bSUBSET\s+(.*?)(?=DEFINE\s|$)""".r
+      .findFirstMatchIn(body).map(_.group(1)).map { txt =>
+        val entryRe = """(?s)([A-Za-z_]\w*)\s*=\s*\(([^)]*)\)""".r
+        val entries = entryRe.findAllMatchIn(txt).map { e =>
+          e.group(1) -> e.group(2).split(",").map(_.trim).toSeq
+            .filter(_.nonEmpty)
+        }.toSeq
+        val leftover = entryRe.replaceAllIn(txt, "")
+          .replaceAll("[,\\s]", "")
+        require(entries.nonEmpty && leftover.isEmpty,
+          s"MATCH_RECOGNIZE: bad SUBSET clause '${txt.trim}' — expected " +
+            "SUBSET name = (var, ...), ...")
+        entries.foreach { case (n, ms) => require(ms.nonEmpty,
+          s"MATCH_RECOGNIZE: SUBSET $n has no members") }
+        require(entries.map(_._1.toLowerCase).distinct.size ==
+          entries.size, "MATCH_RECOGNIZE: duplicate SUBSET name")
+        entries
+      }.getOrElse(Seq.empty)
     val defines = """(?is)DEFINE\s+(.*)$""".r.findFirstMatchIn(body)
       .map(_.group(1)).map { defs =>
         defs.split("""(?i),(?=\s*[A-Za-z_]\w*\s+AS\s)""").toSeq.map { d =>
@@ -198,7 +226,7 @@ object MatchRecognize {
     require(!containsMatchRecognize(text.substring(end)),
       "MATCH_RECOGNIZE: only one clause per statement is supported")
     Clause(m.group(1), alias, key, ts, id, skip, patternSpec.trim,
-      within, defines, measures, allRows, m.start, end)
+      within, defines, measures, allRows, subsets, m.start, end)
   }
 
   /** The statement's WITH prefix (all CTE definitions, balanced-paren
@@ -349,14 +377,34 @@ object MatchRecognize {
     if (c.measures.isEmpty && !c.allRows) return matched
 
     val inCols = withPreds.columns
+    // SUBSET union variables: a subset name stands for the union of its
+    // members' matched rows. Resolution is case-sensitive like pattern
+    // variables themselves; a subset may not shadow a pattern variable
+    // and every member must be one.
+    val subsetMap = c.subsets.toMap
+    c.subsets.foreach { case (n, members) =>
+      require(!stepNames.contains(n),
+        s"MATCH_RECOGNIZE: SUBSET '$n' collides with a pattern variable")
+      members.foreach(v => require(stepNames.contains(v),
+        s"MATCH_RECOGNIZE: SUBSET $n member '$v' is not a pattern " +
+          s"variable of (${stepNames.mkString(" ")})"))
+    }
+    // the variable-match predicate a measure aggregates over: one label
+    // for a pattern variable, a label set for a SUBSET union variable
+    def varMatch(v: String): Column = subsetMap.get(v) match {
+      case Some(members) => col("step").isin(members.map(lit): _*)
+      case None => col("step") === v
+    }
     c.measures.foreach { ms =>
       if (ms.fn == "CLASSIFIER") require(c.allRows,
         "MATCH_RECOGNIZE: CLASSIFIER() needs ALL ROWS PER MATCH — in " +
           "one-row mode every row of the match collapses into one")
       if (ms.variable.nonEmpty) {
-        require(stepNames.contains(ms.variable),
+        require(stepNames.contains(ms.variable) ||
+            subsetMap.contains(ms.variable),
           s"MATCH_RECOGNIZE: MEASURES variable '${ms.variable}' is not " +
-            s"a pattern variable of (${stepNames.mkString(" ")})")
+            s"a pattern variable of (${stepNames.mkString(" ")}) or a " +
+            s"SUBSET name")
         ms.column.foreach(cn => require(inCols.contains(cn),
           s"MATCH_RECOGNIZE: MEASURES column '$cn' not in input " +
             s"(${inCols.mkString(",")})"))
@@ -385,7 +433,7 @@ object MatchRecognize {
       // same window partition with an unbounded-both-ends frame
       val whole = wBase.rowsBetween(Long.MinValue, Long.MaxValue)
       val measureCols = c.measures.map { ms =>
-        val isVar = col("step") === ms.variable
+        val isVar = varMatch(ms.variable)
         val w = if (ms.finalSem) whole else running
         ms.fn match {
           case "FIRST" => first(
@@ -409,7 +457,7 @@ object MatchRecognize {
       // order, COUNT(v.*) a conditional count. One aggregation on the
       // (small) matched-event relation.
       val aggs = c.measures.map { ms =>
-        val isVar = col("step") === ms.variable
+        val isVar = varMatch(ms.variable)
         ms.fn match {
           case "FIRST" => min_by(
             when(isVar, col(s"__in_${ms.column.get}")),

@@ -526,6 +526,48 @@ object EventQueries {
             |ORDER BY key, match_seq""".stripMargin
       }),
 
+    // SUBSET union variables (SQL:2016 R010; parity-plus — the
+    // reference's 1.13 SQL surface has no SUBSET): S = (A, B) makes
+    // MEASURES aggregate over the union of both variables' rows.
+    // FIRST(S.·) lands on the signup, LAST(S.·) on the final error, and
+    // COUNT(S.*) counts the whole match — three anchors no single
+    // variable provides. Oracle: the islands CTEs aggregated per match
+    // with the union reconstructed as A ∪ anchored-errors.
+    Query(
+      "q_cep_sql_subset",
+      (s, d) => {
+        Catalog.registerViews(s, d, "events")
+        graft.cep.MatchRecognize.sql(s,
+          """SELECT key, match_seq, a_id, first_id, last_id, n_all
+            |FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts, event_id
+            |  MEASURES FIRST(A.event_id) AS a_id,
+            |           FIRST(S.event_id) AS first_id,
+            |           LAST(S.event_id) AS last_id,
+            |           COUNT(S.*) AS n_all
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP PAST LAST ROW
+            |  PATTERN (A B+)
+            |  SUBSET S = (A, B)
+            |  DEFINE A AS event_type = 'signup',
+            |         B AS event_type = 'error'
+            |)
+            |ORDER BY key, match_seq""".stripMargin)
+      },
+      Some {
+        cepOraclePrefix +
+          """SELECT s.user_id AS key, s.match_seq, s.a_id,
+            |  s.a_id AS first_id,
+            |  ARG_MAX(e.event_id, e.rn) AS last_id,
+            |  CAST(COUNT(1) + 1 AS BIGINT) AS n_all
+            |FROM starts s JOIN anchored e
+            |  ON e.user_id = s.user_id AND e.anchor_rn = s.start_rn
+            |    AND e.event_type = 'error'
+            |GROUP BY 1, 2, 3, 4
+            |ORDER BY key, match_seq""".stripMargin
+      }),
+
     // ALL ROWS PER MATCH over the same pattern: the standard's other
     // output mode (reference StreamExecMatch allRows) — every consumed
     // input row with original columns plus RUNNING measures

@@ -1131,6 +1131,83 @@ class CepSpec extends AnyFunSuite {
     assert(err.getMessage.contains("ALL ROWS PER MATCH"))
   }
 
+  test("MATCH_RECOGNIZE SUBSET: union variable in MEASURES, both modes") {
+    val events = graft.engine.Tables.load(spark, SparkFixture.sf, "events")
+    events.createOrReplaceTempView("events")
+    // one-row mode: FIRST(S.·) must land on the A row, LAST(S.·) on the
+    // final B row, COUNT(S.*) on the whole match — the union, not any
+    // single variable
+    val got = spark.sql(
+      """SELECT key, match_seq, first_id, last_id, n_all
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(S.event_id) AS first_id,
+        |           LAST(S.event_id) AS last_id,
+        |           COUNT(S.*) AS n_all
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B+)
+        |  SUBSET S = (A, B)
+        |  DEFINE A AS event_type = 'signup',
+        |         B AS event_type = 'error'
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val byMatch = Cep.signupThenErrors(events).collect()
+      .groupBy(r => (r.getLong(0), r.getInt(3)))
+    val want = byMatch.map { case ((key, seq), rs) =>
+      val as = rs.filter(_.getString(1) == "A").map(_.getLong(2))
+      val bs = rs.filter(_.getString(1) == "B").map(_.getLong(2))
+      (key, seq, as.head, bs.last, (as.length + bs.length).toLong)
+    }.toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+    // all-rows mode: running COUNT(S.*) is the row's 1-based position
+    // in the match (every consumed row is in the union)
+    val gotAll = spark.sql(
+      """SELECT event_id, mno, n_seen
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS mno, COUNT(S.*) AS n_seen
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B+)
+        |  SUBSET S = (A, B)
+        |  DEFINE A AS event_type = 'signup',
+        |         B AS event_type = 'error'
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val wantAll = byMatch.toSeq.flatMap { case ((_, seq), rs) =>
+      // matchPattern emits each step's hits in timeline order, and the
+      // A row precedes every B row in this pattern
+      val a = rs.filter(_.getString(1) == "A")
+      val bs = rs.filter(_.getString(1) == "B")
+      (a ++ bs).zipWithIndex.map { case (r, i) =>
+        (r.getLong(2), seq, i + 1L)
+      }
+    }.toSet
+    assert(gotAll === wantAll)
+    // validation: unknown member, name collision, undefined variable
+    def bad(subset: String, measure: String = "COUNT(S.*) AS x"): String =
+      intercept[IllegalArgumentException] {
+        graft.cep.MatchRecognize.sql(spark,
+          s"""SELECT 1 FROM events MATCH_RECOGNIZE (
+             |  PARTITION BY user_id
+             |  ORDER BY ts, event_id
+             |  MEASURES $measure
+             |  ONE ROW PER MATCH
+             |  PATTERN (A B+)
+             |  $subset
+             |  DEFINE A AS event_type = 'signup',
+             |         B AS event_type = 'error'
+             |)""".stripMargin)
+      }.getMessage
+    assert(bad("SUBSET S = (A, Z)").contains("not a pattern variable"))
+    assert(bad("SUBSET A = (B)").contains("collides"))
+    assert(bad("SUBSET S = (A, B)", "COUNT(T.*) AS x")
+      .contains("SUBSET"))
+  }
+
   test("MATCH_RECOGNIZE over a streaming input runs the incremental NFA") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
