@@ -78,6 +78,188 @@ object SimilarityQueries {
         s" (a, b) -> a + b) >= 0 THEN ${1 << (p - offset)} ELSE 0 END)"
     }.mkString(" + ")
 
+  // --- Product quantization (PQ / ADC) ------------------------------------
+  // m = 8 subspaces × 8 dims over the 64-dim embeddings; the codebook is
+  // the label-centroid table sliced per subspace (the same deterministic
+  // stand-in the IVF cells use — KMeans.fit per slice is the library path,
+  // Ann.pqEncode/pqSearch). The whole codebook is collected into ONE row
+  // and broadcast, so corpus encoding is scan-local: no shuffle touches
+  // the corpus until the per-query top-k window. At 100 TB that is the
+  // point of PQ — 64×f32 = 256 bytes/vector compresses to 8 codes, the
+  // ADC distance is 8 array reads + adds per candidate (no O(dim) fold),
+  // and the heavy m·k×dim work (the lookup table) runs once per QUERY.
+
+  /** The codebook as one row: `cb` = array<struct<cell, cv>> sorted by
+    * cell — tiny (k×64 doubles), broadcast to every encode/LUT site. */
+  private def codebookRow(s: SparkSession, d: String): DataFrame =
+    centroids(s, d)
+      .agg(array_sort(collect_list(struct(col("cell"), col("cv")))).as("cb"))
+
+  /** Squared L2 between 8-dim subspace `sub` of `v` and of codeword `cv`
+    * (both full 64-dim arrays) — left-to-right fold, init 0.0, so the
+    * value is bit-identical to DuckDB's list_reduce over the same slice. */
+  private def subSq(v: Column, cv: Column, sub: Int): Column =
+    aggregate(zip_with(slice(v, sub * 8 + 1, 8), slice(cv, sub * 8 + 1, 8),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+
+  /** PQ codes for `v` against the in-scope `cb` column: array of 8
+    * positions (0-based, in cell order) of the nearest codeword per
+    * subspace; ties to the lower position via struct-ordered array_min. */
+  private def pqCodes(v: Column): Column =
+    array((0 until 8).map { sub =>
+      array_min(transform(col("cb"), (e, i) =>
+        struct(subSq(v, e.getField("cv"), sub).as("d"), i.as("c"))))
+        .getField("c")
+    }: _*)
+
+  /** Per-query ADC lookup table: lut[sub][pos] = subspace squared L2 from
+    * the query to codeword `pos` — computed once per query row. */
+  private def pqLut(qv: Column): Column =
+    array((0 until 8).map { sub =>
+      transform(col("cb"), e => subSq(qv, e.getField("cv"), sub))
+    }: _*)
+
+  /** ADC distance: ordered fold over the 8 subspaces of lut[sub][code[sub]]
+    * — table reads only, rounded like every cross-engine double here. */
+  private def adcCol: Column =
+    round(aggregate(sequence(lit(0), lit(7)), lit(0.0),
+      (a, sb) => a + element_at(element_at(col("lut"), sb + 1),
+        element_at(col("code"), sb + 1) + 1)), 6)
+
+  /** PQ/ADC top-3 over the full corpus for queries vec_id < 5. */
+  private def pqRun(s: SparkSession, d: String): DataFrame = {
+    val emb = embDouble(t(s, d, "embeddings"))
+    val cb = codebookRow(s, d)
+    val enc = emb.crossJoin(broadcast(cb))
+      .select(col("vec_id"), pqCodes(col("v")).as("code"))
+    val q = emb.where(col("vec_id") < 5).crossJoin(broadcast(cb))
+      .select(col("vec_id").as("q_id"), pqLut(col("v")).as("lut"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    enc.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adcCol.as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"), col("adc"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** IVFADC: probe the 2 nearest coarse cells per query (the IVF step),
+    * then ADC-score only those cells' inverted lists. The probe table
+    * carries each query's lookup table, so the candidate join stays a
+    * broadcast equi-join on cell id against the scan-local encoded corpus
+    * — the full FAISS-style index shape, end-to-end oracle-checked. */
+  private def ivfpqRun(s: SparkSession, d: String): DataFrame = {
+    val emb = embDouble(t(s, d, "embeddings"))
+    val cent = centroids(s, d)
+    val cb = codebookRow(s, d)
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(desc("ccos"), col("cell"))
+    val probed = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("cell"),
+        cosine(col("qv"), col("cv")).as("ccos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= 2)
+      .select(col("q_id"), col("qv"), col("cell"))
+    val probedLut = probed.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("cell"), pqLut(col("qv")).as("lut"))
+    val enc = emb.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("label"), pqCodes(col("v")).as("code"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    enc.join(broadcast(probedLut), col("label") === col("cell")
+        && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adcCol.as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"), col("adc"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** DuckDB subspace squared L2: the same slice + (x-y)² + sequential
+    * fold (list_reduce's (x0+x1)+… ≡ Spark's ((0.0+x0)+x1)+… bitwise).
+    * `s.sub` is the 0-based subspace column in scope. */
+  private def subSqSql(vExpr: String, cvExpr: String): String =
+    s"list_reduce(list_transform(list_slice($vExpr, s.sub*8+1, s.sub*8+8)," +
+      s" (x, i) -> (x - $cvExpr[s.sub*8+i]) * (x - $cvExpr[s.sub*8+i]))," +
+      " (a, b) -> a + b)"
+
+  /** Shared oracle CTE block: embeddings as doubles, the round-6 decimal
+    * centroid table (codebook source), subspaces, per-(vector, subspace,
+    * codeword) distances, winning codes, queries, and per-query LUTs.
+    * Code ids are the codeword's cell value; Spark's positional ids map
+    * 1:1 because the single-row codebook is sorted by cell. */
+  private def pqCtesSql: String =
+    s"""e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (
+       |  SELECT label AS cell, list(c ORDER BY dim) AS cv FROM (
+       |    SELECT label, CAST(idx - 1 AS INT) AS dim,
+       |      ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10)))
+       |        AS DOUBLE) / COUNT(1), 6) AS c
+       |    FROM (SELECT label, UNNEST(embedding) AS x,
+       |            GENERATE_SUBSCRIPTS(embedding, 1) AS idx
+       |          FROM embeddings) t
+       |    GROUP BY label, idx) g
+       |  GROUP BY label),
+       |subs AS (SELECT UNNEST(range(8)) AS sub),
+       |sc AS (
+       |  SELECT e.vec_id, e.label, s.sub, c.cell AS cw,
+       |    ${subSqSql("e.v", "c.cv")} AS d
+       |  FROM e, subs s, cent c),
+       |codes AS (
+       |  SELECT vec_id, label, sub, cw FROM (
+       |    SELECT vec_id, label, sub, cw,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY d, cw) AS rn
+       |    FROM sc) x WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |lut AS (
+       |  SELECT q.q_id, s.sub, c.cell AS cw,
+       |    ${subSqSql("q.qv", "c.cv")} AS d
+       |  FROM q, subs s, cent c)""".stripMargin
+
+  private def pqOracle: String =
+    s"""WITH $pqCtesSql,
+       |adc AS (
+       |  SELECT l.q_id, cd.vec_id,
+       |    ROUND(list_reduce(list(l.d ORDER BY l.sub), (a, b) -> a + b), 6)
+       |      AS adc
+       |  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cw = cd.cw
+       |  GROUP BY l.q_id, cd.vec_id)
+       |SELECT q_id, vec_id, adc, rn FROM (
+       |  SELECT q_id, vec_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+       |  FROM adc WHERE vec_id <> q_id) y
+       |WHERE rn <= 3
+       |ORDER BY q_id, rn""".stripMargin
+
+  private def ivfpqOracle: String =
+    s"""WITH $pqCtesSql,
+       |probed AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6)
+       |          DESC, c.cell) AS rn
+       |    FROM q, cent c) x
+       |  WHERE rn <= 2),
+       |adc AS (
+       |  SELECT l.q_id, cd.vec_id,
+       |    ROUND(list_reduce(list(l.d ORDER BY l.sub), (a, b) -> a + b), 6)
+       |      AS adc
+       |  FROM codes cd
+       |  JOIN probed p ON p.cell = cd.label
+       |  JOIN lut l ON l.q_id = p.q_id AND l.sub = cd.sub AND l.cw = cd.cw
+       |  GROUP BY l.q_id, cd.vec_id)
+       |SELECT q_id, vec_id, adc, rn FROM (
+       |  SELECT q_id, vec_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+       |  FROM adc WHERE vec_id <> q_id) y
+       |WHERE rn <= 3
+       |ORDER BY q_id, rn""".stripMargin
+
   /** IVF-style ANN, parameterized by `nprobe` (how many nearest cells
     * each query searches — the standard IVF recall/cost knob). */
   private def ivfRun(nprobe: Int)(s: SparkSession, d: String): DataFrame = {
@@ -154,6 +336,16 @@ object SimilarityQueries {
     // nprobe = 2: each query searches its two nearest cells — the recall
     // knob every IVF deployment tunes. Same plan shape, 2× candidates.
     Query("q_knn_ivf_probe2", ivfRun(2), Some(ivfOracle(2))),
+
+    // Product quantization + ADC over the full corpus: the compressed-
+    // domain scan (8 codes/vector, distance = 8 table reads) that replaces
+    // the raw-vector fold when the corpus no longer fits in memory.
+    Query("q_knn_pq", pqRun, Some(pqOracle)),
+
+    // IVFADC — IVF coarse probe (nprobe=2) + ADC re-scoring of the probed
+    // inverted lists: the standard billion-scale index, both stages the
+    // oracle-checked deterministic stand-ins of their library twins.
+    Query("q_knn_ivfpq", ivfpqRun, Some(ivfpqOracle)),
 
     // Brute-force cosine top-5 for query vectors vec_id < 5.
     Query(

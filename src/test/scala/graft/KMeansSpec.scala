@@ -205,6 +205,90 @@ class KMeansSpec extends AnyFunSuite {
     assert(got === Map(1L -> Some(0), 2L -> None))
   }
 
+  // --- PQ / ADC ----------------------------------------------------------
+
+  /** Per-subspace codebooks learned with KMeans.fit on the slice — the
+    * real training path the catalog's label-derived stand-in replaces. */
+  private def trainedCodebook(m: Int, k: Int): Array[Array[Array[Double]]] = {
+    val dsub = dim / m
+    (0 until m).map { sub =>
+      val sliced = corpus.select(
+        slice(col("v"), sub * dsub + 1, dsub).as("sv"))
+      KMeans.fit(sliced, "sv", k, iters = 3)
+    }.toArray
+  }
+
+  test("pqEncode: literal and broadcast paths agree with driver argmin") {
+    val cb = trainedCodebook(m = 4, k = 3)
+    val viaLit = Ann.pqEncode(corpus, "v", cb, "code")
+      .select(col("vec_id"), col("code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val viaBc = Ann.pqEncodeBroadcast(corpus, "v", cb, 4, 2, "code")
+      .select(col("vec_id"), col("code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(viaLit === viaBc)
+    // driver-side ground truth, first-minimum tie-break
+    val rows = corpus.select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    rows.foreach { case (id, v) =>
+      val want = (0 until 4).map { sub =>
+        cb(sub).zipWithIndex.minBy { case (cw, i) =>
+          ((0 until 2).map(j => {
+            val t = v(sub * 2 + j) - cw(j); t * t
+          }).sum, i)
+        }._2
+      }
+      assert(viaLit(id) === want, s"vec $id")
+    }
+  }
+
+  test("pqEncode routes large codebooks to the broadcast path (bounded plan)") {
+    val k = KMeans.LiteralCentroidLimit + 10
+    val cb = (0 until 4).map(sub => Array.tabulate(k)(c =>
+      Array.tabulate(2)(j => ((c * 13 + sub * 5 + j * 7) % 23 - 11) * 0.3))).toArray
+    val enc = Ann.pqEncode(corpus, "v", cb, "code")
+    val planLen = enc.queryExecution.executedPlan.toString.length
+    assert(planLen < 20000, s"large-codebook plan not bounded: $planLen chars")
+    val got = enc.select(col("vec_id"), col("code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(got.size === 60 && got.values.forall(cs =>
+      cs.length === 4 && cs.forall(c => c >= 0 && c < k)))
+  }
+
+  test("pqEncode: null vector encodes to null codes, and pqSearch skips it") {
+    import spark.implicits._
+    val df = Seq((1L, Some(Seq(0.0, 0.0, 0.0, 0.0))), (2L, None))
+      .toDF("vec_id", "v")
+    val cb = Array(Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(0.0, 0.0), Array(2.0, 2.0)))
+    val enc = Ann.pqEncode(df, "v", cb, "code").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getSeq[Int](2).toSeq))).toMap
+    assert(enc === Map(1L -> Some(Seq(0, 0)), 2L -> None))
+    val res = Ann.pqSearch(df, df.where(col("vec_id") === 1L),
+      "vec_id", "v", cb, topK = 3)
+    assert(res.collect().isEmpty) // only candidate is self / null
+  }
+
+  test("pqSearch ADC finds the right cluster (learned subspace codebooks)") {
+    val cb = trainedCodebook(m = 4, k = 3)
+    val got = Ann.pqSearch(corpus, queriesDf, "vec_id", "v", cb, topK = 3)
+      .select(col("q_id"), col("vec_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every query returns a full top-3 and every neighbor is from the
+    // query's own natural cluster (PQ collapses intra-cluster detail but
+    // must not cross the well-separated cluster gaps)
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size === 6 && byQ.values.forall(_.length === 3))
+    got.foreach { case (q, v, _) =>
+      assert(q / nPerCluster === v / nPerCluster,
+        s"ADC crossed clusters: query $q -> $v")
+    }
+    // and ADC ordering is usable: decent overlap with exact cosine top-3
+    val r = recall(got.map { case (q, v, _) => (q, v) })
+    assert(r >= 0.5, s"ADC recall vs exact top-3 too low: $r")
+  }
+
   test("fit is deterministic and an emptied cell keeps its centroid") {
     val a = KMeans.fit(corpus, "v", k = 3, iters = 3)
     val b = KMeans.fit(corpus, "v", k = 3, iters = 3)
