@@ -25,6 +25,7 @@ object Catalog {
       TpcDsShapes5.queries ++ TpcDsShapes6.queries ++
       TpcDsShapes7.queries ++ TpcDsShapes8.queries ++
       TpcDsShapes9.queries ++ TpcDsShapes10.queries ++
+      TpcDsShapes11.queries ++
       Aggregates.queries ++
       Windows.queries ++ SetOps.queries ++
       Functions.queries ++ EventQueries.queries ++
