@@ -25,7 +25,7 @@ object Catalog {
       TpcDsShapes5.queries ++ TpcDsShapes6.queries ++
       TpcDsShapes7.queries ++ TpcDsShapes8.queries ++
       TpcDsShapes9.queries ++ TpcDsShapes10.queries ++
-      TpcDsShapes11.queries ++
+      TpcDsShapes11.queries ++ TpcDsShapes12.queries ++
       Aggregates.queries ++
       Windows.queries ++ SetOps.queries ++
       Functions.queries ++ EventQueries.queries ++

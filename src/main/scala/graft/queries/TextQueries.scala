@@ -15,6 +15,9 @@ object TextQueries {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** BM25 query terms: one rare term (high idf) + four mid-frequency. */
+  private val bm25Terms = Seq("dup", "spark", "vector", "stream", "query")
+
   val queries: Seq[Query] = Seq(
 
     // Token counting: whitespace tokens, distinct tokens, mean token length.
@@ -496,7 +499,115 @@ object TextQueries {
               / 1000000.0).as("mean_cond_p"))
           .orderBy(col("doc_id"))
       },
-      Some(lmScoreSql), bench = true))
+      Some(lmScoreSql), bench = true),
+
+    // BM25 top-k retrieval — the ranking function behind every lexical
+    // search index, as one corpus pass. Arithmetic is EXACT on both
+    // engines (the lm_score discipline): idf and the tf saturation term
+    // are scaled-integer floors — with k1=1.2, b=0.75 the BM25 kernel
+    // tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) multiplies through to the
+    // all-integer ratio 22·tf·L / (10·tf·L + 3·L + 9·dl·N) (avgdl=L/N),
+    // and idf log(…) is replaced by the scaled odds ratio
+    // (2N−2df+1)/(2df+1) — same ordering, no libm dependency. SINGLE
+    // SCAN: per-doc (term, tf) pairs come from size(filter(tokens, …))
+    // over ONE materialized token array ([[spark-lambda-cse-trap]]:
+    // tokenize in its own projection first); a '' carrier row per doc
+    // holds dl so the corpus stats (N, L) need no second scan. All
+    // three consumers (stats, df, scoring probe) re-read one
+    // (doc_id, term) shuffle — ReusedExchange, pinned in PlanSpec.
+    // Scale shape: the exploded relation is |docs|·(k+1) tiny rows
+    // BEFORE the tf>0 filter and ~matched-postings after it; df and
+    // stats are term-/single-row-sized broadcasts; the final agg is one
+    // partial-agged doc_id shuffle + TakeOrderedAndProject. No driver
+    // materialization, no cartesian, no double drift.
+    Query(
+      "q_text_bm25",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tk = col("__tk")
+        // The reuse discipline differs from lm_score in two ways forced
+        // by Catalyst: (1) no consumer may FILTER on the term key —
+        // term is a grouping key, so a term predicate pushes below the
+        // agg into that branch's scan and the subtrees stop matching;
+        // the carrier row therefore flows through the scoring join
+        // (m keeps its '' row) and is annihilated arithmetically in the
+        // projection. (2) both consumers must need the SAME value
+        // columns or column pruning specializes each branch's partial
+        // agg — so (dl, tf) travel as ONE struct 'pt' that neither
+        // branch can prune (carrier rows put dl in pt.tf's place: for
+        // term='' the "tf" IS the doc length, which both keeps pt.tf>0
+        // and lets the model read L from the carrier partition).
+        val g = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+          .select(col("doc_id"), size(tk).as("dl"),
+            explode(array(
+              struct(lit("").as("term"), size(tk).as("tf")) +:
+                bm25Terms.map(tm => struct(lit(tm).as("term"),
+                  size(expr(s"filter(__tk, x -> x = '$tm')")).as("tf"))): _*))
+              .as("t"))
+          .select(col("doc_id"), col("t.term").as("term"),
+            struct(col("dl"), col("t.tf").as("tf")).as("pt"))
+          .where(col("pt.tf") > 0 && col("term").isNotNull)
+          // one row per (doc, term) either way — the groupBy exists to
+          // give both consumers one common exchange to reuse
+          .groupBy(col("doc_id"), col("term"))
+          .agg(max(col("pt")).as("pt"))
+        // per-term model: the '' partition carries the corpus stats
+        // (df('') = N, sum of carrier dl = L); a partitionless window
+        // (vocab-sized input) attaches N and L to every term row
+        val m = g
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"),
+            sum(col("pt.dl")).cast("long").as("sdl"))
+          .withColumn("n_docs",
+            max(when(col("term") === "", col("df")))
+              .over(Window.partitionBy()))
+          .withColumn("total_len",
+            max(when(col("term") === "", col("sdl")))
+              .over(Window.partitionBy()))
+          .select(col("term"), col("df"), col("n_docs"), col("total_len"))
+        g.join(broadcast(m), Seq("term"))
+          .select(col("doc_id"), col("term"),
+            when(col("term") === "", lit(0L)).otherwise(
+              floor((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1))
+                * lit(1000000L) / (lit(2) * col("df") + lit(1)))
+                * floor(lit(22) * col("pt.tf") * col("total_len")
+                  * lit(1000000L)
+                  / (lit(10) * col("pt.tf") * col("total_len")
+                    + lit(3) * col("total_len")
+                    + lit(9) * col("pt.dl") * col("n_docs"))))
+              .as("contrib"))
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("term") =!= "", 1).otherwise(0)).as("n_terms"),
+            sum(col("contrib")).as("score_s"))
+          .orderBy(col("score_s").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(bm25Sql), bench = true),
+
+    // Inverted-index build — the posting-list materialization a lexical
+    // index runs at corpus scale: per term its document frequency,
+    // corpus frequency, and the head of the doc_id-sorted posting list.
+    // One explode → one (term, doc) partial-agged shuffle → one term
+    // shuffle; posting heads are bounded (first 8 ids) so the output
+    // row is O(1) regardless of how common the term is — the full list
+    // would make 'the'-class postings a single giant row; a real index
+    // shards them, a report truncates them. Deterministic: collect_list
+    // order is arbitrary, so the list is sorted before slicing.
+    Query(
+      "q_text_postings",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"),
+            sum(col("tf")).as("cf"),
+            concat_ws(",", slice(sort_array(collect_list(col("doc_id"))),
+              1, 8)).as("posting_head"))
+          .orderBy(col("term")),
+      Some(postingsSql)))
 
   /** 5-gram eval-overlap oracle: same shingling as the Spark side
     * (window LEADs over the split token list), eval slice = doc_id%7. */
@@ -541,6 +652,56 @@ object TextQueries {
       |FROM bigrams JOIN m12 USING (w1, w2) JOIN m1 USING (w1)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** BM25 oracle — identical scaled-integer arithmetic; the '' carrier
+    * term marks the per-doc stats row exactly as the Spark side does.
+    * SUM(dl) is cast to BIGINT (DuckDB sums integers into HUGEINT,
+    * which would widen the downstream arithmetic). */
+  private lazy val bm25Sql = {
+    val termList = ("" +: bm25Terms).map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (
+       |  SELECT doc_id, LEN(tk) AS dl, term,
+       |    CASE WHEN term = '' THEN LEN(tk)
+       |         ELSE LEN(list_filter(tk, x -> x = term)) END AS tf
+       |  FROM toks CROSS JOIN
+       |    (SELECT UNNEST([$termList]) AS term) q),
+       |gf AS (SELECT * FROM g WHERE tf > 0),
+       |stats AS (
+       |  SELECT COUNT(1) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
+       |  FROM gf WHERE term = ''),
+       |dfreq AS (
+       |  SELECT term, COUNT(1) AS df FROM gf GROUP BY 1)
+       |SELECT doc_id,
+       |  CAST(SUM(CASE WHEN term = '' THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_terms,
+       |  CAST(SUM(CASE WHEN term = '' THEN 0 ELSE
+       |    CAST(FLOOR((2*n_docs - 2*df + 1) * 1000000 / (2*df + 1))
+       |      AS BIGINT) *
+       |    CAST(FLOOR(22*tf*total_len * 1000000
+       |      / (10*tf*total_len + 3*total_len + 9*dl*n_docs))
+       |      AS BIGINT) END) AS BIGINT) AS score_s
+       |FROM gf JOIN dfreq USING (term) CROSS JOIN stats
+       |GROUP BY doc_id
+       |ORDER BY score_s DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
+  /** Posting-list oracle: DuckDB's list(…ORDER BY…) makes the head slice
+    * deterministic the same way sort_array does on the Spark side. */
+  private lazy val postingsSql =
+    """WITH tf AS (
+      |  SELECT term, doc_id, COUNT(1) AS tf
+      |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+      |        FROM documents) x
+      |  GROUP BY 1, 2)
+      |SELECT term, COUNT(1) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+      |  ARRAY_TO_STRING(list(doc_id ORDER BY doc_id)[1:8], ',')
+      |    AS posting_head
+      |FROM tf
+      |GROUP BY term
+      |ORDER BY term""".stripMargin
 
   private lazy val urlCanonSql =
     """WITH u AS (

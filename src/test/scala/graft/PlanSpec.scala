@@ -164,6 +164,27 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side partial agg:\n$p")
   }
 
+  test("q_text_bm25: single scan — stats, df and probe share one exchange") {
+    // the corpus pass (tokenize + per-term tf + the '' carrier row with
+    // dl) is the dominant cost; stats (N, L), document frequency, and
+    // the scoring probe must all re-read ONE (doc_id, term) shuffle,
+    // not scan the documents table three times. Runtime plan under AQE,
+    // same discipline as the lm_score pin above.
+    val df = Catalog.byName("q_text_bm25")
+      .run(SparkFixture.spark, SparkFixture.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"documents scanned more than once at runtime:\n$p")
+    assert("Generate explode".r.findAllIn(p).size === 1,
+      s"per-term tf explode evaluated more than once at runtime:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the (doc_id, term) shuffle not shared across its consumers:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no map-side partial agg:\n$p")
+  }
+
   test("q_ds_below_avg_items: rev CTE computed once at runtime (AQE reuse)") {
     // the SQL text references the rev CTE twice (rev itself + its
     // per-store average), and the initial plan prints two identical
