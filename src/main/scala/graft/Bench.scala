@@ -20,6 +20,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // q_text_bm25 attaches the two corpus stats via a partitionless
+    // window over the VOCAB-SIZED term aggregate (|bm25Terms|+1 rows) —
+    // the one shape that keeps the corpus single-scan (a stats cross
+    // join lets column pruning specialize the model branch and doubles
+    // the scan; a literal partition key is folded away by
+    // EliminateWindowPartitions). WindowExec's blanket
+    // no-partition-defined warning is baseless for that bounded input
+    // and would spam every bench run, so silence that ONE logger here;
+    // all other loggers keep WARN.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // warmup: touch every fixture + exercise codegen/shuffle machinery once
     graft.engine.Tables.all.foreach(t =>

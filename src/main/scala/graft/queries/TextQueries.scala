@@ -508,7 +508,14 @@ object TextQueries {
     // tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) multiplies through to the
     // all-integer ratio 22·tf·L / (10·tf·L + 3·L + 9·dl·N) (avgdl=L/N),
     // and idf log(…) is replaced by the scaled odds ratio
-    // (2N−2df+1)/(2df+1) — same ordering, no libm dependency. SINGLE
+    // (2N−2df+1)/(2df+1) — same ordering, no libm dependency. BOUND:
+    // the widest intermediate is 22·tf·L·1e6 in non-ANSI Long
+    // arithmetic, which wraps silently once tf·L exceeds ~4.2e11
+    // (DuckDB would widen to HUGEINT instead) — the cross-engine
+    // parity holds to a few-billion-token corpus (L ≲ 4e9 at tf ≤ 100).
+    // Past that, shard the corpus stats per index partition (a real
+    // sharded index does anyway) or divide L out of the ratio (it
+    // cancels against avgdl). SINGLE
     // SCAN: per-doc (term, tf) pairs come from size(filter(tokens, …))
     // over ONE materialized token array ([[spark-lambda-cse-trap]]:
     // tokenize in its own projection first); a '' carrier row per doc
@@ -554,7 +561,18 @@ object TextQueries {
           .agg(max(col("pt")).as("pt"))
         // per-term model: the '' partition carries the corpus stats
         // (df('') = N, sum of carrier dl = L); a partitionless window
-        // (vocab-sized input) attaches N and L to every term row
+        // (vocab-sized input — |bm25Terms|+1 rows — so the single
+        // partition is bounded and harmless) attaches N and L to every
+        // term row. WindowExec's no-partition-defined warning is
+        // baseless here and suppressed on the bench path (Bench.scala)
+        // rather than dodged in the plan: a 1-row global-stats cross
+        // join breaks the single-scan pin (the model branch then needs
+        // only df, column pruning drops pt from its copy of g, the
+        // subtrees stop hashing equal and the corpus scans TWICE —
+        // verified), and a literal partition key is folded away by
+        // EliminateWindowPartitions before WindowExec checks the spec.
+        // The window keeps ONE consumer of the term aggregate, which
+        // is the whole reuse discipline (see (2) above).
         val m = g
           .groupBy(col("term"))
           .agg(count(lit(1)).as("df"),

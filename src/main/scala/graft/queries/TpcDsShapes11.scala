@@ -29,8 +29,11 @@ object TpcDsShapes11 {
   // over one fact scan + one dim join; the matrix report every shipping
   // dashboard runs. One two-phase agg, counts are integer-exact.
   private val shipLagMatrixSql = {
+    // CAST ... AS BIGINT is the house discipline for shared-SQL
+    // SUM(CASE...): DuckDB sums integers into HUGEINT, Spark into
+    // BIGINT, and the driver hash is type-sensitive.
     def band(cond: String, as: String) =
-      s"  SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS $as"
+      s"  CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS $as"
     s"""SELECT o_orderpriority, l_returnflag,
        |${band("l_shipdate <= o_orderdate + INTERVAL 30 DAY", "d30")},
        |${band("l_shipdate > o_orderdate + INTERVAL 30 DAY AND l_shipdate <= o_orderdate + INTERVAL 60 DAY", "d60")},

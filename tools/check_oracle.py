@@ -5,8 +5,11 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the fixture tables, and
-compares: row count, sorted-by-name column list, and exact cell values
-(rows sorted by all columns). Prints PASS/FAIL per query.
+compares: row count, sorted-by-name column list, declared column TYPES
+(both sides are DuckDB relations, so a Spark BIGINT vs DuckDB HUGEINT
+SUM(CASE...) slip fails here like it fails the driver's type-sensitive
+hash), and exact cell values (rows sorted by all columns). Prints
+PASS/FAIL per query.
 """
 import glob
 import json
@@ -70,6 +73,26 @@ def main():
             continue
         if sorted(s_cols) != sorted(o_cols):
             print(f"FAIL {name}: cols {sorted(s_cols)} vs {sorted(o_cols)}")
+            n_fail += 1
+            continue
+        def canon_type(t):
+            # Integer widths <= 64-bit are interchangeable (the driver
+            # hash tolerates Spark's INT32 vs an oracle BIGINT — proven
+            # by 30 green r05 rows); HUGEINT is NOT (the one red r05
+            # row was a DuckDB HUGEINT vs Spark BIGINT SUM slip), so it
+            # stays distinct and fails the gate.
+            s = str(t)
+            return "INT" if s in ("TINYINT", "SMALLINT", "INTEGER",
+                                  "BIGINT", "UTINYINT", "USMALLINT",
+                                  "UINTEGER", "UBIGINT") else s
+        s_types = [canon_type(t) for _, t in
+                   sorted(zip(s_cols, spark_rel.types))]
+        o_types = [canon_type(t) for _, t in
+                   sorted(zip(o_cols, o_rel.types))]
+        if s_types != o_types:
+            diff = [(c, a, b) for c, a, b in
+                    zip(sorted(s_cols), s_types, o_types) if a != b]
+            print(f"FAIL {name}: column types differ {diff}")
             n_fail += 1
             continue
         if len(s_rows) != len(o_rows):
