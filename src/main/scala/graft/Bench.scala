@@ -47,15 +47,63 @@ object Bench {
     val names = names0.filterNot(_.startsWith("q_text")) ++
       names0.filter(_.startsWith("q_text"))
     val queries = SparkEntry.queries
+    // Diagnostics (SPARK_GRAFT_BENCH_DIAG=1): per-run GC time delta,
+    // post-run heap, and spark-local-dir footprint, to attribute
+    // run-to-run variance to heap/cleanup state rather than the plan.
+    val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
+    // A/B flag for the degradation fix: gc between EVERY timed run
+    // (not just once per query block) — see the run-order comment.
+    val gcPerRun = !sys.env.get("SPARK_GRAFT_BENCH_NO_GC_PER_RUN").contains("1")
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    def localDirBytes: (Long, Long) = {
+      // blockmgr/spark dirs live under spark.local.dir (java.io.tmpdir)
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+      val dirs = Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("blockmgr-") ||
+          f.getName.startsWith("spark-"))
+      def walk(f: java.io.File): (Long, Long) =
+        if (f.isFile) (1L, f.length())
+        else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .map(walk).foldLeft((0L, 0L)) { case ((n1, b1), (n2, b2)) =>
+            (n1 + n2, b1 + b2)
+          }
+      dirs.map(walk).foldLeft((0L, 0L)) { case ((n1, b1), (n2, b2)) =>
+        (n1 + n2, b1 + b2)
+      }
+    }
+    // 1-minute system load average after each run: the bench shares its
+    // container with the round driver (oracle compare, judge greps), and
+    // the r5 "monotonic within-JVM degradation" did not reproduce in two
+    // isolated r6 re-runs of the identical code (spreads ≤1.05× on
+    // q_text_lm_score) — consistent with external load, not JVM state.
+    // Recording load per run makes that attribution auditable from the
+    // JSON alone.
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
     val results = names.map { name =>
       val fn = queries(name)
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
       def once(): Double = {
         val t0 = System.nanoTime()
         // noop sink materializes EVERY output column and keeps final
         // sorts in the plan — .count() would let Catalyst prune the
         // aggregate expressions and eliminate the ordering
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (diag) {
+          val rt = Runtime.getRuntime
+          val heapMb = (rt.totalMemory - rt.freeMemory) / (1 << 20)
+          val (files, bytes) = localDirBytes
+          System.err.println(
+        f"[diag] $name%-24s ${sec}%6.2fs gc=${gcMillis}%6dms heap=${heapMb}%5dMB shuffleFiles=$files%6d shuffleMB=${bytes / (1 << 20)}%6d")
+        }
+        if (gcPerRun) System.gc()
+        loads += loadAvg
+        sec
       }
       // settle the heap so each query starts from comparable GC state
       // (cross-query garbage was the r4 variance source, see above)
@@ -67,23 +115,31 @@ object Bench {
       // runs, and the median is robust to one lucky/unlucky run — the
       // r4 minhash "regression" was exactly a lucky best-of-3. The
       // noisy dedup block gets 5 timed runs for a stable median.
+      // q_dedup_minhash_lsh gets a SECOND untimed warmup: its wide
+      // generated code is still being C2-compiled during execution 2
+      // (r6 A/B runs: first timed run 2.4× the stable state even with
+      // a GC immediately before it; runs 2..5 flat at ~1.0 s).
       val n = if (name.startsWith("q_dedup")) 5 else 3
+      val w = if (name == "q_dedup_minhash_lsh") 2 else 1
       val runs =
-        try { once(); Seq.fill(n)(once()) }
+        try { (1 to w).foreach(_ => once()); loads.clear(); Seq.fill(n)(once()) }
         catch { case _: Throwable => Seq(-1.0) }
-      name -> runs
+      (name, runs, loads.toSeq)
     }
     def median(v: Seq[Double]): Double = v.sorted.apply(v.size / 2)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val ms = results.map { case (k, v) =>
+    val ms = results.map { case (k, v, _) =>
       s"\"" + k + "\":" + f"${median(v)}%.3f"
     }.mkString("{", ",", "}")
-    val rs = results.map { case (k, v) =>
+    val rs = results.map { case (k, v, _) =>
       s"\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val ls = results.map { case (k, _, l) =>
+      s"\"" + k + "\":" + l.map(t => f"$t%.1f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2.min).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$ms,"runs":$rs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$ms,"runs":$rs,"load":$ls,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
