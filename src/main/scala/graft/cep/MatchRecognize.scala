@@ -206,7 +206,9 @@ object MatchRecognize {
             "SUBSET name = (var, ...), ...")
         entries.foreach { case (n, ms) => require(ms.nonEmpty,
           s"MATCH_RECOGNIZE: SUBSET $n has no members") }
-        require(entries.map(_._1.toLowerCase).distinct.size ==
+        // case-SENSITIVE like pattern-variable resolution (varMatch and
+        // the collision/member checks): SUBSET U and u are distinct names
+        require(entries.map(_._1).distinct.size ==
           entries.size, "MATCH_RECOGNIZE: duplicate SUBSET name")
         entries
       }.getOrElse(Seq.empty)

@@ -57,18 +57,31 @@ private object AvroDataSource {
     finally r.close()
   }
 
-  // validated schema per directory STAMP (path + file count + max mtime
-  // + total bytes): planning re-reads every file header only when the
-  // directory actually changed, not on every query over a static dir
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long, Long), StructType]()
+  // validated schema per directory, revalidated when the directory STAMP
+  // (file count + max mtime + total bytes) changes: planning re-reads
+  // every file header only when the directory actually changed, not on
+  // every query over a static dir. Keyed by PATH with the stamp stored in
+  // the value — exactly one live entry per directory, so the cache is
+  // bounded by the number of distinct paths read and a rewritten
+  // directory replaces (not shadows) its stale entry; the residual
+  // staleness window is a same-second in-place rewrite with equal file
+  // count and total bytes (mtime is second-granularity on some
+  // filesystems), not a permanent stale hit
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Int, Long, Long), StructType)]()
 
   def inferAndValidate(path: String): StructType = {
     val files = listFiles(path)
     require(files.nonEmpty, s"AvroDataSource: no .avro files under $path")
-    val stamp = (path, files.length,
+    val stamp = (files.length,
       files.map(_.lastModified()).max, files.map(_.length()).sum)
-    schemaCache.computeIfAbsent(stamp, _ => {
+    schemaCache.compute(path, (_, prev) =>
+      if (prev != null && prev._1 == stamp) prev
+      else (stamp, infer(files))
+    )._2
+  }
+
+  private def infer(files: Seq[File]): StructType = {
       // a heterogeneous directory (evolved schemas) would otherwise
       // decode later files against the first file's expectations and
       // surface as a ClassCastException (or silent wrong values) at scan
@@ -85,7 +98,6 @@ private object AvroDataSource {
             s"$st vs $first — heterogeneous avro directories are not supported")
       }
       first
-    })
   }
 }
 

@@ -253,6 +253,12 @@ object AvroIO {
       val af = sch.getField(f.name)
       require(af != null,
         s"AvroIO: writer schema lacks field '$path.${f.name}'")
+      // nullability is structural too: a nullable Spark column against a
+      // non-union target would only fail per-row in a task when the first
+      // null arrives, after partial output exists — reject up front
+      require(!f.nullable || af.schema.isNullable,
+        s"AvroIO: '$path.${f.name}' is nullable in Spark but target " +
+          s"${af.schema} has no null union branch")
       validateFieldSchema(f.dataType, unwrap(af.schema), s"$path.${f.name}")
     }
   }
@@ -270,9 +276,15 @@ object AvroIO {
         case _ => throw new IllegalArgumentException(
           s"AvroIO: $path maps decimal to fixed without a decimal logical type")
       }
-    case (ArrayType(et, _), Schema.Type.ARRAY) =>
+    case (ArrayType(et, cn), Schema.Type.ARRAY) =>
+      require(!cn || s.getElementType.isNullable,
+        s"AvroIO: $path[] elements nullable in Spark but target element " +
+          s"${s.getElementType} has no null union branch")
       validateFieldSchema(et, unwrap(s.getElementType), s"$path[]")
-    case (MapType(StringType, vt, _), Schema.Type.MAP) =>
+    case (MapType(StringType, vt, vn), Schema.Type.MAP) =>
+      require(!vn || s.getValueType.isNullable,
+        s"AvroIO: $path{} values nullable in Spark but target value " +
+          s"${s.getValueType} has no null union branch")
       validateFieldSchema(vt, unwrap(s.getValueType), s"$path{}")
     case (nested: StructType, Schema.Type.RECORD) =>
       validateWriterSchema(nested, s, path)

@@ -23,15 +23,21 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
   */
 object Streams {
 
-  /** events.parquet schema with ts as raw parquet nanos (see
-    * graft.engine.Tables: Spark rejects TIMESTAMP(NANOS) natively). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events.parquet stream-source schema: ts declared as whatever the
+    * fixture generation wrote — raw long (TIMESTAMP(NANOS) under
+    * nanosAsLong — Spark rejects NANOS natively) or micros NTZ — and
+    * normalized to TimestampType after the scan (graft.engine.Tables
+    * documents the encodings). The file source needs the schema declared
+    * up front, so the on-disk variant is probed once per call with a
+    * driver-side batch footer read. */
+  private def eventsRawSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** The events fixture as a bounded stream. Spark's file stream source
     * monitors a DIRECTORY; the fixture is a single file, so it is staged
@@ -65,10 +71,11 @@ object Streams {
       }
       java.nio.file.Files.write(marker, stamp.getBytes)
     }
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsType = spark.read.parquet(src.toString).schema("ts").dataType
+    graft.engine.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(eventsRawSchema(tsType))
+        .parquet(streamDir.toString))
   }
 
   /** Tumbling-window count/sum with event-time watermark (reference

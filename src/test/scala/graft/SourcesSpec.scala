@@ -235,13 +235,19 @@ class SourcesSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
     val dir = java.nio.file.Files.createTempDirectory("graft_avro_sd").toString
-    val df = spark.range(6).select(
+    val df0 = spark.range(6).select(
       col("id"),
       element_at(array(lit("RED"), lit("GREEN"), lit("BLUE")),
         (col("id") % 3 + 1).cast("int")).as("c"),
       unhex(lpad(hex(col("id")), 8, "0")).as("fx"),
       // negatives exercise the two's-complement sign-extension
       (col("id").cast("decimal(10,2)") - 3.5).cast("decimal(10,2)").as("dec"))
+    // the target declares c/fx/dec non-union (non-nullable), so the
+    // Spark schema must assert non-nullability up front — computed
+    // columns infer nullable=true even when no value can be null
+    val df = spark.createDataFrame(df0.rdd,
+      org.apache.spark.sql.types.StructType(
+        df0.schema.fields.map(_.copy(nullable = false))))
     val enumSch = SchemaBuilder.enumeration("color")
       .symbols("RED", "GREEN", "BLUE")
     val fixedSch = SchemaBuilder.fixed("f4").size(4)
@@ -278,9 +284,12 @@ class SourcesSpec extends AnyFunSuite {
       want.map(_.getAs[Array[Byte]](2).toSeq).toSeq)
     assert(back.map(_.getDecimal(3)).toSeq === want.map(_.getDecimal(3)).toSeq)
     // a non-symbol value fails the task naming value and enum
-    val bad = spark.range(1).select(col("id"), lit("MAUVE").as("c"),
+    val bad0 = spark.range(1).select(col("id"), lit("MAUVE").as("c"),
       unhex(lit("00000000")).as("fx"),
       lit(1.5).cast("decimal(10,2)").as("dec"))
+    val bad = spark.createDataFrame(bad0.rdd,
+      org.apache.spark.sql.types.StructType(
+        bad0.schema.fields.map(_.copy(nullable = false))))
     val e = intercept[Exception] {
       graft.sources.AvroIO.write(bad, s"$dir/bad", target.toString)
     }
@@ -293,6 +302,13 @@ class SourcesSpec extends AnyFunSuite {
         df.withColumnRenamed("c", "zzz"), s"$dir/bad2", target.toString)
     }
     assert(missing.getMessage.contains("zzz"))
+    // nullability is part of the driver-side contract: a NULLABLE Spark
+    // column against a non-union target is rejected before any task
+    // writes partial output (a null would otherwise fail per-row)
+    val nullable = intercept[IllegalArgumentException] {
+      graft.sources.AvroIO.write(df0, s"$dir/bad3", target.toString)
+    }
+    assert(nullable.getMessage.contains("null union branch"))
   }
 
   test("file metadata columns surface provenance (SupportsReadingMetadata)") {
