@@ -94,7 +94,27 @@ object Cep {
       quant: Quant = One, relaxed: Boolean = false,
       negated: Boolean = false,
       alts: Seq[(String, Row => Boolean)] = Nil,
-      until: Option[Row => Boolean] = None)
+      until: Option[Row => Boolean] = None,
+      group: Seq[Step] = Nil)
+
+  /** A quantifiable sequence group `(A B)` as one step (reference
+    * GroupPattern.java — flink-cep/.../pattern/GroupPattern.java): the
+    * quantifier applies to the whole sub-sequence, so `group(a, b)` with
+    * `Plus` is `(A B)+` — one or more complete A-then-B runs. Sub-steps
+    * keep their own names (emitted rows are labeled A and B, not the
+    * group), quantifiers, and strict/relaxed contiguity; consecutive
+    * iterations (and iteration 1's first sub-step) attach with the
+    * GROUP's contiguity — `followedBy(group)` admits gaps between
+    * iterations, `next(group)` demands contiguous runs. An iteration
+    * must consume at least one event (an all-optional group cannot loop
+    * on emptiness). `until` on the group stops the iteration loop at the
+    * first boundary event satisfying it. Not supported inside a group:
+    * nested groups, alternation sub-steps, `until` on a sub-step. */
+  def group(sub: Step*): Step = {
+    require(sub.nonEmpty, "empty sequence group")
+    Step("(" + sub.map(_.name).mkString(" ") + ")",
+      _ => false, group = sub.toVector)
+  }
 
   /** An alternation group `(A|B)` as one step: matches events satisfying
     * ANY alternative; each consumed event is emitted under the FIRST
@@ -133,6 +153,32 @@ object Cep {
         require(mx > 1,
           s"until on non-looping step '${s.name}' (reference restricts " +
             "until to looping patterns — oneOrMore/times)")
+      }
+      if (s.group.nonEmpty) {
+        require(!s.negated, s"group '${s.name}' cannot be negated")
+        require(s.alts.isEmpty,
+          s"group '${s.name}' cannot also be an alternation")
+        s.group.foreach { g =>
+          require(g.group.isEmpty,
+            s"nested group inside '${s.name}' is not supported")
+          require(g.alts.isEmpty,
+            s"alternation sub-step '${g.name}' inside group " +
+              s"'${s.name}' is not supported")
+          require(g.until.isEmpty,
+            s"until on sub-step '${g.name}' — put it on the group")
+          if (g.negated) require(g.quant == One,
+            s"negated sub-step '${g.name}' cannot be quantified")
+        }
+        require(s.group.exists(!_.negated),
+          s"group '${s.name}' needs at least one positive sub-step")
+        // a trailing relaxed guard's gap is bounded by the NEXT positive
+        // step — inside a loop that may be the next iteration's first
+        // positive sub-step, but on the last iteration it needs one
+        // after the group (mirrors the top-level notFollowedBy rule)
+        if (s.group.last.negated && s.group.last.relaxed)
+          require(steps.drop(i + 1).exists(!_.negated),
+            s"group '${s.name}' ends with a notFollowedBy guard and no " +
+              "later positive step bounds its final gap")
       }
     }
   }
@@ -254,33 +300,49 @@ object Cep {
   }
 
   /** Emit one completed match and return the position the after-match
-    * skip resumes at. Skip works on CONSUMED POSITIONS (with relaxed
-    * contiguity a match is not a contiguous run, so length sums no
-    * longer locate its events); all-optional patterns can match zero
-    * events — always advance at least one. */
+    * skip resumes at. Hits carry (position, label) pairs — the label was
+    * fixed at consume time (step name, first matching alternative of an
+    * alternation, or the consuming sub-step of a group). Skip works on
+    * CONSUMED POSITIONS (with relaxed contiguity a match is not a
+    * contiguous run, so length sums no longer locate its events);
+    * all-optional patterns can match zero events — always advance at
+    * least one. A skip-to NAME resolves to a top-level step first, then
+    * to a group sub-step or alternation label. */
   private def emitAndSkip(events: scala.collection.IndexedSeq[Row], i: Int,
-      posHits: Seq[Seq[Int]], steps: Seq[Step], skip: SkipStrategy,
-      iIdx: Int, key: Long, seq: Int,
+      posHits: Seq[Seq[(Int, String)]], steps: Seq[Step],
+      skip: SkipStrategy, iIdx: Int, key: Long, seq: Int,
       out: scala.collection.mutable.Growable[(Long, String, Long, Int)])
       : Int = {
-    posHits.zip(steps).foreach { case (hits, st) =>
-      hits.foreach(p => out += ((key, labelFor(st, events(p)),
-        events(p).getLong(iIdx), seq)))
+    posHits.foreach(_.foreach { case (p, label) =>
+      out += ((key, label, events(p).getLong(iIdx), seq))
+    })
+    val all = posHits.flatten.map(_._1)
+    def resolve(name: String): Int = {
+      val idx = steps.indexWhere(_.name == name)
+      if (idx >= 0) idx
+      else steps.indexWhere(s =>
+        s.alts.exists(_._1 == name) ||
+          s.group.exists(g => g.name == name || g.alts.exists(_._1 == name)))
     }
-    val all = posHits.flatten
     skip match {
       case SkipPastLast => if (all.isEmpty) i + 1 else all.max + 1
       case SkipToNext => i + 1
       case SkipToFirst(name) =>
-        val idx = steps.indexWhere(_.name == name)
+        val idx = resolve(name)
         require(idx >= 0, s"skip-to-first: no step '$name'")
-        val cand = posHits.drop(idx).flatten
+        val named = posHits(idx).collect { case (p, `name`) => p }
+        val cand =
+          if (named.nonEmpty) named
+          else posHits.drop(idx).flatten.map(_._1)
         math.max(i + 1, if (cand.nonEmpty) cand.min
           else if (all.isEmpty) i + 1 else all.max + 1)
       case SkipToLast(name) =>
-        val idx = steps.indexWhere(_.name == name)
+        val idx = resolve(name)
         require(idx >= 0, s"skip-to-last: no step '$name'")
-        val cand = posHits.take(idx + 1).flatten
+        val named = posHits(idx).collect { case (p, `name`) => p }
+        val cand =
+          if (named.nonEmpty) named
+          else posHits.take(idx + 1).flatten.map(_._1)
         math.max(i + 1, if (cand.nonEmpty) cand.max else i + 1)
     }
   }
@@ -349,68 +411,120 @@ object Cep {
     * state). Returns the per-step consumed POSITIONS (empty for a
     * zero-match quantifier or a negation). */
   private def attemptAt(events: scala.collection.IndexedSeq[Row], start: Int, steps: Seq[Step],
-      withinMicros: Option[Long], tIdx: Int): Option[Seq[Seq[Int]]] = {
+      withinMicros: Option[Long], tIdx: Int): Option[Seq[Seq[(Int, String)]]] = {
+    type Res = Seq[Seq[(Int, String)]]
     val startUs = tsMicros(events(start).getTimestamp(tIdx))
     def inWindow(i: Int): Boolean = withinMicros.forall(w =>
       tsMicros(events(i).getTimestamp(tIdx)) - startUs <= w)
 
-    def rec(si: Int, pos: Int, guards: List[Row => Boolean],
-        acc: List[Seq[Int]]): Option[Seq[Seq[Int]]] = {
-      if (si == steps.length) return Some(acc.reverse)
-      val st = steps(si)
+    // Consume one positive non-group step at `pos`: scan its feasible
+    // run, then hand each quantifier choice k (greedy: longest first;
+    // reluctant: shortest first) to `cont` with the labeled takes.
+    // Consuming k > 0 events releases the armed guards (the gap they
+    // bound has closed).
+    def consume(st: Step, pos: Int, guards: List[Row => Boolean],
+        cont: (Int, List[Row => Boolean], List[(Int, String)]) => Option[Res])
+        : Option[Res] = {
+      val (mn, mx, greedy) = bounds(st.quant)
+      // until: predicate stop-condition — the loop accepts nothing at
+      // or beyond the first event satisfying it (the stop event is
+      // left for the NEXT step to consume)
+      val stopAt: Row => Boolean = st.until.getOrElse(_ => false)
+      val takes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var p = pos
+      if (!st.relaxed) {
+        // contiguous run; an armed guard sees an empty gap — no-op
+        while (takes.length < mx && p < events.length
+          && !stopAt(events(p))
+          && st.pred(events(p)) && inWindow(p)) { takes += p; p += 1 }
+      } else {
+        // skip non-matching events; before the first take, a skipped
+        // event matching an armed guard caps the scan (STOP state) —
+        // takes found earlier are impossible then (takes.isEmpty), so
+        // only a zero-consume branch can survive and the guard stays
+        // armed for the next positive step, which re-encounters the
+        // offending event in its own gap
+        var live = true
+        while (live && takes.length < mx && p < events.length
+          && inWindow(p)) {
+          if (stopAt(events(p))) live = false
+          else if (st.pred(events(p))) { takes += p; p += 1 }
+          else if (takes.isEmpty && guards.exists(_(events(p)))) live = false
+          else p += 1
+        }
+      }
+      // greedy: longest first, hand back on failure; reluctant:
+      // shortest first, extend on failure
+      val order = if (greedy) takes.length to mn by -1 else mn to takes.length
+      for (k <- order) {
+        val (nPos, nGuards) =
+          if (k == 0) (pos, guards) else (takes(k - 1) + 1, Nil)
+        val res = cont(nPos, nGuards,
+          takes.take(k).toList.map(p2 => (p2, labelFor(st, events(p2)))))
+        if (res.isDefined) return res
+      }
+      None
+    }
+
+    // Generic sequence matcher: match ss(si..) starting at pos, then call
+    // `cont` with (position after, surviving guards, per-step hits in
+    // REVERSE step order). Both the top-level pattern and each group
+    // iteration run through here.
+    def seqRec(ss: Seq[Step], si: Int, pos: Int,
+        guards: List[Row => Boolean], acc: List[List[(Int, String)]],
+        cont: (Int, List[Row => Boolean], List[List[(Int, String)]])
+          => Option[Res]): Option[Res] = {
+      if (si == ss.length) return cont(pos, guards, acc)
+      val st = ss(si)
       if (st.negated) {
         if (!st.relaxed) {
           // notNext: window-scoped check of the immediately-following
           // event; absence (end of timeline) passes
           if (pos < events.length && inWindow(pos) && st.pred(events(pos)))
             None
-          else rec(si + 1, pos, guards, Nil :: acc)
+          else seqRec(ss, si + 1, pos, guards, Nil :: acc, cont)
         } else
           // notFollowedBy: arm the guard for the next positive step's gap
-          rec(si + 1, pos, st.pred :: guards, Nil :: acc)
-      } else {
+          seqRec(ss, si + 1, pos, st.pred :: guards, Nil :: acc, cont)
+      } else if (st.group.nonEmpty) {
         val (mn, mx, greedy) = bounds(st.quant)
-        // until: predicate stop-condition — the loop accepts nothing at
-        // or beyond the first event satisfying it (the stop event is
-        // left for the NEXT step to consume)
         val stopAt: Row => Boolean = st.until.getOrElse(_ => false)
-        val takes = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var p = pos
-        if (!st.relaxed) {
-          // contiguous run; an armed guard sees an empty gap — no-op
-          while (takes.length < mx && p < events.length
-            && !stopAt(events(p))
-            && st.pred(events(p)) && inWindow(p)) { takes += p; p += 1 }
-        } else {
-          // skip non-matching events; before the first take, a skipped
-          // event matching an armed guard caps the scan (STOP state) —
-          // takes found earlier are impossible then (takes.isEmpty), so
-          // only a zero-consume branch can survive and the guard stays
-          // armed for the next positive step, which re-encounters the
-          // offending event in its own gap
-          var live = true
-          while (live && takes.length < mx && p < events.length
-            && inWindow(p)) {
-            if (stopAt(events(p))) live = false
-            else if (st.pred(events(p))) { takes += p; p += 1 }
-            else if (takes.isEmpty && guards.exists(_(events(p)))) live = false
-            else p += 1
-          }
+        // iterations 2..k (and iteration 1's first positive sub-step)
+        // attach with the GROUP's contiguity
+        val sub =
+          if (st.relaxed && !st.group.head.relaxed)
+            st.group.head.copy(relaxed = true) +: st.group.tail
+          else st.group
+        def iterate(k: Int, pos2: Int, guards2: List[Row => Boolean],
+            takenRev: List[List[(Int, String)]]): Option[Res] = {
+          def more: Option[Res] =
+            if (k >= mx) None
+            // group-level until: checked at the iteration boundary — the
+            // stop event is left for the next step
+            else if (pos2 < events.length && inWindow(pos2)
+              && stopAt(events(pos2))) None
+            else seqRec(sub, 0, pos2, guards2, Nil, (p3, g3, subAcc) =>
+              // an iteration must consume ≥1 event: a zero-width pass
+              // makes no progress and would loop forever under mx = ∞
+              if (p3 == pos2) None
+              else iterate(k + 1, p3, g3,
+                subAcc.reverse.flatten :: takenRev))
+          def stop: Option[Res] =
+            if (k >= mn)
+              seqRec(ss, si + 1, pos2, guards2,
+                takenRev.reverse.flatten :: acc, cont)
+            else None
+          if (greedy) more.orElse(stop) else stop.orElse(more)
         }
-        // greedy: longest first, hand back on failure; reluctant:
-        // shortest first, extend on failure. Consuming k > 0 events
-        // releases the armed guards (the gap they bound has closed).
-        val order = if (greedy) takes.length to mn by -1 else mn to takes.length
-        for (k <- order) {
-          val (nPos, nGuards) =
-            if (k == 0) (pos, guards) else (takes(k - 1) + 1, Nil)
-          val res = rec(si + 1, nPos, nGuards, takes.take(k).toList :: acc)
-          if (res.isDefined) return res
-        }
-        None
-      }
+        iterate(0, pos, guards, Nil)
+      } else
+
+        consume(st, pos, guards, (nPos, nGuards, taken) =>
+          seqRec(ss, si + 1, nPos, nGuards, taken :: acc, cont))
     }
-    rec(0, start, Nil, Nil)
+
+    seqRec(steps, 0, start, Nil, Nil,
+      (_, _, acc) => Some(acc.reverse.map(_.toSeq)))
   }
 
   /** Incremental streaming NFA (strict contiguity): keyed partial-match
@@ -459,10 +573,15 @@ object Cep {
       eventTime: Boolean = false): DataFrame = {
     require(!flushOnHorizon || withinMicros.isDefined,
       "flushOnHorizon needs a withinMicros horizon (and a watermarked input)")
+    // a skip-to NAME may be a top-level step, a group sub-step, or an
+    // alternation label (the batch emitAndSkip resolution contract)
+    def skipTarget(name: String): Boolean = steps.exists(s =>
+      s.name == name || s.alts.exists(_._1 == name) ||
+        s.group.exists(g => g.name == name || g.alts.exists(_._1 == name)))
     skip match {
-      case SkipToFirst(name) => require(steps.exists(_.name == name),
+      case SkipToFirst(name) => require(skipTarget(name),
         s"skip-to-first: no step '$name'")
-      case SkipToLast(name) => require(steps.exists(_.name == name),
+      case SkipToLast(name) => require(skipTarget(name),
         s"skip-to-last: no step '$name'")
       case _ =>
     }
@@ -477,41 +596,51 @@ object Cep {
       s"matchPatternStream: missing column among " +
         s"$keyCol/$tsCol/$idCol in ${fields.mkString(",")}")
     validateSteps(steps)
-    val nSteps = steps.length
-    val stepBounds = steps.map(s => bounds(s.quant)).toArray
-    val stepNames = steps.map(_.name).toArray
-    val stepRelaxed = steps.map(_.relaxed).toArray
-    val stepNegated = steps.map(_.negated).toArray
     // predicate SLOTS: one per plain step, one per alternative of an
-    // alternation group — the per-event bitmask stores slot bits, so the
-    // emit-time classifier label is recoverable without the row (state
-    // never holds rows). A step matches when any of its slots match.
+    // alternation group, one per sub-step of a sequence group — the
+    // per-event bitmask stores slot bits, so the emit-time classifier
+    // label is recoverable without the row (state never holds rows). A
+    // step matches when any of its slots match; a consumed position
+    // records WHICH slot consumed it (lowest set bit in the consuming
+    // step's mask — first declared alternative, the classifier
+    // contract).
     val slotPreds = scala.collection.mutable.ArrayBuffer.empty[Row => Boolean]
     val slotLabels = scala.collection.mutable.ArrayBuffer.empty[String]
-    val stepMasks = new Array[Long](nSteps)
-    // until stop-conditions get their own slots: evaluated at ingest
-    // like any predicate, but excluded from stepMasks so the classifier
-    // can never pick them as an output label
-    val untilMasks = new Array[Long](nSteps)
-    steps.zipWithIndex.foreach { case (st, si) =>
-      val slots = if (st.alts.isEmpty) Seq(st.name -> st.pred) else st.alts
-      slots.foreach { case (label, p) =>
-        require(slotPreds.length < 63,
-          "streaming NFA supports at most 63 predicate slots " +
-            "(steps + alternation alternatives + until conditions)")
-        stepMasks(si) |= 1L << slotPreds.length
-        slotPreds += p
-        slotLabels += label
-      }
-      st.until.foreach { up =>
-        require(slotPreds.length < 63,
-          "streaming NFA supports at most 63 predicate slots " +
-            "(steps + alternation alternatives + until conditions)")
-        untilMasks(si) = 1L << slotPreds.length
-        slotPreds += up
-        slotLabels += st.name + "#until"
-      }
+    def allocSlot(label: String, p: Row => Boolean): Long = {
+      require(slotPreds.length < 63,
+        "streaming NFA supports at most 63 predicate slots " +
+          "(steps + alternatives + group sub-steps + until conditions)")
+      val bit = 1L << slotPreds.length
+      slotPreds += p
+      slotLabels += label
+      bit
     }
+    // per-element matching metadata: mask of this element's slots,
+    // quantifier bounds, contiguity, negation; `untilMask` is the
+    // stop-condition slot (0 = none) — evaluated at ingest like any
+    // predicate but excluded from `mask` so the classifier can never
+    // pick it as an output label; `sub` non-empty = sequence group
+    final case class PMeta(name: String, mask: Long, mn: Int, mx: Int,
+        greedy: Boolean, relaxed: Boolean, negated: Boolean,
+        untilMask: Long, sub: Array[PMeta])
+    def plainMeta(st: Step): PMeta = {
+      val (mn, mx, greedy) = bounds(st.quant)
+      val slots = if (st.alts.isEmpty) Seq(st.name -> st.pred) else st.alts
+      val mask = slots.map { case (l, p) => allocSlot(l, p) }.reduce(_ | _)
+      val um = st.until.fold(0L)(up => allocSlot(st.name + "#until", up))
+      PMeta(st.name, mask, mn, mx, greedy, st.relaxed, st.negated, um,
+        Array.empty)
+    }
+    val metas: Array[PMeta] = steps.map { st =>
+      if (st.group.isEmpty) plainMeta(st)
+      else {
+        val sub = st.group.map(plainMeta).toArray
+        val (mn, mx, greedy) = bounds(st.quant)
+        val um = st.until.fold(0L)(up => allocSlot(st.name + "#until", up))
+        PMeta(st.name, sub.map(_.mask).reduce(_ | _), mn, mx, greedy,
+          st.relaxed, negated = false, um, sub)
+      }
+    }.toArray
     val slotPredArr = slotPreds.toArray
     val slotLabelArr = slotLabels.toArray
 
@@ -538,58 +667,109 @@ object Cep {
           // leftmost start = buffer head. Outcome:
           //   DEAD     — no match from this start, no future event helps
           //   PARTIAL  — no match yet, but more events could complete one
-          //   COMPLETE — hits (per-step consumed BUFFER POSITIONS);
+          //   COMPLETE — hits: per top-level element, consumed BUFFER
+          //              POSITIONS with their consuming SLOT (label fixed
+          //              at consume time — group iterations flatten into
+          //              the group's element in iteration order);
           //              `closed` = no future event could change it.
           // `touchedEnd` is set whenever a step's feasible run was cut
           // short by buffer exhaustion (run < max && ran off the end) on
           // any branch explored up to the first success — exactly the
-          // branches whose outcome a future event could flip — and when
-          // a notNext guard's target event has not arrived yet. In flush
-          // mode every future event is out of horizon, so exhaustion is
-          // equivalent to a window failure (guards are window-scoped)
-          // and touchedEnd is moot.
-          final case class Att(hits: Array[List[Int]], closed: Boolean)
+          // branches whose outcome a future event could flip — when a
+          // notNext guard's target event has not arrived yet, and when a
+          // group's iteration boundary sits at the buffer tip with
+          // iterations to spare (a future event could begin iteration
+          // k+1). In flush mode every future event is out of horizon, so
+          // exhaustion is equivalent to a window failure (guards are
+          // window-scoped) and touchedEnd is moot.
+          final case class Att(hits: Array[List[(Int, Int)]], closed: Boolean)
           def attempt(flush: Boolean): (Int, Att) = { // (0 dead,1 partial,2 complete)
             if (buffer.isEmpty) return (1, null)
             val startUs = buffer(0)._2
             def inWin(i: Int): Boolean =
               withinMicros.forall(w => buffer(i)._2 - startUs <= w)
-            def bit(si: Int, p: Int): Boolean =
-              (buffer(p)._3 & stepMasks(si)) != 0L
-            def ubit(si: Int, p: Int): Boolean =
-              (buffer(p)._3 & untilMasks(si)) != 0L
+            def slotOf(m: PMeta, p: Int): Int =
+              java.lang.Long.numberOfTrailingZeros(buffer(p)._3 & m.mask)
             var touchedEnd = false
-            def rec(si: Int, pos: Int, guards: List[Int],
-                acc: List[List[Int]]): Att = {
-              if (si == nSteps)
-                return Att(acc.reverse.toArray, closed = true)
-              if (stepNegated(si)) {
-                if (!stepRelaxed(si)) {
+            type Hits = List[List[(Int, Int)]]
+            // Generic sequence matcher over PMeta elements — the
+            // top-level pattern and each group iteration both run through
+            // here (the batch attemptAt.seqRec shape): match ms(mi..)
+            // from pos, then hand (position after, surviving guards,
+            // per-element hits in REVERSE order) to `cont`. Guards are
+            // armed notFollowedBy masks.
+            def seqRec(ms: Array[PMeta], mi: Int, pos: Int,
+                guards: List[Long], acc: Hits,
+                cont: (Int, List[Long], Hits) => Att): Att = {
+              if (mi == ms.length) return cont(pos, guards, acc)
+              val m = ms(mi)
+              def mbit(p: Int): Boolean = (buffer(p)._3 & m.mask) != 0L
+              def ubit(p: Int): Boolean =
+                m.untilMask != 0L && (buffer(p)._3 & m.untilMask) != 0L
+              if (m.negated) {
+                if (!m.relaxed) {
                   // notNext: window-scoped immediate-event guard. At the
                   // buffer tip the target event hasn't arrived — outcome
                   // provisional unless flushing (future events are then
                   // beyond the horizon and cannot kill)
                   if (pos < buffer.length) {
-                    if (bit(si, pos) && inWin(pos)) return null
-                    rec(si + 1, pos, guards, Nil :: acc)
+                    if (mbit(pos) && inWin(pos)) return null
+                    seqRec(ms, mi + 1, pos, guards, Nil :: acc, cont)
                   } else {
                     if (!flush) touchedEnd = true
-                    rec(si + 1, pos, guards, Nil :: acc)
+                    seqRec(ms, mi + 1, pos, guards, Nil :: acc, cont)
                   }
-                } else rec(si + 1, pos, si :: guards, Nil :: acc)
+                } else seqRec(ms, mi + 1, pos, m.mask :: guards,
+                  Nil :: acc, cont)
+              } else if (m.sub.nonEmpty) {
+                // sequence group: iterations 2..k (and iteration 1's
+                // first sub-step) attach with the GROUP's contiguity
+                val sub =
+                  if (m.relaxed && !m.sub(0).relaxed) {
+                    val c = m.sub.clone(); c(0) = c(0).copy(relaxed = true); c
+                  } else m.sub
+                def iterate(k: Int, pos2: Int, guards2: List[Long],
+                    takenRev: Hits): Att = {
+                  def more: Att =
+                    if (k >= m.mx) null
+                    else if (pos2 >= buffer.length) {
+                      // a future event could begin iteration k+1 —
+                      // provisional unless flushing
+                      if (!flush) touchedEnd = true
+                      null
+                    }
+                    // group-level until at the iteration boundary is
+                    // final: the loop may not proceed past the stop event
+                    else if (inWin(pos2) && ubit(pos2)) null
+                    else seqRec(sub, 0, pos2, guards2, Nil,
+                      (p3, g3, subAcc) =>
+                        // an iteration must consume ≥1 event: a
+                        // zero-width pass makes no progress and would
+                        // loop forever under mx = ∞
+                        if (p3 == pos2) null
+                        else iterate(k + 1, p3, g3,
+                          subAcc.reverse.flatten :: takenRev))
+                  def stop: Att =
+                    if (k >= m.mn)
+                      seqRec(ms, mi + 1, pos2, guards2,
+                        takenRev.reverse.flatten :: acc, cont)
+                    else null
+                  if (m.greedy) { val r = more; if (r != null) r else stop }
+                  else { val r = stop; if (r != null) r else more }
+                }
+                iterate(0, pos, guards, Nil)
               } else {
-                val (mn, mx, greedy) = stepBounds(si)
                 val takes = scala.collection.mutable.ArrayBuffer.empty[Int]
                 var p = pos
                 var truncated = false
-                if (!stepRelaxed(si)) {
+                if (!m.relaxed) {
                   // an until stop (ubit) exits with p < buffer.length, so
                   // the run reads as closed, not truncated — correct:
                   // future events cannot reopen a predicate-stopped loop
-                  while (takes.length < mx && p < buffer.length
-                    && !ubit(si, p)
-                    && bit(si, p) && inWin(p)) { takes += p; p += 1 }
-                  truncated = takes.length < mx && p == buffer.length
+                  while (takes.length < m.mx && p < buffer.length
+                    && !ubit(p)
+                    && mbit(p) && inWin(p)) { takes += p; p += 1 }
+                  truncated = takes.length < m.mx && p == buffer.length
                 } else {
                   // relaxed scan: skip non-matching events; an armed gap
                   // guard hit before the first take caps the scan (STOP)
@@ -597,69 +777,83 @@ object Cep {
                   // the gap before the violation. An until stop is final
                   // the same way (the loop may not skip past it)
                   var live = true
-                  while (live && takes.length < mx && p < buffer.length
+                  while (live && takes.length < m.mx && p < buffer.length
                     && inWin(p)) {
-                    if (ubit(si, p)) live = false
-                    else if (bit(si, p)) { takes += p; p += 1 }
-                    else if (takes.isEmpty && guards.exists(bit(_, p)))
-                      live = false
+                    if (ubit(p)) live = false
+                    else if (mbit(p)) { takes += p; p += 1 }
+                    else if (takes.isEmpty && guards.exists(g =>
+                      (buffer(p)._3 & g) != 0L)) live = false
                     else p += 1
                   }
-                  truncated = live && takes.length < mx && p == buffer.length
+                  truncated = live && takes.length < m.mx && p == buffer.length
                 }
                 // a truncated GREEDY run flips the first k tried, so any
                 // success below is provisional; a truncated RELUCTANT run
                 // only matters if every k ≤ run fails (larger k was never
                 // explorable) — reluctant tries shortest first, so a found
                 // match can't change with more events
-                if (greedy && truncated) touchedEnd = true
+                if (m.greedy && truncated) touchedEnd = true
                 val order =
-                  if (greedy) takes.length to mn by -1 else mn to takes.length
+                  if (m.greedy) takes.length to m.mn by -1
+                  else m.mn to takes.length
                 for (k <- order) {
                   val (nPos, nGuards) =
                     if (k == 0) (pos, guards) else (takes(k - 1) + 1, Nil)
-                  val hit = rec(si + 1, nPos, nGuards,
-                    takes.take(k).toList :: acc)
+                  val hit = seqRec(ms, mi + 1, nPos, nGuards,
+                    takes.take(k).toList.map(p2 => (p2, slotOf(m, p2)))
+                      :: acc, cont)
                   if (hit != null) return hit
                 }
-                if (!greedy && truncated) touchedEnd = true
+                if (!m.greedy && truncated) touchedEnd = true
                 null
               }
             }
-            val att = rec(0, 0, Nil, Nil)
+            val att = seqRec(metas, 0, 0, Nil, Nil,
+              (_, _, acc) => Att(acc.reverse.toArray, closed = true))
             if (att == null) (if (touchedEnd && !flush) 1 else 0, null)
             else (2, att.copy(closed = !touchedEnd || flush))
           }
 
           def emitMatch(att: Att): Unit = {
-            var si = 0
-            while (si < nSteps) {
-              att.hits(si).foreach { p =>
-                // classifier: the lowest set slot = first declared
-                // alternative whose predicate held for this event
-                val m = buffer(p)._3 & stepMasks(si)
-                val label = if (m == 0L) stepNames(si)
-                  else slotLabelArr(java.lang.Long.numberOfTrailingZeros(m))
-                emitted += ((key, label, buffer(p)._1, seq))
-              }
-              si += 1
-            }
+            att.hits.foreach(_.foreach { case (p, slot) =>
+              // classifier label fixed at consume time: the lowest set
+              // slot of the consuming element — first declared
+              // alternative / the consuming group sub-step
+              emitted += ((key, slotLabelArr(slot), buffer(p)._1, seq))
+            })
             seq += 1
             // after-match skip on consumed positions — same arithmetic
             // as the batch scan (buffer head = position 0); an
-            // all-optional empty match still advances one event
-            val all = att.hits.toIndexedSeq.flatten
+            // all-optional empty match still advances one event. A
+            // skip-to NAME resolves to a top-level step first, then to a
+            // group sub-step or alternation label (the batch emitAndSkip
+            // contract), preferring positions consumed UNDER that label.
+            val all = att.hits.toIndexedSeq.flatten.map(_._1)
+            def resolve(name: String): Int = {
+              val idx = steps.indexWhere(_.name == name)
+              if (idx >= 0) idx
+              else steps.indexWhere(s => s.alts.exists(_._1 == name) ||
+                s.group.exists(g => g.name == name ||
+                  g.alts.exists(_._1 == name)))
+            }
+            def named(idx: Int, name: String): Seq[Int] =
+              att.hits(idx).collect {
+                case (p, slot) if slotLabelArr(slot) == name => p }
             val advance = skip match {
               case SkipPastLast => if (all.isEmpty) 1 else all.max + 1
               case SkipToNext => 1
               case SkipToFirst(name) =>
-                val idx = steps.indexWhere(_.name == name)
-                val cand = att.hits.drop(idx).toIndexedSeq.flatten
+                val idx = resolve(name)
+                val nm = named(idx, name)
+                val cand = if (nm.nonEmpty) nm
+                  else att.hits.drop(idx).toIndexedSeq.flatten.map(_._1)
                 if (cand.nonEmpty) cand.min
                 else if (all.isEmpty) 1 else all.max + 1
               case SkipToLast(name) =>
-                val idx = steps.indexWhere(_.name == name)
-                val cand = att.hits.take(idx + 1).toIndexedSeq.flatten
+                val idx = resolve(name)
+                val nm = named(idx, name)
+                val cand = if (nm.nonEmpty) nm
+                  else att.hits.take(idx + 1).toIndexedSeq.flatten.map(_._1)
                 if (cand.nonEmpty) cand.max else 1
             }
             buffer = buffer.drop(math.max(1, advance))
@@ -758,7 +952,11 @@ object Cep {
     * Negated steps take no quantifier. `(A|B)` is an alternation group
     * (see [[alt]]) and quantifies like any step — `(A|B)+` consumes a
     * run of events each matching A or B, labeling every consumed event
-    * with its first matching alternative.
+    * with its first matching alternative. `(A B)+` / `(A B){m,n}` is a
+    * quantifiable SEQUENCE group (see [[group]], reference
+    * GroupPattern.java): the quantifier repeats the whole sub-sequence;
+    * sub-steps may carry their own quantifiers and `~>` contiguity
+    * (`(A ~> B+){2}`); one nesting level, no `|` inside.
     *
     * `Cep.pattern("signup error+ purchase?", preds)` ==
     * `Seq(Step("signup",…), Step("error",…,Plus), Step("purchase",…,Opt))`;
@@ -786,32 +984,52 @@ object Cep {
           case Array(m, n) => Times(m.toInt, n.toInt, greedy)
         }
     }
+    // a SEQUENCE group `(A B)+` / `(A ~> B){1,3}` (reference
+    // GroupPattern.java): parens containing whitespace; the quantifier
+    // applies to the whole sub-sequence. Distinguished from an
+    // alternation `(A|B)+` by the space. One nesting level only.
+    val GroupRe =
+      """\(([^()|]*\s[^()]*)\)(\+\??|\?\??|\{\d+(?:,\d*)?\}\??)?""".r
     def predOf(name: String): Row => Boolean = preds.getOrElse(name,
       throw new IllegalArgumentException(s"no predicate for step '$name'"))
-    val out = scala.collection.mutable.ArrayBuffer.empty[Step]
-    var relaxedNext = false
-    spec.trim.split("\\s+").foreach {
-      case "~>" =>
-        require(!relaxedNext, "dangling '~>' in pattern")
-        relaxedNext = true
-      case AltRe(names, quant) =>
-        val group = alt(names.split('|').toIndexedSeq
-          .map(n => n -> predOf(n)): _*)
-        out += group.copy(quant = parseQuant(quant), relaxed = relaxedNext)
-        relaxedNext = false
-      case StepRe(bang, name, quant) =>
-        val pred = predOf(name)
-        val negated = bang != null
-        require(!negated || quant == null,
-          s"negated step '!$name' cannot carry a quantifier")
-        out += Step(name, pred, parseQuant(quant),
-          relaxed = relaxedNext, negated = negated)
-        relaxedNext = false
-      case tok =>
-        throw new IllegalArgumentException(s"bad pattern token '$tok'")
+    def parseSeq(body: String): Seq[Step] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Step]
+      var relaxedNext = false
+      // a parenthesized segment (with its trailing quantifier) is one
+      // token; everything else splits on whitespace
+      val tokRe =
+        """\([^()]*\)(?:\+\??|\?\??|\{\d+(?:,\d*)?\}\??)?|[^\s()]+""".r
+      tokRe.findAllIn(body.trim).foreach {
+        case "~>" =>
+          require(!relaxedNext, "dangling '~>' in pattern")
+          relaxedNext = true
+        case AltRe(names, quant) =>
+          val g = alt(names.split('|').toIndexedSeq
+            .map(n => n -> predOf(n)): _*)
+          out += g.copy(quant = parseQuant(quant), relaxed = relaxedNext)
+          relaxedNext = false
+        case GroupRe(inner, quant) =>
+          val sub = parseSeq(inner)
+          require(sub.forall(_.group.isEmpty),
+            s"nested group in '($inner)' is not supported")
+          out += group(sub: _*)
+            .copy(quant = parseQuant(quant), relaxed = relaxedNext)
+          relaxedNext = false
+        case StepRe(bang, name, quant) =>
+          val pred = predOf(name)
+          val negated = bang != null
+          require(!negated || quant == null,
+            s"negated step '!$name' cannot carry a quantifier")
+          out += Step(name, pred, parseQuant(quant),
+            relaxed = relaxedNext, negated = negated)
+          relaxedNext = false
+        case tok =>
+          throw new IllegalArgumentException(s"bad pattern token '$tok'")
+      }
+      require(!relaxedNext, "pattern ends with a dangling '~>'")
+      out.toSeq
     }
-    require(!relaxedNext, "pattern ends with a dangling '~>'")
-    out.toSeq
+    parseSeq(spec)
   }
 
   /** The catalog's demo pattern: signup followed immediately by one or

@@ -335,14 +335,13 @@ object MatchRecognize {
       acc.withColumn(s"__p_$name", expr(e).cast("boolean"))
     }
     val schema = withPreds.schema.fieldNames
-    // flatten alternation groups: `(A|B)+` contributes variables A and B
-    // (each may carry its own DEFINE; classifier labels them separately)
-    val stepNames = c.patternSpec.split("\\s+").toSeq
-      .map(_.replaceAll("""[+?{].*$""", ""))
-      .flatMap(t =>
-        if (t.startsWith("("))
-          t.stripPrefix("(").stripSuffix(")").split('|').toSeq
-        else Seq(t))
+    // every identifier in the spec is a pattern variable — alternation
+    // `(A|B)+` and sequence groups `(A B)+` contribute their members
+    // (each may carry its own DEFINE; classifier labels them
+    // separately); quantifier braces hold only digits, so a bare
+    // identifier scan cannot pick up quantifier text
+    val stepNames = """[A-Za-z_]\w*""".r
+      .findAllIn(c.patternSpec).toSeq.distinct
     val preds: Map[String, Row => Boolean] = stepNames.map { n =>
       val i = schema.indexOf(s"__p_$n")
       n -> (if (i < 0) (_: Row) => true

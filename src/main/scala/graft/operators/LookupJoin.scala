@@ -26,6 +26,25 @@ import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
   * batch size are the backpressure knobs. For a small, cold dimension,
   * prefer a broadcast snapshot join (see `q_agg_having`) — this
   * operator is for stores that can't be materialized.
+  *
+  * STALENESS CONTRACT (processing-time semantics, like the reference's
+  * async lookup — AsyncLookupJoinRunner.java:44 with
+  * LookupCacheManager): the value joined to a probe row is whatever the
+  * store returned for that key's MOST RECENT fetch within the current
+  * task. Bounds: with caching on, a key is fetched at most once per
+  * task, so a joined value is never older than the first appearance of
+  * its key in the task — on a STREAMING probe side, where each
+  * micro-batch runs fresh tasks, that means staleness is bounded by the
+  * micro-batch interval (capacity evictions only tighten it). With
+  * `cacheCapacity = 0` every batch of `batchSize` rows re-queries —
+  * freshness = one round trip, the reference's cache-off mode. There is
+  * NO event-time versioning: two probe rows with different timestamps
+  * in the same task may observe the same dimension version (and a row
+  * processed twice under task retry may observe a newer one — lookups
+  * are read-only, so retries stay safe). For time-versioned semantics
+  * use the temporal/as-of join (`Ops.asofJoin`), which joins each row
+  * to the dimension version at its OWN event time from a changelog.
+  * Pinned by LookupJoinSpec ("staleness contract").
   */
 object LookupJoin {
 

@@ -1146,6 +1146,97 @@ object EventQueries {
              |  UNION ALL SELECT user_id, 'C', c_id, match_seq FROM seq) u
              |ORDER BY key, match_seq, step, event_id""".stripMargin)),
 
+    // Quantified SEQUENCE group (reference GroupPattern.java —
+    // flink-cep/.../pattern/GroupPattern.java): `(A B)+` repeats the
+    // whole signup-error sub-sequence. Strict contiguity makes a match
+    // exactly a maximal island of chained signup-error pairs (pair
+    // starts 2 apart chain; a gap >= 3 breaks the island — a pair start
+    // 1 apart is impossible since signup != error), which gaps-and-
+    // islands SQL can enumerate: grp = rn - 2*ROW_NUMBER() is constant
+    // within an island and strictly increases across islands.
+    Query(
+      "q_cep_group_plus",
+      (s, d) => cepQuery(s, d,
+        Seq(Cep.group(
+          Cep.Step("A", _.getString(3) == "signup"),
+          Cep.Step("B", _.getString(3) == "error")).copy(quant = Cep.Plus))),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events),
+             |pairs AS (
+             |  SELECT o.user_id, o.rn, o.event_id AS a_id,
+             |    n.event_id AS b_id
+             |  FROM ordered o JOIN ordered n
+             |    ON n.user_id = o.user_id AND n.rn = o.rn + 1
+             |  WHERE o.event_type = 'signup' AND n.event_type = 'error'),
+             |isl AS (
+             |  SELECT user_id, rn, a_id, b_id,
+             |    rn - 2 * ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY rn) AS grp
+             |  FROM pairs),
+             |seq AS (
+             |  SELECT user_id, rn, a_id, b_id,
+             |    CAST(DENSE_RANK() OVER (PARTITION BY user_id
+             |      ORDER BY grp) - 1 AS INT) AS match_seq
+             |  FROM isl)
+             |SELECT key, step, event_id, match_seq FROM (
+             |  SELECT user_id AS key, 'A' AS step, a_id AS event_id,
+             |    match_seq FROM seq
+             |  UNION ALL SELECT user_id, 'B', b_id, match_seq FROM seq) u
+             |ORDER BY key, match_seq, step, event_id""".stripMargin)),
+
+    // The same sequence group through the SQL surface: PATTERN ((A B)+)
+    // with CLASSIFIER labeling each row by the consuming sub-step
+    // (reference GroupPattern.java; the reference 1.13 SQL layer does
+    // not parse group quantifiers — parity-plus, like SUBSET).
+    Query(
+      "q_cep_sql_group",
+      (s, d) => {
+        Catalog.registerViews(s, d, "events")
+        graft.cep.MatchRecognize.sql(s,
+          """SELECT user_id, event_id, mno, var
+            |FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts, event_id
+            |  MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS var
+            |  ALL ROWS PER MATCH
+            |  AFTER MATCH SKIP PAST LAST ROW
+            |  PATTERN ((A B)+)
+            |  DEFINE A AS event_type = 'signup',
+            |         B AS event_type = 'error'
+            |)
+            |ORDER BY user_id, mno, event_id""".stripMargin)
+      },
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events),
+             |pairs AS (
+             |  SELECT o.user_id, o.rn, o.event_id AS a_id,
+             |    n.event_id AS b_id
+             |  FROM ordered o JOIN ordered n
+             |    ON n.user_id = o.user_id AND n.rn = o.rn + 1
+             |  WHERE o.event_type = 'signup' AND n.event_type = 'error'),
+             |isl AS (
+             |  SELECT user_id, rn, a_id, b_id,
+             |    rn - 2 * ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY rn) AS grp
+             |  FROM pairs),
+             |seq AS (
+             |  SELECT user_id, rn, a_id, b_id,
+             |    CAST(DENSE_RANK() OVER (PARTITION BY user_id
+             |      ORDER BY grp) - 1 AS INT) AS match_seq
+             |  FROM isl)
+             |SELECT user_id, event_id, mno, var FROM (
+             |  SELECT user_id, a_id AS event_id, match_seq AS mno,
+             |    'A' AS var FROM seq
+             |  UNION ALL
+             |  SELECT user_id, b_id, match_seq, 'B' FROM seq) u
+             |ORDER BY user_id, mno, event_id""".stripMargin)),
+
     // Temporal / as-of join (reference TemporalRowTimeJoinOperator.java:78):
     // for each error, the latest signup of the same user at-or-before it.
     // Scalable pattern: union both sides, one shuffle on user_id, running

@@ -446,4 +446,194 @@ class CepPropSpec extends AnyFunSuite {
     }
     assert(total > 20, s"only $total matched rows across until trials")
   }
+
+  test("NFA sequence-group matches == java.util.regex on random inputs") {
+    // strict sequence groups map exactly onto regex: `(A B+){1,2} C` ==
+    // `((?:ab+){1,2})(c)` — the group capture spans ALL iterations, and
+    // both engines explore the same DFS order (greedy outer-first,
+    // most-recent choice point varied first), so consumed position
+    // ranges must agree match-for-match under the find() loop.
+    import spark.implicits._
+    val rnd = new Random(20260814L)
+    val groupQuants = Vector("+" -> "+", "+?" -> "+?", "{1,2}" -> "{1,2}",
+      "{2}" -> "{2}", "{1,}" -> "{1,}", "?" -> "?")
+    val subQuants = Vector("" -> "", "+" -> "+", "{1,2}" -> "{1,2}")
+    var totalMatches = 0
+    (1 to 14).foreach { trial =>
+      val hasPrefix = rnd.nextBoolean()
+      // without an anchoring prefix keep the group non-zero-min so a
+      // match always consumes at least one event
+      val gq = if (hasPrefix) groupQuants(rnd.nextInt(groupQuants.size))
+        else groupQuants(rnd.nextInt(groupQuants.size - 1))
+      val sq = subQuants(rnd.nextInt(subQuants.size))
+      val pL = letters(rnd.nextInt(3))
+      val g0L = letters(rnd.nextInt(3))
+      val g1L = letters(rnd.nextInt(3))
+      val sL = letters(rnd.nextInt(3))
+      val spec = (if (hasPrefix) "p0 " else "") +
+        s"(g0 g1${sq._1})${gq._1} s2"
+      val regex = java.util.regex.Pattern.compile(
+        (if (hasPrefix) s"($pL)" else "") +
+          s"((?:$g0L$g1L${sq._2})${gq._2})($sL)")
+      val preds: Map[String, org.apache.spark.sql.Row => Boolean] = Map(
+        "p0" -> (_.getString(3) == pL),
+        "g0" -> (_.getString(3) == g0L),
+        "g1" -> (_.getString(3) == g1L),
+        "s2" -> (_.getString(3) == sL))
+      val steps = Cep.pattern(spec, preds)
+
+      val strings = (0 until 15).map(k =>
+        k.toLong -> (1 to 8 + rnd.nextInt(7))
+          .map(_ => letters(rnd.nextInt(3))).mkString).toMap
+      val rows = strings.toSeq.flatMap { case (k, s) =>
+        s.zipWithIndex.map { case (ch, i) =>
+          (k, new java.sql.Timestamp(1000L * i), i.toLong, ch.toString)
+        }
+      }
+      val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      // per match: element-wise sorted consumed positions, group
+      // sub-labels merged into the group element
+      val elemOf: Map[String, Int] =
+        if (hasPrefix) Map("p0" -> 0, "g0" -> 1, "g1" -> 1, "s2" -> 2)
+        else Map("g0" -> 0, "g1" -> 0, "s2" -> 1)
+      val nElems = if (hasPrefix) 3 else 2
+      val got = Cep.matchPattern(df, "user_id", "ts", "event_id", steps)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        .groupBy(_._1)
+        .view.mapValues(_.groupBy(_._4).toSeq.sortBy(_._1).map {
+          case (_, hits) =>
+            (0 until nElems).map(e => hits.filter(h => elemOf(h._2) == e)
+              .map(_._3).sorted.toSeq)
+        }).toMap
+      strings.foreach { case (k, s) =>
+        val m = regex.matcher(s)
+        val expected = scala.collection.mutable.ArrayBuffer
+          .empty[Seq[Seq[Long]]]
+        var from = 0
+        while (from <= s.length && m.find(from)) {
+          expected += (1 to nElems).map { g =>
+            val st = m.start(g)
+            if (st < 0) Seq.empty[Long]
+            else (st.toLong until m.end(g).toLong).toSeq
+          }
+          from = if (m.end > m.start) m.end else m.start + 1
+        }
+        val actual = got.getOrElse(k, Seq.empty)
+        assert(actual === expected.toSeq,
+          s"trial $trial pattern '$spec' events '$s': NFA=$actual " +
+            s"regex=${expected.toSeq}")
+        totalMatches += expected.map(_.map(_.size).sum).sum
+      }
+    }
+    assert(totalMatches > 150, s"only $totalMatches matched events")
+  }
+
+  test("streaming NFA == batch NFA on random sequence-group patterns") {
+    // the incremental matcher's group-boundary provisionality logic
+    // (an iteration boundary at the buffer tip must hold the match open)
+    // under random group shapes, micro-batch splits, and both skip
+    // strategies; ordered and disordered (event-time) arrival.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new Random(20260816L)
+    var total = 0
+    (1 to 5).foreach { trial =>
+      val gq = Vector("+", "{1,2}", "{2}", "+?")(rnd.nextInt(4))
+      val sq = Vector("", "+", "{1,2}")(rnd.nextInt(3))
+      val relaxedGroup = rnd.nextBoolean()
+      val hasPrefix = rnd.nextBoolean()
+      val spec = (if (hasPrefix) "p0 " else "") +
+        (if (relaxedGroup && hasPrefix) "~> " else "") +
+        s"(g0 g1$sq)$gq s2"
+      // letters hoisted OUT of the lambdas: evaluating rnd inside the
+      // predicate would draw a fresh letter per row (and drag the
+      // test-class closure into the task)
+      val Seq(pL, g0L, g1L, sL) =
+        Seq.fill(4)(letters(rnd.nextInt(3)))
+      def letterPred(l: String): org.apache.spark.sql.Row => Boolean =
+        r => r.getString(3) == l
+      val preds: Map[String, org.apache.spark.sql.Row => Boolean] = Map(
+        "p0" -> letterPred(pL), "g0" -> letterPred(g0L),
+        "g1" -> letterPred(g1L), "s2" -> letterPred(sL))
+      val steps = Cep.pattern(spec, preds)
+      val skip = if (rnd.nextBoolean()) Cep.SkipPastLast else Cep.SkipToNext
+
+      val t0 = 3_600_000L
+      val baseRows = (0 until 12).flatMap { k =>
+        (0 until 6 + rnd.nextInt(8)).map(i =>
+          (k.toLong, t0 + 1000L * i, i.toLong, letters(rnd.nextInt(3))))
+      }
+      val keys = baseRows.map(_._1).distinct
+      val closers = keys.flatMap(k => letters.zipWithIndex.map {
+        case (l, j) => (k, t0 + 100000L + 1000L * j, 500L + j, l)
+      })
+      val withinMs = 1000_000L
+      val sentinel = Seq((0L, 10_000_000_000L, 999L, "z"))
+      val all = baseRows ++ closers ++ sentinel
+
+      val batchDf = all.toDF("user_id", "ms", "event_id", "event_type")
+        .select(col("user_id"),
+          (col("ms") / 1000).cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+      val want = Cep.matchPattern(batchDf, "user_id", "ts", "event_id",
+          steps, withinMicros = Some(withinMs * 1000L), skip = skip)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getInt(3).toLong)).toSet
+
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val df = mem.toDF().toDF("user_id", "ms", "event_id", "event_type")
+        .select(col("user_id"),
+          (col("ms") / 1000).cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+        .withWatermark("ts", "1 second")
+      val name = s"t_cep_group_$trial"
+      val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id",
+          steps, withinMicros = Some(withinMs * 1000L),
+          flushOnHorizon = true, skip = skip)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      val ordered = all.sortBy(e => (e._2, e._3))
+      ordered.grouped(math.max(1, ordered.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      q.stop()
+      assert(got === want, s"trial $trial group pattern '$spec' skip=$skip")
+      total += want.size
+
+      // event-time mode under disordered arrival
+      val memEt = MemoryStream[(Long, Long, Long, String)]
+      val dfEt = memEt.toDF().toDF("user_id", "ms", "event_id", "event_type")
+        .select(col("user_id"),
+          (col("ms") / 1000).cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+        .withWatermark("ts", "30 seconds")
+      val nameEt = s"t_cep_group_et_$trial"
+      val qEt = Cep.matchPatternStream(dfEt, "user_id", "ts", "event_id",
+          steps, withinMicros = Some(withinMs * 1000L),
+          flushOnHorizon = true, eventTime = true, skip = skip)
+        .writeStream.format("memory").queryName(nameEt)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      val disordered = ordered.grouped(5).flatMap(b =>
+        rnd.shuffle(b)).toIndexedSeq
+      disordered.grouped(math.max(1, disordered.length / 3)).foreach { c =>
+        memEt.addData(c); qEt.processAllAvailable()
+      }
+      val gotEt = spark.table(nameEt).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      qEt.stop()
+      assert(gotEt === want,
+        s"trial $trial (event-time) group pattern '$spec' skip=$skip")
+    }
+    assert(total > 20, s"only $total matched rows across group trials")
+  }
 }

@@ -954,6 +954,182 @@ class CepSpec extends AnyFunSuite {
       Set(("B", 3L), ("B", 4L))))
   }
 
+  private def groupAB(q: Cep.Quant = Cep.Plus) = Cep.group(
+    Cep.Step("A", _.getString(3) == "signup"),
+    Cep.Step("B", _.getString(3) == "error")).copy(quant = q)
+
+  test("sequence group (A B)+ repeats the whole sub-sequence greedily") {
+    // reference GroupPattern.java: the quantifier loops the SEQUENCE —
+    // two complete signup-error runs form ONE match; the click ends the
+    // island; the trailing pair is its own match
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "signup"), (1L, 40L, 4L, "error"),
+      (1L, 50L, 5L, "click"),
+      (1L, 60L, 6L, "signup"), (1L, 70L, 7L, "error"))
+    val got = matchSets(Cep.matchPattern(events, "user_id", "ts",
+      "event_id", Seq(groupAB())))
+    assert(got === Seq(
+      Set(("A", 1L), ("B", 2L), ("A", 3L), ("B", 4L)),
+      Set(("A", 6L), ("B", 7L))))
+    // a half-iteration never matches: signup with no error after it
+    val half = Cep.matchPattern(
+      mkEvents((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "click")),
+      "user_id", "ts", "event_id", Seq(groupAB()))
+    assert(half.count() === 0)
+  }
+
+  test("sequence group hands back an iteration when a later step starves") {
+    // (A B)+ C with C = signup: greedy takes both iterations, then no
+    // signup remains for C — the group hands the second iteration back
+    val steps = Seq(groupAB(), Cep.Step("C", _.getString(3) == "signup"))
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "signup"), (1L, 40L, 4L, "error"))
+    val got = matchSets(Cep.matchPattern(events, "user_id", "ts",
+      "event_id", steps))
+    assert(got === Seq(Set(("A", 1L), ("B", 2L), ("C", 3L))))
+  }
+
+  test("bounded group {1,2} caps iterations; relaxed group skips noise " +
+      "between them") {
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "signup"), (1L, 40L, 4L, "error"),
+      (1L, 50L, 5L, "signup"), (1L, 60L, 6L, "error"))
+    // {1,2}: three contiguous iterations split 2 + 1 under skip-past-last
+    val capped = matchSets(Cep.matchPattern(events, "user_id", "ts",
+      "event_id", Seq(groupAB(Cep.Times(1, 2)))))
+    assert(capped === Seq(
+      Set(("A", 1L), ("B", 2L), ("A", 3L), ("B", 4L)),
+      Set(("A", 5L), ("B", 6L))))
+    // relaxed group: noise between iterations is skipped over, one match
+    val noisy = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "click"),
+      (1L, 40L, 4L, "signup"), (1L, 50L, 5L, "error"))
+    val relaxed = matchSets(Cep.matchPattern(noisy, "user_id", "ts",
+      "event_id", Seq(groupAB().copy(relaxed = true))))
+    assert(relaxed === Seq(
+      Set(("A", 1L), ("B", 2L), ("A", 4L), ("B", 5L))))
+    // strict group on the same data: the click splits the island
+    val strict = matchSets(Cep.matchPattern(noisy, "user_id", "ts",
+      "event_id", Seq(groupAB())))
+    assert(strict === Seq(
+      Set(("A", 1L), ("B", 2L)), Set(("A", 4L), ("B", 5L))))
+  }
+
+  test("group until stops the iteration loop at the boundary event") {
+    val g = groupAB(Cep.timesOrMore(1))
+      .copy(until = Some(_.getString(3) == "purchase"))
+    val steps = Seq(g, Cep.Step("P", _.getString(3) == "purchase"))
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "signup"), (1L, 40L, 4L, "error"),
+      (1L, 50L, 5L, "purchase"),
+      (1L, 60L, 6L, "signup"), (1L, 70L, 7L, "error"))
+    val got = matchSets(Cep.matchPattern(events, "user_id", "ts",
+      "event_id", steps))
+    // the stop event is left for P; the tail pair has no purchase → no
+    // second match
+    assert(got === Seq(Set(("A", 1L), ("B", 2L), ("A", 3L), ("B", 4L),
+      ("P", 5L))))
+  }
+
+  test("skip-to-last of a group sub-step resumes inside the island") {
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "signup"), (1L, 40L, 4L, "error"))
+    val got = matchSets(Cep.matchPattern(events, "user_id", "ts",
+      "event_id", Seq(groupAB()), skip = Cep.SkipToLast("A")))
+    // match 1 = both iterations; resume at the LAST A (position of s3)
+    // → overlapping second match of the remaining pair
+    assert(got === Seq(
+      Set(("A", 1L), ("B", 2L), ("A", 3L), ("B", 4L)),
+      Set(("A", 3L), ("B", 4L))))
+  }
+
+  test("group pattern string: (A B)+ parses, sub-contiguity, nesting " +
+      "rejected") {
+    val preds: Map[String, org.apache.spark.sql.Row => Boolean] = Map(
+      "A" -> (_.getString(3) == "signup"),
+      "B" -> (_.getString(3) == "error"),
+      "C" -> (_.getString(3) == "click"))
+    val steps = Cep.pattern("(A B)+ C", preds)
+    assert(steps.length === 2)
+    assert(steps.head.group.map(_.name) === Seq("A", "B"))
+    assert(steps.head.quant === Cep.Plus)
+    // sub-step contiguity and group quantifier range
+    val s2 = Cep.pattern("(A ~> B){2}", preds)
+    assert(s2.head.quant === Cep.Times(2, 2))
+    assert(s2.head.group(1).relaxed)
+    // relaxed attach of the group itself
+    val s3 = Cep.pattern("C ~> (A B)+", preds)
+    assert(s3(1).relaxed && s3(1).group.nonEmpty)
+    // parsed == hand-built on data
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "signup"), (1L, 40L, 4L, "error"),
+      (1L, 50L, 5L, "click"))
+    val viaParser = Cep.matchPattern(events, "user_id", "ts", "event_id",
+      steps).collect().toSet
+    val viaSteps = Cep.matchPattern(events, "user_id", "ts", "event_id",
+      Seq(groupAB(), Cep.Step("C", preds("C")))).collect().toSet
+    assert(viaParser === viaSteps && viaParser.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Cep.pattern("((A B)+ C)+", preds)
+    }
+  }
+
+  test("streaming NFA sequence group stays open across batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val steps = Seq(groupAB())
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps)
+      .writeStream.format("memory").queryName("t_cep_group")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1 completes ONE iteration — the greedy group could still
+    // absorb another, so nothing may emit yet
+    mem.addData((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"))
+    q.processAllAvailable()
+    assert(spark.table("t_cep_group").count() === 0)
+    // batch 2 adds a second iteration and the click that closes the
+    // island, plus a fresh open tail
+    mem.addData((1L, 30L, 3L, "signup"), (1L, 40L, 4L, "error"),
+      (1L, 50L, 5L, "click"),
+      (1L, 60L, 6L, "signup"), (1L, 70L, 7L, "error"))
+    q.processAllAvailable()
+    val mid = spark.table("t_cep_group").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(mid === Set(
+      (1L, "A", 1L, 0L), (1L, "B", 2L, 0L),
+      (1L, "A", 3L, 0L), (1L, "B", 4L, 0L)))
+    // batch 3's view closes the tail pair
+    mem.addData((1L, 80L, 8L, "view"))
+    q.processAllAvailable()
+    val rows = spark.table("t_cep_group").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    q.stop()
+    val batch = Cep.matchPattern(
+      mkEvents((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+        (1L, 30L, 3L, "signup"), (1L, 40L, 4L, "error"),
+        (1L, 50L, 5L, "click"), (1L, 60L, 6L, "signup"),
+        (1L, 70L, 7L, "error"), (1L, 80L, 8L, "view")),
+      "user_id", "ts", "event_id", steps).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3).toLong)).toSet
+    assert(rows === batch)
+    assert(rows.size === 6)
+  }
+
   test("MATCH_RECOGNIZE via spark.sql equals the NFA DataFrame API") {
     // SparkFixture's session is built with GraftExtensions, so this text
     // goes through the INJECTED parser — the real SQL surface

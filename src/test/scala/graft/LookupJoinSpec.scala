@@ -23,6 +23,19 @@ final class CountingClient(table: Map[Long, Seq[Any]])
   }
 }
 
+/** A store whose value is its own round-trip counter: every fetch
+  * observes a strictly newer version, making cache staleness visible. */
+object VersionedClient {
+  val version = new java.util.concurrent.atomic.AtomicLong
+  def reset(): Unit = version.set(0)
+}
+final class VersionedClient extends LookupJoin.LookupClient {
+  override def lookup(keys: Seq[Long]): Map[Long, Seq[Any]] = {
+    val v = VersionedClient.version.incrementAndGet()
+    keys.iterator.map(k => k -> Seq[Any](v)).toMap
+  }
+}
+
 class LookupJoinSpec extends AnyFunSuite {
 
   private lazy val spark = SparkFixture.spark
@@ -99,5 +112,30 @@ class LookupJoinSpec extends AnyFunSuite {
         "left", batchSize = 50, prefetch = true)
       .select("row_id").collect().map(_.getLong(0)).toSeq
     assert(got === (0L until 400L)) // single partition keeps row order
+  }
+
+  test("staleness contract: cached keys hold the task's first-fetch " +
+      "version; capacity 0 re-queries per batch") {
+    // the documented bound (LookupJoin scaladoc): with caching, a key's
+    // joined value is the task's FIRST fetch of that key — never older
+    // than the task start; with cacheCapacity = 0 every batch observes
+    // the store fresh (the reference's cache-off async lookup).
+    import spark.implicits._
+    val df = Seq(1L, 2L, 1L, 2L).toDF("k").coalesce(1)
+    val vs = StructType(Seq(StructField("v", LongType)))
+    VersionedClient.reset()
+    val cached = LookupJoin.lookupJoin(df, "k", new VersionedClient, vs,
+        batchSize = 2, cacheCapacity = 100, prefetch = false)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // batch 2's probes are cache hits: they observe batch 1's version
+    assert(cached.toSeq ===
+      Seq((1L, 1L), (2L, 1L), (1L, 1L), (2L, 1L)))
+    VersionedClient.reset()
+    val fresh = LookupJoin.lookupJoin(df, "k", new VersionedClient, vs,
+        batchSize = 2, cacheCapacity = 0, prefetch = false)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // capacity 0: batch 2 re-queries and observes the newer version
+    assert(fresh.toSeq ===
+      Seq((1L, 1L), (2L, 1L), (1L, 2L), (2L, 2L)))
   }
 }
