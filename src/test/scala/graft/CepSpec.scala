@@ -1384,6 +1384,36 @@ class CepSpec extends AnyFunSuite {
       .contains("SUBSET"))
   }
 
+  test("MATCH_RECOGNIZE: SUBSET and per-variable MEASURES compose with " +
+      "sequence groups") {
+    // group sub-steps are full pattern variables: COUNT(B.*) counts one
+    // sub-step's rows across ALL iterations, SUBSET unions them
+    mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "signup"), (1L, 40L, 4L, "error"),
+      (1L, 50L, 5L, "click"),
+      (1L, 60L, 6L, "signup"), (1L, 70L, 7L, "error"))
+      .createOrReplaceTempView("t_grp_events")
+    val got = graft.cep.MatchRecognize.sql(spark,
+      """SELECT key, match_seq, n_b, n_all, last_id
+        |FROM t_grp_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES COUNT(B.*) AS n_b,
+        |           COUNT(S.*) AS n_all,
+        |           LAST(S.event_id) AS last_id
+        |  ONE ROW PER MATCH
+        |  PATTERN ((A B)+)
+        |  SUBSET S = (A, B)
+        |  DEFINE A AS event_type = 'signup',
+        |         B AS event_type = 'error'
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // match 0 = two iterations (ids 1-4), match 1 = one iteration (6,7)
+    assert(got === Set((1L, 0, 2L, 4L, 4L), (1L, 1, 1L, 2L, 7L)))
+  }
+
   test("MATCH_RECOGNIZE over a streaming input runs the incremental NFA") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -114,6 +114,35 @@ class LookupJoinSpec extends AnyFunSuite {
     assert(got === (0L until 400L)) // single partition keeps row order
   }
 
+  test("streaming probe side: each micro-batch observes the store " +
+      "fresh (staleness bounded by the micro-batch interval)") {
+    // the documented streaming bound: micro-batches run fresh tasks, so
+    // a cached key's age never exceeds one micro-batch — the same key
+    // probed in consecutive batches observes advancing store versions
+    // even with caching ON
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vs = StructType(Seq(StructField("v", LongType)))
+    VersionedClient.reset()
+    val mem = MemoryStream[Long]
+    val probe = mem.toDF().toDF("k").coalesce(1)
+    val joined = LookupJoin.lookupJoin(probe, "k", new VersionedClient,
+      vs, batchSize = 16, cacheCapacity = 100, prefetch = false)
+    val q = joined.writeStream.format("memory").queryName("t_lookup_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(1L, 2L, 1L); q.processAllAvailable()
+    mem.addData(1L, 2L); q.processAllAvailable()
+    val rows = spark.table("t_lookup_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    val byVersion = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    // batch 1: one fetch (version 1) serves all three probes from the
+    // cache; batch 2's fresh task re-fetches (version 2)
+    assert(byVersion === Map(1L -> 3, 2L -> 2), s"rows=${rows.toSeq}")
+  }
+
   test("staleness contract: cached keys hold the task's first-fetch " +
       "version; capacity 0 re-queries per batch") {
     // the documented bound (LookupJoin scaladoc): with caching, a key's
