@@ -636,4 +636,81 @@ class CepPropSpec extends AnyFunSuite {
     }
     assert(total > 20, s"only $total matched rows across group trials")
   }
+
+  test("streaming NFA == batch NFA under TIGHT within horizons") {
+    // every other battery uses a horizon wider than the stream span, so
+    // the window never constrains a match; here the horizon is a few
+    // events wide — matches die mid-attempt on window failure, the
+    // flushOnHorizon timer force-resolves expired starts, and the
+    // pruning must still equal the batch scan's within semantics
+    // exactly. Patterns mix plain quantified steps and sequence groups.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new Random(20260817L)
+    var total = 0
+    (1 to 6).foreach { trial =>
+      val Seq(aL, bL, cL) = Seq.fill(3)(letters(rnd.nextInt(3)))
+      def lp(l: String): org.apache.spark.sql.Row => Boolean =
+        r => r.getString(3) == l
+      val preds: Map[String, org.apache.spark.sql.Row => Boolean] =
+        Map("a0" -> lp(aL), "b1" -> lp(bL), "c2" -> lp(cL))
+      val spec = rnd.nextInt(3) match {
+        case 0 => "a0 b1+ c2"          // greedy tail the horizon must cut
+        case 1 => "a0 ~> b1{1,2} c2"   // relaxed gap under the window
+        case 2 => "(a0 b1)+ c2"        // group iterations under the window
+      }
+      val steps = Cep.pattern(spec, preds)
+      val skip = if (rnd.nextBoolean()) Cep.SkipPastLast else Cep.SkipToNext
+      // 4-14 s horizon over 1 s event spacing: matches span at most a
+      // handful of events
+      val withinMs = (4 + rnd.nextInt(11)) * 1000L
+
+      val t0 = 3_600_000L
+      val baseRows = (0 until 12).flatMap { k =>
+        (0 until 8 + rnd.nextInt(8)).map(i =>
+          (k.toLong, t0 + 1000L * i, i.toLong, letters(rnd.nextInt(3))))
+      }
+      // far-future sentinel pushes the watermark past every horizon so
+      // the stream force-resolves all remaining starts
+      val sentinel = Seq((0L, 10_000_000_000L, 999L, "z"))
+      val all = baseRows ++ sentinel
+
+      val batchDf = all.toDF("user_id", "ms", "event_id", "event_type")
+        .select(col("user_id"),
+          (col("ms") / 1000).cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+      val want = Cep.matchPattern(batchDf, "user_id", "ts", "event_id",
+          steps, withinMicros = Some(withinMs * 1000L), skip = skip)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getInt(3).toLong)).toSet
+
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val df = mem.toDF().toDF("user_id", "ms", "event_id", "event_type")
+        .select(col("user_id"),
+          (col("ms") / 1000).cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+        .withWatermark("ts", "1 second")
+      val name = s"t_cep_tight_$trial"
+      val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id",
+          steps, withinMicros = Some(withinMs * 1000L),
+          flushOnHorizon = true, skip = skip)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      val ordered = all.sortBy(e => (e._2, e._3))
+      ordered.grouped(math.max(1, ordered.length / 4)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      q.stop()
+      assert(got === want,
+        s"trial $trial pattern '$spec' within=${withinMs}ms skip=$skip")
+      total += want.size
+    }
+    assert(total > 20, s"only $total matched rows across tight trials")
+  }
 }
