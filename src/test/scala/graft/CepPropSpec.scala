@@ -561,7 +561,11 @@ class CepPropSpec extends AnyFunSuite {
         "p0" -> letterPred(pL), "g0" -> letterPred(g0L),
         "g1" -> letterPred(g1L), "s2" -> letterPred(sL))
       val steps = Cep.pattern(spec, preds)
-      val skip = if (rnd.nextBoolean()) Cep.SkipPastLast else Cep.SkipToNext
+      // skip fuzz includes SKIP_TO of a group SUB-STEP name — both
+      // engines must resolve it to the group element and prefer
+      // positions consumed under that label
+      val skip = Seq(Cep.SkipPastLast, Cep.SkipToNext,
+        Cep.SkipToFirst("g1"), Cep.SkipToLast("g0"))(rnd.nextInt(4))
 
       val t0 = 3_600_000L
       val baseRows = (0 until 12).flatMap { k =>
@@ -710,6 +714,34 @@ class CepPropSpec extends AnyFunSuite {
       assert(got === want,
         s"trial $trial pattern '$spec' within=${withinMs}ms skip=$skip")
       total += want.size
+
+      // event-time mode under DISORDERED arrival with the same tight
+      // horizon: the pending buffer's watermark-gated release must
+      // interleave correctly with the flush timers (5-row shuffle stays
+      // inside the 30 s watermark delay, so nothing is dropped as late)
+      val memEt = MemoryStream[(Long, Long, Long, String)]
+      val dfEt = memEt.toDF().toDF("user_id", "ms", "event_id", "event_type")
+        .select(col("user_id"),
+          (col("ms") / 1000).cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+        .withWatermark("ts", "30 seconds")
+      val nameEt = s"t_cep_tight_et_$trial"
+      val qEt = Cep.matchPatternStream(dfEt, "user_id", "ts", "event_id",
+          steps, withinMicros = Some(withinMs * 1000L),
+          flushOnHorizon = true, eventTime = true, skip = skip)
+        .writeStream.format("memory").queryName(nameEt)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      val disordered = ordered.grouped(5).flatMap(b =>
+        rnd.shuffle(b)).toIndexedSeq
+      disordered.grouped(math.max(1, disordered.length / 4)).foreach { c =>
+        memEt.addData(c); qEt.processAllAvailable()
+      }
+      val gotEt = spark.table(nameEt).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      qEt.stop()
+      assert(gotEt === want, s"trial $trial (event-time) pattern " +
+        s"'$spec' within=${withinMs}ms skip=$skip")
     }
     assert(total > 20, s"only $total matched rows across tight trials")
   }
