@@ -1049,6 +1049,73 @@ class CepSpec extends AnyFunSuite {
       Set(("A", 3L), ("B", 4L))))
   }
 
+  test("notFollowedBy guard inside a group iteration kills only that " +
+      "iteration's branch") {
+    // (A ~> !C ~> B)+: within each iteration the relaxed A→B gap must
+    // not contain a click; a violating iteration ends the loop, the
+    // completed iterations still match
+    val preds: Map[String, org.apache.spark.sql.Row => Boolean] = Map(
+      "A" -> (_.getString(3) == "signup"),
+      "B" -> (_.getString(3) == "error"),
+      "C" -> (_.getString(3) == "click"))
+    val steps = Cep.pattern("(A ~> !C ~> B)+", preds)
+    // user 1: iteration 2's gap holds a click → loop stops after one
+    // iteration; user 2: a view in the gap is skipped (guard is
+    // C-specific), two clean iterations chain strictly
+    val events = mkEvents(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "signup"), (1L, 40L, 4L, "click"),
+      (1L, 50L, 5L, "error"),
+      (2L, 10L, 1L, "signup"), (2L, 20L, 2L, "view"),
+      (2L, 30L, 3L, "error"), (2L, 40L, 4L, "signup"),
+      (2L, 50L, 5L, "error"))
+    val got = Cep.matchPattern(events, "user_id", "ts", "event_id", steps)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3).toLong)).toSet
+    assert(got === Set(
+      (1L, "A", 1L, 0L), (1L, "B", 2L, 0L),
+      (2L, "A", 1L, 0L), (2L, "B", 3L, 0L),
+      (2L, "A", 4L, 0L), (2L, "B", 5L, 0L)))
+    // streaming twin over two micro-batches agrees
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "secs", "event_id", "event_type")
+      .select(col("user_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps)
+      .writeStream.format("memory").queryName("t_cep_group_guard")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (2L, 10L, 1L, "signup"), (2L, 20L, 2L, "view"))
+    q.processAllAvailable()
+    mem.addData((1L, 30L, 3L, "signup"), (1L, 40L, 4L, "click"),
+      (1L, 50L, 5L, "error"),
+      (2L, 30L, 3L, "error"), (2L, 40L, 4L, "signup"),
+      (2L, 50L, 5L, "error"),
+      (1L, 60L, 6L, "view"), (2L, 60L, 6L, "view"))
+    q.processAllAvailable()
+    val streamGot = spark.table("t_cep_group_guard").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    q.stop()
+    // the trailing views close both keys' open relaxed tails
+    val batchClosed = Cep.matchPattern(
+      mkEvents((1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+        (1L, 30L, 3L, "signup"), (1L, 40L, 4L, "click"),
+        (1L, 50L, 5L, "error"), (1L, 60L, 6L, "view"),
+        (2L, 10L, 1L, "signup"), (2L, 20L, 2L, "view"),
+        (2L, 30L, 3L, "error"), (2L, 40L, 4L, "signup"),
+        (2L, 50L, 5L, "error"), (2L, 60L, 6L, "view")),
+      "user_id", "ts", "event_id", steps).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3).toLong)).toSet
+    assert(streamGot === batchClosed)
+  }
+
   test("group pattern string: (A B)+ parses, sub-contiguity, nesting " +
       "rejected") {
     val preds: Map[String, org.apache.spark.sql.Row => Boolean] = Map(
