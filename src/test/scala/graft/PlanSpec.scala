@@ -185,6 +185,27 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side partial agg:\n$p")
   }
 
+  test("q_ds_inventory_ahead: two-grain fact join co-keys on " +
+      "(brand, month), dims broadcast, inequality stays a residual") {
+    // the Q72-class bench headline: the coarse-grain inventory CTE is a
+    // partial-agged aggregate of the fact; the demand side reshuffles on
+    // the SAME (brand, month) key (SMJ), the on_hand < demand inequality
+    // is a post-join residual (never a join key), and orders/part/promo
+    // are broadcast. Exactly two fact scans — the two-instance join IS
+    // the idiom; a third would be a fork.
+    val p = plan("q_ds_inventory_ahead")
+    assert("SortMergeJoin".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Inner, (cast(on_hand"),
+      s"inequality must ride the SMJ as a residual:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 4,
+      s"orders/part(x2)/promo must broadcast:\n$p")
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 2,
+      s"expected exactly two fact scans:\n$p")
+    // both SMJ inputs partial-aggregate / shuffle on (brand, month)
+    assert("Exchange hashpartitioning\\(p_brand".r.findAllIn(p).size === 2,
+      s"both sides must co-key on (brand, month):\n$p")
+  }
+
   test("q_ds_below_avg_items: rev CTE computed once at runtime (AQE reuse)") {
     // the SQL text references the rev CTE twice (rev itself + its
     // per-store average), and the initial plan prints two identical
