@@ -330,4 +330,74 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
       s"metadata columns must not widen the scan:\n$plan")
   }
+
+  private val derbyUrl = "jdbc:derby:memory:graft_jdbc;create=true"
+  private def derbyProps = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  test("jdbc connector: write, read with pushdown, partitioned " +
+      "parallel read (embedded Derby, zero egress)") {
+    // the reference's JDBC connector surface (flink-connector-jdbc)
+    // through Spark's built-in JDBC source against the Derby that ships
+    // in the Spark distribution — in-process, so the zero-egress
+    // container constraint holds; a networked url works identically
+    import org.apache.spark.sql.functions.col
+    val dim = spark.range(100).selectExpr("id AS k",
+      "CAST(id % 7 AS INT) AS seg", "CONCAT('n_', id) AS name")
+    // Derby's default StringType mapping is CLOB (not comparable) —
+    // the explicit VARCHAR is the standard dialect override
+    dim.write.mode("overwrite")
+      .option("createTableColumnTypes", "name VARCHAR(64)")
+      .jdbc(derbyUrl, "DIM", derbyProps)
+    val back = spark.read.jdbc(derbyUrl, "DIM", derbyProps)
+    assert(back.count() === 100)
+    assert(back.where(col("name") === "n_7").select("seg")
+      .head().getInt(0) === 0)
+    // filter pushdown: the predicate reaches the JDBC scan, not a
+    // Spark-side filter over a full-table read
+    val filtered = back.where(col("k") < 10)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("LessThan"),
+      s"JDBC pushdown missing:\n$plan")
+    assert(filtered.count() === 10)
+    // partitioned read: 4 range-sliced queries run in parallel — the
+    // scale path for a large dimension snapshot
+    val part = spark.read.jdbc(derbyUrl, "DIM", "k", 0L, 100L, 4,
+      derbyProps)
+    assert(part.rdd.getNumPartitions === 4)
+    assert(part.count() === 100)
+  }
+
+  test("jdbc lookup client: batched point reads against a real store " +
+      "equal the broadcast join") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dim = spark.range(100).selectExpr("id AS k",
+      "CAST(id % 7 AS INT) AS seg", "CONCAT('n_', id) AS name")
+    dim.write.mode("overwrite")
+      .option("createTableColumnTypes", "name VARCHAR(64)")
+      .jdbc(derbyUrl, "DIM2", derbyProps)
+    val probe = spark.range(300)
+      .selectExpr("id AS row_id", "id % 150 AS k").repartition(3)
+    val vs = StructType(Seq(StructField("name", StringType),
+      StructField("seg", IntegerType)))
+    val got = graft.operators.LookupJoin.lookupJoin(probe.toDF(), "k",
+        new graft.operators.LookupJoin.JdbcLookupClient(
+          derbyUrl, "DIM2", "k", Seq("name", "seg"), inClauseLimit = 32),
+        vs, "left", batchSize = 64)
+      .select("row_id", "name", "seg").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getInt(2))).toSet
+    val want = probe.join(
+        org.apache.spark.sql.functions.broadcast(dim), Seq("k"), "left")
+      .select("row_id", "name", "seg").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getInt(2))).toSet
+    assert(got === want)
+    // misses (k in 100..149) came back as nulls, hits as values
+    assert(got.exists(_._2 == null) && got.exists(_._2 != null))
+  }
 }
