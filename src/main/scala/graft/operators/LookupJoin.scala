@@ -100,7 +100,10 @@ object LookupJoin {
       Option(org.apache.spark.TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit] { _ =>
           if (exec != null) exec.shutdownNow()
-          client.close()
+          // best-effort: an abandoned task may close while a prefetch
+          // round trip is still in flight — a close-time error must not
+          // fail the (already finished) task
+          try client.close() catch { case _: Exception => }
         })
 
       def resolve(batch: Array[Row]): Iterator[Row] = {

@@ -459,7 +459,11 @@ object EventQueries {
         graft.cep.Cep.signupThenErrors(t(s, d, "events"))
           .orderBy(col("key"), col("match_seq"), col("step"),
             col("event_id")),
-      Some(cepNfaOracle)),
+      Some(cepNfaOracle),
+      // bench: the CEP family's headline number — one key shuffle +
+      // linear NFA scan; tracks the mapPartitions match path the SQL
+      // rows never exercise
+      bench = true),
 
     // The same `A B+` pattern through the SQL MATCH_RECOGNIZE surface
     // (reference StreamExecMatch.java:90 — the reference's CEP NFA is a

@@ -7,12 +7,15 @@ import graft.operators.LookupJoin
 
 /** Catalog surface for the lookup join (reference
   * CommonExecLookupJoin.java:138): big orders probe a customer
-  * "service" per row. The external store is simulated by a driver-held
-  * map of the customer fixture (`MapLookupClient`) — the one deliberate
-  * driver-side materialization in the catalog, standing in for the
-  * JDBC/HBase endpoint a production deployment would hit; the operator
-  * under test is the distributed mapPartitions batching/cache/prefetch
-  * machinery, which adds NO shuffle to the probe side. */
+  * "service" per row. The external store is REAL since round 6: the
+  * customer fixture is loaded into the embedded Derby that ships with
+  * the Spark distribution (in-process — the zero-egress constraint
+  * holds) and each task's `JdbcLookupClient` runs batched
+  * `WHERE key IN (…)` point reads against it, exactly the reference's
+  * JDBC lookup connector shape (JdbcRowDataLookupFunction). The
+  * operator under test is the distributed mapPartitions
+  * batching/cache/prefetch machinery, which adds NO shuffle to the
+  * probe side. */
 object LookupQueries {
 
   private val lookupSql =
@@ -21,22 +24,26 @@ object LookupQueries {
       |WHERE o_totalprice > 400000.0
       |ORDER BY o_orderkey""".stripMargin
 
+  private val derbyUrl = "jdbc:derby:memory:graft_lookup;create=true"
+
   val queries: Seq[Query] = Seq(
     Query(
       "q_lookup_join",
       (s, d) => {
-        // TEST HARNESS, not the operator: this collect builds the
-        // stand-in external store (no JDBC/HBase endpoint exists
-        // in-container). A production deployment points LookupClient at
-        // the real service; the operator itself never collects —
-        // lookups run distributed inside mapPartitions on the probe
-        // side's existing partitioning.
-        val dim = Catalog.t(s, d, "customer")
+        // stage the dimension into the external store (a production
+        // deployment's store already exists; this write is the test
+        // fixture's "ingest"). Distributed: executors insert partitions
+        // over JDBC; nothing is collected to the driver.
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        Catalog.t(s, d, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-          .collect()
-          .map(r => r.getLong(0) -> Seq[Any](r.getString(1), r.getString(2)))
-          .toMap
-        val client = new LookupJoin.MapLookupClient(dim)
+          .write.mode("overwrite")
+          .option("createTableColumnTypes",
+            "c_name VARCHAR(64), c_mktsegment VARCHAR(32)")
+          .jdbc(derbyUrl, "CUSTOMER_DIM", props)
+        val client = new LookupJoin.JdbcLookupClient(derbyUrl,
+          "CUSTOMER_DIM", "c_custkey", Seq("c_name", "c_mktsegment"))
         val probes = Catalog.t(s, d, "orders")
           .where(col("o_totalprice") > 400000.0)
           .select(col("o_orderkey"), col("o_custkey"))
