@@ -171,6 +171,15 @@ object Cep {
         }
         require(s.group.exists(!_.negated),
           s"group '${s.name}' needs at least one positive sub-step")
+        // an iteration is a sub-pattern: like the top-level rule
+        // ("pattern cannot start with a negation"), it may not START
+        // with a guard — the iteration-attach contiguity rewrite in
+        // BOTH matchers (batch attemptAt and the streaming NFA) targets
+        // the head sub-step, and rewriting a strict notNext guard into
+        // a relaxed notFollowedBy would silently change its semantics
+        require(!s.group.head.negated,
+          s"group '${s.name}' cannot start with a negation " +
+            "(reference Pattern.begin applies per iteration)")
         // a trailing relaxed guard's gap is bounded by the NEXT positive
         // step — inside a loop that may be the next iteration's first
         // positive sub-step, but on the last iteration it needs one
@@ -470,6 +479,11 @@ object Cep {
     // `cont` with (position after, surviving guards, per-step hits in
     // REVERSE step order). Both the top-level pattern and each group
     // iteration run through here.
+    // KEEP IN SYNC with the streaming twin (matchPatternStream's
+    // attempt.seqRec): same choice tree over bitmask slots plus
+    // truncation/provisional tracking the complete-data scan doesn't
+    // need. Semantic RESTRICTIONS belong in validateSteps — the one
+    // shared place — not in either matcher.
     def seqRec(ss: Seq[Step], si: Int, pos: Int,
         guards: List[Row => Boolean], acc: List[List[(Int, String)]],
         cont: (Int, List[Row => Boolean], List[List[(Int, String)]])
@@ -698,6 +712,9 @@ object Cep {
             // from pos, then hand (position after, surviving guards,
             // per-element hits in REVERSE order) to `cont`. Guards are
             // armed notFollowedBy masks.
+            // KEEP IN SYNC with the batch twin (attemptAt.seqRec) —
+            // any semantic change there lands here too; restrictions
+            // belong in validateSteps, the one shared place.
             def seqRec(ms: Array[PMeta], mi: Int, pos: Int,
                 guards: List[Long], acc: Hits,
                 cont: (Int, List[Long], Hits) => Att): Att = {
@@ -999,7 +1016,23 @@ object Cep {
       // token; everything else splits on whitespace
       val tokRe =
         """\([^()]*\)(?:\+\??|\?\??|\{\d+(?:,\d*)?\}\??)?|[^\s()]+""".r
-      tokRe.findAllIn(body.trim).foreach {
+      val trimmed = body.trim
+      // findAllIn silently SKIPS characters no alternative matches —
+      // a stray '(' or ')' (typo'd/unbalanced group) would quietly
+      // parse as a different pattern. Every inter-token gap must be
+      // whitespace-only.
+      var covered = 0
+      tokRe.findAllMatchIn(trimmed).foreach { m =>
+        require(trimmed.substring(covered, m.start).isBlank,
+          s"bad pattern near '${trimmed.substring(covered,
+            math.min(covered + 12, trimmed.length))}' — unbalanced " +
+            "parenthesis or stray character")
+        covered = m.end
+      }
+      require(trimmed.substring(covered).isBlank,
+        s"bad pattern near '${trimmed.substring(covered)}' — " +
+          "unbalanced parenthesis or stray character")
+      tokRe.findAllIn(trimmed).foreach {
         case "~>" =>
           require(!relaxedNext, "dangling '~>' in pattern")
           relaxedNext = true

@@ -198,8 +198,15 @@ object LookupJoin {
       keyCol: String, valueCols: Seq[String], inClauseLimit: Int = 256)
       extends LookupClient {
     require(valueCols.nonEmpty, "JdbcLookupClient needs value columns")
+    // lifecycle is cross-thread: lookups may run on the prefetch thread
+    // while close() fires on the task thread (completion listener after
+    // an abandoning LIMIT). The lock + closed flag stop a racing lookup
+    // from re-opening a connection AFTER the only close hook has fired
+    // (which would leak it for the JVM lifetime).
     @transient private var conn: java.sql.Connection = _
-    private def connection(): java.sql.Connection = {
+    @transient private var closed: Boolean = false
+    private def connection(): java.sql.Connection = synchronized {
+      require(!closed, "JdbcLookupClient is closed (task completed)")
       if (conn == null) conn = java.sql.DriverManager.getConnection(url)
       conn
     }
@@ -222,7 +229,9 @@ object LookupJoin {
       }
       out.result()
     }
-    override def close(): Unit =
+    override def close(): Unit = synchronized {
+      closed = true
       if (conn != null) { conn.close(); conn = null }
+    }
   }
 }

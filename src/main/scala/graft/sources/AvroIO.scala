@@ -255,10 +255,16 @@ object AvroIO {
         s"AvroIO: writer schema lacks field '$path.${f.name}'")
       // nullability is structural too: a nullable Spark column against a
       // non-union target would only fail per-row in a task when the first
-      // null arrives, after partial output exists — reject up front
+      // null arrives, after partial output exists — reject up front.
+      // Spark infers nullable = true for most computed columns even when
+      // no value can be null; a caller who KNOWS the data is null-free
+      // asserts it by tightening the frame's schema (the message says
+      // how) rather than by this writer guessing.
       require(!f.nullable || af.schema.isNullable,
         s"AvroIO: '$path.${f.name}' is nullable in Spark but target " +
-          s"${af.schema} has no null union branch")
+          s"${af.schema} has no null union branch — add a null branch " +
+          "to the writer schema, or assert non-nullability via " +
+          "createDataFrame(df.rdd, schema with nullable=false)")
       validateFieldSchema(f.dataType, unwrap(af.schema), s"$path.${f.name}")
     }
   }

@@ -1146,6 +1146,20 @@ class CepSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Cep.pattern("((A B)+ C)+", preds)
     }
+    // unbalanced/stray parens must ERROR, not silently parse as a
+    // different pattern (the tokenizer skips unmatched characters)
+    assert(intercept[IllegalArgumentException] {
+      Cep.pattern("A (B C", preds)
+    }.getMessage.contains("unbalanced"))
+    assert(intercept[IllegalArgumentException] {
+      Cep.pattern("A B) C", preds)
+    }.getMessage.contains("unbalanced"))
+    // an iteration is a sub-pattern: it may not START with a negation
+    // (the iteration-attach rewrite would change the guard's semantics)
+    assert(intercept[IllegalArgumentException] {
+      Cep.matchPattern(events, "user_id", "ts", "event_id",
+        Cep.pattern("C ~> (!C ~> A B)+", preds))
+    }.getMessage.contains("cannot start with a negation"))
   }
 
   test("streaming NFA sequence group stays open across batches") {
