@@ -407,6 +407,174 @@ object Cep {
     }
   }
 
+  /** Compiled pattern element for the SHARED sequence-matcher core
+    * ([[seqMatch]]): quantifier bounds + contiguity + negation, a `tag`
+    * indexing the caller's per-element evaluation data (predicates for
+    * the batch matcher, bitmask slots for the streaming one), and the
+    * compiled sub-elements of a sequence group. */
+  private final case class MDesc(tag: Int, mn: Int, mx: Int,
+      greedy: Boolean, relaxed: Boolean, negated: Boolean,
+      sub: Array[MDesc]) extends Serializable
+
+  /** Position environment the shared core matches over. `G` is the
+    * armed-guard representation (predicate / bitmask), `L` the
+    * consume-time label (step name / slot index). The `on*` hooks are
+    * the streaming matcher's provisionality tracking — a branch whose
+    * outcome a FUTURE event could flip; the batch matcher (complete
+    * data) leaves them as no-ops. */
+  private trait MatchEnv[G, L] {
+    def length: Int
+    def inWin(p: Int): Boolean
+    def matches(tag: Int, p: Int): Boolean
+    def untilHit(tag: Int, p: Int): Boolean
+    def arm(tag: Int): G
+    def guardHit(guards: List[G], p: Int): Boolean
+    def label(tag: Int, p: Int): L
+    def onNotNextAtTip(): Unit = ()
+    def onGreedyTruncated(): Unit = ()
+    def onReluctantTruncated(): Unit = ()
+    def onIterBoundaryAtTip(): Unit = ()
+  }
+
+  /** THE backtracking sequence matcher — the single implementation of
+    * the pattern semantics (quantifier greed/reluctance, strict/relaxed
+    * contiguity, notNext/notFollowedBy guards, `until` stop-conditions,
+    * sequence-group iteration), shared by batch [[attemptAt]] and the
+    * streaming NFA. Returns per-element consumed positions with their
+    * consume-time labels (forward order), or None. Semantic
+    * RESTRICTIONS live in [[validateSteps]]; evaluation differences
+    * live in the [[MatchEnv]]; nothing pattern-semantic may be
+    * implemented outside this method. */
+  private def seqMatch[G, L](env: MatchEnv[G, L], elems: Array[MDesc],
+      start: Int): Option[List[List[(Int, L)]]] = {
+    type Res = List[List[(Int, L)]]
+
+    // Consume one positive non-group element at `pos`: scan its
+    // feasible run, then hand each quantifier choice k (greedy: longest
+    // first; reluctant: shortest first) to `cont` with the labeled
+    // takes. Consuming k > 0 events releases the armed guards (the gap
+    // they bound has closed). A run cut short by data exhaustion
+    // (p == length with room below mx) is PROVISIONAL — a future event
+    // could extend it — reported through the truncation hooks: a
+    // truncated GREEDY run flips the first k tried, so any success
+    // below is provisional up front; a truncated RELUCTANT run only
+    // matters if every k ≤ run fails (larger k was never explorable).
+    def consume(m: MDesc, pos: Int, guards: List[G],
+        cont: (Int, List[G], List[(Int, L)]) => Option[Res])
+        : Option[Res] = {
+      val takes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var p = pos
+      var truncated = false
+      if (!m.relaxed) {
+        // contiguous run; an armed guard sees an empty gap — no-op.
+        // An until stop exits with p < length, so the run reads as
+        // closed, not truncated — correct: future events cannot reopen
+        // a predicate-stopped loop.
+        while (takes.length < m.mx && p < env.length
+          && !env.untilHit(m.tag, p)
+          && env.matches(m.tag, p) && env.inWin(p)) { takes += p; p += 1 }
+        truncated = takes.length < m.mx && p == env.length
+      } else {
+        // skip non-matching events; before the first take, a skipped
+        // event matching an armed guard caps the scan (STOP state) —
+        // takes found earlier are impossible then (takes.isEmpty), so
+        // only a zero-consume branch can survive and the guard stays
+        // armed for the next positive step, which re-encounters the
+        // offending event in its own gap. An until stop is final the
+        // same way (the loop may not skip past it).
+        var live = true
+        while (live && takes.length < m.mx && p < env.length
+          && env.inWin(p)) {
+          if (env.untilHit(m.tag, p)) live = false
+          else if (env.matches(m.tag, p)) { takes += p; p += 1 }
+          else if (takes.isEmpty && env.guardHit(guards, p)) live = false
+          else p += 1
+        }
+        truncated = live && takes.length < m.mx && p == env.length
+      }
+      if (m.greedy && truncated) env.onGreedyTruncated()
+      val order =
+        if (m.greedy) takes.length to m.mn by -1 else m.mn to takes.length
+      for (k <- order) {
+        val (nPos, nGuards) =
+          if (k == 0) (pos, guards) else (takes(k - 1) + 1, Nil)
+        val res = cont(nPos, nGuards,
+          takes.take(k).toList.map(p2 => (p2, env.label(m.tag, p2))))
+        if (res.isDefined) return res
+      }
+      if (!m.greedy && truncated) env.onReluctantTruncated()
+      None
+    }
+
+    // Generic sequence matcher: match ms(mi..) starting at pos, then
+    // call `cont` with (position after, surviving guards, per-element
+    // hits in REVERSE order). Both the top-level pattern and each group
+    // iteration run through here.
+    def seqRec(ms: Array[MDesc], mi: Int, pos: Int, guards: List[G],
+        acc: Res, cont: (Int, List[G], Res) => Option[Res]): Option[Res] = {
+      if (mi == ms.length) return cont(pos, guards, acc)
+      val m = ms(mi)
+      if (m.negated) {
+        if (!m.relaxed) {
+          // notNext: window-scoped check of the immediately-following
+          // event; absence (end of data) passes — provisionally for the
+          // streaming matcher (the target event may not have arrived)
+          if (pos < env.length) {
+            if (env.matches(m.tag, pos) && env.inWin(pos)) return None
+            seqRec(ms, mi + 1, pos, guards, Nil :: acc, cont)
+          } else {
+            env.onNotNextAtTip()
+            seqRec(ms, mi + 1, pos, guards, Nil :: acc, cont)
+          }
+        } else
+          // notFollowedBy: arm the guard for the next positive step's gap
+          seqRec(ms, mi + 1, pos, env.arm(m.tag) :: guards,
+            Nil :: acc, cont)
+      } else if (m.sub.nonEmpty) {
+        // sequence group: iterations 2..k (and iteration 1's first
+        // sub-step — validated non-negated) attach with the GROUP's
+        // contiguity
+        val sub =
+          if (m.relaxed && !m.sub(0).relaxed) {
+            val c = m.sub.clone(); c(0) = c(0).copy(relaxed = true); c
+          } else m.sub
+        def iterate(k: Int, pos2: Int, guards2: List[G],
+            takenRev: Res): Option[Res] = {
+          def more: Option[Res] =
+            if (k >= m.mx) None
+            else if (pos2 >= env.length) {
+              // at the data tip a future event could begin iteration
+              // k+1 — provisional for streaming; with complete data the
+              // sub-match below would fail anyway, so cutting here is
+              // equivalent and cheaper
+              env.onIterBoundaryAtTip()
+              None
+            }
+            // group-level until: checked at the iteration boundary —
+            // the stop event is left for the next step
+            else if (env.inWin(pos2) && env.untilHit(m.tag, pos2)) None
+            else seqRec(sub, 0, pos2, guards2, Nil, (p3, g3, subAcc) =>
+              // an iteration must consume ≥1 event: a zero-width pass
+              // makes no progress and would loop forever under mx = ∞
+              if (p3 == pos2) None
+              else iterate(k + 1, p3, g3,
+                subAcc.reverse.flatten :: takenRev))
+          def stop: Option[Res] =
+            if (k >= m.mn)
+              seqRec(ms, mi + 1, pos2, guards2,
+                takenRev.reverse.flatten :: acc, cont)
+            else None
+          if (m.greedy) more.orElse(stop) else stop.orElse(more)
+        }
+        iterate(0, pos, guards, Nil)
+      } else
+        consume(m, pos, guards, (nPos, nGuards, taken) =>
+          seqRec(ms, mi + 1, nPos, nGuards, taken :: acc, cont))
+    }
+
+    seqRec(elems, 0, start, Nil, Nil, (_, _, acc) => Some(acc.reverse))
+  }
+
   /** Try to match the full pattern starting at events(start). Strict
     * steps consume a contiguous run; relaxed steps scan forward skipping
     * events that do not match them (the reference's FOLLOWED_BY ignore
@@ -418,127 +586,34 @@ object Cep {
     * kills any branch whose next positive relaxed scan skips a matching
     * event before its first take (notFollowedBy — the reference's STOP
     * state). Returns the per-step consumed POSITIONS (empty for a
-    * zero-match quantifier or a negation). */
+    * zero-match quantifier or a negation). Semantics live in the shared
+    * [[seqMatch]] core; this wrapper only supplies Row evaluation. */
   private def attemptAt(events: scala.collection.IndexedSeq[Row], start: Int, steps: Seq[Step],
       withinMicros: Option[Long], tIdx: Int): Option[Seq[Seq[(Int, String)]]] = {
-    type Res = Seq[Seq[(Int, String)]]
     val startUs = tsMicros(events(start).getTimestamp(tIdx))
-    def inWindow(i: Int): Boolean = withinMicros.forall(w =>
-      tsMicros(events(i).getTimestamp(tIdx)) - startUs <= w)
-
-    // Consume one positive non-group step at `pos`: scan its feasible
-    // run, then hand each quantifier choice k (greedy: longest first;
-    // reluctant: shortest first) to `cont` with the labeled takes.
-    // Consuming k > 0 events releases the armed guards (the gap they
-    // bound has closed).
-    def consume(st: Step, pos: Int, guards: List[Row => Boolean],
-        cont: (Int, List[Row => Boolean], List[(Int, String)]) => Option[Res])
-        : Option[Res] = {
+    val flat = scala.collection.mutable.ArrayBuffer.empty[Step]
+    def desc(st: Step): MDesc = {
+      val tag = flat.length
+      flat += st
       val (mn, mx, greedy) = bounds(st.quant)
-      // until: predicate stop-condition — the loop accepts nothing at
-      // or beyond the first event satisfying it (the stop event is
-      // left for the NEXT step to consume)
-      val stopAt: Row => Boolean = st.until.getOrElse(_ => false)
-      val takes = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var p = pos
-      if (!st.relaxed) {
-        // contiguous run; an armed guard sees an empty gap — no-op
-        while (takes.length < mx && p < events.length
-          && !stopAt(events(p))
-          && st.pred(events(p)) && inWindow(p)) { takes += p; p += 1 }
-      } else {
-        // skip non-matching events; before the first take, a skipped
-        // event matching an armed guard caps the scan (STOP state) —
-        // takes found earlier are impossible then (takes.isEmpty), so
-        // only a zero-consume branch can survive and the guard stays
-        // armed for the next positive step, which re-encounters the
-        // offending event in its own gap
-        var live = true
-        while (live && takes.length < mx && p < events.length
-          && inWindow(p)) {
-          if (stopAt(events(p))) live = false
-          else if (st.pred(events(p))) { takes += p; p += 1 }
-          else if (takes.isEmpty && guards.exists(_(events(p)))) live = false
-          else p += 1
-        }
-      }
-      // greedy: longest first, hand back on failure; reluctant:
-      // shortest first, extend on failure
-      val order = if (greedy) takes.length to mn by -1 else mn to takes.length
-      for (k <- order) {
-        val (nPos, nGuards) =
-          if (k == 0) (pos, guards) else (takes(k - 1) + 1, Nil)
-        val res = cont(nPos, nGuards,
-          takes.take(k).toList.map(p2 => (p2, labelFor(st, events(p2)))))
-        if (res.isDefined) return res
-      }
-      None
+      MDesc(tag, mn, mx, greedy, st.relaxed, st.negated,
+        st.group.map(desc).toArray)
     }
-
-    // Generic sequence matcher: match ss(si..) starting at pos, then call
-    // `cont` with (position after, surviving guards, per-step hits in
-    // REVERSE step order). Both the top-level pattern and each group
-    // iteration run through here.
-    // KEEP IN SYNC with the streaming twin (matchPatternStream's
-    // attempt.seqRec): same choice tree over bitmask slots plus
-    // truncation/provisional tracking the complete-data scan doesn't
-    // need. Semantic RESTRICTIONS belong in validateSteps — the one
-    // shared place — not in either matcher.
-    def seqRec(ss: Seq[Step], si: Int, pos: Int,
-        guards: List[Row => Boolean], acc: List[List[(Int, String)]],
-        cont: (Int, List[Row => Boolean], List[List[(Int, String)]])
-          => Option[Res]): Option[Res] = {
-      if (si == ss.length) return cont(pos, guards, acc)
-      val st = ss(si)
-      if (st.negated) {
-        if (!st.relaxed) {
-          // notNext: window-scoped check of the immediately-following
-          // event; absence (end of timeline) passes
-          if (pos < events.length && inWindow(pos) && st.pred(events(pos)))
-            None
-          else seqRec(ss, si + 1, pos, guards, Nil :: acc, cont)
-        } else
-          // notFollowedBy: arm the guard for the next positive step's gap
-          seqRec(ss, si + 1, pos, st.pred :: guards, Nil :: acc, cont)
-      } else if (st.group.nonEmpty) {
-        val (mn, mx, greedy) = bounds(st.quant)
-        val stopAt: Row => Boolean = st.until.getOrElse(_ => false)
-        // iterations 2..k (and iteration 1's first positive sub-step)
-        // attach with the GROUP's contiguity
-        val sub =
-          if (st.relaxed && !st.group.head.relaxed)
-            st.group.head.copy(relaxed = true) +: st.group.tail
-          else st.group
-        def iterate(k: Int, pos2: Int, guards2: List[Row => Boolean],
-            takenRev: List[List[(Int, String)]]): Option[Res] = {
-          def more: Option[Res] =
-            if (k >= mx) None
-            // group-level until: checked at the iteration boundary — the
-            // stop event is left for the next step
-            else if (pos2 < events.length && inWindow(pos2)
-              && stopAt(events(pos2))) None
-            else seqRec(sub, 0, pos2, guards2, Nil, (p3, g3, subAcc) =>
-              // an iteration must consume ≥1 event: a zero-width pass
-              // makes no progress and would loop forever under mx = ∞
-              if (p3 == pos2) None
-              else iterate(k + 1, p3, g3,
-                subAcc.reverse.flatten :: takenRev))
-          def stop: Option[Res] =
-            if (k >= mn)
-              seqRec(ss, si + 1, pos2, guards2,
-                takenRev.reverse.flatten :: acc, cont)
-            else None
-          if (greedy) more.orElse(stop) else stop.orElse(more)
-        }
-        iterate(0, pos, guards, Nil)
-      } else
-
-        consume(st, pos, guards, (nPos, nGuards, taken) =>
-          seqRec(ss, si + 1, nPos, nGuards, taken :: acc, cont))
+    val elems = steps.map(desc).toArray
+    val flatArr = flat.toArray
+    val env = new MatchEnv[Row => Boolean, String] {
+      def length: Int = events.length
+      def inWin(p: Int): Boolean = withinMicros.forall(w =>
+        tsMicros(events(p).getTimestamp(tIdx)) - startUs <= w)
+      def matches(tag: Int, p: Int): Boolean = flatArr(tag).pred(events(p))
+      def untilHit(tag: Int, p: Int): Boolean =
+        flatArr(tag).until.exists(_(events(p)))
+      def arm(tag: Int): Row => Boolean = flatArr(tag).pred
+      def guardHit(gs: List[Row => Boolean], p: Int): Boolean =
+        gs.exists(_(events(p)))
+      def label(tag: Int, p: Int): String = labelFor(flatArr(tag), events(p))
     }
-
-    seqRec(steps, 0, start, Nil, Nil,
-      (_, _, acc) => Some(acc.reverse.map(_.toSeq)))
+    seqMatch(env, elems, start).map(_.map(_.toSeq))
   }
 
   /** Incremental streaming NFA (strict contiguity): keyed partial-match
@@ -629,32 +704,31 @@ object Cep {
       slotLabels += label
       bit
     }
-    // per-element matching metadata: mask of this element's slots,
-    // quantifier bounds, contiguity, negation; `untilMask` is the
-    // stop-condition slot (0 = none) — evaluated at ingest like any
-    // predicate but excluded from `mask` so the classifier can never
-    // pick it as an output label; `sub` non-empty = sequence group
-    final case class PMeta(name: String, mask: Long, mn: Int, mx: Int,
-        greedy: Boolean, relaxed: Boolean, negated: Boolean,
-        untilMask: Long, sub: Array[PMeta])
-    def plainMeta(st: Step): PMeta = {
-      val (mn, mx, greedy) = bounds(st.quant)
-      val slots = if (st.alts.isEmpty) Seq(st.name -> st.pred) else st.alts
-      val mask = slots.map { case (l, p) => allocSlot(l, p) }.reduce(_ | _)
-      val um = st.until.fold(0L)(up => allocSlot(st.name + "#until", up))
-      PMeta(st.name, mask, mn, mx, greedy, st.relaxed, st.negated, um,
-        Array.empty)
-    }
-    val metas: Array[PMeta] = steps.map { st =>
-      if (st.group.isEmpty) plainMeta(st)
-      else {
-        val sub = st.group.map(plainMeta).toArray
-        val (mn, mx, greedy) = bounds(st.quant)
-        val um = st.until.fold(0L)(up => allocSlot(st.name + "#until", up))
-        PMeta(st.name, sub.map(_.mask).reduce(_ | _), mn, mx, greedy,
-          st.relaxed, negated = false, um, sub)
+    // compile the pattern into the shared core's MDesc elements, with a
+    // per-element slot MASK (this element's slots) and UNTIL mask (the
+    // stop-condition slot, 0 = none — evaluated at ingest like any
+    // predicate but excluded from the element mask so the classifier
+    // can never pick it as an output label), indexed by MDesc.tag
+    val flatMasks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flatUntils = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def desc(st: Step): MDesc = {
+      val tag = flatMasks.length
+      flatMasks += 0L
+      flatUntils += 0L
+      if (st.group.isEmpty) {
+        val slots = if (st.alts.isEmpty) Seq(st.name -> st.pred) else st.alts
+        flatMasks(tag) = slots.map { case (l, p) => allocSlot(l, p) }
+          .reduce(_ | _)
       }
-    }.toArray
+      flatUntils(tag) =
+        st.until.fold(0L)(up => allocSlot(st.name + "#until", up))
+      val (mn, mx, greedy) = bounds(st.quant)
+      MDesc(tag, mn, mx, greedy, st.relaxed, st.negated,
+        st.group.map(desc).toArray)
+    }
+    val elems: Array[MDesc] = steps.map(desc).toArray
+    val maskArr = flatMasks.toArray
+    val untilArr = flatUntils.toArray
     val slotPredArr = slotPreds.toArray
     val slotLabelArr = slotLabels.toArray
 
@@ -700,135 +774,45 @@ object Cep {
           def attempt(flush: Boolean): (Int, Att) = { // (0 dead,1 partial,2 complete)
             if (buffer.isEmpty) return (1, null)
             val startUs = buffer(0)._2
-            def inWin(i: Int): Boolean =
-              withinMicros.forall(w => buffer(i)._2 - startUs <= w)
-            def slotOf(m: PMeta, p: Int): Int =
-              java.lang.Long.numberOfTrailingZeros(buffer(p)._3 & m.mask)
             var touchedEnd = false
-            type Hits = List[List[(Int, Int)]]
-            // Generic sequence matcher over PMeta elements — the
-            // top-level pattern and each group iteration both run through
-            // here (the batch attemptAt.seqRec shape): match ms(mi..)
-            // from pos, then hand (position after, surviving guards,
-            // per-element hits in REVERSE order) to `cont`. Guards are
-            // armed notFollowedBy masks.
-            // KEEP IN SYNC with the batch twin (attemptAt.seqRec) —
-            // any semantic change there lands here too; restrictions
-            // belong in validateSteps, the one shared place.
-            def seqRec(ms: Array[PMeta], mi: Int, pos: Int,
-                guards: List[Long], acc: Hits,
-                cont: (Int, List[Long], Hits) => Att): Att = {
-              if (mi == ms.length) return cont(pos, guards, acc)
-              val m = ms(mi)
-              def mbit(p: Int): Boolean = (buffer(p)._3 & m.mask) != 0L
-              def ubit(p: Int): Boolean =
-                m.untilMask != 0L && (buffer(p)._3 & m.untilMask) != 0L
-              if (m.negated) {
-                if (!m.relaxed) {
-                  // notNext: window-scoped immediate-event guard. At the
-                  // buffer tip the target event hasn't arrived — outcome
-                  // provisional unless flushing (future events are then
-                  // beyond the horizon and cannot kill)
-                  if (pos < buffer.length) {
-                    if (mbit(pos) && inWin(pos)) return null
-                    seqRec(ms, mi + 1, pos, guards, Nil :: acc, cont)
-                  } else {
-                    if (!flush) touchedEnd = true
-                    seqRec(ms, mi + 1, pos, guards, Nil :: acc, cont)
-                  }
-                } else seqRec(ms, mi + 1, pos, m.mask :: guards,
-                  Nil :: acc, cont)
-              } else if (m.sub.nonEmpty) {
-                // sequence group: iterations 2..k (and iteration 1's
-                // first sub-step) attach with the GROUP's contiguity
-                val sub =
-                  if (m.relaxed && !m.sub(0).relaxed) {
-                    val c = m.sub.clone(); c(0) = c(0).copy(relaxed = true); c
-                  } else m.sub
-                def iterate(k: Int, pos2: Int, guards2: List[Long],
-                    takenRev: Hits): Att = {
-                  def more: Att =
-                    if (k >= m.mx) null
-                    else if (pos2 >= buffer.length) {
-                      // a future event could begin iteration k+1 —
-                      // provisional unless flushing
-                      if (!flush) touchedEnd = true
-                      null
-                    }
-                    // group-level until at the iteration boundary is
-                    // final: the loop may not proceed past the stop event
-                    else if (inWin(pos2) && ubit(pos2)) null
-                    else seqRec(sub, 0, pos2, guards2, Nil,
-                      (p3, g3, subAcc) =>
-                        // an iteration must consume ≥1 event: a
-                        // zero-width pass makes no progress and would
-                        // loop forever under mx = ∞
-                        if (p3 == pos2) null
-                        else iterate(k + 1, p3, g3,
-                          subAcc.reverse.flatten :: takenRev))
-                  def stop: Att =
-                    if (k >= m.mn)
-                      seqRec(ms, mi + 1, pos2, guards2,
-                        takenRev.reverse.flatten :: acc, cont)
-                    else null
-                  if (m.greedy) { val r = more; if (r != null) r else stop }
-                  else { val r = stop; if (r != null) r else more }
-                }
-                iterate(0, pos, guards, Nil)
-              } else {
-                val takes = scala.collection.mutable.ArrayBuffer.empty[Int]
-                var p = pos
-                var truncated = false
-                if (!m.relaxed) {
-                  // an until stop (ubit) exits with p < buffer.length, so
-                  // the run reads as closed, not truncated — correct:
-                  // future events cannot reopen a predicate-stopped loop
-                  while (takes.length < m.mx && p < buffer.length
-                    && !ubit(p)
-                    && mbit(p) && inWin(p)) { takes += p; p += 1 }
-                  truncated = takes.length < m.mx && p == buffer.length
-                } else {
-                  // relaxed scan: skip non-matching events; an armed gap
-                  // guard hit before the first take caps the scan (STOP)
-                  // — and is final: future events extend the buffer, not
-                  // the gap before the violation. An until stop is final
-                  // the same way (the loop may not skip past it)
-                  var live = true
-                  while (live && takes.length < m.mx && p < buffer.length
-                    && inWin(p)) {
-                    if (ubit(p)) live = false
-                    else if (mbit(p)) { takes += p; p += 1 }
-                    else if (takes.isEmpty && guards.exists(g =>
-                      (buffer(p)._3 & g) != 0L)) live = false
-                    else p += 1
-                  }
-                  truncated = live && takes.length < m.mx && p == buffer.length
-                }
-                // a truncated GREEDY run flips the first k tried, so any
-                // success below is provisional; a truncated RELUCTANT run
-                // only matters if every k ≤ run fails (larger k was never
-                // explorable) — reluctant tries shortest first, so a found
-                // match can't change with more events
-                if (m.greedy && truncated) touchedEnd = true
-                val order =
-                  if (m.greedy) takes.length to m.mn by -1
-                  else m.mn to takes.length
-                for (k <- order) {
-                  val (nPos, nGuards) =
-                    if (k == 0) (pos, guards) else (takes(k - 1) + 1, Nil)
-                  val hit = seqRec(ms, mi + 1, nPos, nGuards,
-                    takes.take(k).toList.map(p2 => (p2, slotOf(m, p2)))
-                      :: acc, cont)
-                  if (hit != null) return hit
-                }
-                if (!m.greedy && truncated) touchedEnd = true
-                null
+            // the SHARED seqMatch core over the bitmask replay buffer:
+            // guards are armed notFollowedBy masks, labels are slot
+            // indices (lowest set bit of the consuming element's mask —
+            // first declared alternative, the classifier contract), and
+            // the provisionality hooks record branches a future event
+            // could flip. In flush mode every future event is beyond the
+            // horizon, so tip exhaustion is equivalent to a window
+            // failure (guards are window-scoped) and the tip hooks are
+            // inert; scan-truncation flags stay moot through `closed =
+            // … || flush` below.
+            val env = new MatchEnv[Long, Int] {
+              def length: Int = buffer.length
+              def inWin(p: Int): Boolean =
+                withinMicros.forall(w => buffer(p)._2 - startUs <= w)
+              def matches(tag: Int, p: Int): Boolean =
+                (buffer(p)._3 & maskArr(tag)) != 0L
+              def untilHit(tag: Int, p: Int): Boolean = {
+                val u = untilArr(tag)
+                u != 0L && (buffer(p)._3 & u) != 0L
               }
+              def arm(tag: Int): Long = maskArr(tag)
+              def guardHit(gs: List[Long], p: Int): Boolean =
+                gs.exists(g => (buffer(p)._3 & g) != 0L)
+              def label(tag: Int, p: Int): Int =
+                java.lang.Long.numberOfTrailingZeros(
+                  buffer(p)._3 & maskArr(tag))
+              override def onNotNextAtTip(): Unit =
+                if (!flush) touchedEnd = true
+              override def onGreedyTruncated(): Unit = touchedEnd = true
+              override def onReluctantTruncated(): Unit = touchedEnd = true
+              override def onIterBoundaryAtTip(): Unit =
+                if (!flush) touchedEnd = true
             }
-            val att = seqRec(metas, 0, 0, Nil, Nil,
-              (_, _, acc) => Att(acc.reverse.toArray, closed = true))
-            if (att == null) (if (touchedEnd && !flush) 1 else 0, null)
-            else (2, att.copy(closed = !touchedEnd || flush))
+            seqMatch(env, elems, 0) match {
+              case None => (if (touchedEnd && !flush) 1 else 0, null)
+              case Some(hits) =>
+                (2, Att(hits.toArray, closed = !touchedEnd || flush))
+            }
           }
 
           def emitMatch(att: Att): Unit = {
