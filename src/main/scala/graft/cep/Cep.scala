@@ -294,10 +294,11 @@ object Cep {
       tIdx: Int, iIdx: Int): Iterator[(Long, String, Long, Int)] = {
     val matches = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, Long, Int)]
+    val compiled = compileBatch(steps)
     var seq = 0
     var i = 0
     while (i < events.length) {
-      attemptAt(events, i, steps, withinMicros, tIdx) match {
+      attemptAt(events, i, compiled, withinMicros, tIdx) match {
         case Some(posHits) =>
           i = emitAndSkip(events, i, posHits, steps, skip, iIdx, key, seq,
             matches)
@@ -370,6 +371,7 @@ object Cep {
   private[graft] final class HorizonScanner(key: Long, steps: Seq[Step],
       withinMicros: Long, skip: SkipStrategy, tIdx: Int, iIdx: Int) {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    private val compiled = compileBatch(steps)
     private var attempt = 0 // next attempt start, index into buf
     private var seq = 0
     private var peak = 0
@@ -391,7 +393,7 @@ object Cep {
       while (live && attempt < buf.length) {
         val startUs = tsMicros(buf(attempt).getTimestamp(tIdx))
         if (!fin && tipUs - startUs <= withinMicros) live = false // horizon open
-        else attemptAt(buf, attempt, steps, Some(withinMicros), tIdx) match {
+        else attemptAt(buf, attempt, compiled, Some(withinMicros), tIdx) match {
           case Some(posHits) =>
             attempt = emitAndSkip(buf, attempt, posHits, steps, skip, iIdx,
               key, seq, out)
@@ -588,9 +590,10 @@ object Cep {
     * state). Returns the per-step consumed POSITIONS (empty for a
     * zero-match quantifier or a negation). Semantics live in the shared
     * [[seqMatch]] core; this wrapper only supplies Row evaluation. */
-  private def attemptAt(events: scala.collection.IndexedSeq[Row], start: Int, steps: Seq[Step],
-      withinMicros: Option[Long], tIdx: Int): Option[Seq[Seq[(Int, String)]]] = {
-    val startUs = tsMicros(events(start).getTimestamp(tIdx))
+  /** Compile Steps for the Row-evaluating batch matcher: MDesc elements
+    * plus the tag→Step table. Hoisted out of [[attemptAt]] so a
+    * timeline scan compiles once, not once per start position. */
+  private def compileBatch(steps: Seq[Step]): (Array[MDesc], Array[Step]) = {
     val flat = scala.collection.mutable.ArrayBuffer.empty[Step]
     def desc(st: Step): MDesc = {
       val tag = flat.length
@@ -600,7 +603,14 @@ object Cep {
         st.group.map(desc).toArray)
     }
     val elems = steps.map(desc).toArray
-    val flatArr = flat.toArray
+    (elems, flat.toArray)
+  }
+
+  private def attemptAt(events: scala.collection.IndexedSeq[Row], start: Int,
+      compiled: (Array[MDesc], Array[Step]),
+      withinMicros: Option[Long], tIdx: Int): Option[Seq[Seq[(Int, String)]]] = {
+    val startUs = tsMicros(events(start).getTimestamp(tIdx))
+    val (elems, flatArr) = compiled
     val env = new MatchEnv[Row => Boolean, String] {
       def length: Int = events.length
       def inWin(p: Int): Boolean = withinMicros.forall(w =>
