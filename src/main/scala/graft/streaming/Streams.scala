@@ -981,6 +981,78 @@ object Streams {
       }
   }
 
+  /** Idempotent JDBC upsert sink (reference JdbcUpsertTableSink +
+    * JdbcBatchingOutputFormat — flink-connector-jdbc's sink path): a
+    * foreachBatch body that UPSERTs each micro-batch's rows into
+    * `table` by `keyCol`. Per partition, ONE transaction of chunked
+    * DELETE-by-key + batched INSERTs — so an at-least-once re-delivered
+    * batch CONVERGES to the same table instead of duplicating, the
+    * upsert contract that makes foreachBatch's at-least-once
+    * effectively exactly-once for keyed results. The batch is
+    * deduplicated on the key and repartitioned BY the key first (a
+    * key must land in exactly one partition or two partitions'
+    * delete/insert pairs could interleave); update-mode aggregation
+    * batches already carry one row per changed key, so that shuffle
+    * moves only changed keys. Identifiers are ANSI double-quoted,
+    * case-exact — match what Spark's JDBC writer created. Works
+    * against any JDBC url whose driver is on the executor classpath;
+    * tested on the embedded Derby in the Spark distribution.
+    *
+    * Usage: `.writeStream.outputMode("update")
+    * .foreachBatch(Streams.jdbcUpsertSink(url, "T", "k"))`. */
+  def jdbcUpsertSink(url: String, table: String, keyCol: String,
+      chunkSize: Int = 256): (DataFrame, Long) => Unit = {
+    require(chunkSize >= 1)
+    (batch0: DataFrame, _: Long) => {
+      val cols = batch0.schema.fieldNames.toSeq
+      require(cols.contains(keyCol),
+        s"jdbcUpsertSink: no $keyCol in ${cols.mkString(",")}")
+      val kIdx = cols.indexOf(keyCol)
+      val batch = batch0.dropDuplicates(Seq(keyCol))
+        .repartition(col(keyCol))
+      batch.foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.hasNext) {
+          def q(id: String) = "\"" + id + "\""
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val insertSql = s"INSERT INTO ${q(table)} " +
+              s"(${cols.map(q).mkString(", ")}) " +
+              s"VALUES (${cols.map(_ => "?").mkString(",")})"
+            rows.grouped(chunkSize).foreach { chunk =>
+              val ph = chunk.map(_ => "?").mkString(",")
+              val del = conn.prepareStatement(
+                s"DELETE FROM ${q(table)} WHERE ${q(keyCol)} IN ($ph)")
+              try {
+                chunk.zipWithIndex.foreach { case (r, i) =>
+                  del.setObject(i + 1, r.get(kIdx))
+                }
+                del.executeUpdate()
+              } finally del.close()
+              val ins = conn.prepareStatement(insertSql)
+              try {
+                chunk.foreach { r =>
+                  cols.indices.foreach { i =>
+                    val v = r.get(i)
+                    if (v == null) ins.setNull(i + 1, java.sql.Types.NULL)
+                    else ins.setObject(i + 1, v)
+                  }
+                  ins.addBatch()
+                }
+                ins.executeBatch()
+              } finally ins.close()
+            }
+            conn.commit()
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Exception => }
+              throw e
+          } finally conn.close()
+        }
+      }
+    }
+  }
+
   /** Changelog ingest — the INVERSE of [[ChangelogSink]] (reference
     * StreamExecChangelogNormalize.java:61: materialize an upsert/retract
     * stream back into a table). Feed each op-tagged micro-batch (`op` ∈

@@ -1169,4 +1169,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.drop(before).nonEmpty && seen.drop(before).forall(_._2 == 99))
     assert(ctrl.roundTripsMs.size == 2)
   }
+
+  test("jdbc upsert sink: update-mode counts converge in the store; " +
+      "re-delivered batches are idempotent") {
+    // reference JdbcUpsertTableSink: an update-mode aggregation's
+    // changed-key batches upsert into Derby; the final table equals the
+    // batch aggregate of the full input, and re-applying a batch (the
+    // at-least-once case) leaves the table unchanged
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graft_upsert;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // create the target with the sink's schema (empty)
+    spark.emptyDataset[(String, Long)].toDF("k", "n")
+      .write.mode("overwrite")
+      .option("createTableColumnTypes", "k VARCHAR(16)")
+      .jdbc(url, "COUNTS", props)
+    import org.apache.spark.sql.functions.{count, lit}
+    val mem = MemoryStream[String]
+    val counts = mem.toDF().toDF("k").groupBy("k")
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.outputMode("update")
+      .foreachBatch(Streams.jdbcUpsertSink(url, "COUNTS", "k"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData("a", "b", "a"); q.processAllAvailable()
+    mem.addData("a", "c"); q.processAllAvailable()
+    q.stop()
+    def table(): Map[String, Long] =
+      spark.read.jdbc(url, "COUNTS", props).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(table() === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    // idempotence: re-deliver a batch with the current values — the
+    // delete+insert upsert converges to the same table
+    Streams.jdbcUpsertSink(url, "COUNTS", "k")(
+      Seq(("a", 3L), ("c", 1L)).toDF("k", "n"), 99L)
+    assert(table() === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    // and an upsert batch with a NEW value replaces, never duplicates
+    Streams.jdbcUpsertSink(url, "COUNTS", "k")(
+      Seq(("a", 7L)).toDF("k", "n"), 100L)
+    assert(table() === Map("a" -> 7L, "b" -> 1L, "c" -> 1L))
+  }
 }
