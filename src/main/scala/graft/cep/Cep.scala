@@ -1029,6 +1029,16 @@ object Cep {
       tokRe.findAllIn(trimmed).foreach {
         case "~>" =>
           require(!relaxedNext, "dangling '~>' in pattern")
+          // a leading '~>' has nothing to relax: the first step's
+          // contiguity is defined by its container, and inside a group
+          // body a relaxed HEAD sub-step would silently make every
+          // iteration attach relaxed even when the group itself is
+          // strict — the one strict/relaxed mismatch validateSteps
+          // cannot see after the fact. Reject at parse time.
+          require(out.nonEmpty,
+            "pattern (or group body) cannot start with '~>' — contiguity" +
+              " of the first step is set by the group's own quantifier" +
+              " attachment, not a leading '~>'")
           relaxedNext = true
         case AltRe(names, quant) =>
           val g = alt(names.split('|').toIndexedSeq

@@ -35,12 +35,17 @@ object GraftSession {
     master.fold(b)(m => b.master(m))
   }
 
-  /** Local session for tests/benchmarks. */
+  /** Local session for tests/benchmarks. Task retries ON (`local[n, 2]`):
+    * a real cluster retries failed tasks (spark.task.maxFailures=4), and
+    * fault-tolerance tests (sink convergence under a mid-partition task
+    * failure) need the scheduler to actually retry — plain `local[n]`
+    * pins maxFailures=1 and turns every transient fault into a job
+    * failure no production deployment would see. */
   def local(cores: Int = 0): SparkSession = {
     val n =
       if (cores > 0) cores.toString
       else sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val s = builder(Some(s"local[$n]"))
+    val s = builder(Some(s"local[$n, 2]"))
       .config("spark.sql.shuffle.partitions", n)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

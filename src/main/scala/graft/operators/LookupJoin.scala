@@ -167,11 +167,13 @@ object LookupJoin {
     }
   }
 
-  /** A LookupClient over a driver-held map — the stand-in for an
-    * external store in tests and the oracle-checked catalog entry (the
-    * container has no reachable external system; the reference's
-    * JDBC/HBase connectors play this role in production). The map is
-    * captured in the task closure (broadcast by Spark with the task). */
+  /** A LookupClient over a driver-held map — the unit-test harness
+    * client (deterministic, latency-injectable, no store to stand up).
+    * The oracle-checked catalog entry uses [[JdbcLookupClient]] against
+    * file-backed Derby on EVERY deployment since round 7; this class
+    * remains for specs that test the batching/cache/prefetch machinery
+    * in isolation. The map is captured in the task closure (broadcast
+    * by Spark with the task). */
   final class MapLookupClient(table: Map[Long, Seq[Any]],
       latencyMs: Long = 0L) extends LookupClient {
     override def lookup(keys: Seq[Long]): Map[Long, Seq[Any]] = {

@@ -24,43 +24,37 @@ object LookupQueries {
       |WHERE o_totalprice > 400000.0
       |ORDER BY o_orderkey""".stripMargin
 
-  private val derbyUrl = "jdbc:derby:memory:graft_lookup;create=true"
+  // FILE-backed Derby (not memory:): the database is a directory every
+  // process on the host can open, so the staging write and the executor
+  // lookups meet regardless of deployment — no isLocal fork, no
+  // driver-side collect fallback. Per-JVM unique path: embedded Derby
+  // grants the boot lock to ONE JVM at a time, so concurrent runs
+  // (sbt test next to Verify) must not share a database directory. A
+  // real deployment swaps this url for its networked store's.
+  private lazy val derbyDir = java.nio.file.Files
+    .createTempDirectory("graft_lookup_db").toString
+  private lazy val derbyUrl = s"jdbc:derby:$derbyDir/db;create=true"
 
   val queries: Seq[Query] = Seq(
     Query(
       "q_lookup_join",
       (s, d) => {
-        // in-MEMORY Derby is per-JVM: staging writes and lookups only
-        // meet when driver and executors share one JVM (local[*] — the
-        // project's runtime). On a multi-JVM master, fall back to the
-        // map stand-in (each executor's memory: db would be empty); a
-        // real deployment points the client at a shared networked
-        // store, where the JDBC path below is exactly right.
+        // stage the dimension into the external store (a production
+        // deployment's store already exists; this write is the test
+        // fixture's "ingest"). Distributed: tasks insert partitions
+        // over JDBC; nothing is collected to the driver.
+        val props = new java.util.Properties()
+        props.setProperty("driver",
+          "org.apache.derby.jdbc.EmbeddedDriver")
+        Catalog.t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .write.mode("overwrite")
+          .option("createTableColumnTypes",
+            "c_name VARCHAR(64), c_mktsegment VARCHAR(32)")
+          .jdbc(derbyUrl, "CUSTOMER_DIM", props)
         val client: LookupJoin.LookupClient =
-          if (s.sparkContext.isLocal) {
-            // stage the dimension into the external store (a production
-            // deployment's store already exists; this write is the test
-            // fixture's "ingest"). Distributed: tasks insert partitions
-            // over JDBC; nothing is collected to the driver.
-            val props = new java.util.Properties()
-            props.setProperty("driver",
-              "org.apache.derby.jdbc.EmbeddedDriver")
-            Catalog.t(s, d, "customer")
-              .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-              .write.mode("overwrite")
-              .option("createTableColumnTypes",
-                "c_name VARCHAR(64), c_mktsegment VARCHAR(32)")
-              .jdbc(derbyUrl, "CUSTOMER_DIM", props)
-            new LookupJoin.JdbcLookupClient(derbyUrl,
-              "CUSTOMER_DIM", "c_custkey", Seq("c_name", "c_mktsegment"))
-          } else {
-            val dim = Catalog.t(s, d, "customer")
-              .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-              .collect()
-              .map(r => r.getLong(0) ->
-                Seq[Any](r.getString(1), r.getString(2))).toMap
-            new LookupJoin.MapLookupClient(dim)
-          }
+          new LookupJoin.JdbcLookupClient(derbyUrl,
+            "CUSTOMER_DIM", "c_custkey", Seq("c_name", "c_mktsegment"))
         val probes = Catalog.t(s, d, "orders")
           .where(col("o_totalprice") > 400000.0)
           .select(col("o_orderkey"), col("o_custkey"))

@@ -236,9 +236,10 @@ object AvroIO {
     * fields must declare exactly the encoding the default writer
     * produces — checked structurally up front, so an incompatible schema
     * fails at the driver, not per-row in tasks. */
-  def write(df: DataFrame, path: String, writerSchemaJson: String): Unit = {
+  def write(df: DataFrame, path: String, writerSchemaJson: String,
+      strictNullability: Boolean = true): Unit = {
     val target = new Schema.Parser().parse(writerSchemaJson)
-    validateWriterSchema(df.schema, target, "row")
+    validateWriterSchema(df.schema, target, "row", strictNullability)
     writeAs(df, path, target)
   }
 
@@ -246,7 +247,7 @@ object AvroIO {
     * field whose (unwrapped) avro type either equals the default mapping
     * or is one of the enum/fixed extensions. */
   private def validateWriterSchema(st: StructType, sch: Schema,
-      path: String): Unit = {
+      path: String, strictNulls: Boolean): Unit = {
     require(sch.getType == Schema.Type.RECORD,
       s"AvroIO: writer schema at $path must be a record, got ${sch.getType}")
     st.fields.foreach { f =>
@@ -259,18 +260,22 @@ object AvroIO {
       // Spark infers nullable = true for most computed columns even when
       // no value can be null; a caller who KNOWS the data is null-free
       // asserts it by tightening the frame's schema (the message says
-      // how) rather than by this writer guessing.
-      require(!f.nullable || af.schema.isNullable,
+      // how), or opts out of the structural check with
+      // strictNullability = false and accepts the old per-row
+      // fail-on-first-null behavior.
+      require(!strictNulls || !f.nullable || af.schema.isNullable,
         s"AvroIO: '$path.${f.name}' is nullable in Spark but target " +
           s"${af.schema} has no null union branch — add a null branch " +
-          "to the writer schema, or assert non-nullability via " +
-          "createDataFrame(df.rdd, schema with nullable=false)")
-      validateFieldSchema(f.dataType, unwrap(af.schema), s"$path.${f.name}")
+          "to the writer schema, assert non-nullability via " +
+          "createDataFrame(df.rdd, schema with nullable=false), or " +
+          "pass strictNullability = false to fail per-row instead")
+      validateFieldSchema(f.dataType, unwrap(af.schema), s"$path.${f.name}",
+        strictNulls)
     }
   }
 
   private def validateFieldSchema(dt: DataType, s: Schema,
-      path: String): Unit = (dt, s.getType) match {
+      path: String, strictNulls: Boolean): Unit = (dt, s.getType) match {
     case (StringType, Schema.Type.ENUM) => () // symbols checked per value
     case (BinaryType, Schema.Type.FIXED) => ()
     case (d: DecimalType, Schema.Type.FIXED) =>
@@ -283,17 +288,19 @@ object AvroIO {
           s"AvroIO: $path maps decimal to fixed without a decimal logical type")
       }
     case (ArrayType(et, cn), Schema.Type.ARRAY) =>
-      require(!cn || s.getElementType.isNullable,
+      require(!strictNulls || !cn || s.getElementType.isNullable,
         s"AvroIO: $path[] elements nullable in Spark but target element " +
           s"${s.getElementType} has no null union branch")
-      validateFieldSchema(et, unwrap(s.getElementType), s"$path[]")
+      validateFieldSchema(et, unwrap(s.getElementType), s"$path[]",
+        strictNulls)
     case (MapType(StringType, vt, vn), Schema.Type.MAP) =>
-      require(!vn || s.getValueType.isNullable,
+      require(!strictNulls || !vn || s.getValueType.isNullable,
         s"AvroIO: $path{} values nullable in Spark but target value " +
           s"${s.getValueType} has no null union branch")
-      validateFieldSchema(vt, unwrap(s.getValueType), s"$path{}")
+      validateFieldSchema(vt, unwrap(s.getValueType), s"$path{}",
+        strictNulls)
     case (nested: StructType, Schema.Type.RECORD) =>
-      validateWriterSchema(nested, s, path)
+      validateWriterSchema(nested, s, path, strictNulls)
     case _ =>
       val default = toAvro(dt, "probe")
       require(default.getType == s.getType &&

@@ -993,23 +993,52 @@ object Streams {
     * key must land in exactly one partition or two partitions'
     * delete/insert pairs could interleave); update-mode aggregation
     * batches already carry one row per changed key, so that shuffle
-    * moves only changed keys. Identifiers are ANSI double-quoted,
-    * case-exact — match what Spark's JDBC writer created. Works
-    * against any JDBC url whose driver is on the executor classpath;
-    * tested on the embedded Derby in the Spark distribution.
+    * moves only changed keys. WHICH row survives a multi-row-per-key
+    * batch: with `orderCol = Some(c)` the row with the greatest `c`
+    * (ties by arbitrary pick among the tied — give `c` unique values),
+    * computed with one rank window on the same key partitioning; with
+    * `orderCol = None` the pick is ARBITRARY (`dropDuplicates`) — only
+    * use None when the upstream guarantees one row per key per batch,
+    * i.e. update-mode aggregates or a [[ChangelogSink]] diff.
+    * Identifiers are ANSI double-quoted, case-exact — match what
+    * Spark's JDBC writer created. Works against any JDBC url whose
+    * driver is on the executor classpath; tested on the embedded Derby
+    * in the Spark distribution.
+    *
+    * `faultHook` is failure-injection instrumentation (called once per
+    * row inside the partition transaction, before its INSERT binds):
+    * the convergence-under-retry contract above is proven by a test
+    * that throws from here mid-partition and asserts the store still
+    * converges after Spark's task retry. Production callers leave the
+    * default no-op.
     *
     * Usage: `.writeStream.outputMode("update")
     * .foreachBatch(Streams.jdbcUpsertSink(url, "T", "k"))`. */
   def jdbcUpsertSink(url: String, table: String, keyCol: String,
-      chunkSize: Int = 256): (DataFrame, Long) => Unit = {
+      chunkSize: Int = 256, orderCol: Option[String] = None,
+      faultHook: Row => Unit = _ => ()): (DataFrame, Long) => Unit = {
     require(chunkSize >= 1)
     (batch0: DataFrame, _: Long) => {
       val cols = batch0.schema.fieldNames.toSeq
       require(cols.contains(keyCol),
         s"jdbcUpsertSink: no $keyCol in ${cols.mkString(",")}")
+      require(orderCol.forall(cols.contains),
+        s"jdbcUpsertSink: no ${orderCol.get} in ${cols.mkString(",")}")
       val kIdx = cols.indexOf(keyCol)
-      val batch = batch0.dropDuplicates(Seq(keyCol))
-        .repartition(col(keyCol))
+      val batch = orderCol match {
+        case Some(oc) =>
+          // deterministic last-wins: greatest orderCol per key. The
+          // window partitions on the SAME key the sink repartitions on,
+          // so AQE reuses one shuffle for both.
+          import org.apache.spark.sql.expressions.Window
+          batch0
+            .withColumn("__graft_rn", row_number().over(
+              Window.partitionBy(col(keyCol)).orderBy(col(oc).desc)))
+            .where(col("__graft_rn") === 1).drop("__graft_rn")
+            .repartition(col(keyCol))
+        case None => batch0.dropDuplicates(Seq(keyCol))
+          .repartition(col(keyCol))
+      }
       batch.foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
           def q(id: String) = "\"" + id + "\""
@@ -1032,11 +1061,13 @@ object Streams {
               val ins = conn.prepareStatement(insertSql)
               try {
                 chunk.foreach { r =>
-                  cols.indices.foreach { i =>
-                    val v = r.get(i)
-                    if (v == null) ins.setNull(i + 1, java.sql.Types.NULL)
-                    else ins.setObject(i + 1, v)
-                  }
+                  faultHook(r)
+                  // setObject(_, null) for SQL NULL: the driver resolves
+                  // the type from parameter metadata. setNull(_,
+                  // Types.NULL) looks equivalent but Derby rejects type
+                  // code 0 ("The data type 0 is not supported"), so a
+                  // null in ANY column would fail the whole micro-batch.
+                  cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
                   ins.addBatch()
                 }
                 ins.executeBatch()

@@ -298,6 +298,15 @@ class CepSpec extends AnyFunSuite {
         "user_id", "ts", "event_id",
         Cep.pattern("A ~> !E", typePreds)).collect()
     }
+    // leading '~>' has nothing to relax — worst in a group body, where a
+    // relaxed HEAD sub-step would silently attach iterations relaxed
+    // even though the group is declared strict
+    intercept[IllegalArgumentException] {
+      Cep.pattern("(~> A B)+", typePreds)
+    }
+    intercept[IllegalArgumentException] {
+      Cep.pattern("~> A B", typePreds)
+    }
   }
 
   test("streaming NFA equals batch NFA on relaxed + negated patterns") {

@@ -309,6 +309,23 @@ class SourcesSpec extends AnyFunSuite {
       graft.sources.AvroIO.write(df0, s"$dir/bad3", target.toString)
     }
     assert(nullable.getMessage.contains("null union branch"))
+    // strictNullability=false opts back into per-row semantics: the
+    // nullable-TYPED but null-FREE frame (the common computed-column
+    // case) writes fine without the createDataFrame retag…
+    graft.sources.AvroIO.write(df0, s"$dir/lenient", target.toString,
+      strictNullability = false)
+    val lenientBack = spark.read.format("graft.sources.AvroDataSource")
+      .load(s"$dir/lenient").orderBy("id").collect()
+    assert(lenientBack.map(_.getLong(0)).toSeq ===
+      want.map(_.getLong(0)).toSeq)
+    // …while an ACTUAL null still fails in the task (fail-on-first-null,
+    // the pre-r6 behavior the flag preserves)
+    val withNull = df0.withColumn("c",
+      when(col("id") === 1, lit(null)).otherwise(col("c")))
+    intercept[Exception] {
+      graft.sources.AvroIO.write(withNull, s"$dir/bad4", target.toString,
+        strictNullability = false)
+    }
   }
 
   test("file metadata columns surface provenance (SupportsReadingMetadata)") {
