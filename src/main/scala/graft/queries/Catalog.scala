@@ -26,7 +26,7 @@ object Catalog {
       TpcDsShapes7.queries ++ TpcDsShapes8.queries ++
       TpcDsShapes9.queries ++ TpcDsShapes10.queries ++
       TpcDsShapes11.queries ++ TpcDsShapes12.queries ++
-      TpcDsShapes13.queries ++
+      TpcDsShapes13.queries ++ TpcDsShapes14.queries ++
       Aggregates.queries ++
       Windows.queries ++ SetOps.queries ++
       Functions.queries ++ EventQueries.queries ++
