@@ -58,7 +58,10 @@ class GraftFunctionsSpec extends AnyFunSuite {
     Seq(("k1", "a"), ("k1", "b")).toDF("k", "s")
       .createOrReplaceTempView("sv_bad")
     val ex = intercept[Exception] {
-      spark.sql("SELECT single_value_string(s) FROM sv_bad GROUP BY k").collect()
+      SparkFixture.quietExpectedTaskFailures {
+        spark.sql("SELECT single_value_string(s) FROM sv_bad GROUP BY k")
+          .collect()
+      }
     }
     assert(ex.getMessage != null)
   }

@@ -291,7 +291,9 @@ class SourcesSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructType(
         bad0.schema.fields.map(_.copy(nullable = false))))
     val e = intercept[Exception] {
-      graft.sources.AvroIO.write(bad, s"$dir/bad", target.toString)
+      SparkFixture.quietExpectedTaskFailures {
+        graft.sources.AvroIO.write(bad, s"$dir/bad", target.toString)
+      }
     }
     def msgs(t: Throwable): String =
       if (t == null) "" else s"${t.getMessage} ${msgs(t.getCause)}"
@@ -323,8 +325,10 @@ class SourcesSpec extends AnyFunSuite {
     val withNull = df0.withColumn("c",
       when(col("id") === 1, lit(null)).otherwise(col("c")))
     intercept[Exception] {
-      graft.sources.AvroIO.write(withNull, s"$dir/bad4", target.toString,
-        strictNullability = false)
+      SparkFixture.quietExpectedTaskFailures {
+        graft.sources.AvroIO.write(withNull, s"$dir/bad4", target.toString,
+          strictNullability = false)
+      }
     }
   }
 

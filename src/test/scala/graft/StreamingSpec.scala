@@ -1288,8 +1288,10 @@ class StreamingSpec extends AnyFunSuite {
       if (r.getString(0) == "f" &&
           !StreamingSpec.chaosFired.getAndSet(true))
         throw new RuntimeException("chaos: injected mid-partition fault")
-    Streams.jdbcUpsertSink(url, "CHAOS", "k", chunkSize = 1,
-      faultHook = hook)(batch.toDF("k", "n"), 1L)
+    SparkFixture.quietExpectedTaskFailures {
+      Streams.jdbcUpsertSink(url, "CHAOS", "k", chunkSize = 1,
+        faultHook = hook)(batch.toDF("k", "n"), 1L)
+    }
     assert(StreamingSpec.chaosFired.get(), "fault was never injected")
     val got = spark.read.jdbc(url, "CHAOS", props).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
