@@ -1872,4 +1872,75 @@ class CepSpec extends AnyFunSuite {
           until = Some(stop))))
     }
   }
+
+  test("streaming state telemetry: hot-key sequence-group state is " +
+      "bounded by the within horizon, not by stream length") {
+    // SCALE.md's sequence-group claim ("state stays O(active attempt
+    // span) and the within horizon bounds it identically") measured, not
+    // argued: ONE hot key streams a quantified group pattern (A B)+ C
+    // for 20 batches at a constant event rate with a 2 s horizon. With
+    // timer-driven horizon GC the replay buffer holds only the active
+    // span, so the state store's current-version size plateaus; without
+    // GC it would track total event count (~5× from the early steady
+    // state to the final batch). Asserted from StreamingQueryProgress
+    // state-operator metrics — the same telemetry an operator on a real
+    // cluster is monitored by.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val steps = Seq(
+      Cep.group(
+        Cep.Step("A", _.getString(3) == "a"),
+        Cep.Step("B", _.getString(3) == "b", relaxed = true)
+      ).copy(quant = Cep.Plus),
+      Cep.Step("C", _.getString(3) == "c", relaxed = true))
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "ms", "event_id", "event_type")
+      .select(col("user_id"),
+        (col("ms") / 1000).cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+      .withWatermark("ts", "1 second")
+    val q = Cep.matchPatternStream(df, "user_id", "ts", "event_id", steps,
+        withinMicros = Some(2_000_000L), flushOnHorizon = true)
+      .writeStream.format("memory").queryName("t_cep_state_bound")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // 20 batches × 100 events, 10 ms apart (1 s of event time per
+    // batch), all on key 0: a..b..a..b with a rare c so most attempts
+    // stay open until the horizon — the adversarial shape for state
+    val types = Array("a", "b")
+    val stateBytes = (0 until 20).map { batch =>
+      val rows = (0 until 100).map { i =>
+        val n = batch * 100 + i
+        val t = if (n % 97 == 96) "c" else types(n % 2)
+        (0L, n * 10L, n.toLong, t)
+      }
+      mem.addData(rows)
+      q.processAllAvailable()
+      val so = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+      assert(so.nonEmpty, s"no state operator progress at batch $batch")
+      assert(so.map(_.numRowsTotal).sum <= 2L,
+        "state rows must stay O(keys) — one hot key plus watermark slack")
+      so.map { s =>
+        val m = s.customMetrics
+        if (m.containsKey("stateOnCurrentVersionSizeBytes"))
+          m.get("stateOnCurrentVersionSizeBytes").longValue
+        else s.memoryUsedBytes
+      }.sum
+    }
+    q.stop()
+    // matches actually flowed (the pattern isn't vacuously idle)
+    assert(spark.table("t_cep_state_bound").count() > 0)
+    // steady state by batch 3-5 (horizon = 2 s = 2 batches); the final
+    // batches hold 10× the cumulative events but the same active span.
+    // Plateau = late state within 2× early steady state (a no-GC buffer
+    // would sit at ~4-6×); both windows are maxes to ride out snapshot
+    // timing jitter in the state store's reported size.
+    val early = stateBytes.slice(3, 6).max
+    val late = stateBytes.slice(16, 20).max
+    assert(late <= early * 2,
+      s"state grew with stream length: early=$early late=$late " +
+        s"(series: ${stateBytes.mkString(", ")})")
+  }
 }

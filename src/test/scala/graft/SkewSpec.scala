@@ -84,6 +84,51 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ds_inventory_ahead shape: skew split needs " +
+      "forceOptimizeSkewedJoin when the aggregate shares the join grain") {
+    // the two-grain fact×fact shape (SMJ feeding a groupBy ON THE JOIN
+    // KEY): OptimizeSkewedJoin legally VETOES the split here, because
+    // splitting breaks the hash distribution the downstream aggregate
+    // requires. The documented mitigation for this shape is
+    // spark.sql.adaptive.forceOptimizeSkewedJoin=true (accept one extra
+    // shuffle to un-skew the join) — prove the flag actually engages.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "256KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val left = zipfSide(400000, "L", hotPct = 50)
+      val right = spark.range(5001).select(col("id").as("k"),
+        lpad(col("id"), 100, "y").as("rpay"))
+      val joined = left.join(right, "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), max("payload").as("p"))
+      val rows = joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), s"expected an SMJ:\n$p")
+      assert(p.contains("skewed"),
+        s"forced skew split did not engage:\n$p")
+      assert(rows.find(_.getLong(0) == 0L).map(_.getLong(1)) ===
+        Some(200000L))
+      assert(rows.map(_.getLong(1)).sum === 400000L)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("saltedAgg spreads the hot group over `salt` phase-1 reducers " +
       "and agrees with the unsalted aggregate") {
     val df = zipfSide(300000, "S").select(col("k"), col("id").as("v"))
