@@ -33,6 +33,25 @@ object Bench {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
 
+    // Clean-load gate: the container shares its host, and r5/r6 showed
+    // external load inflating medians by up to 1.5×. Before doing any
+    // work of our own, wait (bounded) for the 1-min load to drop below
+    // the gate so the recorded numbers measure the engine, not the
+    // neighbors. The JSON records the wait and the load it started at.
+    def gateLoadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "2.5")
+      .toDouble
+    val gateMaxSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_MAX", "300")
+      .toInt
+    val gateT0 = System.nanoTime()
+    while (gateLoadAvg > loadGate &&
+        (System.nanoTime() - gateT0) / 1e9 < gateMaxSec)
+      Thread.sleep(5000)
+    val gateWaitSec = (System.nanoTime() - gateT0) / 1e9
+    val startLoad = gateLoadAvg
+
     // warmup: touch every fixture + exercise codegen/shuffle machinery once
     graft.engine.Tables.all.foreach(t =>
       graft.engine.Tables.load(spark, sfDir, t).count())
@@ -196,7 +215,7 @@ object Bench {
       s"\"" + k + "\":" + l.map(t => f"$t%.1f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$ms,"runs":$rs,"load":$ls,"sf":"$sfDir"$sf1}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$ms,"runs":$rs,"load":$ls,"gate_wait_sec":${f"$gateWaitSec%.0f"},"start_load":${f"$startLoad%.1f"},"sf":"$sfDir"$sf1}""")
     spark.stop()
   }
 }

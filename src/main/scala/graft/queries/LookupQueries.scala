@@ -46,11 +46,19 @@ object LookupQueries {
         val props = new java.util.Properties()
         props.setProperty("driver",
           "org.apache.derby.jdbc.EmbeddedDriver")
+        // 4 writer tasks, 10k-row batches: embedded Derby serializes
+        // same-table inserts behind page latches, so 32 concurrent
+        // writers mostly wait on each other (the sf1 scale run measured
+        // the 32-writer staging at 4.5 min for 150k rows); a handful of
+        // fat-batch writers is the throughput shape for any
+        // single-node-store ingest
         Catalog.t(s, d, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .coalesce(4)
           .write.mode("overwrite")
           .option("createTableColumnTypes",
             "c_name VARCHAR(64), c_mktsegment VARCHAR(32)")
+          .option("batchsize", "10000")
           .jdbc(derbyUrl, "CUSTOMER_DIM", props)
         val client: LookupJoin.LookupClient =
           new LookupJoin.JdbcLookupClient(derbyUrl,

@@ -422,16 +422,25 @@ object SimilarityQueries {
             struct(lit(1).as("t"), col("b1").as("b")))).as("tb"))
           .select(col("vec_id"), col("v"),
             col("tb.t").as("t"), col("tb.b").as("b"))
-        ex.as("x").join(ex.as("y"),
+        // candidates stay NARROW — (a, b) ids only — through the bucket
+        // join and the both-tables dedupe, then the vectors join back for
+        // the cosine. Riding the vectors along (the round-5..6 shape)
+        // avoided the join-back but made the dedupe shuffle carry two
+        // 64-dim arrays per candidate: the measured sf1 scale step put
+        // that at ~6 GB of sort-shuffle and 24 minutes — SLOWER than the
+        // brute-force baseline. Narrow candidates shuffle 16 bytes per
+        // row; the two equi-join-backs are the price, and they're the
+        // shape the 100 TB plan wants (DuckDB's oracle text always did
+        // it this way).
+        val exIds = ex.select(col("vec_id"), col("t"), col("b"))
+        val cand = exIds.as("x").join(exIds.as("y"),
             col("x.t") === col("y.t") && col("x.b") === col("y.b")
               && col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-            col("x.v").as("va"), col("y.v").as("vb"))
-          // dedupe pairs found by BOTH tables BEFORE the cosine — true
-          // near-dups co-bucket in both tables, so computing first would
-          // evaluate the dominant 64-dim fold twice for exactly the
-          // pairs that survive; vectors ride along, no join-back needed
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
           .dropDuplicates("a", "b")
+        val va = keyed.select(col("vec_id").as("a"), col("v").as("va"))
+        val vb = keyed.select(col("vec_id").as("b"), col("v").as("vb"))
+        cand.join(va, "a").join(vb, "b")
           .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
           .where(col("cos") >= 0.4)
           .orderBy(col("a"), col("b"))

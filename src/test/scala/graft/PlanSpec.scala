@@ -290,6 +290,22 @@ class PlanSpec extends AnyFunSuite {
     } finally keys.foreach(k => restore(spark, k, prior(k)))
   }
 
+  test("q_sim_pairs_lsh: candidate-dedupe shuffle is NARROW (ids only)") {
+    // The measured sf1 scale step caught the wide variant: riding the
+    // two 64-dim vectors through the pair-dedupe sort-exchange cost
+    // ~6 GB of shuffle and made LSH slower than brute force. Pin the
+    // fix: the dedupe is a HashAggregate over exactly (a, b), so its
+    // exchange rows are two ids — vectors only ever join BACK onto
+    // deduped candidates.
+    val p = plan("q_sim_pairs_lsh")
+    val dedupe =
+      """HashAggregate\(keys=\[a#\d+L, b#\d+L\], functions=\[\], output=\[a#\d+L, b#\d+L\]\)""".r
+    assert(dedupe.findAllIn(p).size === 2, // partial + final around the exchange
+      s"pair dedupe must aggregate exactly (a, b):\n$p")
+    assert("""Exchange hashpartitioning\(a#\d+L, b#\d+L""".r
+      .findFirstIn(p).isDefined, s"no (a, b) dedupe exchange:\n$p")
+  }
+
   private def restore(spark: org.apache.spark.sql.SparkSession,
       key: String, prior: Option[String]): Unit = prior match {
     case Some(v) => spark.conf.set(key, v)

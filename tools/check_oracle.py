@@ -49,7 +49,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files named <t>.parquet; Spark-written
+        # datasets (e.g. the ScaleData sf1 dir) are DIRECTORIES of parts
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
