@@ -32,7 +32,8 @@ object Catalog {
       Functions.queries ++ EventQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      GraftFnQueries.queries ++ LookupQueries.queries
+      GraftFnQueries.queries ++ LookupQueries.queries ++
+      IterateQueries.queries
 
   lazy val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
 

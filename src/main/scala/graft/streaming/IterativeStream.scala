@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming iteration — the feedback-edge analogue of the reference's
+  * `DataStream.iterate` (`DataStream.java:531-559`): part of each
+  * transformed micro-batch is FED BACK into the stream's own head, the
+  * rest is emitted, and the query self-terminates once no data (external
+  * or fed-back) has arrived for `maxWaitMs` — the reference's
+  * `iterate(maxWaitTimeMillis)` termination contract.
+  *
+  * Structured Streaming's dataflow graph is acyclic, so the cycle is
+  * closed OUTSIDE the plan, through storage the engine already treats as
+  * a source: the iteration head is `input UNION readStream(feedbackDir)`,
+  * and the foreachBatch sink routes feedback rows back by writing them as
+  * new files into `feedbackDir`, where the file source discovers them on
+  * a later trigger. That is the same head/tail decomposition the
+  * reference runs inside its runtime (a feedback channel buffering
+  * records back to the head) — here the channel is a file queue, which
+  * buys two properties the in-memory channel lacks: the feedback edge is
+  * checkpoint-durable (a crashed query resumes the loop from files +
+  * offsets), and it is naturally backpressured (a trigger ingests at the
+  * file source's own rate limits).
+  *
+  * Delivery: the feedback write is idempotent by construction — every
+  * part file is staged and then renamed to a name deterministic in
+  * (batchId, part index), so a replayed micro-batch (foreachBatch is
+  * at-least-once) OVERWRITES its own previous feedback files instead of
+  * enqueueing duplicates, and the file source's seen-paths log ignores
+  * the re-appearance. With a deterministic `body` the loop is therefore
+  * effectively exactly-once end-to-end; `out` carries the usual
+  * foreachBatch at-least-once contract and should be an idempotent sink
+  * (e.g. [[Streams.jdbcUpsertSink]]).
+  *
+  * Scale: the fed-back volume per trigger is exactly the rows still
+  * iterating — the analogue of a delta iteration's workset — and the
+  * files hold only those rows, so a loop whose population converges
+  * shrinks its own feedback traffic to zero. All routing is one filtered
+  * write per side per batch; nothing collects to the driver. Paths go
+  * through the Hadoop FileSystem API, so `feedbackDir` may be any DFS a
+  * cluster shares (renames are atomic on HDFS; on local fs they are the
+  * same-volume moves the sandbox uses).
+  *
+  * Rows where `isFeedback` evaluates null are emitted, not fed back
+  * (null-safe: feedback requires an explicit `true`).
+  *
+  * @param input      streaming DataFrame — the external arrivals edge
+  * @param feedbackDir directory (created if absent) for the feedback edge;
+  *                    must be query-private
+  * @param body       per-micro-batch transform applied at the head; its
+  *                    output schema must stay union-compatible with
+  *                    `input` (the reference's same-type default — a
+  *                    `withFeedbackType` analogue would union a second
+  *                    schema, declared out)
+  * @param isFeedback predicate over `body`'s output: `true` → fed back
+  * @param out        sink for emitted (non-feedback) rows, per batch
+  * @param maxWaitMs  self-termination: stop once no trigger has ingested
+  *                    rows for this long (> 0); `0` returns immediately
+  *                    with the live query (the reference's never-
+  *                    terminating default) and the caller manages stop()
+  */
+object IterativeStream {
+  def iterate(spark: SparkSession, input: DataFrame, feedbackDir: String,
+      body: DataFrame => DataFrame, isFeedback: Column,
+      out: (DataFrame, Long) => Unit, maxWaitMs: Long = 10000L,
+      triggerMs: Long = 200L,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    require(maxWaitMs >= 0, s"maxWaitMs < 0: $maxWaitMs")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fbPath = new Path(feedbackDir)
+    val fs = fbPath.getFileSystem(hconf)
+    fs.mkdirs(fbPath)
+    val stagingRoot = new Path(feedbackDir + ".staging")
+
+    val feedbackStream = spark.readStream.schema(input.schema)
+      .parquet(feedbackDir)
+    val head = input.unionByName(feedbackStream)
+
+    val writer = head.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t = body(batch).persist()
+        try {
+          // stage → deterministic rename: replays overwrite, not append
+          val staging = new Path(stagingRoot, s"b$batchId")
+          t.where(isFeedback <=> lit(true))
+            .write.mode("overwrite").parquet(staging.toString)
+          val parts = fs.listStatus(staging)
+            .map(_.getPath).filter(_.getName.startsWith("part-"))
+            .sortBy(_.getName)
+          parts.zipWithIndex.foreach { case (src, i) =>
+            val dst = new Path(fbPath, f"fb-$batchId%012d-$i%05d.parquet")
+            if (fs.exists(dst)) fs.delete(dst, false)
+            fs.rename(src, dst)
+          }
+          fs.delete(staging, true)
+          out(t.where(!(isFeedback <=> lit(true))), batchId)
+        } finally t.unpersist()
+      }
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    val q = writer.start()
+    if (maxWaitMs == 0) return q
+
+    // Self-termination (reference iterate(maxWaitTimeMillis)): watch
+    // trigger progress; any trigger that ingested rows re-arms the clock.
+    // Progress entries repeat between triggers, so batches are counted
+    // once by id.
+    var lastDataNanos = System.nanoTime()
+    var lastSeenBatch = -1L
+    while (q.isActive &&
+        (System.nanoTime() - lastDataNanos) / 1000000L < maxWaitMs) {
+      Thread.sleep(math.min(triggerMs, 100L))
+      val p = q.lastProgress
+      if (p != null && p.batchId != lastSeenBatch) {
+        lastSeenBatch = p.batchId
+        if (p.numInputRows > 0) lastDataNanos = System.nanoTime()
+      }
+    }
+    if (q.isActive) q.stop()
+    q.awaitTermination()
+    fs.delete(stagingRoot, true)
+    q
+  }
+}
