@@ -138,7 +138,13 @@ object Bench {
       // generated code is still being C2-compiled during execution 2
       // (r6 A/B runs: first timed run 2.4× the stable state even with
       // a GC immediately before it; runs 2..5 flat at ~1.0 s).
-      val n = if (name.startsWith("q_dedup")) 5 else 3
+      // Five timed runs for EVERY query (r7): the r6 "regressions"
+      // (q_join_inner 1.34×, q_agg_distinct 1.29×) were medians of 3
+      // held hostage by a decreasing warmup tail (r7 clean-load runs
+      // show e.g. [0.894, 0.848, 0.656] — still C2/page-cache settling
+      // at run 1-2); a median of 5 sits on the stable plateau. Cost:
+      // ~25 s per bench pass at sf0.1.
+      val n = 5
       val w = if (name == "q_dedup_minhash_lsh") 2 else 1
       val runs =
         try { (1 to w).foreach(_ => once()); loads.clear(); Seq.fill(n)(once()) }
