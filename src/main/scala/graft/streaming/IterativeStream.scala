@@ -85,6 +85,17 @@ object IterativeStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t = body(batch).persist()
         try {
+          // fail fast on schema drift: the feedback files are read back
+          // with the HEAD's schema, so a body that renames or retypes a
+          // column would otherwise null-fill silently on the next trip
+          val headFields = input.schema.fields
+            .map(f => (f.name, f.dataType)).toSet
+          val bodyFields = t.schema.fields
+            .map(f => (f.name, f.dataType)).toSet
+          require(bodyFields == headFields,
+            s"iterate body changed the schema: head ${input.schema.sql} " +
+              s"vs body ${t.schema.sql} — feedback rows must stay " +
+              "union-compatible with the iteration head")
           // stage → deterministic rename: replays overwrite, not append
           val staging = new Path(stagingRoot, s"b$batchId")
           t.where(isFeedback <=> lit(true))
@@ -107,18 +118,19 @@ object IterativeStream {
 
     // Self-termination (reference iterate(maxWaitTimeMillis)): watch
     // trigger progress; any trigger that ingested rows re-arms the clock.
-    // Progress entries repeat between triggers, so batches are counted
-    // once by id.
+    // recentProgress (not lastProgress) so a data-bearing batch can't
+    // slip between two polls behind a zero-row successor; batches are
+    // counted once by id.
     var lastDataNanos = System.nanoTime()
     var lastSeenBatch = -1L
     while (q.isActive &&
         (System.nanoTime() - lastDataNanos) / 1000000L < maxWaitMs) {
       Thread.sleep(math.min(triggerMs, 100L))
-      val p = q.lastProgress
-      if (p != null && p.batchId != lastSeenBatch) {
-        lastSeenBatch = p.batchId
-        if (p.numInputRows > 0) lastDataNanos = System.nanoTime()
-      }
+      q.recentProgress.filter(_.batchId > lastSeenBatch)
+        .sortBy(_.batchId).foreach { p =>
+          lastSeenBatch = p.batchId
+          if (p.numInputRows > 0) lastDataNanos = System.nanoTime()
+        }
     }
     if (q.isActive) q.stop()
     q.awaitTermination()

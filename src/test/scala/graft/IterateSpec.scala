@@ -177,4 +177,27 @@ class IterateSpec extends AnyFunSuite {
     // out() is at-least-once across a crash boundary — assert as a set
     assert(emitted.asScala.toSet === Set((1L, 0L), (2L, 0L), (3L, 0L)))
   }
+
+  test("streaming iterate rejects a schema-drifting body (no silent null-fill)") {
+    // feedback files are read back with the head's schema, so a body
+    // that renames a column would null-fill on the next trip — the loop
+    // must fail loudly instead
+    val root = Files.createTempDirectory("graft-iter3-").toFile.getAbsolutePath
+    Seq((1L, 2L)).toDF("id", "v").write.parquet(s"$root/in")
+    val ex = SparkFixture.quietExpectedStreamFailures {
+      intercept[Exception] {
+        IterativeStream.iterate(spark,
+          spark.readStream.schema("id LONG, v LONG").parquet(s"$root/in"),
+          s"$root/fb",
+          body = df => df.withColumnRenamed("v", "w"),
+          isFeedback = col("w") > 0,
+          out = (_: DataFrame, _: Long) => (),
+          maxWaitMs = 8000L)
+      }
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("changed the schema")))
+  }
 }

@@ -17,11 +17,21 @@ object SparkFixture {
     * wrong" #3). Silence exactly those two loggers for the block;
     * unexpected failures still surface as test failures via the thrown
     * exception — nothing is swallowed, only the duplicate log spam. */
-  def quietExpectedTaskFailures[T](body: => T): T = {
+  def quietExpectedTaskFailures[T](body: => T): T =
+    quietLoggers(Seq("org.apache.spark.executor.Executor",
+      "org.apache.spark.scheduler.TaskSetManager"))(body)
+
+  /** Same contract for a query whose TERMINATION is the expected outcome
+    * (negative streaming tests): MicroBatchExecution logs the full
+    * failure stack at ERROR before awaitTermination rethrows it. */
+  def quietExpectedStreamFailures[T](body: => T): T =
+    quietLoggers(Seq( // FQN moved into .runtime in Spark 4
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution"))(
+      body)
+
+  private def quietLoggers[T](names: Seq[String])(body: => T): T = {
     import org.apache.logging.log4j.{Level, LogManager}
     import org.apache.logging.log4j.core.config.Configurator
-    val names = Seq("org.apache.spark.executor.Executor",
-      "org.apache.spark.scheduler.TaskSetManager")
     val saved = names.map(n => n -> LogManager.getLogger(n).getLevel)
     names.foreach(Configurator.setLevel(_, Level.OFF))
     try body
