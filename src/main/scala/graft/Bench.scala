@@ -45,12 +45,18 @@ object Bench {
       .toDouble
     val gateMaxSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_MAX", "300")
       .toInt
-    val gateT0 = System.nanoTime()
-    while (gateLoadAvg > loadGate &&
-        (System.nanoTime() - gateT0) / 1e9 < gateMaxSec)
-      Thread.sleep(5000)
-    val gateWaitSec = (System.nanoTime() - gateT0) / 1e9
-    val startLoad = gateLoadAvg
+    // (wait_sec, load_at_release) — re-armed before the sf1 block too
+    // (VERDICT r7 #2 of What's-wrong: the gate ran only at process start,
+    // so load drifting up DURING the sf0.1 block went unattributed into
+    // the sf1 runs)
+    def waitCleanLoad(): (Double, Double) = {
+      val t0 = System.nanoTime()
+      while (gateLoadAvg > loadGate &&
+          (System.nanoTime() - t0) / 1e9 < gateMaxSec)
+        Thread.sleep(5000)
+      ((System.nanoTime() - t0) / 1e9, gateLoadAvg)
+    }
+    val (gateWaitSec, startLoad) = waitCleanLoad()
 
     // warmup: touch every fixture + exercise codegen/shuffle machinery once
     graft.engine.Tables.all.foreach(t =>
@@ -159,14 +165,20 @@ object Bench {
     // separately and never mixed into query timings.
     val scaleOn = !sys.env.get("SPARK_GRAFT_SCALE").contains("0") &&
       sfDir.replaceAll("/+$", "").endsWith("sf0.1")
-    val sf1 = if (!scaleOn) "" else {
+    // (compact fragment — mins + ratios only, bounded size for the
+    //  driver's stdout line; full fragment — adds run/load arrays)
+    val (sf1Compact, sf1Full) = if (!scaleOn) ("", "") else {
       val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
         new java.io.File("target/scaledata/sf1").getAbsolutePath)
       val genSec =
         try graft.tools.ScaleData.ensure(spark, sfDir, dst, 10)
         catch { case e: Throwable =>
           System.err.println(s"[bench] sf1 generation failed: $e"); -1.0 }
-      if (genSec < 0) "" else {
+      if (genSec < 0) ("", "") else {
+        // re-arm the clean-load gate between the blocks: the r7 sf1 runs
+        // recorded loads 11-16 (largely self-load) and two queries showed
+        // >5× spread that min-of-two silently absorbed
+        val (gw1, sl1) = waitCleanLoad()
         val res1 = names.map { name =>
           val fn = queries(name)
           val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -181,11 +193,10 @@ object Bench {
           System.gc()
           // one untimed warmup (codegen is already JITted from the sf0.1
           // block, but AQE stats + page cache for the new files are not),
-          // then two timed runs: at 10× data a run is expensive and the
-          // min of two suffices for a scaling RATIO (the sf0.1 block's
-          // median machinery answers the variance question)
+          // then THREE timed runs (r7 took two; the third makes an
+          // outlier run attributable instead of silently absorbed by min)
           val runs =
-            try { once(); loads.clear(); Seq.fill(2)(once()) }
+            try { once(); loads.clear(); Seq.fill(3)(once()) }
             catch { case _: Throwable => Seq(-1.0) }
           (name, runs, loads.toSeq)
         }
@@ -205,9 +216,49 @@ object Bench {
           s"\"" + k + "\":" + f"$r%.2f"
         }.mkString("{", ",", "}")
         val t1 = res1.map(_._2.min).filter(_ >= 0).sum
-        s""","sf1":{"dir":"$dst","factor":10,"gen_sec":${f"$genSec%.1f"},"total":${f"$t1%.2f"},"queries":$q1,"runs":$r1,"load":$l1,"ratio_vs_sf01":$ratios}"""
+        // Scale-curve exponent (VERDICT r7 #6): a third, SMALLER point —
+        // the real sf0.01 fixture — turns "sub-linear at one 10× step"
+        // into a fitted curve. OLS slope of ln(time) on ln(sf) over the
+        // three equally-ln-spaced points {sf0.01, sf0.1, sf1} reduces to
+        // (ln t_sf1 − ln t_sf0.01) / ln 100; ≤1 = sub-linear. The sf0.01
+        // end carries fixed per-query overhead (~0.1 s of scheduling),
+        // which biases slopes DOWN — so treat the slope as the upper
+        // curve's summary, and the sf0.1→sf1 ratio as the honest
+        // marginal cost (both are in the JSON).
+        val dir001 = sfDir.replace("sf0.1", "sf0.01")
+        val slopes0 = if (!new java.io.File(dir001).isDirectory) "" else {
+          val res001 = names.map { name =>
+            val fn = queries(name)
+            def once(): Double = {
+              val t0 = System.nanoTime()
+              fn(spark, dir001).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }
+            val t = try { once(); Seq.fill(2)(once()).min }
+            catch { case _: Throwable => -1.0 }
+            (name, t)
+          }
+          val q001 = res001.map { case (k, t) => s"\"" + k + "\":" + f"$t%.3f" }
+            .mkString("{", ",", "}")
+          val sl = res001.map { case (k, t001) =>
+            val t1q = res1.find(_._1 == k).map(_._2.min).getOrElse(-1.0)
+            val s = if (t001 > 0 && t1q > 0)
+              (math.log(t1q) - math.log(t001)) / math.log(100.0) else -99.0
+            s"\"" + k + "\":" + f"$s%.2f"
+          }.mkString("{", ",", "}")
+          s""","sf001_queries":$q001,"slope_ln_t_per_ln_sf":$sl"""
+        }
+        val headC = s""","sf1":{"dir":"$dst","factor":10,"gen_sec":${f"$genSec%.1f"},"gate_wait_sec":${f"$gw1%.0f"},"start_load":${f"$sl1%.1f"},"total":${f"$t1%.2f"},"queries":$q1,"ratio_vs_sf01":$ratios$slopes0"""
+        (headC + "}", headC + s""","runs":$r1,"load":$l1}""")
       }
     }
+    // streaming throughput/latency + Fries reconfig RTT (small, and only
+    // meaningful once; rate-source based so sf-independent)
+    val streaming =
+      if (sys.env.get("SPARK_GRAFT_STREAM").contains("0")) ""
+      else try s""","streaming":${StreamBench.section(spark)}"""
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming section failed: $e"); "" }
     def median(v: Seq[Double]): Double = v.sorted.apply(v.size / 2)
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
@@ -221,7 +272,19 @@ object Bench {
       s"\"" + k + "\":" + l.map(t => f"$t%.1f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$ms,"runs":$rs,"load":$ls,"gate_wait_sec":${f"$gateWaitSec%.0f"},"start_load":${f"$startLoad%.1f"},"sf":"$sfDir"$sf1}""")
+    val head = s""""metric":"total","value":$total,"unit":"sec","sf":"$sfDir","gate_wait_sec":${f"$gateWaitSec%.0f"},"start_load":${f"$startLoad%.1f"},"queries":$qs,"medians":$ms"""
+    // The durable artifact (VERDICT r7 #1): the FULL record — run/load
+    // arrays, sf1, streaming — lives in target/bench.json; stdout gets
+    // one COMPACT line (mins/medians/ratios, no per-run arrays) so the
+    // driver's stdout tail window always holds a complete parseable JSON
+    // object with both the sf0.1 and sf1 sections.
+    val full =
+      s"""{$head,"runs":$rs,"load":$ls$sf1Full$streaming}"""
+    val outFile = new java.io.File("target/bench.json")
+    outFile.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.println(full) finally w.close()
+    println(s"""{$head$sf1Compact$streaming,"file":"${outFile.getAbsolutePath}"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,304 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.cep.Cep
+import graft.fries.{Mcs, PlanDag, ReconfigController, ScopedReconfigController}
+import graft.streaming.Streams
+
+/** Streaming throughput/latency benchmark (VERDICT r7 #2): the batch
+  * engine has a bench; this is the streaming half. Each §2.9/§2.10
+  * operator family gets a steady-state run on the RATE source at a FIXED
+  * input rate, and the numbers come from the engine's own telemetry
+  * (`StreamingQueryProgress` — the same channel the CEP state-plateau
+  * test reads): achieved rows/sec, per-batch latency p50/max, and
+  * state-store rows/bytes from the last progress. The reference fork
+  * publishes no operator benchmarks, so this sets the longitudinal
+  * baseline the way the batch bench did in round 1.
+  *
+  * Also measures the Fries reconfiguration round-trip (VERDICT r7 #5,
+  * the reference controller's one printed metric, Controller.scala:140-152):
+  * on a live multi-operator query, publish a config change and record
+  * (a) wall-clock publish→first-applying-batch and (b) epochs-to-effect,
+  * for the whole-DAG epoch scheduler vs the MCS-scoped Fries scheduler —
+  * the paper's epoch-vs-fries comparison at micro-batch granularity,
+  * where the blast-radius difference shows up as scope size (operators
+  * reconfigured), since Spark quiesces nothing between batches either way.
+  *
+  * Standalone: `sbt "runMain graft.StreamBench"` prints the JSON object;
+  * [[Bench]] embeds the same object under `"streaming"` in bench.json.
+  */
+object StreamBench {
+
+  final case class OpResult(name: String, inputRate: Long, totalRows: Long,
+      rowsPerSec: Double, batchMsP50: Double, batchMsMax: Double,
+      batches: Int, stateRows: Long, stateBytes: Long)
+
+  private def cpDir(op: String): String = {
+    val p = Paths.get("target", "streambench", s"cp-$op").toAbsolutePath
+    // fresh checkpoint per run: the bench measures steady state, not
+    // recovery (IterateSpec owns the crash-resume proofs)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(p.toFile)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  /** Rate-source rows shaped like the events fixture. `keyOf` spreads
+    * value → user_id; event_type is a deterministic well-mixed pick so
+    * every key's timeline interleaves types (a plain modulo would give
+    * each key ONE type forever — rate's value and the key modulus are
+    * both arithmetic progressions). */
+  private def rateEvents(spark: SparkSession, rowsPerSecond: Long,
+      keyOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val v = col("value")
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .option("numPartitions", 8).load()
+      .select(
+        v.as("event_id"),
+        col("timestamp").as("ts"),
+        keyOf(v).as("user_id"),
+        element_at(
+          typedlit(Seq("view", "click", "signup", "error", "purchase")),
+          ((v * 2654435761L) % 5 + 1).cast("int")).as("event_type"),
+        (v % 97).cast("double").as("value"))
+  }
+
+  /** Run one op for `durSec` of wall time; metrics from recentProgress
+    * (warmup batches 0-1 dropped). */
+  private def measure(name: String, inputRate: Long, durSec: Int,
+      triggerMs: Long)(stream: DataFrame): OpResult =
+    try measure0(name, inputRate, durSec, triggerMs, stream)
+    catch { case e: Throwable =>
+      // one broken op must not sink the whole bench pass
+      System.err.println(s"[streambench] $name failed: $e")
+      OpResult(name, inputRate, -1, -1, -1, -1, 0, -1, -1)
+    }
+
+  private def measure0(name: String, inputRate: Long, durSec: Int,
+      triggerMs: Long, stream: DataFrame): OpResult = {
+    val q = stream.writeStream
+      .format("noop")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", cpDir(name))
+      .start()
+    Thread.sleep(durSec * 1000L)
+    // stop between triggers where possible: a mid-batch stop interrupts
+    // write tasks and state commits, which is abort-log noise and a
+    // discarded batch either way (bounded wait — under backlog the
+    // inter-trigger gap is brief)
+    val tStop = System.nanoTime()
+    while (q.status.isTriggerActive && (System.nanoTime() - tStop) < 10e9)
+      Thread.sleep(20)
+    q.stop(); q.awaitTermination()
+    val steady = q.recentProgress
+      .filter(p => p.batchId >= 2 && p.numInputRows > 0)
+    if (steady.isEmpty) return OpResult(name, inputRate, 0, 0, 0, 0, 0, 0, 0)
+    val rows = steady.map(_.numInputRows).sum
+    val execMs = steady.map(_.durationMs.asScala
+      .getOrElse("triggerExecution", java.lang.Long.valueOf(0L)).longValue)
+    val rps = rows.toDouble / math.max(execMs.sum, 1L) * 1000.0
+    val sortedMs = execMs.sorted
+    val last = steady.last
+    val (srows, sbytes) = last.stateOperators.foldLeft((0L, 0L)) {
+      case ((r, b), so) => (r + so.numRowsTotal, b + so.memoryUsedBytes)
+    }
+    OpResult(name, inputRate, rows, rps,
+      sortedMs(sortedMs.length / 2).toDouble, sortedMs.max.toDouble,
+      steady.length, srows, sbytes)
+  }
+
+  /** The operator battery: one representative per stateful family —
+    * tumbling window agg, session window agg, incremental Top-N
+    * changelog, event-time keep-first dedup, and the CEP NFA. */
+  def runOps(spark: SparkSession, durSec: Int = 15,
+      triggerMs: Long = 500L): Seq[OpResult] = {
+    val v = col("value")
+    Seq(
+      measure("tumble_agg", 400000, durSec, triggerMs) {
+        Streams.tumbleAgg(
+          rateEvents(spark, 400000, _ % 1024),
+          size = "5 seconds", lateness = "1 second")
+      },
+      measure("session_agg", 200000, durSec, triggerMs) {
+        // contiguous 2000-event bursts per user: sessions actually CLOSE
+        // (a hot modulo key never has a gap, so its session never ends)
+        Streams.sessionAgg(
+          rateEvents(spark, 200000, c => (c / 2000L).cast("long")),
+          gap = "2 seconds", lateness = "1 second")
+      },
+      measure("streaming_topn", 100000, durSec, triggerMs) {
+        Streams.streamingTopN(
+          spark.readStream.format("rate")
+            .option("rowsPerSecond", 100000)
+            .option("numPartitions", 8).load()
+            .select((v % 64).as("key"), (v % 10000).as("id"),
+              ((v * 2654435761L) % 9973).cast("double").as("score")),
+          "key", "id", "score", n = 10)
+      },
+      measure("dedup_keepfirst", 100000, durSec, triggerMs) {
+        Streams.dedupKeepFirstEventTime(
+          rateEvents(spark, 100000, _ % 50000), lateness = "1 second")
+      },
+      measure("cep_nfa", 100000, durSec, triggerMs) {
+        Cep.matchPatternStream(
+          rateEvents(spark, 100000, _ % 1024),
+          "user_id", "ts", "event_id",
+          Seq(Cep.Step("A", _.getString(3) == "signup"),
+            Cep.Step("B", _.getString(3) == "error")))
+      })
+  }
+
+  final case class FriesResult(scheduler: String, dagOps: Int, scopeOps: Int,
+      rttMs: Seq[Double], epochs: Seq[Long])
+
+  /** Publish→apply round-trip on a live query under (a) the whole-DAG
+    * epoch scheduler and (b) the MCS-scoped Fries scheduler. The body is
+    * a real multi-operator pipeline (filter → agg over the rate source);
+    * the scoped controller runs against the pipeline's own physical plan
+    * DAG and targets its Filter node, so scopeOps < dagOps is measured,
+    * not asserted. */
+  def runFries(spark: SparkSession, publishes: Int = 5,
+      triggerMs: Long = 250L): Seq[FriesResult] = {
+    // the reconfigurable pipeline: drop values below a threshold, then
+    // aggregate per key — threshold is the config being swapped
+    def pipeline(df: DataFrame, threshold: Int): DataFrame =
+      df.where(col("value") % 100 >= threshold)
+        .groupBy((col("value") % 64).as("k"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+
+    // the plan DAG the scoped scheduler scopes over — extracted from the
+    // pipeline's physical plan on a same-shape batch frame
+    val shape = spark.range(0, 1000).select(col("id").as("value"),
+      current_timestamp().as("timestamp"))
+    val dag = PlanDag.fromDataFrame(pipeline(shape, 0))
+    val filterOps = PlanDag.matching(dag, Seq("Filter"))
+
+    def drive(scheduler: String): FriesResult = {
+      val applyBatch = TrieMap.empty[Long, Long]
+      @volatile var lastBatch = -1L
+      val epochCtrl = new ReconfigController[Int](0)
+      val mcsCtrl = new ScopedReconfigController[Int](dag, 0)
+      val scopeSize =
+        if (scheduler == "epoch") Mcs.vertices(dag).size
+        else Mcs.vertices(
+          Mcs.computeMCS(dag, filterOps)).size
+      val body: (DataFrame, Long) => Unit = { (df, id) =>
+        val threshold = if (scheduler == "epoch") {
+          val ver = epochCtrl.current
+          epochCtrl.noteApplied(ver)
+            .foreach(_ => applyBatch.putIfAbsent(ver.version, id))
+          ver.config
+        } else {
+          val snap = mcsCtrl.current
+          mcsCtrl.noteApplied(snap)
+            .foreach(_ => applyBatch.putIfAbsent(snap.version, id))
+          // each operator reads its own epoch-consistent entry; the
+          // filter's is the one this config change targets
+          snap.configs(filterOps.head)
+        }
+        pipeline(df, threshold).write.format("noop").mode("overwrite").save()
+        lastBatch = id
+      }
+      val q = spark.readStream.format("rate")
+        .option("rowsPerSecond", 10000).option("numPartitions", 4).load()
+        .writeStream
+        .trigger(Trigger.ProcessingTime(triggerMs))
+        .option("checkpointLocation", cpDir(s"fries-$scheduler"))
+        .foreachBatch(body)
+        .start()
+      val pubBatch = scala.collection.mutable.Map.empty[Long, Long]
+      try {
+        val t0 = System.nanoTime()
+        while (lastBatch < 2 && (System.nanoTime() - t0) < 30e9.toLong)
+          Thread.sleep(20)
+        (1 to publishes).foreach { k =>
+          pubBatch(k.toLong) = lastBatch
+          if (scheduler == "epoch") epochCtrl.publish(k)
+          else mcsCtrl.publish(filterOps, k)
+          val tp = System.nanoTime()
+          while (!applyBatch.contains(k.toLong) &&
+              (System.nanoTime() - tp) < 30e9.toLong)
+            Thread.sleep(10)
+          Thread.sleep(triggerMs) // space publishes ≥1 epoch apart
+        }
+      } finally {
+        val tStop = System.nanoTime()
+        while (q.status.isTriggerActive && (System.nanoTime() - tStop) < 10e9)
+          Thread.sleep(20)
+        q.stop(); q.awaitTermination()
+      }
+      // takeRight: the epoch controller also records the INITIAL version
+      // 0 the first batch observes (construction→first-batch, not a
+      // reconfiguration) — only the published versions are round-trips
+      val rtts = (if (scheduler == "epoch") epochCtrl.roundTripsMs
+        else mcsCtrl.roundTripsMs).takeRight(publishes)
+      val epochs = (1 to publishes).map(k =>
+        applyBatch.get(k.toLong).map(_ - pubBatch(k.toLong)).getOrElse(-1L))
+      FriesResult(scheduler, Mcs.vertices(dag).size, scopeSize, rtts, epochs)
+    }
+    Seq(drive("epoch"), drive("fries"))
+  }
+
+  /** The `"streaming"` JSON object [[Bench]] embeds (no trailing key). */
+  def section(spark: SparkSession, durSec: Int = 15,
+      triggerMs: Long = 500L): String = quietStopNoise {
+    val provider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+      .map(_.split('.').last).getOrElse("HDFSBackedStateStoreProvider")
+    val ops = runOps(spark, durSec, triggerMs).map { r =>
+      s""""${r.name}":{"input_rate":${r.inputRate},"rows":${r.totalRows},""" +
+        f""""rows_per_sec":${r.rowsPerSec}%.0f,""" +
+        f""""batch_ms_p50":${r.batchMsP50}%.0f,"batch_ms_max":${r.batchMsMax}%.0f,""" +
+        s""""batches":${r.batches},"state_rows":${r.stateRows},""" +
+        s""""state_bytes":${r.stateBytes}}"""
+    }.mkString("{", ",", "}")
+    val fries = runFries(spark).map { f =>
+      s""""${f.scheduler}":{"dag_ops":${f.dagOps},"scope_ops":${f.scopeOps},""" +
+        s""""rtt_ms":${f.rttMs.map(m => f"$m%.0f").mkString("[", ",", "]")},""" +
+        s""""epochs_to_effect":${f.epochs.mkString("[", ",", "]")}}"""
+    }.mkString("{", ",", "}")
+    s"""{"trigger_ms":$triggerMs,"dur_sec":$durSec,"provider":"$provider","ops":$ops,"fries":$fries}"""
+  }
+
+  /** `q.stop()` on a fixed wall-clock budget lands mid-batch by design;
+    * Spark logs each interrupted write task at ERROR ("Aborted commit"),
+    * which is pure stop-path noise here — the bench never commits those
+    * batches. Silence exactly those loggers for the bench's duration
+    * (the SparkFixture.quietExpectedTaskFailures discipline). */
+  private def quietStopNoise[T](body: => T): T = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val names = Seq(
+      "org.apache.spark.sql.execution.datasources.v2.DataWritingSparkTask",
+      "org.apache.spark.sql.execution.datasources.v2.WriteToDataSourceV2Exec",
+      "org.apache.spark.executor.Executor",
+      "org.apache.spark.scheduler.TaskSetManager",
+      "org.apache.spark.sql.execution.streaming.state",
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+      "org.apache.spark.util.Utils")
+    val saved = names.map(n => n -> LogManager.getLogger(n).getLevel)
+    names.foreach(Configurator.setLevel(_, Level.OFF))
+    try body
+    finally saved.foreach { case (n, l) => Configurator.setLevel(n, l) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.engine.GraftSession.local()
+    println(section(spark))
+    spark.stop()
+  }
+}

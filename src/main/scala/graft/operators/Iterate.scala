@@ -74,7 +74,11 @@ object Iterate {
     * the delta is merged into the solution by `keys` — same-key rows
     * REPLACE the old ones, the reference's solution-set-update rule — and
     * the loop ends when the new workset is empty (or at `maxIterations`,
-    * the fallback guard). Returns the final solution set.
+    * the fallback guard). Returns the final solution set. The delta must
+    * carry AT MOST ONE row per key (enforced per round, fail-fast): a
+    * multi-row delta has no defined replace winner in a keyed solution
+    * set, mirroring the reference's unique-key requirement on the
+    * solution-set delta.
     *
     * The scale contract mirrors the reference's rationale for delta over
     * bulk: per round only `|delta| + |workset|` rows move; the solution
@@ -97,6 +101,19 @@ object Iterate {
       val (delta0, nextWs0) = step(solution, workset)
       val delta = delta0.localCheckpoint()
       val nextWs = nextWs0.localCheckpoint()
+      // contract: the solution set is KEYED — one tuple per key (the
+      // reference's solution-set replace rule). A delta carrying two rows
+      // for one key has no well-defined winner, so fail fast instead of
+      // silently accumulating duplicate-key rows. O(1)-output probe over
+      // the (small, checkpointed) delta, same discipline as `isEmpty`.
+      val dup = delta.groupBy(keys.map(col): _*).count()
+        .where(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"iterateDelta: step emitted ${dup.head.getLong(keys.size)} delta " +
+          s"rows for key ${keys.zipWithIndex.map { case (k, i) =>
+            s"$k=${dup.head.get(i)}" }.mkString("(", ",", ")")} at round " +
+          s"$round — the solution set is keyed, return at most one delta " +
+          "row per key (aggregate first, e.g. groupBy(keys).agg(min(...)))")
       // solution-set update: same-key delta rows replace existing rows
       val merged = solution
         .join(delta.select(keys.map(col): _*).distinct(), keys, "left_anti")

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 
 /** Streaming iteration — the feedback-edge analogue of the reference's
   * `DataStream.iterate` (`DataStream.java:531-559`): part of each
@@ -38,7 +38,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Scale: the fed-back volume per trigger is exactly the rows still
   * iterating — the analogue of a delta iteration's workset — and the
   * files hold only those rows, so a loop whose population converges
-  * shrinks its own feedback traffic to zero. All routing is one filtered
+  * shrinks its own feedback traffic to zero (an empty feedback frame
+  * enqueues NO file at all — see [[writeFeedback]]; a footer-only file
+  * would re-trigger the source and the loop would churn empty batches
+  * forever). All routing is one filtered
   * write per side per batch; nothing collects to the driver. Paths go
   * through the Hadoop FileSystem API, so `feedbackDir` may be any DFS a
   * cluster shares (renames are atomic on HDFS; on local fs they are the
@@ -57,12 +60,55 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *                    schema, declared out)
   * @param isFeedback predicate over `body`'s output: `true` → fed back
   * @param out        sink for emitted (non-feedback) rows, per batch
-  * @param maxWaitMs  self-termination: stop once no trigger has ingested
-  *                    rows for this long (> 0); `0` returns immediately
-  *                    with the live query (the reference's never-
-  *                    terminating default) and the caller manages stop()
+  * @param maxWaitMs  self-termination: stop once the query has been IDLE
+  *                    — no trigger ingested rows, no trigger in flight,
+  *                    no source data pending — for this long (> 0); a
+  *                    single batch PROCESSING longer than this never
+  *                    trips it (the reference's maxWaitTimeMillis is
+  *                    wait-for-input time, not processing time). `0`
+  *                    returns immediately with the live query (the
+  *                    reference's never-terminating default); the caller
+  *                    manages stop(), and a termination listener cleans
+  *                    the staging dir once the query ends
   */
 object IterativeStream {
+
+  /** Enqueue one micro-batch's feedback rows: stage, then rename to names
+    * deterministic in (batchId, part index) — so a replayed micro-batch
+    * (foreachBatch is at-least-once) REPLACES its previous feedback files
+    * instead of appending duplicates. A replay may produce FEWER part
+    * files than the failed attempt (different post-restart parallelism),
+    * so every existing fb-<batchId>-* file is deleted first — per-index
+    * overwrite alone would leave the stale higher-indexed parts enqueued
+    * as duplicate feedback rows. Package-visible for the replay spec. */
+  private[graft] def writeFeedback(fs: FileSystem, fbPath: Path,
+      stagingRoot: Path, batchId: Long, feedback: DataFrame): Unit = {
+    // the stale sweep runs even when this attempt's feedback is empty —
+    // a replay that CONVERGED (non-empty original, empty replay) must
+    // still retract the failed attempt's files
+    val stale = fs.globStatus(new Path(fbPath, f"fb-$batchId%012d-*"))
+    if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
+    // An EMPTY feedback frame must enqueue NOTHING — a parquet write of
+    // an empty frame still creates one footer-only part file, the file
+    // source counts that new FILE as new data, the resulting 0-row batch
+    // writes another empty file, and the loop feeds itself empty files
+    // every trigger forever: unbounded file churn, and source idleness
+    // (the self-termination signal) never arrives. O(1) probe: `feedback`
+    // filters the foreachBatch-persisted batch, so isEmpty is a limit-1
+    // scan of cached blocks.
+    if (feedback.isEmpty) return
+    val staging = new Path(stagingRoot, s"b$batchId")
+    feedback.write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (src, i) =>
+      val dst = new Path(fbPath, f"fb-$batchId%012d-$i%05d.parquet")
+      fs.rename(src, dst)
+    }
+    fs.delete(staging, true)
+  }
+
   def iterate(spark: SparkSession, input: DataFrame, feedbackDir: String,
       body: DataFrame => DataFrame, isFeedback: Column,
       out: (DataFrame, Long) => Unit, maxWaitMs: Long = 10000L,
@@ -96,41 +142,64 @@ object IterativeStream {
             s"iterate body changed the schema: head ${input.schema.sql} " +
               s"vs body ${t.schema.sql} — feedback rows must stay " +
               "union-compatible with the iteration head")
-          // stage → deterministic rename: replays overwrite, not append
-          val staging = new Path(stagingRoot, s"b$batchId")
-          t.where(isFeedback <=> lit(true))
-            .write.mode("overwrite").parquet(staging.toString)
-          val parts = fs.listStatus(staging)
-            .map(_.getPath).filter(_.getName.startsWith("part-"))
-            .sortBy(_.getName)
-          parts.zipWithIndex.foreach { case (src, i) =>
-            val dst = new Path(fbPath, f"fb-$batchId%012d-$i%05d.parquet")
-            if (fs.exists(dst)) fs.delete(dst, false)
-            fs.rename(src, dst)
-          }
-          fs.delete(staging, true)
+          writeFeedback(fs, fbPath, stagingRoot, batchId,
+            t.where(isFeedback <=> lit(true)))
           out(t.where(!(isFeedback <=> lit(true))), batchId)
         } finally t.unpersist()
       }
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     val q = writer.start()
-    if (maxWaitMs == 0) return q
+    if (maxWaitMs == 0) {
+      // Caller-managed mode: clean the staging dir when the query ends,
+      // whichever way it ends (stop(), exception, or a crash-restart's
+      // eventual stop) — the self-termination path below isn't running
+      // to do it. The listener removes itself once it has fired.
+      val listener: StreamingQueryListener =
+        new StreamingQueryListener {
+          override def onQueryStarted(
+              e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(
+              e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+            if (e.id == q.id) {
+              try fs.delete(stagingRoot, true) catch { case _: Exception => }
+              spark.streams.removeListener(this)
+            }
+        }
+      spark.streams.addListener(listener)
+      return q
+    }
 
     // Self-termination (reference iterate(maxWaitTimeMillis)): watch
     // trigger progress; any trigger that ingested rows re-arms the clock.
     // recentProgress (not lastProgress) so a data-bearing batch can't
     // slip between two polls behind a zero-row successor; batches are
-    // counted once by id.
+    // counted once by id. The reference's maxWaitTimeMillis measures
+    // IDLE time waiting for input, not processing time — so a batch
+    // whose execution outlasts maxWaitMs must not be killed mid-flight:
+    // the deadline only fires while no trigger is active and no source
+    // data is pending, and is re-checked after a final progress drain
+    // (a batch completing between the drain and the status read would
+    // otherwise be lost).
     var lastDataNanos = System.nanoTime()
     var lastSeenBatch = -1L
-    while (q.isActive &&
-        (System.nanoTime() - lastDataNanos) / 1000000L < maxWaitMs) {
-      Thread.sleep(math.min(triggerMs, 100L))
+    def drainProgress(): Unit =
       q.recentProgress.filter(_.batchId > lastSeenBatch)
         .sortBy(_.batchId).foreach { p =>
           lastSeenBatch = p.batchId
           if (p.numInputRows > 0) lastDataNanos = System.nanoTime()
         }
+    def idleMs: Long = (System.nanoTime() - lastDataNanos) / 1000000L
+    var quiesced = false
+    while (q.isActive && !quiesced) {
+      Thread.sleep(math.min(triggerMs, 100L))
+      drainProgress()
+      if (idleMs >= maxWaitMs && !q.status.isTriggerActive &&
+          !q.status.isDataAvailable) {
+        drainProgress()
+        quiesced = idleMs >= maxWaitMs
+      }
     }
     if (q.isActive) q.stop()
     q.awaitTermination()

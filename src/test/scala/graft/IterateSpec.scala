@@ -77,6 +77,50 @@ class IterateSpec extends AnyFunSuite {
     assert(got === Array((1L, 90L), (2L, 180L), (3L, 300L)))
   }
 
+  test("iterateDelta rejects a delta with two rows for one key (keyed solution set)") {
+    val solution = Seq((1L, 100L)).toDF("id", "val")
+    val workset = Seq((1L, 10L)).toDF("id", "dec")
+    val ex = intercept[IllegalArgumentException] {
+      Iterate.iterateDelta(solution, workset, 10, Seq("id")) { (_, ws) =>
+        // a step that "forgets" to aggregate: two candidate rows for id=1
+        val delta = Seq((1L, 90L), (1L, 80L)).toDF("id", "val")
+        (delta, ws.limit(0))
+      }
+    }
+    assert(ex.getMessage.contains("at most one delta row per key"))
+    assert(ex.getMessage.contains("id=1"))
+  }
+
+  test("feedback replay with fewer part files replaces the batch, no stale parts") {
+    // the at-least-once replay contract: a replayed micro-batch that
+    // repartitions differently after a restart must fully REPLACE its
+    // previous feedback files — stale higher-indexed parts from the
+    // failed attempt would be ingested as duplicate feedback rows
+    val root = Files.createTempDirectory("graft-iterfb-").toFile.getAbsolutePath
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fbPath = new org.apache.hadoop.fs.Path(s"$root/fb")
+    val staging = new org.apache.hadoop.fs.Path(s"$root/fb.staging")
+    val fs = fbPath.getFileSystem(hconf)
+    fs.mkdirs(fbPath)
+    def fbFiles(batch: Long): Seq[String] =
+      fs.listStatus(fbPath).map(_.getPath.getName)
+        .filter(_.startsWith(f"fb-$batch%012d-")).sorted.toSeq
+    // original attempt: 4 partitions → 4 part files for batch 7
+    IterativeStream.writeFeedback(fs, fbPath, staging, 7L,
+      (1L to 8L).toDF("v").repartition(4))
+    assert(fbFiles(7L).size === 4)
+    // replay of the same batch with 2 partitions → exactly 2 files remain
+    IterativeStream.writeFeedback(fs, fbPath, staging, 7L,
+      (1L to 8L).toDF("v").repartition(2))
+    assert(fbFiles(7L).size === 2)
+    // a different batch's files are untouched by the replay
+    IterativeStream.writeFeedback(fs, fbPath, staging, 8L,
+      (1L to 4L).toDF("v").repartition(1))
+    assert(fbFiles(7L).size === 2 && fbFiles(8L).size === 1)
+    // total rows enqueued = one copy per batch, not original+replay
+    assert(spark.read.parquet(fbPath.toString).count() === 12L)
+  }
+
   test("iterateDelta: incremental min-label CC equals Ops.connectedComponents") {
     // components {1,2,3,4}, {10,11}, isolated via self-edge {20}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))

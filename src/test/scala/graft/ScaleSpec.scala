@@ -168,6 +168,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan("q_topn").contains("WindowGroupLimit"))
   }
 
+  test("scaling exponent: ln(time)/ln(sf) slope ≤ ~1.1 over sf0.001→sf0.01→sf0.1") {
+    // The curve guard (VERDICT r7 #6): three REAL fixture points spanning
+    // two decades. OLS slope of ln(t) on ln(sf) with equal ln-spacing
+    // reduces to (ln t_hi − ln t_lo) / ln 100. Sub-linear scaling means
+    // slope ≤ 1; the guard allows 1.15 because a ±25% timing fluctuation
+    // at either endpoint moves the slope by ln(1.25)/ln(100) ≈ 0.05 and
+    // the suite shares its machine with other work. The {sf0.01, sf0.1,
+    // sf1} fit — the 10×-larger window — is emitted per-round by Bench
+    // into target/bench.json (slope_ln_t_per_ln_sf). Small-sf runs carry
+    // ~0.1 s of fixed scheduling overhead, which biases slopes DOWN: this
+    // guard catches super-linear blowups, it does not certify the exact
+    // exponent (the bench's sf0.1→sf1 ratios are the marginal cost).
+    val points = Seq("/root/testdata/sf0.001" -> 0.001,
+      "/root/testdata/sf0.01" -> 0.01, "/root/testdata/sf0.1" -> 0.1)
+    val guard = Seq("q_join_inner", "q_dedup_exact", "q_topn",
+      "q_knn_native", "q_text_bm25")
+    def time(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Catalog.byName(name).run(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup: codegen + page cache
+      Seq.fill(2)(once()).min
+    }
+    val slopes = guard.map { q =>
+      val ts = points.map { case (dir, sf) => (math.log(sf), math.log(time(q, dir))) }
+      val n = ts.size
+      val (mx, my) = (ts.map(_._1).sum / n, ts.map(_._2).sum / n)
+      val slope = ts.map { case (x, y) => (x - mx) * (y - my) }.sum /
+        ts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+      q -> slope
+    }
+    info(slopes.map { case (q, s) => f"$q $s%.2f" }.mkString("  "))
+    slopes.foreach { case (q, s) =>
+      assert(s <= 1.15, f"$q scales super-linearly: slope $s%.2f")
+    }
+  }
+
   test("ensure() reuses a complete dir and rejects a mismatched one") {
     assert(ScaleData.isComplete(dst, src, factor))
     assert(ScaleData.ensure(spark, src, dst, factor) === 0.0)
