@@ -123,9 +123,21 @@ object StreamBench {
 
   /** The operator battery: one representative per stateful family —
     * tumbling window agg, session window agg, incremental Top-N
-    * changelog, event-time keep-first dedup, and the CEP NFA. */
-  def runOps(spark: SparkSession, durSec: Int = 15,
-      triggerMs: Long = 500L): Seq[OpResult] = {
+    * changelog, event-time keep-first dedup, and the CEP NFA.
+    * `provider` overrides the state-store provider for the batch of
+    * queries (None = session default); restored afterwards. */
+  def runOps(spark: SparkSession, durSec: Int = 10,
+      triggerMs: Long = 500L, provider: Option[String] = None)
+      : Seq[OpResult] = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    provider.foreach(spark.conf.set(key, _))
+    try runOps0(spark, durSec, triggerMs)
+    finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  private def runOps0(spark: SparkSession, durSec: Int,
+      triggerMs: Long): Seq[OpResult] = {
     val v = col("value")
     Seq(
       measure("tumble_agg", 400000, durSec, triggerMs) {
@@ -254,24 +266,31 @@ object StreamBench {
   }
 
   /** The `"streaming"` JSON object [[Bench]] embeds (no trailing key). */
-  def section(spark: SparkSession, durSec: Int = 15,
+  def section(spark: SparkSession, durSec: Int = 10,
       triggerMs: Long = 500L): String = quietStopNoise {
     val provider = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
       .map(_.split('.').last).getOrElse("HDFSBackedStateStoreProvider")
-    val ops = runOps(spark, durSec, triggerMs).map { r =>
+    def fmt(rs: Seq[OpResult]): String = rs.map { r =>
       s""""${r.name}":{"input_rate":${r.inputRate},"rows":${r.totalRows},""" +
         f""""rows_per_sec":${r.rowsPerSec}%.0f,""" +
         f""""batch_ms_p50":${r.batchMsP50}%.0f,"batch_ms_max":${r.batchMsMax}%.0f,""" +
         s""""batches":${r.batches},"state_rows":${r.stateRows},""" +
         s""""state_bytes":${r.stateBytes}}"""
     }.mkString("{", ",", "}")
+    val ops = fmt(runOps(spark, durSec, triggerMs))
+    // the same battery under the RocksDB provider — the reference's
+    // production-default state backend; RocksDbParitySpec proves result
+    // equality, this measures the throughput cost of the native store
+    val opsRocks = fmt(runOps(spark, durSec, triggerMs, Some(
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")))
     val fries = runFries(spark).map { f =>
       s""""${f.scheduler}":{"dag_ops":${f.dagOps},"scope_ops":${f.scopeOps},""" +
         s""""rtt_ms":${f.rttMs.map(m => f"$m%.0f").mkString("[", ",", "]")},""" +
         s""""epochs_to_effect":${f.epochs.mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
-    s"""{"trigger_ms":$triggerMs,"dur_sec":$durSec,"provider":"$provider","ops":$ops,"fries":$fries}"""
+    s"""{"trigger_ms":$triggerMs,"dur_sec":$durSec,"provider":"$provider","ops":$ops,"ops_rocksdb":$opsRocks,"fries":$fries}"""
   }
 
   /** `q.stop()` on a fixed wall-clock budget lands mid-batch by design;
