@@ -49,14 +49,14 @@ object Bench {
     // (VERDICT r7 #2 of What's-wrong: the gate ran only at process start,
     // so load drifting up DURING the sf0.1 block went unattributed into
     // the sf1 runs)
-    def waitCleanLoad(): (Double, Double) = {
+    def waitCleanLoad(maxSec: Int): (Double, Double) = {
       val t0 = System.nanoTime()
       while (gateLoadAvg > loadGate &&
-          (System.nanoTime() - t0) / 1e9 < gateMaxSec)
+          (System.nanoTime() - t0) / 1e9 < maxSec)
         Thread.sleep(5000)
       ((System.nanoTime() - t0) / 1e9, gateLoadAvg)
     }
-    val (gateWaitSec, startLoad) = waitCleanLoad()
+    val (gateWaitSec, startLoad) = waitCleanLoad(gateMaxSec)
 
     // warmup: touch every fixture + exercise codegen/shuffle machinery once
     graft.engine.Tables.all.foreach(t =>
@@ -177,8 +177,10 @@ object Bench {
       if (genSec < 0) ("", "") else {
         // re-arm the clean-load gate between the blocks: the r7 sf1 runs
         // recorded loads 11-16 (largely self-load) and two queries showed
-        // >5× spread that min-of-two silently absorbed
-        val (gw1, sl1) = waitCleanLoad()
+        // >5× spread that min-of-two silently absorbed. Tighter cap than
+        // the start gate — the bench as a whole must stay inside the
+        // driver's patience even on a busy host
+        val (gw1, sl1) = waitCleanLoad(math.min(gateMaxSec, 120))
         val res1 = names.map { name =>
           val fn = queries(name)
           val loads = scala.collection.mutable.ArrayBuffer.empty[Double]

@@ -44,7 +44,57 @@ object IterateQueries {
       |SELECT node, MIN(dist) AS dist FROM p GROUP BY node ORDER BY node
       |""".stripMargin
 
+  /** Connected components via `Iterate.iterateDelta` — min-label
+    * propagation where the workset is the frontier of re-labeled nodes.
+    * The graph (symmetric closure of k → (k+5) mod 25 and
+    * k → (3k+10) mod 25 over nation) has exactly TWO components by
+    * construction: the +5 edges preserve k mod 5, and the 3k+10 edges
+    * map residue class c → 3c mod 5, whose orbit merges classes
+    * {1,2,3,4} and fixes {0} — so the loop must genuinely propagate
+    * across several rounds (component diameter > 1), unlike a
+    * single-component graph where round 1 already floods label 0.
+    * Oracle: DuckDB recursive reachability closure + per-node MIN. */
+  private val ccOracle =
+    """WITH RECURSIVE
+      |e0 AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS a,
+      |         CAST((n_nationkey + 5) % 25 AS BIGINT) AS b FROM nation
+      |  UNION ALL
+      |  SELECT CAST(n_nationkey AS BIGINT),
+      |         CAST((n_nationkey * 3 + 10) % 25 AS BIGINT) FROM nation
+      |),
+      |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      |r(node, lbl) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.node
+      |)
+      |SELECT node, MIN(lbl) AS comp FROM r GROUP BY node ORDER BY node
+      |""".stripMargin
+
   val queries: Seq[Query] = Seq(
+    Query("q_iterate_cc", (spark, dir) => {
+      val nation = Catalog.t(spark, dir, "nation")
+      val k = col("n_nationkey").cast("long")
+      val e0 = nation.select(k.as("a"), ((k + 5) % 25).as("b"))
+        .unionByName(nation.select(k.as("a"), ((k * 3 + 10) % 25).as("b")))
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val sol0 = nation.select(k.as("node"), k.as("comp"))
+      val labels = Iterate.iterateDelta(sol0, sol0, 50, Seq("node")) {
+        (sol, ws) =>
+          // propagate each frontier label across its edges, keep only
+          // strict improvements — the delta IS the next frontier
+          val cand = edges.join(ws, edges("a") === ws("node"))
+            .groupBy(col("b").as("node0")).agg(min("comp").as("cand"))
+            .withColumnRenamed("node0", "node")
+          val delta = cand
+            .join(sol.withColumnRenamed("comp", "cur"), "node")
+            .where(col("cand") < col("cur"))
+            .select(col("node"), col("cand").as("comp"))
+          (delta, delta)
+      }
+      labels.orderBy("node")
+    }, Some(ccOracle)),
     Query("q_iterate_sssp", (spark, dir) => {
       val nation = Catalog.t(spark, dir, "nation")
       val k = col("n_nationkey").cast("long")
