@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering for scan locality — the write-path lever that
+  * makes parquet min/max pruning work on MORE than the leading sort key.
+  *
+  * At 100 TB the scan you avoid is the cheapest scan: parquet readers
+  * skip whole row groups whose column min/max excludes the filter, and
+  * file-listing layers skip whole files. A linear `sortWithinPartitions
+  * (a)` layout makes column `a` prunable and leaves every other column's
+  * min/max spanning the full domain — a filter on `b` reads everything.
+  * Z-ORDER (Morton-order) clustering interleaves the bits of the
+  * columns' quantile-bucket ranks, so a contiguous z-range is a small
+  * hyper-rectangle in value space: EVERY clustered column's per-file
+  * extent shrinks to ~domain/P^(1/k) (k columns, P files) instead of one
+  * column at domain/P and the rest at full domain. The trade is
+  * explicit: the leading column's extent grows from domain/P to
+  * domain/P^(1/k) — z-order buys pruning on all k dims by giving up
+  * perfection on one.
+  *
+  * This is the same layout primitive lakehouse table formats expose as
+  * `OPTIMIZE ... ZORDER BY`; here it is a plain DataFrame→DataFrame
+  * operator any writer can use. Everything is Spark-first and
+  * codegen-friendly:
+  *
+  *  - ONE `approxQuantile` pass computes all columns' bucket boundaries
+  *    (driver holds k × (2^bits − 1) doubles — k·255 for the default
+  *    8 bits — broadcast as array literals; no global sort, no window).
+  *  - Bucket rank per row = `aggregate(boundaries, 0, acc + (v > b))` —
+  *    a codegen'd O(2^bits) fold over an array literal, scan-local.
+  *  - Bit interleave = an unrolled sum of shift/mask terms (bits × k
+  *    integer ops per row, whole-stage codegen).
+  *  - `repartitionByRange(z)` + `sortWithinPartitions(z)`: range
+  *    boundaries come from Spark's reservoir sampling of z, so output
+  *    partitions (→ files) are balanced even when the z-space is not.
+  *
+  * NULL ordering: null values bucket to rank 0 (they sort first, exactly
+  * like a linear sort layout). Non-numeric columns: pass a numeric
+  * surrogate (e.g. `xxhash64` for equality-only pruning, or a date cast)
+  * — quantile bucketing needs an ordered double.
+  */
+object Layout {
+
+  /** The z-value (Morton code) column for `cols`, using quantile-bucket
+    * ranks of `bits` bits per column. Boundaries are computed from `df`
+    * with one `approxQuantile` pass (relative error `quantileErr`). */
+  def zorderValue(df: DataFrame, cols: Seq[String], bits: Int = 8,
+      quantileErr: Double = 0.001): Column = {
+    require(cols.nonEmpty, "zorderValue: no columns")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"zorderValue: bits=$bits × ${cols.size} cols must fit a long")
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    // one scan for every column's boundaries; cast through double (the
+    // quantile API's type) — layout needs order, not exact values
+    val doubled = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val bounds = doubled.stat.approxQuantile(cols.toArray, probs, quantileErr)
+    val ranks = cols.zip(bounds).map { case (c, bs) =>
+      // rank = #boundaries strictly below the value: codegen'd fold over
+      // an array literal; nulls → 0 (sort-first, as in a linear layout)
+      val v = col(c).cast("double")
+      val cmp = aggregate(lit(bs.distinct.sorted), lit(0),
+        (acc, b) => acc + when(v > b, 1).otherwise(0))
+      when(v.isNull, 0).otherwise(cmp)
+    }
+    // Morton interleave: bit i of column j lands at position i*k + j
+    val k = cols.size
+    val terms = for {
+      (r, j) <- ranks.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(r.cast("long"), i).bitwiseAND(1L), i * k + j)
+    terms.reduce(_ + _)
+  }
+
+  /** Rewrite `df` into `numPartitions` z-ordered partitions on `cols` —
+    * write the result with any file sink and every clustered column's
+    * per-file min/max tightens to ~domain/P^(1/k). Row content is
+    * unchanged; only the physical order moves. */
+  def zorder(df: DataFrame, cols: Seq[String], numPartitions: Int,
+      bits: Int = 8, quantileErr: Double = 0.001): DataFrame = {
+    require(numPartitions >= 1, s"zorder: numPartitions=$numPartitions")
+    val zc = "__graft_zvalue"
+    df.withColumn(zc, zorderValue(df, cols, bits, quantileErr))
+      .repartitionByRange(numPartitions, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+/** Z-order layout: the write-path clustering that makes parquet min/max
+  * pruning work on every clustered column (SCALE.md · Scans). The pin is
+  * the geometry itself — per-partition value extents — because that is
+  * exactly what a parquet footer's min/max records and what a reader
+  * prunes on; no timing, no flakiness. */
+class LayoutSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.sf
+
+  private def lineitem = graft.engine.Tables
+    .load(spark, sf, "lineitem")
+    .select("l_orderkey", "l_partkey", "l_quantity")
+
+  /** Mean per-partition (max − min) of `c` under df's CURRENT physical
+    * partitioning (spark_partition_id is captured before the agg
+    * shuffles). */
+  private def meanExtent(df: DataFrame, c: String): Double =
+    df.withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg((max(col(c)) - min(col(c))).cast("double").as("ext"))
+      .agg(avg("ext")).collect().head.getDouble(0)
+
+  private def range(df: DataFrame, c: String): Double =
+    df.agg((max(col(c)) - min(col(c))).cast("double")).collect().head.getDouble(0)
+
+  test("zorder bounds EVERY clustered column's per-partition extent; linear sort does not") {
+    val li = lineitem
+    val P = 16
+    val z = Layout.zorder(li, Seq("l_orderkey", "l_partkey"), P)
+    val linear = li.repartitionByRange(P, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+
+    val rOrder = range(li, "l_orderkey")
+    val rPart = range(li, "l_partkey")
+
+    // the control: a linear layout leaves the NON-sort column's extent at
+    // ~the full domain in every partition — a filter on it prunes nothing
+    assert(meanExtent(linear, "l_partkey") > 0.7 * rPart)
+
+    // z-order: BOTH columns' extents shrink to ~domain/√P (the 2-dim
+    // Morton rectangle); assert the halving with slack for bucket-edge
+    // effects and duplicate quantile boundaries
+    val zOrderExt = meanExtent(z, "l_orderkey")
+    val zPartExt = meanExtent(z, "l_partkey")
+    assert(zPartExt < 0.5 * rPart,
+      f"partkey extent $zPartExt%.0f !< half of $rPart%.0f")
+    assert(zOrderExt < 0.5 * rOrder,
+      f"orderkey extent $zOrderExt%.0f !< half of $rOrder%.0f")
+
+    // the documented trade: the leading column's extent grows vs the
+    // linear layout (domain/P → ~domain/√P) but stays bounded
+    assert(meanExtent(linear, "l_orderkey") < zOrderExt)
+  }
+
+  test("zorder is a pure re-layout: row multiset unchanged, partitions balanced") {
+    val li = lineitem
+    val P = 8
+    val z = Layout.zorder(li, Seq("l_orderkey", "l_partkey"), P)
+    assert(z.count() === li.count())
+    // content fingerprint (order-insensitive; XOR can't overflow ANSI longs)
+    def fp(df: DataFrame): Long = df
+      .agg(expr("bit_xor(xxhash64(l_orderkey, l_partkey, l_quantity))"))
+      .collect().head.getLong(0)
+    assert(fp(z) === fp(li))
+    // range partitioning on the sampled z keeps output files balanced:
+    // no partition more than 3× the mean (reservoir-sampled boundaries)
+    val sizes = z.withColumn("pid", spark_partition_id())
+      .groupBy("pid").count().collect().map(_.getLong(1))
+    assert(sizes.length === P)
+    assert(sizes.max.toDouble / (sizes.sum.toDouble / sizes.length) < 3.0,
+      s"unbalanced: ${sizes.mkString(",")}")
+  }
+
+  test("nulls rank lowest and never crash the interleave") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (null, 5L), (1L, null), (2L, 2L), (3L, 7L), (null, null))
+      .toDF("a", "b")
+    val z = Layout.zorder(df, Seq("a", "b"), 2)
+    assert(z.count() === 5)
+    // the all-null row carries z = 0: it sorts into the FIRST partition,
+    // exactly where a linear sort layout puts nulls
+    val firstPart = z.withColumn("pid", spark_partition_id())
+      .where(col("a").isNull && col("b").isNull)
+      .select("pid").collect().head.getInt(0)
+    assert(firstPart === 0)
+  }
+
+  test("zorderValue rejects bit widths that overflow a long") {
+    val li = lineitem
+    intercept[IllegalArgumentException] {
+      Layout.zorderValue(li, Seq("l_orderkey", "l_partkey"), bits = 32)
+    }
+  }
+}
