@@ -77,7 +77,11 @@ object StreamBench {
   }
 
   /** Run one op for `durSec` of wall time; metrics from recentProgress
-    * (warmup batches 0-1 dropped). */
+    * (warmup batches 0-1 dropped). rows_per_sec is total input rows over
+    * total trigger-execution time: at an input rate the op sustains it
+    * reports ~the rate; when the op falls behind, batches grow with the
+    * backlog and the number reports the op's actual CAPACITY — either
+    * way it is the steady-state processing throughput. */
   private def measure(name: String, inputRate: Long, durSec: Int,
       triggerMs: Long)(stream: DataFrame): OpResult =
     try measure0(name, inputRate, durSec, triggerMs, stream)
