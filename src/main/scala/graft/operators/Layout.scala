@@ -37,9 +37,13 @@ import org.apache.spark.sql.functions._
   *    partitions (→ files) are balanced even when the z-space is not.
   *
   * NULL ordering: null values bucket to rank 0 (they sort first, exactly
-  * like a linear sort layout). Non-numeric columns: pass a numeric
-  * surrogate (e.g. `xxhash64` for equality-only pruning, or a date cast)
-  * — quantile bucketing needs an ordered double.
+  * like a linear sort layout). Column types: numerics order naturally;
+  * dates/timestamps order by epoch (`unix_date`/`unix_micros` — a plain
+  * double cast is illegal ANSI); strings and other types get an
+  * `xxhash64` surrogate — range locality is meaningless for a hash, but
+  * equal values still co-locate, which is what point-predicate pruning
+  * (`WHERE lang = 'en'`) needs. A silent `cast("double")` would have
+  * ranked every string row 0.
   */
 object Layout {
 
@@ -53,17 +57,38 @@ object Layout {
       s"zorderValue: bits=$bits × ${cols.size} cols must fit a long")
     val n = 1 << bits
     val probs = (1 until n).map(_.toDouble / n).toArray
-    // one scan for every column's boundaries; cast through double (the
-    // quantile API's type) — layout needs order, not exact values
-    val doubled = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    // one scan for every column's boundaries; each column is first made
+    // double-ORDERABLE by type (layout needs order, not exact values)
+    import org.apache.spark.sql.types._
+    def orderable(c: String): Column = df.schema(c).dataType match {
+      case _: NumericType | BooleanType => col(c).cast("double")
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType | TimestampNTZType => unix_micros(
+        col(c).cast("timestamp")).cast("double")
+      case _ => xxhash64(col(c)).cast("double") // equal values co-locate
+    }
+    val doubled = df.select(cols.map(c => orderable(c).as(c)): _*)
     val bounds = doubled.stat.approxQuantile(cols.toArray, probs, quantileErr)
     val ranks = cols.zip(bounds).map { case (c, bs) =>
       // rank = #boundaries strictly below the value: codegen'd fold over
-      // an array literal; nulls → 0 (sort-first, as in a linear layout)
-      val v = col(c).cast("double")
-      val cmp = aggregate(lit(bs.distinct.sorted), lit(0),
+      // an array literal; nulls → 0 (sort-first, as in a linear layout).
+      // Same orderable() transform as the boundary pass, or ranks and
+      // boundaries would live on different scales.
+      val v = orderable(c)
+      val bs2 = bs.distinct.sorted
+      val cmp = aggregate(lit(bs2), lit(0),
         (acc, b) => acc + when(v > b, 1).otherwise(0))
-      when(v.isNull, 0).otherwise(cmp)
+      // Rescale to the full bit width: a low-cardinality column's
+      // duplicate quantile boundaries collapse under distinct, leaving
+      // ranks 0..B for small B — i.e. only the LOW bits — while a
+      // high-cardinality column spans 0..2^bits-1. Unscaled, the
+      // interleave goes lopsided: the small column's bits all land in
+      // the least-significant z positions and it never influences which
+      // partition a row falls in. rank·(2^bits−1)/B spreads every
+      // column over the same 0..2^bits-1 range.
+      val scaled = floor(cmp * (n - 1) / math.max(bs2.length, 1))
+        .cast("int")
+      when(v.isNull, 0).otherwise(scaled)
     }
     // Morton interleave: bit i of column j lands at position i*k + j
     val k = cols.size

@@ -94,6 +94,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(firstPart === 0)
   }
 
+  test("string columns cluster by hash surrogate: equal values co-locate") {
+    import spark.implicits._
+    // a plain cast("double") on strings yields null and would rank every
+    // row 0; the xxhash64 surrogate keeps equal values adjacent in
+    // z-space, which is what point-predicate pruning needs
+    val langs = Seq("en", "de", "fr", "ja", "pt", "zh", "ru", "es")
+    val df = (0 until 8000)
+      .map(i => (langs(i % langs.size), (i * 37) % 1000)).toDF("lang", "n")
+    val P = 8
+    def partsPerLang(d: DataFrame): Double = {
+      val counts = d.withColumn("pid", spark_partition_id())
+        .groupBy("lang").agg(countDistinct("pid").cast("double").as("p"))
+        .agg(avg("p")).collect().head.getDouble(0)
+      counts
+    }
+    val z = Layout.zorder(df, Seq("lang", "n"), P)
+    val random = df.repartition(P)
+    // random placement puts every language in ~all partitions; z-order
+    // confines each language to the partitions its z-slab touches. With
+    // two interleaved dims the slab still crosses the OTHER dim's bits,
+    // so the geometric expectation at P=8 is ~P/2 (+ range-boundary
+    // straddle) — assert a clear win over random, not the exact number.
+    assert(partsPerLang(random) > 0.9 * P)
+    assert(partsPerLang(z) <= 0.65 * P,
+      f"langs span ${partsPerLang(z)}%.1f of $P partitions")
+    assert(partsPerLang(z) * 1.4 < partsPerLang(random))
+  }
+
   test("zorderValue rejects bit widths that overflow a long") {
     val li = lineitem
     intercept[IllegalArgumentException] {
