@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming near-duplicate FILTERING against a growing index — the
+  * ingest-time half of a training-corpus dedup pipeline: every arriving
+  * micro-batch of documents is checked against everything already
+  * accepted, novel documents are emitted downstream and their LSH
+  * buckets are appended to the index, near-duplicates are dropped. The
+  * batch side of the same pipeline is `q_dedup_minhash_lsh` →
+  * `connectedComponents` (one-shot corpus dedup); this operator is what
+  * runs AFTER that backfill, on the live feed.
+  *
+  * Mechanism per micro-batch (all distributed, nothing driver-side):
+  *  1. MinHash signatures → banded bucket keys for the batch's docs
+  *     (same integer kernel as the batch query: md5-prefix shingle
+  *     hashes, 8 universal-hash mins, 4 bands × 2 rows — scan-local,
+  *     one narrow groupBy per doc).
+  *  2. LEFT SEMI join of batch buckets against the index buckets → doc
+  *     ids colliding with any ACCEPTED doc's bucket = cross-batch dups.
+  *  3. Intra-batch: within the surviving docs, each bucket keeps its
+  *     minimum doc id (the LSH pair convention — the min is the
+  *     survivor); a doc colliding with a smaller id in the same batch
+  *     drops.
+  *  4. `out(novel, batchId)` — the accepted documents.
+  *  5. The novel docs' buckets are appended to the index through the
+  *     staged-rename writer ([[IterativeStream.writeFeedback]]): file
+  *     names are deterministic in (batchId, part), so a replayed batch
+  *     REPLACES its own appendix instead of duplicating it.
+  *
+  * Replay correctness (foreachBatch is at-least-once): when batch B
+  * replays after a crash, the index may already contain B's own files
+  * from the failed attempt — reading them would make every B doc look
+  * like a duplicate of itself and the replay would emit nothing while
+  * step 5 erased the attempt's files. The index view is therefore
+  * BATCH-SCOPED: batch B reads only files with batchId < B
+  * ([[indexFilesBefore]]), i.e. exactly the state the original attempt
+  * saw. Emission via `out` carries the usual at-least-once contract —
+  * pair it with an idempotent sink.
+  *
+  * Scale: the per-batch cost is one scan+join of the index bucket table
+  * (4 narrow rows per accepted doc). The join shuffles on the bucket
+  * key — or broadcasts while the index is small; at corpus scale,
+  * periodically compact the index directory (the batch-scoped read
+  * makes compaction safe for any batchId below the live watermark).
+  * Docs shorter than 3 tokens produce no shingles and are always
+  * emitted as novel.
+  */
+object NearDupStream {
+
+  /** MinHash band/bucket keys — (id, band, k1, k2) — for a bounded
+    * batch of (idCol, textCol) documents. Integer kernel identical to
+    * the oracle-checked batch query (`DedupQueries.q_dedup_minhash_lsh`)
+    * so streaming and backfill agree on what "near-duplicate" means. */
+  private[graft] def minhashBands(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+    val P = 4294967311L // prime > 2^32
+    def aCoef(i: Int) = 1L + i * 7368787L
+    def bCoef(i: Int) = 12345L + i * 104729L
+    val tk = col("__tk")
+    val shArr = transform(
+      sequence(lit(0), size(tk) - 3),
+      i => concat_ws(" ", element_at(tk, i + 1),
+        element_at(tk, i + 2), element_at(tk, i + 3)))
+    val sig = docs
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__tk"))
+      .where(size(tk) >= 3)
+      .select(col("__id"), explode(shArr).as("sh"))
+      .select(col("__id"),
+        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("x"))
+      .groupBy(col("__id"))
+      .agg(
+        min(pmod(lit(aCoef(0)) * col("x") + lit(bCoef(0)), lit(P))).as("h0"),
+        (1 until numHashes).map(i =>
+          min(pmod(lit(aCoef(i)) * col("x") + lit(bCoef(i)), lit(P)))
+            .as(s"h$i")): _*)
+    val stackArgs = (0 until numHashes / bandSize).map { b =>
+      s"$b, h${bandSize * b}, h${bandSize * b + 1}"
+    }.mkString(", ")
+    sig.selectExpr("__id AS id",
+      s"stack(${numHashes / bandSize}, $stackArgs) AS (band, k1, k2)")
+  }
+
+  /** Index files visible to batch `batchId`: only appendices of EARLIER
+    * batches — a replayed batch must see exactly the index state its
+    * original attempt saw, never its own half-written appendix. */
+  private[graft] def indexFilesBefore(fs: FileSystem, indexDir: Path,
+      batchId: Long): Seq[String] = {
+    val st = fs.globStatus(new Path(indexDir, "fb-*.parquet"))
+    if (st == null) Seq.empty
+    else st.map(_.getPath).filter { p =>
+      // fb-<batchId %012d>-<part %05d>.parquet
+      p.getName.split("-")(1).toLong < batchId
+    }.map(_.toString).toSeq
+  }
+
+  /** Start the filter: `docs` is a streaming DataFrame with `idCol`
+    * (long, unique per document) and `textCol` (string); accepted
+    * documents flow to `out` per micro-batch; `indexDir` accumulates
+    * the accepted bucket table (created if absent, query-private). */
+  def nearDupFilter(spark: SparkSession, docs: DataFrame, indexDir: String,
+      out: (DataFrame, Long) => Unit,
+      idCol: String = "doc_id", textCol: String = "text",
+      triggerMs: Long = 500L,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val idxPath = new Path(indexDir)
+    val fs = idxPath.getFileSystem(hconf)
+    fs.mkdirs(idxPath)
+    val stagingRoot = new Path(indexDir + ".staging")
+    val bandSchema = "id LONG, band INT, k1 BIGINT, k2 BIGINT"
+
+    val writer = docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val s = b.sparkSession
+          val bands = minhashBands(b, idCol, textCol).persist()
+          try {
+            val idxFiles = indexFilesBefore(fs, idxPath, batchId)
+            val index =
+              if (idxFiles.isEmpty)
+                s.createDataFrame(s.sparkContext
+                    .emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.StructType.fromDDL(bandSchema))
+              else s.read.schema(bandSchema).parquet(idxFiles: _*)
+            // cross-batch dups: any bucket already accepted
+            val crossDup = bands
+              .join(index, Seq("band", "k1", "k2"), "left_semi")
+              .select(col("id")).distinct()
+            // intra-batch: per bucket the min id survives; a doc drops
+            // if ANY of its buckets holds a smaller id
+            val intraDup = bands
+              .withColumn("m",
+                min(col("id")).over(org.apache.spark.sql.expressions.Window
+                  .partitionBy("band", "k1", "k2")))
+              .where(col("id") > col("m"))
+              .select(col("id")).distinct()
+            val dupIds = crossDup.unionByName(intraDup).distinct()
+            val novel = b.join(dupIds,
+              b(idCol) === dupIds("id"), "left_anti")
+            out(novel, batchId)
+            // append the accepted docs' buckets; (batchId, part)-named
+            // renames make the replay REPLACE, and the batch-scoped
+            // index read above keeps the replay blind to them
+            IterativeStream.writeFeedback(fs, idxPath, stagingRoot, batchId,
+              bands.join(dupIds, bands("id") === dupIds("id"), "left_anti"))
+          } finally bands.unpersist()
+        } finally b.unpersist()
+      }
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+}
