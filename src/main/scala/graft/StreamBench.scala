@@ -175,6 +175,31 @@ object StreamBench {
           "user_id", "ts", "event_id",
           Seq(Cep.Step("A", _.getString(3) == "signup"),
             Cep.Step("B", _.getString(3) == "error")))
+      },
+      // stream-stream joins (§2.3's streaming rows): tight horizons so
+      // state actually seals inside the run — the number includes the
+      // watermark-driven eviction cost, not just ingestion. Wide key
+      // space keeps the per-(key, window) match fan-out O(1): join
+      // throughput at a hot-key fan-out would measure output explosion,
+      // which is the query's property, not the operator's.
+      measure("interval_join", 100000, durSec, triggerMs) {
+        Streams.intervalJoinStream(
+          rateEvents(spark, 100000, _ % 50000),
+          horizon = "5 seconds", lateness = "1 second")
+      },
+      measure("window_join", 100000, durSec, triggerMs) {
+        Streams.windowJoinStream(
+          rateEvents(spark, 100000, _ % 50000),
+          size = "5 seconds", lateness = "1 second")
+      },
+      // temporal (as-of) join: one current-version row per key; probe
+      // rows resolve against it in event order (fMGWS family)
+      measure("asof_join", 100000, durSec, triggerMs) {
+        val ev = rateEvents(spark, 100000, _ % 8192)
+        Streams.asofJoinStream(
+          ev.where(col("event_id") % 2 === 0),
+          ev.where(col("event_id") % 2 === 1),
+          "user_id", "ts", "event_id", "value")
       })
   }
 

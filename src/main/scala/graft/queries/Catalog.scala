@@ -33,7 +33,7 @@ object Catalog {
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       GraftFnQueries.queries ++ LookupQueries.queries ++
-      IterateQueries.queries
+      IterateQueries.queries ++ PipelineQueries.queries
 
   lazy val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Catalog.t
+
+/** End-to-end corpus-curation FUNNEL — the composition the individual
+  * text/dedup operators exist for, in ONE pass: per document compute the
+  * quality signals (Gopher token/word-length/repetition gates), the
+  * language-ID heuristic, and the exact-dup digest; drop duplicate
+  * losers first (min doc_id per digest survives — the batch dedup
+  * convention), then gate the survivors on quality+language; report the
+  * per-source funnel (total → dup-dropped → quality-rejected → accepted,
+  * plus accepted token volume — the number a training-data pipeline
+  * actually budgets on).
+  *
+  * Scale shape (the reason this is one query and not four chained ones):
+  * the text column NEVER crosses an exchange. All per-doc signals and
+  * the digest are computed scan-locally in one projection, so the dedup
+  * window shuffles only (digest, doc_id, source, 4 small numerics) —
+  * ~50 bytes/row against documents' kilobytes — and the funnel
+  * aggregation partial-aggs to |sources| rows before its exchange. At
+  * 100 TB: one full scan, one narrow hash shuffle on digest, one
+  * tiny agg shuffle. A naive compose-by-join of q_text_gopher +
+  * q_text_langid + q_dedup_exact would scan the corpus three times and
+  * join on doc_id twice.
+  */
+object PipelineQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q_pipeline_curate",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks)
+        val per = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            nTok.as("n_tokens"),
+            (length(translate(col("text"), " ", "")).cast("double") / nTok)
+              .as("mean_wlen"),
+            (lit(1.0) - size(array_distinct(toks)).cast("double") / nTok)
+              .as("rep_ratio"),
+            expr(s"size(filter(split(text, ' '), x -> x IN ($stopwordsSql)))")
+              .as("n_stop"),
+            md5(col("text")).as("digest"))
+        val flagged = per
+          .withColumn("is_dup",
+            col("doc_id") =!= min(col("doc_id"))
+              .over(Window.partitionBy("digest")))
+          .withColumn("keep_q",
+            col("n_tokens") >= 30 && col("mean_wlen").between(4.0, 5.0) &&
+              col("rep_ratio") < 0.6 && col("n_stop") >= 2)
+        flagged.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+            sum(when(!col("is_dup") && !col("keep_q"), 1L).otherwise(0L))
+              .as("n_rejected"),
+            sum(when(!col("is_dup") && col("keep_q"), 1L).otherwise(0L))
+              .as("n_accepted"),
+            sum(when(!col("is_dup") && col("keep_q"),
+              col("n_tokens").cast("long")).otherwise(0L))
+              .as("tok_accepted"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH per AS (
+              |  SELECT doc_id, source,
+              |    LEN(string_split(text, ' ')) AS n_tokens,
+              |    CAST(LEN(REPLACE(text, ' ', '')) AS DOUBLE)
+              |      / LEN(string_split(text, ' ')) AS mean_wlen,
+              |    1.0 - CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              |      / LEN(string_split(text, ' ')) AS rep_ratio,
+              |    LEN(list_filter(string_split(text, ' '),
+              |      x -> x IN ($stopwordsSql))) AS n_stop,
+              |    md5(text) AS digest
+              |  FROM documents),
+              |flagged AS (
+              |  SELECT *,
+              |    doc_id <> MIN(doc_id) OVER (PARTITION BY digest) AS is_dup,
+              |    n_tokens >= 30 AND mean_wlen BETWEEN 4.0 AND 5.0
+              |      AND rep_ratio < 0.6 AND n_stop >= 2 AS keep_q
+              |  FROM per)
+              |SELECT source,
+              |  COUNT(1) AS n_docs,
+              |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+              |  CAST(SUM(CASE WHEN NOT is_dup AND NOT keep_q THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_rejected,
+              |  CAST(SUM(CASE WHEN NOT is_dup AND keep_q THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_accepted,
+              |  CAST(SUM(CASE WHEN NOT is_dup AND keep_q THEN n_tokens ELSE 0 END)
+              |    AS BIGINT) AS tok_accepted
+              |FROM flagged
+              |GROUP BY source
+              |ORDER BY source""".stripMargin),
+      bench = true))
+}

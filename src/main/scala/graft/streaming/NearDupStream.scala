@@ -97,15 +97,41 @@ object NearDupStream {
     }.map(_.toString).toSeq
   }
 
+  /** The `floorBatchId` to adopt an existing index directory under a new
+    * checkpoint: one past the highest batch id present (0 if empty).
+    * Compute ONCE at adoption; see [[nearDupFilter]]'s stability note. */
+  def nextFloor(spark: SparkSession, indexDir: String): Long = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.globStatus(new Path(p, "fb-*.parquet"))
+    if (st == null || st.isEmpty) 0L
+    else st.map(_.getPath.getName.split("-")(1).toLong).max + 1L
+  }
+
   /** Start the filter: `docs` is a streaming DataFrame with `idCol`
     * (long, unique per document) and `textCol` (string); accepted
     * documents flow to `out` per micro-batch; `indexDir` accumulates
-    * the accepted bucket table (created if absent, query-private). */
+    * the accepted bucket table (created if absent, query-private).
+    *
+    * `floorBatchId` adopts a PRE-EXISTING index under a NEW checkpoint:
+    * a fresh query restarts batch ids at 0, so without an offset the
+    * batch-scoped view would hide the whole inherited index (batch B
+    * sees only ids < B) and batch 0's appendix name would collide with —
+    * and replace — the oldest inherited file. With a floor F, batch B
+    * reads ids < F+B and writes at id F+B: inherited files (< F) are
+    * always visible, and replay scoping within this incarnation is
+    * unchanged. Pass [[nextFloor]] of the index at ADOPTION time, then
+    * keep the value STABLE for this checkpoint's lifetime (persist it
+    * with the checkpoint) — recomputing it on a same-checkpoint restart
+    * would shift replayed batches onto new ids and let a replay see its
+    * own earlier appendix. */
   def nearDupFilter(spark: SparkSession, docs: DataFrame, indexDir: String,
       out: (DataFrame, Long) => Unit,
       idCol: String = "doc_id", textCol: String = "text",
       triggerMs: Long = 500L,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      floorBatchId: Long = 0L): StreamingQuery = {
+    require(floorBatchId >= 0L, s"floorBatchId < 0: $floorBatchId")
     val hconf = spark.sparkContext.hadoopConfiguration
     val idxPath = new Path(indexDir)
     val fs = idxPath.getFileSystem(hconf)
@@ -116,7 +142,8 @@ object NearDupStream {
     val writer = docs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch: DataFrame, rawBatchId: Long) =>
+        val batchId = floorBatchId + rawBatchId
         val b = batch.persist()
         try {
           val s = b.sparkSession
@@ -155,5 +182,67 @@ object NearDupStream {
       }
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     writer.start()
+  }
+
+  /** Offline compaction of the accepted-bucket index: merge every
+    * appendix of batches < `upToBatchId` into `numFiles` files, named at
+    * batch `upToBatchId - 1` so visibility semantics are unchanged (a
+    * batch B > upToBatchId-1 saw the originals; it sees the compacted
+    * rows; batches ≤ upToBatchId-1 must be committed — see below).
+    *
+    * Crash safety has NO loss window, by ordering: (1) the compacted
+    * rows are fully written to a staging dir, (2) staged parts rename in
+    * at FRESH part indices — base 50000 (above any streaming-writer part
+    * count) plus one past the highest compacted index already present,
+    * so a destination name NEVER collides with a live input, even when a
+    * re-compaction at the same upToBatchId re-reads a previous
+    * compaction's output — (3) only then are the originals deleted. A
+    * crash between (2) and (3) leaves originals AND compacted rows
+    * visible — duplicate bucket rows are semantically inert (the
+    * filter's LEFT SEMI join is idempotent in the right side) and the
+    * next compaction's `dropDuplicates` restores minimality. A crash
+    * mid-(3) is the same state with fewer survivors.
+    *
+    * Contract: `upToBatchId` must be ≤ the last COMMITTED batch of the
+    * live query (a committed micro-batch never replays, so no replay can
+    * glob-delete the compacted fb-(upToBatchId-1)-* files or re-read a
+    * pre-append index view). Run in a maintenance window or between
+    * triggers: a batch that listed the originals before (3) and read
+    * them after would fail its read (and retry against the compacted
+    * view — at-least-once emission absorbs the retry).
+    */
+  def compactIndex(spark: SparkSession, indexDir: String, upToBatchId: Long,
+      numFiles: Int = 1): Unit = {
+    require(upToBatchId >= 1, s"compactIndex: upToBatchId=$upToBatchId")
+    require(numFiles >= 1 && numFiles <= 49999,
+      s"compactIndex: numFiles=$numFiles outside [1, 49999]")
+    val idxPath = new Path(indexDir)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inputs = indexFilesBefore(fs, idxPath, upToBatchId)
+    if (inputs.size <= 1) return // nothing to merge
+    val bandSchema = "id LONG, band INT, k1 BIGINT, k2 BIGINT"
+    val staging = new Path(indexDir + ".staging", s"compact-$upToBatchId")
+    spark.read.schema(bandSchema).parquet(inputs: _*)
+      .dropDuplicates()
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    // fresh slots: one past anything already present at this batch id
+    val taken = Option(fs.globStatus(
+        new Path(idxPath, f"fb-${upToBatchId - 1}%012d-*.parquet")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.split("-")(2).takeWhile(_.isDigit).toInt)
+    val base = math.max(50000, if (taken.isEmpty) 0 else taken.max + 1)
+    require(base + parts.length <= 99999,
+      s"compactIndex: part-index space exhausted at $base — " +
+        "compact into fewer files or a fresh index directory")
+    parts.zipWithIndex.foreach { case (src, i) =>
+      fs.rename(src, new Path(idxPath,
+        f"fb-${upToBatchId - 1}%012d-${base + i}%05d.parquet"))
+    }
+    fs.delete(staging, true)
+    inputs.foreach(p => fs.delete(new Path(p), false))
   }
 }

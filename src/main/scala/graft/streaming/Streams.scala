@@ -448,8 +448,9 @@ object Streams {
   /** Stream-stream interval join (reference TimeIntervalJoin.java:51):
     * errors within [0, 60 min] after a signup of the same user, both
     * sides watermarked so join state is bounded. */
-  def intervalJoinStream(events: DataFrame): DataFrame =
-    intervalJoin(events, "inner")
+  def intervalJoinStream(events: DataFrame, horizon: String = "60 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    intervalJoin(events, "inner", horizon, lateness)
 
   /** Stream-stream LEFT OUTER interval join (reference
     * StreamingJoinOperator.java:36 outer mode / OuterJoinRecordStateViews):
@@ -474,19 +475,20 @@ object Streams {
   def intervalJoinRightOuterStream(events: DataFrame): DataFrame =
     intervalJoin(events, "right_outer")
 
-  private def intervalJoin(events: DataFrame,
-      joinType: String): DataFrame = {
+  private def intervalJoin(events: DataFrame, joinType: String,
+      horizon: String = "60 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
     val signups = events.where(col("event_type") === "signup")
       .select(col("user_id").as("u"), col("event_id").as("a_id"),
         col("ts").as("a_ts"))
-      .withWatermark("a_ts", "10 minutes")
+      .withWatermark("a_ts", lateness)
     val errors = events.where(col("event_type") === "error")
       .select(col("user_id").as("u2"), col("event_id").as("b_id"),
         col("ts").as("b_ts"))
-      .withWatermark("b_ts", "10 minutes")
+      .withWatermark("b_ts", lateness)
     signups.join(errors, col("u") === col("u2")
       && col("b_ts") >= col("a_ts")
-      && col("b_ts") <= col("a_ts") + expr("interval 60 minutes"),
+      && col("b_ts") <= col("a_ts") + expr(s"interval $horizon"),
       joinType)
       .select(col("a_id"), col("b_id"))
   }

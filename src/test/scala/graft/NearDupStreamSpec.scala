@@ -94,6 +94,74 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(visible(99L) === Set(3L, 5L, 7L))
   }
 
+  test("compactIndex merges old appendices; filtering is unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_ndup4_").toString
+    val idxDir = s"$root/idx"
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // phase 1: three batches build a three-appendix index
+    val mem = MemoryStream[(Long, String)]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val out = (df: DataFrame, _: Long) =>
+      df.collect().foreach(r => emitted.add(r.getLong(0)))
+    val q = NearDupStream.nearDupFilter(spark,
+      mem.toDF().toDF("doc_id", "text"), idxDir, out)
+    try {
+      mem.addData((1L, base)); q.processAllAvailable()
+      mem.addData((2L, "completely different words speak of mountains " +
+        "rivers and ancient cities beneath the burning desert sun today"))
+      q.processAllAvailable()
+      mem.addData((3L, "unrelated text about spark catalyst planners " +
+        "folding constants and pruning columns across deep query plans"))
+      q.processAllAvailable()
+    } finally { q.stop(); q.awaitTermination() }
+
+    def files = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        idxDir, "fb-*.parquet"))).getOrElse(Array.empty)
+      .map(_.getPath.getName).sorted.toSeq
+    val before = spark.read.parquet(idxDir)
+      .collect().map(_.toSeq).toSet
+    assert(files.size >= 3)
+
+    // compact everything below the last committed batch (= 2): batches
+    // 0 and 1 merge into one file at batch id 1, slot 50000+
+    NearDupStream.compactIndex(spark, idxDir, upToBatchId = 2L)
+    val after = files
+    assert(after.exists(_.matches("fb-000000000001-5\\d{4}\\.parquet")))
+    assert(!after.exists(_.matches("fb-000000000000-.*")))
+    // bucket rows survive compaction exactly
+    assert(spark.read.parquet(idxDir).collect().map(_.toSeq).toSet
+      === before)
+    // re-compaction over a previous compaction's output: fresh slots,
+    // no collision, still lossless
+    NearDupStream.compactIndex(spark, idxDir, upToBatchId = 3L)
+    assert(spark.read.parquet(idxDir).collect().map(_.toSeq).toSet
+      === before)
+
+    // phase 2: a NEW query (fresh checkpoint, batch ids restart at 0)
+    // adopts the compacted index via the floor offset — doc 4 ≈ doc 1
+    // from the compacted appendix still drops, novel doc 5 passes
+    val floor = NearDupStream.nextFloor(spark, idxDir)
+    assert(floor === 3L) // compaction left ids ≤ 2
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = NearDupStream.nearDupFilter(spark,
+      mem2.toDF().toDF("doc_id", "text"), idxDir, out,
+      floorBatchId = floor)
+    try {
+      mem2.addData((4L, base.replace("tonight", "tomorrow")),
+        (5L, "genuinely novel content listing tides harbors and the " +
+          "slow migration of seabirds across a winter archipelago"))
+      q2.processAllAvailable()
+    } finally { q2.stop(); q2.awaitTermination() }
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSet === Set(1L, 2L, 3L, 5L))
+    // and doc 5's appendix landed above the floor, colliding with nothing
+    assert(files.exists(_.startsWith("fb-000000000003-")))
+  }
+
   test("minhash bands agree with the batch query's kernel on identical text") {
     // identical texts ⇒ identical signatures ⇒ all 4 band keys equal;
     // a one-word change shares ≥1 band (that is what makes doc 4 drop

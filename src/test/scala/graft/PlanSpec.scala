@@ -306,6 +306,30 @@ class PlanSpec extends AnyFunSuite {
       .findFirstIn(p).isDefined, s"no (a, b) dedupe exchange:\n$p")
   }
 
+  test("q_pipeline_curate: one scan; text never crosses an exchange") {
+    // The curation funnel's 100 TB contract: all per-doc signals and the
+    // dup digest are computed scan-locally, so the dedup window's hash
+    // exchange carries (digest, doc_id, source, numerics) — never the
+    // document text — and the corpus is scanned exactly once.
+    val p = plan("q_pipeline_curate")
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      s"funnel must scan documents exactly once:\n$p")
+    val exIdx = p.indexOf("Exchange hashpartitioning(digest")
+    assert(exIdx >= 0, s"no digest exchange:\n$p")
+    // every Exchange row layout in the plan is text-free
+    "Exchange [a-z]+partitioning\\([^)]*\\)".r.findAllIn(p).foreach { ex =>
+      assert(!ex.contains("text#"), s"text crosses an exchange: $ex")
+    }
+    // the projection under the window carries no text column either:
+    // Window input = output of the pre-shuffle Project
+    val proj = "Project \\[[^\\]]*\\]".r.findAllIn(p).toSeq
+    assert(proj.nonEmpty)
+    assert(proj.forall(pr => !pr.contains("text#") || pr.contains("split")),
+      s"text survives past the signal projection:\n$p")
+    // partial agg before the final funnel exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   private def restore(spark: org.apache.spark.sql.SparkSession,
       key: String, prior: Option[String]): Unit = prior match {
     case Some(v) => spark.conf.set(key, v)
