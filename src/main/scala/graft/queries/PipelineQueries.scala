@@ -31,30 +31,56 @@ object PipelineQueries {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Per-document curation flags over a (doc_id, source, text) frame —
+    * NARROW rows only: the text column is consumed by the scan-local
+    * signal projection and never crosses the dedup window's exchange.
+    * Columns: doc_id, source, n_tokens, mean_wlen, rep_ratio, n_stop,
+    * digest, is_dup (exact-dup loser), keep_q (quality+language gate). */
+  def flagged(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    docs
+      .select(col("doc_id"), col("source"),
+        nTok.as("n_tokens"),
+        (length(translate(col("text"), " ", "")).cast("double") / nTok)
+          .as("mean_wlen"),
+        (lit(1.0) - size(array_distinct(toks)).cast("double") / nTok)
+          .as("rep_ratio"),
+        expr(s"size(filter(split(text, ' '), x -> x IN ($stopwordsSql)))")
+          .as("n_stop"),
+        md5(col("text")).as("digest"))
+      .withColumn("is_dup",
+        col("doc_id") =!= min(col("doc_id"))
+          .over(Window.partitionBy("digest")))
+      .withColumn("keep_q",
+        col("n_tokens") >= 30 && col("mean_wlen").between(4.0, 5.0) &&
+          col("rep_ratio") < 0.6 && col("n_stop") >= 2)
+  }
+
+  /** The funnel as a PRODUCTION WRITE PATH: the cleaned corpus (full
+    * documents) with texts that still never shuffle. The flag pass runs
+    * on narrow rows (as [[flagged]]), and the surviving doc_ids
+    * LEFT SEMI join back against the corpus scan — the q_sim_pairs_lsh
+    * lesson applied to curation: re-scanning the (columnar, pruned)
+    * corpus is cheaper at 100 TB than pushing every kilobyte of text
+    * through the dedup hash exchange. Pair with `Observe.observed` to
+    * collect the funnel counters on the same job (no separate report
+    * query): observe [[flagged]]'s output before the filter. */
+  def curatedDocs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val keep = flagged(docs)
+      .where(!col("is_dup") && col("keep_q"))
+      .select(col("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q_pipeline_curate",
       (s, d) => {
-        val toks = split(col("text"), " ")
-        val nTok = size(toks)
-        val per = t(s, d, "documents")
-          .select(col("doc_id"), col("source"),
-            nTok.as("n_tokens"),
-            (length(translate(col("text"), " ", "")).cast("double") / nTok)
-              .as("mean_wlen"),
-            (lit(1.0) - size(array_distinct(toks)).cast("double") / nTok)
-              .as("rep_ratio"),
-            expr(s"size(filter(split(text, ' '), x -> x IN ($stopwordsSql)))")
-              .as("n_stop"),
-            md5(col("text")).as("digest"))
-        val flagged = per
-          .withColumn("is_dup",
-            col("doc_id") =!= min(col("doc_id"))
-              .over(Window.partitionBy("digest")))
-          .withColumn("keep_q",
-            col("n_tokens") >= 30 && col("mean_wlen").between(4.0, 5.0) &&
-              col("rep_ratio") < 0.6 && col("n_stop") >= 2)
-        flagged.groupBy(col("source"))
+        flagged(t(s, d, "documents").select("doc_id", "source", "text"))
+          .groupBy(col("source"))
           .agg(
             count(lit(1)).as("n_docs"),
             sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
