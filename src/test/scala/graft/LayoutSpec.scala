@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.engine.Observe
 import graft.operators.Layout
 
 /** Z-order layout: the write-path clustering that makes parquet min/max
@@ -120,6 +121,73 @@ class LayoutSpec extends AnyFunSuite {
     assert(partsPerLang(z) <= 0.65 * P,
       f"langs span ${partsPerLang(z)}%.1f of $P partitions")
     assert(partsPerLang(z) * 1.4 < partsPerLang(random))
+  }
+
+  test("z-order pays on the real read path: footers prune files, reader skips row groups") {
+    // Two storage-level proofs on top of the in-memory extent pin:
+    //  (a) the WRITTEN parquet footers' min/max statistics — what a
+    //      footer-indexing reader or lakehouse table format prunes files
+    //      on — admit only a fraction of z-ordered files for a filter on
+    //      the NON-leading column, where the linear layout admits ALL;
+    //  (b) Spark's own reader: pushed filters drop whole row groups, so
+    //      the scan node DELIVERS fewer rows under the z layout for the
+    //      same two-column filter and the same final answer
+    //      (Observe.nodeMetrics reads the scan's output-rows metric).
+    val li = lineitem
+    val P = 16
+    val dir = java.nio.file.Files.createTempDirectory("graft_zread_").toString
+    Layout.zorder(li, Seq("l_orderkey", "l_partkey"), P)
+      .write.parquet(s"$dir/z")
+    li.repartitionByRange(P, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.parquet(s"$dir/linear")
+    val loT = (range(li, "l_orderkey") * 0.2).toLong
+    val lpT = (range(li, "l_partkey") * 0.2).toLong
+
+    // (a) footer statistics: files whose l_partkey [min, max] intersects
+    // partkey < lpT — the file-skip set of any stats-indexed reader
+    def admittedFiles(path: String): (Int, Int) = {
+      import scala.jdk.CollectionConverters._
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val files = new java.io.File(path).listFiles
+        .filter(_.getName.endsWith(".parquet"))
+      val admitted = files.count { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), hconf)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try rd.getFooter.getBlocks.asScala.exists { b =>
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == "l_partkey").get.getStatistics
+          st.genericGetMin.asInstanceOf[Number].longValue < lpT
+        } finally rd.close()
+      }
+      (admitted, files.length)
+    }
+    val (zAdm, zN) = admittedFiles(s"$dir/z")
+    val (linAdm, linN) = admittedFiles(s"$dir/linear")
+    assert(linAdm === linN, // linear: partkey spans the domain everywhere
+      s"linear layout unexpectedly prunable on partkey: $linAdm/$linN")
+    assert(zAdm * 2 <= zN, // z-order: ≥ half the files are skippable
+      s"z-order footers admit $zAdm of $zN files for partkey<$lpT")
+
+    // (b) runtime row-group pruning through Spark's scan metrics
+    def scanDelivered(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path)
+        .where(col("l_orderkey") < loT && col("l_partkey") < lpT)
+      // execute THIS QueryExecution: count() would build its own plan
+      // and leave df's metrics untouched
+      val result = df.collect().length.toLong
+      val delivered = Observe.nodeMetrics(df)
+        .collectFirst { case (n, m, v)
+          if n.contains("Scan") && m == "number of output rows" => v }
+        .getOrElse(fail(s"no scan output-rows metric for $path"))
+      (delivered, result)
+    }
+    val (zRows, zCnt) = scanDelivered(s"$dir/z")
+    val (linRows, linCnt) = scanDelivered(s"$dir/linear")
+    assert(zCnt === linCnt) // same answer
+    assert(zRows < linRows, // fewer row groups survive under z
+      s"z scan delivered $zRows rows, linear $linRows")
   }
 
   test("zorderValue rejects bit widths that overflow a long") {
