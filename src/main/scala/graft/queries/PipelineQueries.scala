@@ -31,6 +31,22 @@ object PipelineQueries {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The quality + language gate as ONE boolean expression over a text
+    * column — the Gopher bounds (token count, mean word length,
+    * repetition) plus the stopword language heuristic. Shared by the
+    * batch funnel ([[flagged]] computes `keep_q` with this exact
+    * expression) and the streaming curation path ([[curateStream]]), so
+    * backfill and live feed agree on "keep". */
+  def qualityGate(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks)
+    val mwl = length(translate(text, " ", "")).cast("double") / nTok
+    val rep = lit(1.0) - size(array_distinct(toks)).cast("double") / nTok
+    val nStop = size(filter(toks, x => x.isin(stopwords: _*)))
+    nTok >= 30 && mwl.between(4.0, 5.0) && rep < 0.6 && nStop >= 2
+  }
+
   /** Per-document curation flags over a (doc_id, source, text) frame —
     * NARROW rows only: the text column is consumed by the scan-local
     * signal projection and never crosses the dedup window's exchange.
@@ -49,13 +65,13 @@ object PipelineQueries {
           .as("rep_ratio"),
         expr(s"size(filter(split(text, ' '), x -> x IN ($stopwordsSql)))")
           .as("n_stop"),
-        md5(col("text")).as("digest"))
+        md5(col("text")).as("digest"),
+        // the gate itself evaluates scan-locally too — SAME expression
+        // as the streaming path, shared by construction
+        qualityGate(col("text")).as("keep_q"))
       .withColumn("is_dup",
         col("doc_id") =!= min(col("doc_id"))
           .over(Window.partitionBy("digest")))
-      .withColumn("keep_q",
-        col("n_tokens") >= 30 && col("mean_wlen").between(4.0, 5.0) &&
-          col("rep_ratio") < 0.6 && col("n_stop") >= 2)
   }
 
   /** The funnel as a PRODUCTION WRITE PATH: the cleaned corpus (full
@@ -74,6 +90,38 @@ object PipelineQueries {
       .select(col("doc_id"))
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
+
+  /** STREAMING curation — the live-feed twin of [[curatedDocs]]:
+    * quality-gate each micro-batch ([[qualityGate]], the batch funnel's
+    * exact expression), then drop exact duplicates against the growing
+    * accepted-digest index (`NearDupStream.exactDupFilter`, same replay
+    * contract as the near-dup filter). Accepted documents flow to `out`.
+    * Funnel counters ride the query as observed metrics — harvest
+    * per-batch with `Observe.StreamObserver.listen(spark, "curate_in")`
+    * / `"curate_q"` (rows arrived / rows surviving the gate); accepted
+    * counts are `out`'s row counts. Gate order is dedup-equivalent to
+    * the batch funnel: byte-identical docs share quality flags, so
+    * gating before dedup admits the same set (first-seen winner) as
+    * dedup-then-gate.
+    *
+    * Batch/stream agreement: feed id-ordered batches and the accepted
+    * set equals [[curatedDocs]] on the same corpus (pinned in
+    * PipelineStreamSpec). */
+  def curateStream(spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, indexDir: String,
+      out: (org.apache.spark.sql.DataFrame, Long) => Unit,
+      idCol: String = "doc_id", textCol: String = "text",
+      triggerMs: Long = 500L,
+      checkpointDir: Option[String] = None,
+      floorBatchId: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.NearDupStream.exactDupFilter(spark,
+      docs
+        .observe("curate_in", count(lit(1)).as("n_in"))
+        .where(qualityGate(col(textCol)))
+        .observe("curate_q", count(lit(1)).as("n_q")),
+      indexDir, out, idCol, textCol, triggerMs, checkpointDir,
+      floorBatchId)
 
   val queries: Seq[Query] = Seq(
     Query(

@@ -97,6 +97,18 @@ object NearDupStream {
     }.map(_.toString).toSeq
   }
 
+  /** EXACT-dup bucket keys — the same (id, band, k1, k2) shape as
+    * [[minhashBands]] but with the md5 digest itself as the key (two
+    * 64-bit halves), band 0: two docs share a bucket iff their text is
+    * byte-identical. Lets the same index/filter machinery run exact
+    * corpus dedup at ingest (the streaming twin of q_pipeline_curate's
+    * digest window). One row per doc — cheaper than near-dup's 4. */
+  private[graft] def exactBands(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), lit(0).as("band"),
+      conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long").as("k1"),
+      conv(substring(md5(col(textCol)), 16, 15), 16, 10).cast("long").as("k2"))
+
   /** The `floorBatchId` to adopt an existing index directory under a new
     * checkpoint: one past the highest batch id present (0 if empty).
     * Compute ONCE at adoption; see [[nearDupFilter]]'s stability note. */
@@ -130,7 +142,30 @@ object NearDupStream {
       idCol: String = "doc_id", textCol: String = "text",
       triggerMs: Long = 500L,
       checkpointDir: Option[String] = None,
-      floorBatchId: Long = 0L): StreamingQuery = {
+      floorBatchId: Long = 0L): StreamingQuery =
+    dupFilter(spark, docs, indexDir, out, idCol, textCol, triggerMs,
+      checkpointDir, floorBatchId, minhashBands(_, idCol, textCol))
+
+  /** EXACT-dup streaming filter: same index machinery, contract and
+    * replay semantics as [[nearDupFilter]], but docs collide only on
+    * byte-identical text ([[exactBands]]) — the ingest-time twin of the
+    * batch funnel's digest dedup. First-seen doc wins across batches;
+    * min id wins within a batch (id-ordered feeds thus match the batch
+    * window's min-doc_id-per-digest exactly). */
+  def exactDupFilter(spark: SparkSession, docs: DataFrame, indexDir: String,
+      out: (DataFrame, Long) => Unit,
+      idCol: String = "doc_id", textCol: String = "text",
+      triggerMs: Long = 500L,
+      checkpointDir: Option[String] = None,
+      floorBatchId: Long = 0L): StreamingQuery =
+    dupFilter(spark, docs, indexDir, out, idCol, textCol, triggerMs,
+      checkpointDir, floorBatchId, exactBands(_, idCol, textCol))
+
+  private def dupFilter(spark: SparkSession, docs: DataFrame,
+      indexDir: String, out: (DataFrame, Long) => Unit,
+      idCol: String, textCol: String, triggerMs: Long,
+      checkpointDir: Option[String], floorBatchId: Long,
+      bander: DataFrame => DataFrame): StreamingQuery = {
     require(floorBatchId >= 0L, s"floorBatchId < 0: $floorBatchId")
     val hconf = spark.sparkContext.hadoopConfiguration
     val idxPath = new Path(indexDir)
@@ -147,7 +182,7 @@ object NearDupStream {
         val b = batch.persist()
         try {
           val s = b.sparkSession
-          val bands = minhashBands(b, idCol, textCol).persist()
+          val bands = bander(b).persist()
           try {
             val idxFiles = indexFilesBefore(fs, idxPath, batchId)
             val index =

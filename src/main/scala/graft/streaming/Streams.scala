@@ -139,7 +139,11 @@ object Streams {
           org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         buf = getHandle.getListState[(Long, Long)]("events",
-          implicitly[org.apache.spark.sql.Encoder[(Long, Long)]],
+          // session-independent encoder: resolving via spark.implicits
+          // would close over the SparkSession and break task
+          // serialization once anything (e.g. an Observation) has
+          // initialized the session's lazy observation manager
+          org.apache.spark.sql.Encoders.product[(Long, Long)],
           TTLConfig.NONE)
       private def split(evs: Array[(Long, Long)])
           : List[scala.collection.mutable.ArrayBuffer[(Long, Long)]] =
@@ -236,7 +240,8 @@ object Streams {
           org.apache.spark.sql.streaming.ListState[(Long, Long, Long, Long)] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         buf = getHandle.getListState[(Long, Long, Long, Long)]("open",
-          implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Long)]],
+          // session-independent (see sessionizeWithState)
+          org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)],
           TTLConfig.NONE)
       // merge-by-overlap partition: sorted by (ts, id), an event joins
       // the current session iff its ts is AT or under the running max
