@@ -418,6 +418,56 @@ object Streams {
     out.toDF("user_id", "ts", "event_id", "value")
   }
 
+  /** STREAMING sequence packing — the ingest-time twin of
+    * `Ops.packByTokenBudget` (greedy reset-on-overflow packing of
+    * documents into ≤`budget`-token bins): arriving documents append to
+    * their shard's open bin, a doc that would overflow it opens the next
+    * bin. The shard column is the parallel unit (the batch operator's
+    * id-range block analogue — at ingest the shard is whatever routing
+    * key the feed carries, e.g. `doc_id % nShards`); bins never span
+    * shards and bin_id = shard << 32 | local, the batch encoding.
+    * State per shard is O(1): (open-bin seq, open-bin fill). Docs are
+    * packed in id order WITHIN a batch and arrival order across batches
+    * — feed id-ordered shards and the assignment equals the batch
+    * operator's exactly (PipelineStreamSpec pins it). Output:
+    * (shard, id, n_tokens, bin_id), one row per input doc. */
+  def packByTokenBudgetStream(docs: DataFrame, budget: Long,
+      shardCol: String = "shard", idCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = docs.select(col(shardCol).cast("long").as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("n"))
+      .as[(Long, Long, Long)]
+    val out = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, it: Iterator[(Long, Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          // (open bin seq, open bin fill); a fresh shard starts with an
+          // EMPTY bin 0 that the first doc always enters — the batch
+          // fold's block-boundary reset, reproduced bump-rule and all
+          var (bin, filled) = state.getOption.getOrElse((0L, 0L))
+          var fresh = !state.exists
+          val emitted = scala.collection.mutable.ListBuffer
+            .empty[(Long, Long, Long, Long)]
+          it.toArray.sortBy(_._2).foreach { case (_, id, n) =>
+            require(n >= 0, s"packByTokenBudgetStream: negative token " +
+              s"count $n for id $id")
+            if (!fresh && filled + n > budget) { bin += 1; filled = 0L }
+            fresh = false
+            filled += n
+            emitted += ((shard, id, n, (shard << 32) | bin))
+          }
+          state.update((bin, filled))
+          emitted.iterator
+      }
+    out.toDF("shard", "id", "n_tokens", "bin_id")
+  }
+
   /** Count-based tumbling windows per key (DataStream countWindow —
     * reference flink-streaming-java CountTrigger/GlobalWindows; Spark has
     * no native count windows). Custom keyed state via

@@ -45,6 +45,49 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(emitted.asScala.toSet === Set(1L, 3L, 5L))
   }
 
+  test("packByTokenBudgetStream equals the batch packer on id-ordered shards") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Ops._
+    import graft.streaming.Streams
+    implicit val sqlCtx = spark.sqlContext
+    // two shards, deterministic token counts, some docs above the budget
+    val rows = (0L until 120L).map(i =>
+      (i % 2, i, (i * 37) % 90 + 10)) // (shard, id, n_tokens) — n in [10, 99]
+    val budget = 120L
+
+    // batch reference per shard: buckets=1 → a single block whose local
+    // bin sequence is exactly the shard fold (bin_id low bits)
+    val expected = (0L to 1L).flatMap { s =>
+      val df = rows.filter(_._1 == s).map { case (_, id, n) => (id, n) }
+        .toDF("id", "n")
+      df.packByTokenBudget(col("id"), col("n"), budget, buckets = 1)
+        .collect().map(r => r.getLong(0) -> ((s << 32) | r.getLong(2)))
+    }.toMap
+
+    val mem = MemoryStream[(Long, Long, Long)]
+    val got = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val stream = Streams.packByTokenBudgetStream(
+      mem.toDF().toDF("shard", "doc_id", "n_tokens"), budget)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.put(r.getLong(1), r.getLong(3)))
+      }.start()
+    try {
+      // id-ordered feed split across three micro-batches
+      rows.grouped(40).foreach { c =>
+        mem.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally { q.stop(); q.awaitTermination() }
+
+    assert(got.size === 120)
+    assert(got.toMap === expected)
+    // and every bin respects the budget (single-doc overflows aside)
+    val binTotals = rows.map { case (_, id, n) => (got(id), n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    assert(binTotals.forall { case (_, t) => t <= budget },
+      s"overfull bins: ${binTotals.filter(_._2 > budget)}")
+  }
+
   test("streaming curation == batch curatedDocs; observed funnel counters") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
