@@ -49,11 +49,16 @@ object Observe {
 
   /** Per-micro-batch harvest of a streaming `df.observe(name, …)`:
     * attach with [[StreamObserver.listen]], read
-    * [[StreamObserver.rows]] (batchId → observed Row) or
-    * [[StreamObserver.sumLong]] afterwards. One listener instance per
-    * observation name; detach with [[StreamObserver.stop]]. */
+    * [[StreamObserver.rows]] ((runId, batchId) → observed Row) or
+    * [[StreamObserver.sumLong]] afterwards. Keyed by the query RUN as
+    * well as the batch id — a session-wide listener sees every query,
+    * and two queries (or a restart) emitting the same observation name
+    * both restart batch ids at 0, so batchId alone would silently
+    * last-write-win across queries and corrupt the counters. One
+    * listener instance per observation name; detach with
+    * [[StreamObserver.stop]]. */
   final class StreamObserver(spark: SparkSession, name: String) {
-    private val byBatch = TrieMap.empty[Long, Row]
+    private val byBatch = TrieMap.empty[(String, Long), Row]
     private val l = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -61,17 +66,19 @@ object Observe {
           e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val m = e.progress.observedMetrics
         if (m != null && m.containsKey(name))
-          byBatch.put(e.progress.batchId, m.get(name))
+          byBatch.put((e.progress.runId.toString, e.progress.batchId),
+            m.get(name))
       }
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(l)
 
-    /** batchId → observed row (last write wins under replay — replays
-      * re-observe, so the surviving value matches the surviving batch). */
-    def rows: Map[Long, Row] = byBatch.toMap
-    /** Sum of a long metric across all observed batches. */
+    /** (runId, batchId) → observed row (last write wins under replay —
+      * replays re-observe within one run, so the surviving value matches
+      * the surviving batch). */
+    def rows: Map[(String, Long), Row] = byBatch.toMap
+    /** Sum of a long metric across all observed batches (all runs). */
     def sumLong(metric: String): Long =
       byBatch.values.map(r => r.getAs[Long](metric)).sum
     def stop(): Unit = spark.streams.removeListener(l)
@@ -101,7 +108,12 @@ object Observe {
           walk(q.plan)
         case other => other.children.flatMap(walk)
       }
-      here ++ kids
+      // scalar/IN subquery plans execute and report metrics too, but
+      // hang off expressions, not children — without this walk a scan
+      // inside `WHERE x > (SELECT …)` would silently vanish from the
+      // metric view
+      val subs = p.subqueries.flatMap(walk)
+      here ++ kids ++ subs
     }
     walk(plan)
   }

@@ -75,20 +75,28 @@ object PipelineQueries {
   }
 
   /** The funnel as a PRODUCTION WRITE PATH: the cleaned corpus (full
-    * documents) with texts that still never shuffle. The flag pass runs
-    * on narrow rows (as [[flagged]]), and the surviving doc_ids
-    * LEFT SEMI join back against the corpus scan — the q_sim_pairs_lsh
-    * lesson applied to curation: re-scanning the (columnar, pruned)
-    * corpus is cheaper at 100 TB than pushing every kilobyte of text
-    * through the dedup hash exchange. Pair with `Observe.observed` to
-    * collect the funnel counters on the same job (no separate report
-    * query): observe [[flagged]]'s output before the filter. */
+    * documents) with texts that still never shuffle in the common case.
+    * The quality gate re-evaluates scan-locally on the output scan (it
+    * is a pure row expression — recomputing beats joining), so the only
+    * join-back is a LEFT ANTI against the DUP-LOSER id set — the one
+    * flag that needs the digest window. That right side is the
+    * duplicated fraction of the corpus, not the accepted ~whole of it:
+    * at a typical few-percent dup rate it broadcasts at corpus sizes
+    * where an accepted-id semi join (≈|corpus| rows) long since
+    * couldn't, and the anti join keeps the text column on the
+    * build-free probe side. When the loser set outgrows broadcast, AQE
+    * falls back to a shuffled join and the text crosses ONE exchange —
+    * that regime means the corpus is mostly duplicates, and the
+    * cheaper move is running exact dedup first. Pair with
+    * `Observe.observed` to collect the funnel counters on the same job
+    * (no separate report query): observe [[flagged]]'s output. */
   def curatedDocs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val keep = flagged(docs)
-      .where(!col("is_dup") && col("keep_q"))
+    val losers = flagged(docs)
+      .where(col("is_dup"))
       .select(col("doc_id"))
-    docs.join(keep, Seq("doc_id"), "left_semi")
+    docs.where(qualityGate(col("text")))
+      .join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** STREAMING curation — the live-feed twin of [[curatedDocs]]:
@@ -97,9 +105,12 @@ object PipelineQueries {
     * accepted-digest index (`NearDupStream.exactDupFilter`, same replay
     * contract as the near-dup filter). Accepted documents flow to `out`.
     * Funnel counters ride the query as observed metrics — harvest
-    * per-batch with `Observe.StreamObserver.listen(spark, "curate_in")`
-    * / `"curate_q"` (rows arrived / rows surviving the gate); accepted
-    * counts are `out`'s row counts. Gate order is dedup-equivalent to
+    * per-batch with `Observe.StreamObserver.listen(spark,
+    * s"${obsPrefix}_in")` / `s"${obsPrefix}_q"` (rows arrived / rows
+    * surviving the gate); accepted counts are `out`'s row counts. Give
+    * each concurrently-running curation stream its own `obsPrefix`:
+    * observation names are session-global, and while the observer keys
+    * by query run, a shared name would merge two pipelines' sums. Gate order is dedup-equivalent to
     * the batch funnel: byte-identical docs share quality flags, so
     * gating before dedup admits the same set (first-seen winner) as
     * dedup-then-gate.
@@ -113,13 +124,14 @@ object PipelineQueries {
       idCol: String = "doc_id", textCol: String = "text",
       triggerMs: Long = 500L,
       checkpointDir: Option[String] = None,
-      floorBatchId: Long = 0L)
+      floorBatchId: Long = 0L,
+      obsPrefix: String = "curate")
       : org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.NearDupStream.exactDupFilter(spark,
       docs
-        .observe("curate_in", count(lit(1)).as("n_in"))
+        .observe(s"${obsPrefix}_in", count(lit(1)).as("n_in"))
         .where(qualityGate(col(textCol)))
-        .observe("curate_q", count(lit(1)).as("n_q")),
+        .observe(s"${obsPrefix}_q", count(lit(1)).as("n_q")),
       indexDir, out, idCol, textCol, triggerMs, checkpointDir,
       floorBatchId)
 

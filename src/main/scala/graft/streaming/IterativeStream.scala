@@ -104,7 +104,12 @@ object IterativeStream {
       .sortBy(_.getName)
     parts.zipWithIndex.foreach { case (src, i) =>
       val dst = new Path(fbPath, f"fb-$batchId%012d-$i%05d.parquet")
-      fs.rename(src, dst)
+      // some FileSystems signal failure as `false` instead of throwing;
+      // a silently missing part would drop feedback rows (an incomplete
+      // iteration) or index appendices (re-admitted duplicates). Failing
+      // the batch is safe: the replay's glob-delete replaces the batch's
+      // files wholesale.
+      require(fs.rename(src, dst), s"feedback rename $src -> $dst failed")
     }
     fs.delete(staging, true)
   }

@@ -274,8 +274,17 @@ object NearDupStream {
       s"compactIndex: part-index space exhausted at $base — " +
         "compact into fewer files or a fresh index directory")
     parts.zipWithIndex.foreach { case (src, i) =>
-      fs.rename(src, new Path(idxPath,
-        f"fb-${upToBatchId - 1}%012d-${base + i}%05d.parquet"))
+      val dst = new Path(idxPath,
+        f"fb-${upToBatchId - 1}%012d-${base + i}%05d.parquet")
+      // rename MUST be verified before anything is deleted: some
+      // FileSystems report failure as `false` rather than throwing, and
+      // proceeding to the deletes below would destroy both the staged
+      // copy and the originals — the exact loss the staged protocol
+      // exists to rule out. Aborting here is safe: originals are intact,
+      // already-renamed parts are inert duplicates, rerun re-compacts.
+      require(fs.rename(src, dst),
+        s"compactIndex: rename $src -> $dst failed; originals retained, " +
+          "re-run compaction")
     }
     fs.delete(staging, true)
     inputs.foreach(p => fs.delete(new Path(p), false))
