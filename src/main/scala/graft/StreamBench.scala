@@ -192,6 +192,18 @@ object StreamBench {
           rateEvents(spark, 100000, _ % 50000),
           size = "5 seconds", lateness = "1 second")
       },
+      // streaming token packing: O(1) state per shard (open-bin fill);
+      // 256 shards is the parallel unit a real ingest feed would route on
+      measure("pack_budget", 200000, durSec, triggerMs) {
+        val r = spark.readStream.format("rate")
+          .option("rowsPerSecond", 200000)
+          .option("numPartitions", 8).load()
+        Streams.packByTokenBudgetStream(
+          r.select((col("value") % 256).as("shard"),
+            col("value").as("doc_id"),
+            (col("value") % 97 + 10).as("n_tokens")),
+          budget = 2048)
+      },
       // temporal (as-of) join: one current-version row per key; probe
       // rows resolve against it in event order (fMGWS family)
       measure("asof_join", 100000, durSec, triggerMs) {

@@ -100,6 +100,18 @@ class RocksDbParitySpec extends AnyFunSuite {
     assert(r === h)
   }
 
+  test("streaming token packing: RocksDB == default provider") {
+    val (h, r) = runBoth("append") { () =>
+      Streams.packByTokenBudgetStream(
+        stagedEvents()._1.select((col("user_id") % 16).as("shard"),
+          col("event_id").as("doc_id"),
+          (col("value") * 10 + 1).cast("long").as("n_tokens")),
+        budget = 500)
+    }
+    assert(h.nonEmpty)
+    assert(r === h)
+  }
+
   test("CEP NFA: RocksDB == default provider == batch matcher") {
     val steps = Seq(
       Cep.Step("A", _.getString(3) == "signup"),
