@@ -182,5 +182,55 @@ object PipelineQueries {
               |FROM flagged
               |GROUP BY source
               |ORDER BY source""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // Sequence packing, oracle-checked: the greedy reset-on-overflow
+    // fold is inherently sequential per block, so the DuckDB oracle
+    // replays it as a RECURSIVE CTE stepping one row per block per
+    // iteration — breadth-wise across blocks, exactly the operator's
+    // parallel unit. Fixed buckets=8 keeps the block geometry (and so
+    // the assignment) identical on both engines regardless of
+    // parallelism. bin_id = blk * 2^32 + local, the operator's encoding.
+    Query(
+      "q_pipeline_pack",
+      (s, d) => {
+        import graft.operators.Ops._
+        t(s, d, "documents")
+          .select(col("doc_id").as("id"),
+            size(split(col("text"), " ")).as("n_tokens"))
+          .packByTokenBudget(col("id"), col("n_tokens"), 2000L, buckets = 8)
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT doc_id AS id,
+             |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |ext AS (
+             |  SELECT MIN(id) AS lo,
+             |    GREATEST(1, (MAX(id) - MIN(id)) // 8 + 1) AS width
+             |  FROM base),
+             |ord AS (
+             |  -- // (floor division): a double CAST would ROUND in
+             |  -- DuckDB where Spark's cast truncates
+             |  SELECT id, n_tokens,
+             |    (id - lo) // width AS blk,
+             |    ROW_NUMBER() OVER (
+             |      PARTITION BY (id - lo) // width
+             |      ORDER BY id) AS rn
+             |  FROM base, ext),
+             |pack AS (
+             |  SELECT blk, rn, id, n_tokens,
+             |    CAST(0 AS BIGINT) AS bin, n_tokens AS filled
+             |  FROM ord WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.blk, o.rn, o.id, o.n_tokens,
+             |    CASE WHEN p.filled + o.n_tokens > 2000
+             |         THEN p.bin + 1 ELSE p.bin END,
+             |    CASE WHEN p.filled + o.n_tokens > 2000
+             |         THEN o.n_tokens ELSE p.filled + o.n_tokens END
+             |  FROM pack p JOIN ord o ON o.blk = p.blk AND o.rn = p.rn + 1)
+             |SELECT id, n_tokens,
+             |  blk * 4294967296 + bin AS bin_id
+             |FROM pack
+             |ORDER BY id""".stripMargin)))
 }
