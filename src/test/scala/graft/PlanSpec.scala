@@ -330,6 +330,21 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q_pipeline_pack: one scan, one block exchange, no window") {
+    // packing's parallel unit is the id-range block: the plan must be
+    // scan → narrow projection → ONE hash exchange on __blk → per-task
+    // sequential fold (mapPartitions). No window function (a running
+    // sum with reset has no frame form) and no second scan for the
+    // min/max (that is a separate O(1)-output jo— aggregate).
+    val p = plan("q_pipeline_pack")
+    assert("Exchange hashpartitioning\\(__blk".r.findAllIn(p).size === 1,
+      s"expected exactly one block exchange:\n$p")
+    assert(!p.contains("Window"), s"packing must not plan a window:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("mapPartitions") ||
+      p.contains("SerializeFromObject"), // the typed fold's plan nodes
+      s"no per-block sequential fold stage:\n$p")
+  }
+
   private def restore(spark: org.apache.spark.sql.SparkSession,
       key: String, prior: Option[String]): Unit = prior match {
     case Some(v) => spark.conf.set(key, v)
