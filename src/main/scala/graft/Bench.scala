@@ -282,7 +282,10 @@ object Bench {
         val entries = Seq("q_knn_lsh", "q_knn_ivf", "q_knn_ivf_probe2",
           "q_knn_pq", "q_knn_ivfpq").map { v =>
           val (ps, t) = annRun(v)
-          val recall = ps.intersect(truth).size.toDouble / truth.size
+          // -1 sentinel, not NaN: an empty truth set (missing/changed
+          // fixture) would otherwise print NaN and break the JSON
+          val recall = if (truth.isEmpty) -1.0
+            else ps.intersect(truth).size.toDouble / truth.size
           s""""$v":{"sec":${f"$t%.3f"},"recall_at_3":${f"$recall%.3f"}}"""
         }
         // the PRODUCTION path: cells learned from the corpus geometry
@@ -316,7 +319,8 @@ object Bench {
                   cents, nprobe = np, topK = 3)
                 .select("q_id", "vec_id").collect()
                 .map(r => (r.getLong(0), r.getLong(1))).toSet
-              val recall = ps.intersect(truth).size.toDouble / truth.size
+              val recall = if (truth.isEmpty) -1.0
+                else ps.intersect(truth).size.toDouble / truth.size
               s""""ivf_learned_nprobe$np":{"sec":${f"$t%.3f"},""" +
                 s""""recall_at_3":${f"$recall%.3f"}}"""
             }).mkString(",", ",", "")
@@ -358,7 +362,20 @@ object Bench {
     outFile.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(full) finally w.close()
+    // verbose compact record first (humans / logs)…
     println(s"""{$head$sf1Compact$ann$streaming,"file":"${outFile.getAbsolutePath}"}""")
+    // …then a MINIMAL sf0.1-only object as the very LAST stdout line
+    // (VERDICT r8 what's-wrong #1): the round driver tail-captures the
+    // final 2000 chars of stdout (incl. sbt's ~75-char [success] line),
+    // and the compact record above (sf1 + ann + streaming + fries)
+    // overflowed that window two rounds running. This line is mins +
+    // medians only at fixed 3-decimal width (~25 chars/query → ~1.2 KB
+    // for the 20-query headline set) so the driver-side BENCH JSON
+    // always parses. The full artifact is target/bench.json.
+    val qsMin = results.map { case (k, v, _) =>
+      s"\"" + k + "\":" + f"${v.min}%.3f"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","sf":"$sfDir","queries":$qsMin,"medians":$ms,"file":"${outFile.getAbsolutePath}"}""")
     spark.stop()
   }
 }

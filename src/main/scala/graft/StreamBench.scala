@@ -70,9 +70,12 @@ object StreamBench {
         v.as("event_id"),
         col("timestamp").as("ts"),
         keyOf(v).as("user_id"),
+        // pmod, not %: v * 2654435761 overflows Long past ~3.4e9 rows
+        // (a few hours of soak at these rates) and % would then go
+        // non-positive — element_at(…, 0) errors the query mid-run
         element_at(
           typedlit(Seq("view", "click", "signup", "error", "purchase")),
-          ((v * 2654435761L) % 5 + 1).cast("int")).as("event_type"),
+          (pmod(v * 2654435761L, lit(5)) + 1).cast("int")).as("event_type"),
         (v % 97).cast("double").as("value"))
   }
 

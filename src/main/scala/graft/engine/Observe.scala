@@ -59,15 +59,26 @@ object Observe {
     * [[StreamObserver.stop]]. */
   final class StreamObserver(spark: SparkSession, name: String) {
     private val byBatch = TrieMap.empty[(String, Long), Row]
+    // (query id, batchId) → latest observed row. The query ID is stable
+    // across restarts of the same checkpoint while runId changes per
+    // restart — so a batch REPLAYED after a crash-restart (new runId)
+    // overwrites the failed run's row here instead of being counted
+    // twice. Progress events arrive in wall-clock order, so last-write
+    // IS the surviving attempt. Two concurrent queries sharing an
+    // observation name stay separate (distinct query ids).
+    private val byQueryBatch = TrieMap.empty[(String, Long), Row]
     private val l = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val m = e.progress.observedMetrics
-        if (m != null && m.containsKey(name))
+        if (m != null && m.containsKey(name)) {
           byBatch.put((e.progress.runId.toString, e.progress.batchId),
             m.get(name))
+          byQueryBatch.put((e.progress.id.toString, e.progress.batchId),
+            m.get(name))
+        }
       }
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -76,11 +87,14 @@ object Observe {
 
     /** (runId, batchId) → observed row (last write wins under replay —
       * replays re-observe within one run, so the surviving value matches
-      * the surviving batch). */
+      * the surviving batch). The per-run forensic view: a crashed run's
+      * rows survive here under the old runId. */
     def rows: Map[(String, Long), Row] = byBatch.toMap
-    /** Sum of a long metric across all observed batches (all runs). */
+    /** Sum of a long metric across observed batches, one value per
+      * (query, batchId) — a batch replayed under a restart (new runId)
+      * counts ONCE, with the surviving attempt's value. */
     def sumLong(metric: String): Long =
-      byBatch.values.map(r => r.getAs[Long](metric)).sum
+      byQueryBatch.values.map(r => r.getAs[Long](metric)).sum
     def stop(): Unit = spark.streams.removeListener(l)
   }
 

@@ -78,7 +78,11 @@ object Iterate {
     * carry AT MOST ONE row per key (enforced per round, fail-fast): a
     * multi-row delta has no defined replace winner in a keyed solution
     * set, mirroring the reference's unique-key requirement on the
-    * solution-set delta.
+    * solution-set delta. The probe is one extra groupBy job per round;
+    * pass `validate = false` on hot iteration paths where the step
+    * guarantees the contract by construction (e.g. the delta IS a
+    * `groupBy(keys).agg(min…)`) — the default stays on, matching the
+    * reference's always-on solution-set key check.
     *
     * The scale contract mirrors the reference's rationale for delta over
     * bulk: per round only `|delta| + |workset|` rows move; the solution
@@ -86,7 +90,7 @@ object Iterate {
     * whose left side is the stable solution), so quiescent keys cost
     * nothing but the join probe. Both sides are checkpointed per round. */
   def iterateDelta(initialSolution: DataFrame, initialWorkset: DataFrame,
-      maxIterations: Int, keys: Seq[String])(
+      maxIterations: Int, keys: Seq[String], validate: Boolean = true)(
       step: (DataFrame, DataFrame) => (DataFrame, DataFrame)): DataFrame = {
     require(maxIterations >= 0, s"maxIterations < 0: $maxIterations")
     require(keys.nonEmpty, "iterateDelta: empty key list")
@@ -105,15 +109,18 @@ object Iterate {
       // reference's solution-set replace rule). A delta carrying two rows
       // for one key has no well-defined winner, so fail fast instead of
       // silently accumulating duplicate-key rows. O(1)-output probe over
-      // the (small, checkpointed) delta, same discipline as `isEmpty`.
-      val dup = delta.groupBy(keys.map(col): _*).count()
-        .where(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"iterateDelta: step emitted ${dup.head.getLong(keys.size)} delta " +
-          s"rows for key ${keys.zipWithIndex.map { case (k, i) =>
-            s"$k=${dup.head.get(i)}" }.mkString("(", ",", ")")} at round " +
-          s"$round — the solution set is keyed, return at most one delta " +
-          "row per key (aggregate first, e.g. groupBy(keys).agg(min(...)))")
+      // the (small, checkpointed) delta, same discipline as `isEmpty` —
+      // but still one Spark job per round, hence gateable (see Scaladoc).
+      if (validate) {
+        val dup = delta.groupBy(keys.map(col): _*).count()
+          .where(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"iterateDelta: step emitted ${dup.head.getLong(keys.size)} delta " +
+            s"rows for key ${keys.zipWithIndex.map { case (k, i) =>
+              s"$k=${dup.head.get(i)}" }.mkString("(", ",", ")")} at round " +
+            s"$round — the solution set is keyed, return at most one delta " +
+            "row per key (aggregate first, e.g. groupBy(keys).agg(min(...)))")
+      }
       // solution-set update: same-key delta rows replace existing rows
       val merged = solution
         .join(delta.select(keys.map(col): _*).distinct(), keys, "left_anti")

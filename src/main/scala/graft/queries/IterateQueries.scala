@@ -80,7 +80,11 @@ object IterateQueries {
         .unionByName(nation.select(k.as("a"), ((k * 3 + 10) % 25).as("b")))
       val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       val sol0 = nation.select(k.as("node"), k.as("comp"))
-      val labels = Iterate.iterateDelta(sol0, sol0, 50, Seq("node")) {
+      // validate = false: the delta is groupBy(node).agg(min) inner-joined
+      // to the keyed solution — one row per key by construction, so the
+      // per-round contract probe would be a pure extra job
+      val labels = Iterate.iterateDelta(sol0, sol0, 50, Seq("node"),
+        validate = false) {
         (sol, ws) =>
           // propagate each frontier label across its edges, keep only
           // strict improvements — the delta IS the next frontier
@@ -108,7 +112,9 @@ object IterateQueries {
       val sol0 = nation.select(k.as("node"),
         when(k === 0, 0L).otherwise(inf).as("dist"))
       val ws0 = sol0.where(col("node") === 0)
-      val res = Iterate.iterateDelta(sol0, ws0, 50, Seq("node")) {
+      // validate = false: same by-construction uniqueness as q_iterate_cc
+      val res = Iterate.iterateDelta(sol0, ws0, 50, Seq("node"),
+        validate = false) {
         (sol, ws) =>
           val cand = ws.join(edges, ws("node") === edges("a"))
             .select(col("b").as("node"), (ws("dist") + col("w")).as("nd"))

@@ -84,6 +84,21 @@ object NearDupStream {
       s"stack(${numHashes / bandSize}, $stackArgs) AS (band, k1, k2)")
   }
 
+  /** Strict appendix-name shape: `fb-<batchId %012d>-<part %05d>.parquet`.
+    * The glob `fb-*.parquet` alone would admit foreign or half-staged
+    * files whose second segment isn't numeric, and an unconditional
+    * `split("-")(1).toLong` on those would throw in EVERY later
+    * micro-batch — so names are matched strictly and non-conforming
+    * files are skipped (they were never written by this protocol). */
+  private val AppendixName = """^fb-(\d{12})-\d{5}\.parquet$""".r
+
+  /** The appendix batch id, or None for files this protocol never wrote. */
+  private[graft] def appendixBatchId(name: String): Option[Long] =
+    name match {
+      case AppendixName(id) => Some(id.toLong)
+      case _ => None
+    }
+
   /** Index files visible to batch `batchId`: only appendices of EARLIER
     * batches — a replayed batch must see exactly the index state its
     * original attempt saw, never its own half-written appendix. */
@@ -91,10 +106,9 @@ object NearDupStream {
       batchId: Long): Seq[String] = {
     val st = fs.globStatus(new Path(indexDir, "fb-*.parquet"))
     if (st == null) Seq.empty
-    else st.map(_.getPath).filter { p =>
-      // fb-<batchId %012d>-<part %05d>.parquet
-      p.getName.split("-")(1).toLong < batchId
-    }.map(_.toString).toSeq
+    else st.map(_.getPath).filter(p =>
+      appendixBatchId(p.getName).exists(_ < batchId)
+    ).map(_.toString).toSeq
   }
 
   /** EXACT-dup bucket keys — the same (id, band, k1, k2) shape as
@@ -116,8 +130,10 @@ object NearDupStream {
     val p = new Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.globStatus(new Path(p, "fb-*.parquet"))
-    if (st == null || st.isEmpty) 0L
-    else st.map(_.getPath.getName.split("-")(1).toLong).max + 1L
+    val ids =
+      if (st == null) Array.empty[Long]
+      else st.flatMap(s => appendixBatchId(s.getPath.getName))
+    if (ids.isEmpty) 0L else ids.max + 1L
   }
 
   /** Start the filter: `docs` is a streaming DataFrame with `idCol`
@@ -268,7 +284,9 @@ object NearDupStream {
     val taken = Option(fs.globStatus(
         new Path(idxPath, f"fb-${upToBatchId - 1}%012d-*.parquet")))
       .getOrElse(Array.empty)
-      .map(_.getPath.getName.split("-")(2).takeWhile(_.isDigit).toInt)
+      .map(_.getPath.getName)
+      .filter(appendixBatchId(_).isDefined) // same strictness as the reads
+      .map(_.split("-")(2).takeWhile(_.isDigit).toInt)
     val base = math.max(50000, if (taken.isEmpty) 0 else taken.max + 1)
     require(base + parts.length <= 99999,
       s"compactIndex: part-index space exhausted at $base — " +
