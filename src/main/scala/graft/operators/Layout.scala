@@ -112,4 +112,18 @@ object Layout {
       .sortWithinPartitions(zc)
       .drop(zc)
   }
+
+  /** Z-order `df` on `cols`, write it to `dir` as parquet, and record a
+    * per-file min/max stats manifest for the clustered columns — read it
+    * back with [[graft.sources.StatsManifest.scan]] and point/range
+    * predicates on ANY clustered column prune whole FILES at planning
+    * time (LayoutSpec r8 finding: parquet footers alone only ever prune
+    * row groups inside already-launched tasks). */
+  def zorderWrite(df: DataFrame, cols: Seq[String], dir: String,
+      numPartitions: Int, bits: Int = 8,
+      quantileErr: Double = 0.001): Unit = {
+    zorder(df, cols, numPartitions, bits, quantileErr)
+      .write.mode("overwrite").parquet(dir)
+    graft.sources.StatsManifest.write(df.sparkSession, dir, cols)
+  }
 }

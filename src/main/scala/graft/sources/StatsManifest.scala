@@ -1,0 +1,339 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{
+  FileIndex, FileStatusCache, HadoopFsRelation, InMemoryFileIndex,
+  PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{col, count, lit, max, min, unix_date,
+  unix_micros}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-FILE min/max statistics manifest + a planning-time pruning
+  * `FileIndex` — the data-skipping half of `OPTIMIZE ZORDER`.
+  *
+  * `LayoutSpec` (round 8) proved the gap this fills: after
+  * [[graft.operators.Layout.zorder]] tightens every clustered column's
+  * per-file extent, vanilla Spark still opens EVERY file — parquet
+  * footer stats skip row groups only after a task has launched and read
+  * the footer. At 100 TB / ~100k files that is ~100k tasks scheduled to
+  * discard most of their input. Lakehouse formats solve it with file
+  * stats in the table log (Delta `stats`, Iceberg manifest files); the
+  * reference's scan contracts stop at predicate pushdown into the scan
+  * (`flink-table-common/…/source/abilities/SupportsFilterPushDown.java`)
+  * — this module takes the same contract to the FILE level for plain
+  * parquet directories:
+  *
+  *  - [[write]] — one column-pruned, distributed pass over the written
+  *    files (`groupBy(_metadata.file_name)`) collects per-file
+  *    min/max/non-null-count per stats column into
+  *    `<dir>/_graft_manifest` (underscore prefix: invisible to any
+  *    normal reader, exactly like `_SUCCESS`). Manifest size is
+  *    O(files × columns) — a few MB at 100k files, a driver-trivial
+  *    read forever after.
+  *  - [[scan]] — a DataFrame over the directory whose [[FileIndex]]
+  *    evaluates the query's pushed data filters against the manifest
+  *    and lists ONLY the files a predicate could match, before any task
+  *    launches. Catalyst still prunes row groups inside the survivors
+  *    via parquet footers — the two layers compose.
+  *
+  * Pruning is REFUTATION-only and conservative: a file is dropped only
+  * when its stats prove no row can match (`mayMatch` returns false);
+  * any expression shape the evaluator doesn't understand keeps the
+  * file. Min/max are kept in three order-exact domains — LONG
+  * (integrals, boolean, date days, timestamp micros), DOUBLE (float,
+  * double), STRING (UTF8 binary order) — so no cross-domain rounding
+  * can ever skip a matching file; types outside those domains simply
+  * carry no stats (never pruned).
+  */
+object StatsManifest {
+
+  private val ManifestDir = "_graft_manifest"
+
+  /** Per-file, per-column stats: [lo, hi] over non-null values in one of
+    * the three order-exact domains, plus the non-null count. `lo`/`hi`
+    * are None for an all-null column. */
+  final case class ColStats(dom: Char, lLo: Long = 0L, lHi: Long = 0L,
+      dLo: Double = 0.0, dHi: Double = 0.0, sLo: String = null,
+      sHi: String = null, nonNull: Long = 0L, hasRange: Boolean = false)
+
+  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+
+  /** The order-exact stats domain of `dt`, or None (no stats kept). */
+  private def domOf(dt: DataType): Option[Char] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+        DateType | TimestampType => Some('L')
+    case FloatType | DoubleType => Some('D')
+    case StringType => Some('S')
+    case _ => None
+  }
+
+  /** Column projected into its stats domain — MUST mirror the literal
+    * domains Catalyst uses in pushed filters (date = epoch days int,
+    * timestamp = epoch micros long) so manifest bounds and filter
+    * literals compare on the same scale. */
+  private def toDom(dt: DataType, c: Column): Column = dt match {
+    case DateType => unix_date(c).cast("long")
+    case TimestampType => unix_micros(c)
+    case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+      c.cast("long")
+    case FloatType | DoubleType => c.cast("double")
+    case StringType => c
+    case other => throw new IllegalArgumentException(s"no stats dom: $other")
+  }
+  private type Column = org.apache.spark.sql.Column
+
+  /** Compute and (over)write the manifest for the parquet files under
+    * `dir`, keeping stats for `statsCols` (columns with non-orderable
+    * types are skipped). One distributed scan, pruned to the stats
+    * columns; the manifest lands in `<dir>/_graft_manifest`. */
+  def write(spark: SparkSession, dir: String, statsCols: Seq[String]): Unit = {
+    val df = spark.read.parquet(dir)
+    val kept = statsCols.filter(c => domOf(df.schema(c).dataType).isDefined)
+    val aggs = count(lit(1)).as("rows") +: kept.flatMap { c =>
+      val dt = df.schema(c).dataType
+      val d = toDom(dt, col(c))
+      val tag = domOf(dt).get.toLower
+      Seq(min(d).as(s"${tag}min__$c"), max(d).as(s"${tag}max__$c"),
+        count(col(c)).as(s"cnt__$c"))
+    }
+    df.groupBy(col("_metadata.file_name").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(new Path(dir, ManifestDir).toString)
+  }
+
+  /** Driver-side manifest read: file name → stats. The part files are
+    * listed explicitly (a directory path starting with `_` trips
+    * DataSource's advisory "all paths were ignored" warning on every
+    * read even though explicit paths are still served). */
+  def read(spark: SparkSession, dir: String): Map[String, FileStats] = {
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fsys.listStatus(mDir).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map(_.toString)
+    require(parts.nonEmpty, s"StatsManifest.read: no manifest under $mDir")
+    val m = spark.read.parquet(parts.toIndexedSeq: _*)
+    val fields = m.schema.fieldNames
+    val statCols = fields.collect {
+      case f if f.startsWith("lmin__") => (f.stripPrefix("lmin__"), 'L')
+      case f if f.startsWith("dmin__") => (f.stripPrefix("dmin__"), 'D')
+      case f if f.startsWith("smin__") => (f.stripPrefix("smin__"), 'S')
+    }
+    m.collect().map { r =>
+      val file = r.getAs[String]("file")
+      val rows = r.getAs[Long]("rows")
+      val cols = statCols.map { case (c, dom) =>
+        val nn = r.getAs[Long](s"cnt__$c")
+        val (loI, hiI) = (r.fieldIndex(s"${dom.toLower}min__$c"),
+          r.fieldIndex(s"${dom.toLower}max__$c"))
+        val has = !r.isNullAt(loI)
+        val st = dom match {
+          case 'L' => ColStats('L',
+            lLo = if (has) r.getLong(loI) else 0L,
+            lHi = if (has) r.getLong(hiI) else 0L,
+            nonNull = nn, hasRange = has)
+          case 'D' => ColStats('D',
+            dLo = if (has) r.getDouble(loI) else 0.0,
+            dHi = if (has) r.getDouble(hiI) else 0.0,
+            nonNull = nn, hasRange = has)
+          case 'S' => ColStats('S',
+            sLo = if (has) r.getString(loI) else null,
+            sHi = if (has) r.getString(hiI) else null,
+            nonNull = nn, hasRange = has)
+        }
+        c -> st
+      }.toMap
+      file -> FileStats(rows, cols)
+    }.toMap
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Predicate refutation against one file's stats                    //
+  // ---------------------------------------------------------------- //
+
+  /** The filter literal projected into `dom`, or None when the literal's
+    * runtime type doesn't belong to that domain (no pruning — a domain
+    * mismatch means Catalyst inserted a cast we didn't see through). */
+  private def litIn(dom: Char, v: Any): Option[Any] = (dom, v) match {
+    case ('L', x: Byte) => Some(x.toLong)
+    case ('L', x: Short) => Some(x.toLong)
+    case ('L', x: Int) => Some(x.toLong)
+    case ('L', x: Long) => Some(x)
+    case ('L', x: Boolean) => Some(if (x) 1L else 0L)
+    case ('D', x: Float) => Some(x.toDouble)
+    case ('D', x: Double) => Some(x)
+    case ('S', x: UTF8String) => Some(x.toString)
+    case ('S', x: String) => Some(x)
+    case _ => None
+  }
+
+  /** UTF8 binary order — matches Spark's min/max aggregate on strings
+    * (java String.compareTo orders by UTF-16 unit and disagrees beyond
+    * the BMP). */
+  private def scmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+  private def cmpLo(st: ColStats, v: Any): Option[Int] =
+    if (!st.hasRange) None
+    else litIn(st.dom, v).map {
+      case x: Long => java.lang.Long.compare(st.lLo, x)
+      case x: Double => java.lang.Double.compare(st.dLo, x)
+      case x: String => scmp(st.sLo, x)
+    }
+  private def cmpHi(st: ColStats, v: Any): Option[Int] =
+    if (!st.hasRange) None
+    else litIn(st.dom, v).map {
+      case x: Long => java.lang.Long.compare(st.lHi, x)
+      case x: Double => java.lang.Double.compare(st.dHi, x)
+      case x: String => scmp(st.sHi, x)
+    }
+
+  /** Can a row of a file with stats `fs` satisfy `e`? False ONLY when the
+    * stats refute it; unknown shapes / missing stats → true. NaN note:
+    * Spark's min/max aggregates order NaN greatest, matching Catalyst
+    * comparison semantics, so double ranges stay conservative. */
+  private[graft] def mayMatch(e: Expression, fs: FileStats): Boolean = {
+    def st(a: Attribute): Option[ColStats] = fs.cols.get(a.name)
+    // in-range: some non-null value could equal v
+    def eqRange(a: Attribute, v: Any): Boolean = st(a) match {
+      case Some(s) =>
+        if (!s.hasRange) false // all nulls: = never matches
+        else (cmpLo(s, v), cmpHi(s, v)) match {
+          case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0
+          case _ => true
+        }
+      case None => true
+    }
+    e match {
+      case And(l, r) => mayMatch(l, fs) && mayMatch(r, fs)
+      case Or(l, r) => mayMatch(l, fs) || mayMatch(r, fs)
+
+      case EqualTo(a: Attribute, Literal(v, _)) if v != null => eqRange(a, v)
+      case EqualTo(Literal(v, _), a: Attribute) if v != null => eqRange(a, v)
+      case EqualNullSafe(a: Attribute, Literal(v, _)) =>
+        if (v == null) st(a).forall(s => s.nonNull < fs.rows)
+        else eqRange(a, v)
+      case EqualNullSafe(Literal(v, _), a: Attribute) =>
+        if (v == null) st(a).forall(s => s.nonNull < fs.rows)
+        else eqRange(a, v)
+
+      // a > v: possible iff max > v (and some non-null value exists)
+      case GreaterThan(a: Attribute, Literal(v, _)) if v != null =>
+        st(a).forall(s => cmpHi(s, v).forall(_ > 0) && s.nonNull > 0)
+      case GreaterThan(Literal(v, _), a: Attribute) if v != null =>
+        st(a).forall(s => cmpLo(s, v).forall(_ < 0) && s.nonNull > 0)
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) if v != null =>
+        st(a).forall(s => cmpHi(s, v).forall(_ >= 0) && s.nonNull > 0)
+      case GreaterThanOrEqual(Literal(v, _), a: Attribute) if v != null =>
+        st(a).forall(s => cmpLo(s, v).forall(_ <= 0) && s.nonNull > 0)
+      case LessThan(a: Attribute, Literal(v, _)) if v != null =>
+        st(a).forall(s => cmpLo(s, v).forall(_ < 0) && s.nonNull > 0)
+      case LessThan(Literal(v, _), a: Attribute) if v != null =>
+        st(a).forall(s => cmpHi(s, v).forall(_ > 0) && s.nonNull > 0)
+      case LessThanOrEqual(a: Attribute, Literal(v, _)) if v != null =>
+        st(a).forall(s => cmpLo(s, v).forall(_ <= 0) && s.nonNull > 0)
+      case LessThanOrEqual(Literal(v, _), a: Attribute) if v != null =>
+        st(a).forall(s => cmpHi(s, v).forall(_ >= 0) && s.nonNull > 0)
+
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { case Literal(v, _) => v != null && eqRange(a, v) }
+      case InSet(a: Attribute, vs) =>
+        vs.exists(v => v != null && eqRange(a, v))
+
+      case IsNull(a: Attribute) => st(a).forall(s => s.nonNull < fs.rows)
+      case IsNotNull(a: Attribute) => st(a).forall(_.nonNull > 0)
+
+      // NOT(a = v): refutable only when the file is constant at v
+      case Not(EqualTo(a: Attribute, Literal(v, _))) if v != null =>
+        st(a).forall { s =>
+          val const = s.hasRange && s.nonNull == fs.rows &&
+            (cmpLo(s, v), cmpHi(s, v)) == ((Some(0), Some(0)))
+          !const
+        }
+
+      // ASCII-only prefix check (truncation at char boundaries is only
+      // order-exact for single-byte code points; anything else → keep)
+      case StartsWith(a: Attribute, Literal(p: UTF8String, _)) =>
+        val pre = p.toString
+        st(a) match {
+          case Some(s) if s.hasRange && isAscii(pre) &&
+              isAscii(s.sLo) && isAscii(s.sHi) =>
+            val n = pre.length
+            s.sLo.take(n) <= pre && pre <= s.sHi.take(n)
+          case _ => true
+        }
+
+      case _ => true
+    }
+  }
+
+  private def isAscii(s: String): Boolean =
+    s != null && s.forall(_ < 0x80)
+
+  // ---------------------------------------------------------------- //
+  //  The pruning FileIndex + scan relation                            //
+  // ---------------------------------------------------------------- //
+
+  /** A [[FileIndex]] that lists only the files whose manifest stats
+    * could satisfy the scan's pushed data filters. Planning-time: the
+    * pruned files never become tasks. `selected`/`total` record the
+    * last listing for specs and SCALE.md. */
+  final class ManifestFileIndex(inner: InMemoryFileIndex,
+      stats: Map[String, FileStats]) extends FileIndex {
+    val selected = new AtomicLong(-1L)
+    val total = new AtomicLong(-1L)
+
+    override def rootPaths: Seq[Path] = inner.rootPaths
+    override def inputFiles: Array[String] = inner.inputFiles
+    override def refresh(): Unit = inner.refresh()
+    override def sizeInBytes: Long = inner.sizeInBytes
+    override def partitionSchema: StructType = inner.partitionSchema
+
+    override def listFiles(partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val dirs = inner.listFiles(partitionFilters, dataFilters)
+      var tot = 0L
+      var sel = 0L
+      val pruned = dirs.map { pd =>
+        val kept = pd.files.filter { f =>
+          tot += 1
+          val keep = stats.get(f.getPath.getName)
+            .forall(fs => dataFilters.forall(mayMatch(_, fs)))
+          if (keep) sel += 1
+          keep
+        }
+        pd.copy(files = kept)
+      }
+      total.set(tot)
+      selected.set(sel)
+      pruned
+    }
+  }
+
+  /** DataFrame over `dir` with manifest file pruning, plus the index for
+    * selected/total introspection. Row-group pruning inside surviving
+    * files still applies (parquet footers) — the layers compose. */
+  def scanWithIndex(spark: SparkSession,
+      dir: String): (DataFrame, ManifestFileIndex) = {
+    val schema = spark.read.parquet(dir).schema
+    val inner = new InMemoryFileIndex(spark, Seq(new Path(dir)),
+      Map.empty[String, String], Some(schema),
+      FileStatusCache.getOrCreate(spark), None, None)
+    val idx = new ManifestFileIndex(inner, read(spark, dir))
+    val rel = HadoopFsRelation(idx, new StructType(), schema, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    (classic.baseRelationToDataFrame(rel), idx)
+  }
+
+  /** [[scanWithIndex]] without the introspection handle. */
+  def scan(spark: SparkSession, dir: String): DataFrame =
+    scanWithIndex(spark, dir)._1
+}

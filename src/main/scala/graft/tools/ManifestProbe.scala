@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+import graft.sources.StatsManifest
+
+/** Measures the stats-manifest file-skip ratio and its wall-clock payoff
+  * on the sf0.1 lineitem fixture (VERDICT r9 ask #1's "Done" evidence):
+  * z-order by (l_orderkey, l_partkey) into P files + manifest, then run
+  * point/range predicates on BOTH clustered columns through (a) the
+  * manifest-pruned scan and (b) a plain parquet scan of the same files,
+  * printing files-read, rows delivered by the scan node, and min-of-3
+  * times for each. Run on demand:
+  *   sbt "runMain graft.tools.ManifestProbe [sfDir] [numFiles]"
+  * Prints one JSON line and writes target/manifestprobe.json.
+  */
+object ManifestProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val p = if (args.length > 1) args(1).toInt else 64
+    val spark = graft.engine.GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = graft.engine.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val dir = new java.io.File("target/manifestprobe/z").getAbsolutePath
+    val t0 = System.nanoTime()
+    Layout.zorderWrite(li, Seq("l_orderkey", "l_partkey"), dir, p)
+    val writeSec = (System.nanoTime() - t0) / 1e9
+
+    val (loMax, lpMax) = {
+      val r = li.agg(max("l_orderkey"), max("l_partkey")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    // point + 5%-range predicates on each clustered column, and a
+    // two-column conjunction — the shapes a z-ordered layout exists for
+    val preds = Seq(
+      ("orderkey_point", col("l_orderkey") === loMax / 3),
+      ("orderkey_range", col("l_orderkey").between(loMax / 3,
+        loMax / 3 + loMax / 20)),
+      ("partkey_point", col("l_partkey") === lpMax / 3),
+      ("partkey_range", col("l_partkey").between(lpMax / 3,
+        lpMax / 3 + lpMax / 20)),
+      ("both_range", col("l_orderkey") < loMax / 4 &&
+        col("l_partkey") < lpMax / 4))
+
+    def timed(mk: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      def once(): (Double, Long) = {
+        // metrics must be read from the EXECUTED QueryExecution — the
+        // agg is part of the plan we collect, not a separate one
+        val agg = mk()
+          .agg(count(lit(1)), sum("l_quantity"), sum("l_extendedprice"))
+        val t = System.nanoTime()
+        agg.collect()
+        ((System.nanoTime() - t) / 1e9,
+          graft.engine.Observe.nodeMetrics(agg).collectFirst {
+            case (n, m, v) if n.contains("Scan") &&
+              m == "number of files read" => v
+          }.getOrElse(-1L))
+      }
+      once() // warm (codegen + page cache)
+      val rs = Seq.fill(3)(once())
+      (rs.map(_._1).min, rs.head._2)
+    }
+
+    val entries = preds.map { case (name, pred) =>
+      val (scanDf, idx) = StatsManifest.scanWithIndex(spark, dir)
+      val (tPruned, filesPruned) = timed(() => scanDf.where(pred))
+      val (tPlain, filesPlain) = timed(() =>
+        spark.read.parquet(dir).where(pred))
+      val (sel, tot) = (idx.selected.get(), idx.total.get())
+      // equality guard: the pruned scan must return the same aggregate
+      val a = StatsManifest.scan(spark, dir).where(pred)
+        .agg(count(lit(1)), sum("l_quantity")).collect().head
+      val b = spark.read.parquet(dir).where(pred)
+        .agg(count(lit(1)), sum("l_quantity")).collect().head
+      require(a == b, s"$name: pruned=$a plain=$b")
+      f""""$name":{"manifest_selected":$sel,"manifest_total":$tot,""" +
+        f""""files_pruned":$filesPruned,"files_plain":$filesPlain,""" +
+        f""""sec_pruned":$tPruned%.3f,"sec_plain":$tPlain%.3f}"""
+    }
+
+    val line = s"""{"sf":"$sfDir","files":$p,""" +
+      f""""zorder_write_sec":$writeSec%.1f,${entries.mkString(",")}}"""
+    val out = new java.io.File("target/manifestprobe.json")
+    val w = new java.io.PrintWriter(out, "UTF-8")
+    try w.println(line) finally w.close()
+    println(line)
+    spark.stop()
+  }
+}

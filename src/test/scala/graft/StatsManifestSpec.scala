@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Observe
+import graft.operators.Layout
+import graft.sources.StatsManifest
+import graft.sources.StatsManifest.{ColStats, FileStats}
+
+/** Stats-manifest FILE pruning (VERDICT r8 #1): LayoutSpec proved Spark
+  * row-group-skips on parquet footers but never skips whole files; the
+  * manifest + ManifestFileIndex is the missing layer. Pins here:
+  * refutation logic on every supported predicate shape (pure unit
+  * tests), then the real read path — planning-time files-read < total
+  * on a NON-leading clustered column with oracle-equal results. */
+class StatsManifestSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.sf
+
+  // ---- refutation unit tests -------------------------------------- //
+
+  private val a = AttributeReference("a", LongType)()
+  private val s = AttributeReference("s", StringType)()
+  private def fs(lo: Long, hi: Long, nonNull: Long = 10, rows: Long = 10) =
+    FileStats(rows, Map("a" -> ColStats('L', lLo = lo, lHi = hi,
+      nonNull = nonNull, hasRange = nonNull > 0)))
+  private def may(e: Expression, f: FileStats): Boolean =
+    StatsManifest.mayMatch(e, f)
+
+  test("mayMatch refutes point/range predicates outside [min,max] and keeps the rest") {
+    val f = fs(100, 200)
+    assert(!may(EqualTo(a, Literal(99L)), f))
+    assert(may(EqualTo(a, Literal(100L)), f))
+    assert(may(EqualTo(Literal(150L), a), f))
+    assert(!may(EqualTo(Literal(201L), a), f))
+    assert(!may(GreaterThan(a, Literal(200L)), f))
+    assert(may(GreaterThan(a, Literal(199L)), f))
+    assert(!may(GreaterThanOrEqual(a, Literal(201L)), f))
+    assert(may(GreaterThanOrEqual(a, Literal(200L)), f))
+    assert(!may(LessThan(a, Literal(100L)), f))
+    assert(may(LessThan(a, Literal(101L)), f))
+    assert(!may(LessThanOrEqual(a, Literal(99L)), f))
+    assert(may(LessThanOrEqual(a, Literal(100L)), f))
+    // reversed operand order (lit op attr)
+    assert(!may(GreaterThan(Literal(100L), a), f)) // 100 > a needs lo < 100
+    assert(may(GreaterThan(Literal(101L), a), f))
+    assert(!may(LessThan(Literal(200L), a), f)) // 200 < a needs hi > 200
+    assert(may(LessThan(Literal(199L), a), f))
+  }
+
+  test("mayMatch: And narrows, Or widens, In checks any member") {
+    val f = fs(100, 200)
+    assert(!may(And(GreaterThan(a, Literal(150L)),
+      LessThan(a, Literal(120L))), f) ||
+      may(GreaterThan(a, Literal(150L)), f)) // And of two possibles stays possible
+    assert(!may(And(EqualTo(a, Literal(50L)), IsNotNull(a)), f))
+    assert(may(Or(EqualTo(a, Literal(50L)), EqualTo(a, Literal(150L))), f))
+    assert(!may(Or(EqualTo(a, Literal(50L)), EqualTo(a, Literal(250L))), f))
+    assert(may(In(a, Seq(Literal(1L), Literal(150L))), f))
+    assert(!may(In(a, Seq(Literal(1L), Literal(2L))), f))
+  }
+
+  test("mayMatch: null bookkeeping — IsNull needs a null, EqualTo never matches an all-null file") {
+    val withNulls = fs(100, 200, nonNull = 8, rows = 10)
+    val noNulls = fs(100, 200, nonNull = 10, rows = 10)
+    val allNull = FileStats(10, Map("a" -> ColStats('L', nonNull = 0)))
+    assert(may(IsNull(a), withNulls))
+    assert(!may(IsNull(a), noNulls))
+    assert(may(IsNull(a), allNull))
+    assert(!may(IsNotNull(a), allNull))
+    assert(may(IsNotNull(a), withNulls))
+    assert(!may(EqualTo(a, Literal(150L)), allNull))
+    assert(!may(GreaterThan(a, Literal(0L)), allNull))
+  }
+
+  test("mayMatch: unknown shapes, missing stats and domain mismatches keep the file") {
+    val f = fs(100, 200)
+    val b = AttributeReference("b", LongType)() // no stats for b
+    assert(may(EqualTo(b, Literal(5L)), f))
+    // a + 1 = 5: not a bare attribute — conservative keep
+    assert(may(EqualTo(Add(a, Literal(1L)), Literal(5L)), f))
+    // double literal against long stats: Catalyst cast we can't see — keep
+    assert(may(EqualTo(a, Literal(150.0)), f))
+  }
+
+  test("mayMatch: strings compare in UTF8 binary order; StartsWith prunes by truncated bounds") {
+    val f = FileStats(10, Map("s" -> ColStats('S', sLo = "grape",
+      sHi = "melon", nonNull = 10, hasRange = true)))
+    def u(x: String) = Literal(org.apache.spark.unsafe.types.UTF8String
+      .fromString(x), StringType)
+    assert(may(EqualTo(s, u("kiwi")), f))
+    assert(!may(EqualTo(s, u("apple")), f))
+    assert(!may(EqualTo(s, u("peach")), f))
+    assert(may(StartsWith(s, u("gr")), f))
+    assert(may(StartsWith(s, u("me")), f))
+    assert(!may(StartsWith(s, u("ap")), f))
+    assert(!may(StartsWith(s, u("zz")), f))
+  }
+
+  // ---- the real read path ----------------------------------------- //
+
+  test("zorderWrite + scan: planning-time file pruning on the NON-leading column, oracle-equal") {
+    val li = graft.engine.Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val P = 16
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_").toString + "/z"
+    Layout.zorderWrite(li, Seq("l_orderkey", "l_partkey"), dir, P)
+
+    val lpMax = li.agg(max("l_partkey")).collect().head.getLong(0)
+    val cut = lpMax / 5 // partkey < 20% of domain — the non-leading column
+
+    val (scan, idx) = StatsManifest.scanWithIndex(spark, dir)
+    val got = scan.where(col("l_partkey") < cut)
+      .agg(count(lit(1)), sum("l_quantity")).collect().head
+    val want = spark.read.parquet(dir).where(col("l_partkey") < cut)
+      .agg(count(lit(1)), sum("l_quantity")).collect().head
+    assert(got === want) // oracle-equal results
+
+    // the listing actually pruned: planning-time files < total
+    assert(idx.total.get() === P.toLong, s"expected $P files")
+    assert(idx.selected.get() * 2 <= idx.total.get(),
+      s"manifest admitted ${idx.selected.get()} of ${idx.total.get()} " +
+        s"files for l_partkey < $cut")
+
+    // and Spark's own scan metric agrees (files read, not just listed)
+    val df2 = StatsManifest.scan(spark, dir).where(col("l_partkey") < cut)
+    df2.collect()
+    val filesRead = Observe.nodeMetrics(df2).collectFirst {
+      case (n, m, v) if n.contains("Scan") && m == "number of files read" => v
+    }.getOrElse(fail("no files-read metric"))
+    assert(filesRead === idx.selected.get())
+  }
+
+  test("scan with no filter, or a filter on an un-manifested column, reads every file") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_all_").toString + "/t"
+    val df = (0 until 4000).map(i => (i.toLong, i % 7, s"r$i"))
+      .toDF("k", "m", "txt")
+    Layout.zorderWrite(df, Seq("k"), dir, 8)
+
+    val (scan, idx) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan.count() === 4000L)
+    assert(idx.selected.get() === idx.total.get())
+
+    // m has no manifest stats → conservative keep-all, same answer
+    val (scan2, idx2) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan2.where(col("m") === 3).count() ===
+      spark.read.parquet(dir).where(col("m") === 3).count())
+    assert(idx2.selected.get() === idx2.total.get())
+  }
+
+  test("point predicate on the LEADING column and an impossible predicate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_pt_").toString + "/t"
+    val df = (0 until 8000).map(i => (i.toLong, (i * 37 % 8000).toLong))
+      .toDF("x", "y")
+    Layout.zorderWrite(df, Seq("x", "y"), dir, 16)
+
+    val (scan, idx) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan.where(col("x") === 1234L).count() === 1L)
+    assert(idx.selected.get() < idx.total.get())
+
+    // predicate outside the domain: every file refuted, zero tasks, no rows
+    val (scan2, idx2) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan2.where(col("x") === -5L).count() === 0L)
+    assert(idx2.selected.get() === 0L)
+  }
+
+  test("manifest dir is invisible to plain readers; manifest survives re-write") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_inv_").toString + "/t"
+    val df = (0 until 1000).map(i => (i.toLong, i % 13)).toDF("k", "v")
+    Layout.zorderWrite(df, Seq("k"), dir, 4)
+    // a plain read neither sees the manifest as data nor double-counts
+    assert(spark.read.parquet(dir).count() === 1000L)
+    // overwrite (e.g. a re-OPTIMIZE): manifest reflects the new layout
+    Layout.zorderWrite(df.withColumn("k", col("k") + 100000L),
+      Seq("k"), dir, 4)
+    val (scan, idx) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan.where(col("k") >= 100000L).count() === 1000L)
+    assert(idx.total.get() === 4L)
+  }
+}
