@@ -108,6 +108,10 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         CosineSimilarity(children.head, children(1)),
       "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "image_stats",
+      (children: Seq[Expression]) => ImageStats(children.head),
+      "scala_udf")
     spark.udf.register("single_value_long", udaf(singleValueLong))
     spark.udf.register("single_value_double", udaf(singleValueDouble))
     spark.udf.register("single_value_string", udaf(singleValueString))

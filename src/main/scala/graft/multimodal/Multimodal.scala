@@ -58,6 +58,33 @@ object Multimodal {
       .as[Media]
   }
 
+  /** REAL-image media table derived from the documents fixture: each doc
+    * becomes a genuine raster payload — even ids a 24-bit BMP (bottom-up
+    * rows, 4-byte padding), odd ids a binary PPM (P6) — with
+    * deterministic geometry and pixel gradients from doc_id, so DuckDB
+    * can replay the decoded stats analytically (`q_mm_image_stats`).
+    * The ENCODE here is fixture generation (the container ships no image
+    * corpus — a typed map is the honest tool for synthesizing binary
+    * payloads); the decode side is the native codegen'd
+    * `image_stats` expression ([[graft.functions.ImageStats]]).
+    * Pixel (top-left origin): R=(x+y+id)%256, G=(2y+id)%256,
+    * B=(x+id)%256; width 8+id%9 (exercises every row-padding residue),
+    * height 6+id%5. */
+  def imageTable(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long].map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (6 + id % 5).toInt
+        val px = (x: Int, y: Int) =>
+          ((((x + y + id) % 256).toInt << 16) |
+            (((2 * y + id) % 256).toInt << 8) |
+            ((x + id) % 256).toInt)
+        if (id % 2 == 0) Media(id, "bmp", ImageCodec.encodeBmp(w, h, px))
+        else Media(id, "ppm", ImageCodec.encodePpm(w, h, px))
+      }
+  }
+
   /** A media corpus from a directory of raw files via Spark's
     * `binaryFile` source — the ingestion path for an image/audio corpus
     * (one row per file: path, length, content). doc_id is a stable hash
