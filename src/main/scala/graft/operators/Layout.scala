@@ -126,4 +126,61 @@ object Layout {
       .write.mode("overwrite").parquet(dir)
     graft.sources.StatsManifest.write(df.sparkSession, dir, cols)
   }
+
+  /** IN-PLACE `OPTIMIZE ... ZORDER BY`: rewrite the parquet directory
+    * `dir` z-ordered on `cols` into ~`targetBytes`-sized files and
+    * refresh the stats manifest — the periodic maintenance pass that
+    * turns a day's worth of small appended files back into a pruned,
+    * clustered layout. Returns (filesBefore, filesAfter).
+    *
+    * Swap protocol on a plain FileSystem (no transaction log): (1) the
+    * clustered copy is FULLY written to `<dir>.optimize` staging;
+    * (2) the old data files rename into a `.graft_trash` subdir (hidden
+    * from readers — dot prefix); (3) staged files rename in; (4) trash
+    * and staging delete; (5) manifest recomputed. Run in a maintenance
+    * window, like the dedup-index compaction: a reader listing between
+    * (2) and (3) sees a partial directory. Crash recovery is mechanical
+    * and loss-free at every step — the data always exists in full in at
+    * least one of (staging ∪ live) or (trash ∪ live): before (2)
+    * completes, restore the `.graft_trash` files into `dir`; after (3)
+    * begins,
+    * finish moving staged files in and delete the trash. */
+  def optimize(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cols: Seq[String], targetBytes: Long = 128L << 20, bits: Int = 8,
+      quantileErr: Double = 0.001): (Int, Int) = {
+    require(targetBytes >= 1L, s"optimize: targetBytes=$targetBytes")
+    import org.apache.hadoop.fs.Path
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = fs.listStatus(dirPath).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith("."))
+    if (old.isEmpty) return (0, 0)
+    val bytes = old.map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(dir)
+    val staging = new Path(dir + ".optimize")
+    zorder(df, cols, n, bits, quantileErr)
+      .write.mode("overwrite").parquet(staging.toString)
+    val staged = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+    val trash = new Path(dirPath, ".graft_trash")
+    fs.mkdirs(trash)
+    old.foreach { st =>
+      require(fs.rename(st.getPath, new Path(trash, st.getPath.getName)),
+        s"optimize: trash rename ${st.getPath} failed; nothing lost — " +
+          "restore .graft_trash and re-run")
+    }
+    staged.zipWithIndex.foreach { case (src, i) =>
+      // fresh names: no collision with anything the trash held
+      val dst = new Path(dirPath, f"opt-$i%05d-${src.getName}")
+      require(fs.rename(src, dst),
+        s"optimize: rename $src -> $dst failed; staged copy intact — " +
+          "finish the swap by hand or re-run after restoring trash")
+    }
+    fs.delete(trash, true)
+    fs.delete(staging, true)
+    graft.sources.StatsManifest.write(spark, dir, cols)
+    (old.length, staged.length)
+  }
 }

@@ -109,6 +109,86 @@ object StatsManifest {
       .parquet(new Path(dir, ManifestDir).toString)
   }
 
+  /** Result of an incremental [[update]]: how many file entries were
+    * reused from the existing manifest, freshly scanned, and dropped
+    * (their files vanished — compaction or overwrite). */
+  final case class UpdateResult(reused: Long, scanned: Long, dropped: Long)
+
+  /** Incrementally reconcile the manifest with the CURRENT contents of
+    * `dir`: stats are computed ONLY for data files the manifest doesn't
+    * cover (one column-pruned scan restricted to those paths), entries
+    * whose file vanished are dropped, everything else is carried over
+    * without touching its file. At 100 TB this is the difference between
+    * "appending a partition costs a scan of the appended files" and
+    * "every append rescans the corpus" — the same incremental-commit
+    * shape a lakehouse transaction log gives. Falls back to a full
+    * [[write]] when `statsCols` doesn't match the existing manifest's
+    * column set (stats for a new column can't be synthesized). Run in
+    * the same maintenance window as any manifest write: the overwrite
+    * briefly unlists the old manifest. */
+  def update(spark: SparkSession, dir: String,
+      statsCols: Seq[String]): UpdateResult = {
+    val dirPath = new Path(dir)
+    val fsys = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fsys.listStatus(dirPath)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    val mDir = new Path(dir, ManifestDir)
+    val hasManifest = fsys.exists(mDir) &&
+      fsys.listStatus(mDir).exists(_.getPath.getName.startsWith("part-"))
+    if (!hasManifest) {
+      write(spark, dir, statsCols)
+      return UpdateResult(0L, dataFiles.length.toLong, 0L)
+    }
+    val existing = spark.read.parquet(
+      fsys.listStatus(mDir).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).map(_.toString).toIndexedSeq: _*)
+    val df = spark.read.parquet(dir)
+    val kept = statsCols.filter(c => domOf(df.schema(c).dataType).isDefined)
+    val expectCols = kept.flatMap { c =>
+      val tag = domOf(df.schema(c).dataType).get.toLower
+      Seq(s"${tag}min__$c", s"${tag}max__$c", s"cnt__$c")
+    }.toSet + "file" + "rows"
+    if (existing.schema.fieldNames.toSet != expectCols) {
+      // column set changed → the old entries can't be reused
+      write(spark, dir, statsCols)
+      return UpdateResult(0L, dataFiles.length.toLong, 0L)
+    }
+    val liveNames = dataFiles.map(_.getName).toSet
+    val coveredNames = existing.select("file").collect()
+      .map(_.getString(0)).toSet
+    val carried = existing.where(
+      col("file").isin(liveNames.toSeq: _*))
+    val newPaths = dataFiles.filter(p => !coveredNames.contains(p.getName))
+    val freshOpt =
+      if (newPaths.isEmpty) None
+      else {
+        val nd = spark.read.schema(df.schema)
+          .parquet(newPaths.map(_.toString).toIndexedSeq: _*)
+        val aggs = count(lit(1)).as("rows") +: kept.flatMap { c =>
+          val dt = df.schema(c).dataType
+          val d = toDom(dt, col(c))
+          val tag = domOf(dt).get.toLower
+          Seq(min(d).as(s"${tag}min__$c"), max(d).as(s"${tag}max__$c"),
+            count(col(c)).as(s"cnt__$c"))
+        }
+        Some(nd.groupBy(col("_metadata.file_name").as("file"))
+          .agg(aggs.head, aggs.tail: _*))
+      }
+    val merged = freshOpt.fold(carried)(carried.unionByName(_))
+    // materialize BEFORE overwriting: the merged plan reads the manifest
+    // files the overwrite is about to delete
+    val rows = merged.collect()
+    val mergedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), merged.schema)
+    mergedDf.coalesce(1).write.mode("overwrite").parquet(mDir.toString)
+    UpdateResult(
+      reused = (coveredNames intersect liveNames).size.toLong,
+      scanned = newPaths.length.toLong,
+      dropped = (coveredNames -- liveNames).size.toLong)
+  }
+
   /** Driver-side manifest read: file name → stats. The part files are
     * listed explicitly (a directory path starting with `_` trips
     * DataSource's advisory "all paths were ignored" warning on every

@@ -173,6 +173,77 @@ class StatsManifestSpec extends AnyFunSuite {
     assert(idx2.selected.get() === 0L)
   }
 
+  test("incremental update scans only new files, drops vanished ones, stays prune-correct") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_upd_").toString + "/t"
+    val df1 = (0 until 4000).map(i => (i.toLong, i % 7)).toDF("k", "m")
+    Layout.zorderWrite(df1, Seq("k"), dir, 4)
+
+    // an append lands 2 new files with a disjoint key range
+    (100000 until 102000).map(i => (i.toLong, i % 7)).toDF("k", "m")
+      .repartition(2).write.mode("append").parquet(dir)
+
+    val r = StatsManifest.update(spark, dir, Seq("k"))
+    assert(r === StatsManifest.UpdateResult(reused = 4, scanned = 2,
+      dropped = 0))
+    // the refreshed manifest covers all 6 files and prunes on BOTH ranges
+    val (scan, idx) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan.where(col("k") >= 100000L).count() === 2000L)
+    assert(idx.total.get() === 6L)
+    assert(idx.selected.get() === 2L) // only the appended files match
+
+    // a vanished file (compaction/cleanup) drops from the manifest with
+    // zero rescanning of the survivors
+    val appended = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+      .maxBy(_.lastModified) // one of the appended high-range files
+    assert(appended.delete())
+    val r2 = StatsManifest.update(spark, dir, Seq("k"))
+    assert(r2.scanned === 0L && r2.dropped === 1L && r2.reused === 5L)
+    val (scan2, idx2) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan2.count() === spark.read.parquet(dir).count())
+    assert(idx2.total.get() === 5L)
+
+    // a full overwrite deletes dir + manifest wholesale → rebuild path
+    df1.repartition(3).write.mode("overwrite").parquet(dir)
+    val r3 = StatsManifest.update(spark, dir, Seq("k"))
+    assert(r3 === StatsManifest.UpdateResult(reused = 0, scanned = 3,
+      dropped = 0))
+    val (scan3, idx3) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan3.where(col("k") >= 100000L).count() === 0L)
+    assert(idx3.selected.get() === 0L) // refuted everywhere, zero tasks
+  }
+
+  test("optimize: in-place zorder rewrite compacts small files, content intact, manifest fresh") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_optimize_").toString + "/t"
+    // 16 small unordered files — the "day of appends" shape
+    val df = (0 until 8000).map(i => ((i * 2654435761L) % 8000, i.toLong))
+      .toDF("a", "b")
+    df.repartition(16).write.parquet(dir)
+
+    val (before, after) = graft.operators.Layout.optimize(
+      spark, dir, Seq("a", "b"), targetBytes = 1L << 26)
+    assert(before === 16)
+    assert(after < before)
+
+    // content multiset unchanged
+    def fp(d: org.apache.spark.sql.DataFrame): Long = d
+      .agg(expr("bit_xor(xxhash64(a, b))")).collect().head.getLong(0)
+    assert(spark.read.parquet(dir).count() === 8000L)
+    assert(fp(spark.read.parquet(dir)) === fp(df))
+    // no stragglers from the swap
+    val names = new java.io.File(dir).listFiles.map(_.getName)
+    assert(!names.exists(_.startsWith(".graft_trash")))
+    // manifest matches the rewritten layout and prunes
+    val (scan, idx) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan.where(col("a") === 12345678L).count() === 0L)
+    assert(idx.selected.get() === 0L)
+    assert(idx.total.get() === after.toLong)
+  }
+
   test("manifest dir is invisible to plain readers; manifest survives re-write") {
     import spark.implicits._
     val dir = java.nio.file.Files
