@@ -137,6 +137,34 @@ object PipelineQueries {
 
   val queries: Seq[Query] = Seq(
     Query(
+      // The layout + data-skipping read path end-to-end under the
+      // DuckDB oracle (r9): z-order lineitem on (orderkey, partkey) into
+      // 16 manifested files, then read THROUGH the ManifestFileIndex
+      // with a predicate on the NON-leading clustered column — the scan
+      // plans only the files whose stats admit the predicate
+      // (StatsManifestSpec pins the file counts; this row pins that the
+      // pruned read returns exactly the full table's answer). The
+      // rewrite targets a per-sfDir temp dir so reruns and different
+      // scale factors never cross-contaminate.
+      "q_layout_zorder_scan",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_layout_scan_" + java.security.MessageDigest
+            .getInstance("MD5").digest(d.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)).getAbsolutePath
+        graft.operators.Layout.zorderWrite(
+          li, Seq("l_orderkey", "l_partkey"), dir, 16)
+        graft.sources.StatsManifest.scan(s, dir)
+          .where(col("l_partkey") < 400)
+          .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+             |WHERE l_partkey < 400 ORDER BY 1, 2, 3""".stripMargin)),
+
+    Query(
       "q_pipeline_curate",
       (s, d) => {
         flagged(t(s, d, "documents").select("doc_id", "source", "text"))
