@@ -95,13 +95,21 @@ object StreamBench {
     }
 
   private def measure0(name: String, inputRate: Long, durSec: Int,
-      triggerMs: Long, stream: DataFrame): OpResult = {
-    val q = stream.writeStream
-      .format("noop")
-      .outputMode("append")
-      .trigger(Trigger.ProcessingTime(triggerMs))
-      .option("checkpointLocation", cpDir(name))
-      .start()
+      triggerMs: Long, stream: DataFrame): OpResult =
+    measureQuery(name, inputRate, durSec) {
+      stream.writeStream
+        .format("noop")
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(triggerMs))
+        .option("checkpointLocation", cpDir(name))
+        .start()
+    }
+
+  /** Same telemetry harvest for an operator that starts its OWN query
+    * (foreachBatch family — e.g. the dedup ingest filter). */
+  private def measureQuery(name: String, inputRate: Long, durSec: Int)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): OpResult = {
+    val q = start
     Thread.sleep(durSec * 1000L)
     // stop between triggers where possible: a mid-batch stop interrupts
     // write tasks and state commits, which is abort-log noise and a
@@ -215,6 +223,38 @@ object StreamBench {
           ev.where(col("event_id") % 2 === 0),
           ev.where(col("event_id") % 2 === 1),
           "user_id", "ts", "event_id", "value")
+      },
+      // exact-dup ingest filter against the growing bucket-partitioned
+      // index (the curation pipeline's dedup stage): all-novel feed, so
+      // every batch semi-joins the index AND appends to it — the honest
+      // worst case for index growth within the run. State lives in the
+      // index directory, not a state store (state_rows reads 0).
+      try measureQuery("dedup_index_filter", 20000, durSec) {
+        val idxDir = {
+          val p = Paths.get("target", "streambench", "dupidx").toAbsolutePath
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete()
+          }
+          rm(p.toFile)
+          p.toString
+        }
+        val docs = spark.readStream.format("rate")
+          .option("rowsPerSecond", 20000)
+          .option("numPartitions", 8).load()
+          .select(col("value").as("doc_id"),
+            format_string("alpha%d beta%d gamma%d delta%d",
+              col("value"), col("value") * 7, col("value") * 13,
+              col("value") * 31).as("text"))
+        graft.streaming.NearDupStream.exactDupFilter(spark, docs,
+          idxDir,
+          out = (df, _) =>
+            df.write.format("noop").mode("overwrite").save(),
+          triggerMs = triggerMs,
+          checkpointDir = Some(cpDir("dedup_index_filter")))
+      } catch { case e: Throwable =>
+        System.err.println(s"[streambench] dedup_index_filter failed: $e")
+        OpResult("dedup_index_filter", 20000, -1, -1, -1, -1, 0, -1, -1)
       })
   }
 
