@@ -9,8 +9,8 @@ import org.apache.spark.sql.execution.datasources.{
   FileIndex, FileStatusCache, HadoopFsRelation, InMemoryFileIndex,
   PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.functions.{col, count, lit, max, min, unix_date,
-  unix_micros}
+import org.apache.spark.sql.functions.{col, count, lit, max, min,
+  regexp_replace, unix_date, unix_micros}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -92,6 +92,18 @@ object StatsManifest {
     * `dir`, keeping stats for `statsCols` (columns with non-orderable
     * types are skipped). One distributed scan, pruned to the stats
     * columns; the manifest lands in `<dir>/_graft_manifest`. */
+  /** Manifest key for a file: the scheme-and-authority-free absolute
+    * path. A bare file NAME would collide under Hive-partitioned
+    * layouts — a dynamic-partition write emits the same
+    * `part-<task>-<jobUuid>` name into every partition directory it
+    * touches. The SQL side strips `scheme://authority` from
+    * `_metadata.file_path`; the lookup side uses `Path.toUri.getPath` —
+    * both normalize to the same string. */
+  private def fileKeyCol: Column =
+    regexp_replace(col("_metadata.file_path"),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "").as("file")
+  private def fileKey(p: Path): String = p.toUri.getPath
+
   def write(spark: SparkSession, dir: String, statsCols: Seq[String]): Unit = {
     val df = spark.read.parquet(dir)
     val kept = statsCols.filter(c => domOf(df.schema(c).dataType).isDefined)
@@ -102,7 +114,7 @@ object StatsManifest {
       Seq(min(d).as(s"${tag}min__$c"), max(d).as(s"${tag}max__$c"),
         count(col(c)).as(s"cnt__$c"))
     }
-    df.groupBy(col("_metadata.file_name").as("file"))
+    df.groupBy(fileKeyCol)
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite")
@@ -130,10 +142,21 @@ object StatsManifest {
       statsCols: Seq[String]): UpdateResult = {
     val dirPath = new Path(dir)
     val fsys = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fsys.listStatus(dirPath)
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(_.getPath)
+    // recursive: Hive-partitioned layouts keep data files under p=… dirs;
+    // anything under a hidden (`_`/`.`) component is metadata, not data
+    val rootKey = fileKey(fsys.makeQualified(dirPath))
+    val dataFiles = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val it = fsys.listFiles(dirPath, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = fileKey(st.getPath).stripPrefix(rootKey)
+        val hidden = rel.split("/").exists(seg =>
+          seg.startsWith("_") || seg.startsWith("."))
+        if (st.isFile && !hidden) out += st.getPath
+      }
+      out.toArray
+    }
     val mDir = new Path(dir, ManifestDir)
     val hasManifest = fsys.exists(mDir) &&
       fsys.listStatus(mDir).exists(_.getPath.getName.startsWith("part-"))
@@ -155,16 +178,18 @@ object StatsManifest {
       write(spark, dir, statsCols)
       return UpdateResult(0L, dataFiles.length.toLong, 0L)
     }
-    val liveNames = dataFiles.map(_.getName).toSet
-    val coveredNames = existing.select("file").collect()
+    val liveKeys = dataFiles.map(fileKey).toSet
+    val coveredKeys = existing.select("file").collect()
       .map(_.getString(0)).toSet
     val carried = existing.where(
-      col("file").isin(liveNames.toSeq: _*))
-    val newPaths = dataFiles.filter(p => !coveredNames.contains(p.getName))
+      col("file").isin(liveKeys.toSeq: _*))
+    val newPaths = dataFiles.filter(p => !coveredKeys.contains(fileKey(p)))
     val freshOpt =
       if (newPaths.isEmpty) None
       else {
-        val nd = spark.read.schema(df.schema)
+        // basePath keeps Hive-partition columns derivable from the paths
+        // even though only the NEW files are listed explicitly
+        val nd = spark.read.option("basePath", dir).schema(df.schema)
           .parquet(newPaths.map(_.toString).toIndexedSeq: _*)
         val aggs = count(lit(1)).as("rows") +: kept.flatMap { c =>
           val dt = df.schema(c).dataType
@@ -173,7 +198,7 @@ object StatsManifest {
           Seq(min(d).as(s"${tag}min__$c"), max(d).as(s"${tag}max__$c"),
             count(col(c)).as(s"cnt__$c"))
         }
-        Some(nd.groupBy(col("_metadata.file_name").as("file"))
+        Some(nd.groupBy(fileKeyCol)
           .agg(aggs.head, aggs.tail: _*))
       }
     val merged = freshOpt.fold(carried)(carried.unionByName(_))
@@ -184,9 +209,9 @@ object StatsManifest {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), merged.schema)
     mergedDf.coalesce(1).write.mode("overwrite").parquet(mDir.toString)
     UpdateResult(
-      reused = (coveredNames intersect liveNames).size.toLong,
+      reused = (coveredKeys intersect liveKeys).size.toLong,
       scanned = newPaths.length.toLong,
-      dropped = (coveredNames -- liveNames).size.toLong)
+      dropped = (coveredKeys -- liveKeys).size.toLong)
   }
 
   /** Driver-side manifest read: file name → stats. The part files are
@@ -384,7 +409,7 @@ object StatsManifest {
       val pruned = dirs.map { pd =>
         val kept = pd.files.filter { f =>
           tot += 1
-          val keep = stats.get(f.getPath.getName)
+          val keep = stats.get(fileKey(f.getPath))
             .forall(fs => dataFilters.forall(mayMatch(_, fs)))
           if (keep) sel += 1
           keep
@@ -398,16 +423,22 @@ object StatsManifest {
   }
 
   /** DataFrame over `dir` with manifest file pruning, plus the index for
-    * selected/total introspection. Row-group pruning inside surviving
-    * files still applies (parquet footers) — the layers compose. */
+    * selected/total introspection. Hive-partitioned layouts compose:
+    * partition-column predicates prune DIRECTORIES through Spark's own
+    * partition pruning (the inner index), manifest stats prune FILES on
+    * data columns inside the surviving partitions, and parquet footers
+    * still prune row groups inside the surviving files. */
   def scanWithIndex(spark: SparkSession,
       dir: String): (DataFrame, ManifestFileIndex) = {
-    val schema = spark.read.parquet(dir).schema
+    val fullSchema = spark.read.parquet(dir).schema
     val inner = new InMemoryFileIndex(spark, Seq(new Path(dir)),
-      Map.empty[String, String], Some(schema),
+      Map.empty[String, String], Some(fullSchema),
       FileStatusCache.getOrCreate(spark), None, None)
+    val partSchema = inner.partitionSchema
+    val dataSchema = StructType(
+      fullSchema.filterNot(f => partSchema.fieldNames.contains(f.name)))
     val idx = new ManifestFileIndex(inner, read(spark, dir))
-    val rel = HadoopFsRelation(idx, new StructType(), schema, None,
+    val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     (classic.baseRelationToDataFrame(rel), idx)

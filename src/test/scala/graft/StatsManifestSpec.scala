@@ -244,6 +244,58 @@ class StatsManifestSpec extends AnyFunSuite {
     assert(idx.total.get() === after.toLong)
   }
 
+  test("Hive-partitioned layout: partition pruning, file pruning and update compose") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_part_").toString + "/t"
+    // 3 partitions × sorted k runs; dynamic-partition writes reuse the
+    // SAME part-file names across partition dirs — the path-keyed
+    // manifest must not collide
+    val df = (0 until 9000)
+      .map(i => (i % 3, i.toLong, (i * 31 % 997).toLong))
+      .toDF("p", "k", "v")
+    // explicit numPartitions: AQE would otherwise coalesce the tiny
+    // shuffle to one output file per partition dir and leave nothing
+    // for the manifest to prune
+    df.repartitionByRange(9, col("p"), col("k"))
+      .sortWithinPartitions("k")
+      .write.partitionBy("p").parquet(dir)
+    StatsManifest.write(spark, dir, Seq("k"))
+
+    val (scan, idx) = StatsManifest.scanWithIndex(spark, dir)
+    // partition filter + data filter: directories prune natively, files
+    // prune via the manifest, answer matches the plain read
+    val pred = col("p") === 1 && col("k") < 600L
+    val got = scan.where(pred).agg(count(lit(1)), sum("v")).collect().head
+    val want = spark.read.parquet(dir).where(pred)
+      .agg(count(lit(1)), sum("v")).collect().head
+    assert(got === want)
+    val totalFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+          .toSeq.flatMap(walk)
+      walk(new java.io.File(dir))
+        .count(f => f.getName.endsWith(".parquet") &&
+          !f.getAbsolutePath.contains("_graft_manifest"))
+    }
+    // the listing saw only partition p=1's files, and of those only the
+    // low-k ones survived the manifest
+    assert(idx.total.get() < totalFiles.toLong,
+      s"partition pruning missing: listed ${idx.total.get()} of $totalFiles")
+    assert(idx.selected.get() < idx.total.get(),
+      s"manifest admitted ${idx.selected.get()} of ${idx.total.get()}")
+
+    // incremental update after appending one new partition: only the new
+    // partition's files scan
+    (9000 until 12000).map(i => (3, i.toLong, 7L)).toDF("p", "k", "v")
+      .coalesce(1).write.mode("append").partitionBy("p").parquet(dir)
+    val r = StatsManifest.update(spark, dir, Seq("k"))
+    assert(r.scanned === 1L && r.dropped === 0L && r.reused > 0L)
+    val (scan2, _) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan2.where(col("p") === 3).count() === 3000L)
+  }
+
   test("manifest dir is invisible to plain readers; manifest survives re-write") {
     import spark.implicits._
     val dir = java.nio.file.Files
