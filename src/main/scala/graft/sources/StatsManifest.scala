@@ -102,7 +102,7 @@ object StatsManifest {
   private def fileKeyCol: Column =
     regexp_replace(col("_metadata.file_path"),
       "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "").as("file")
-  private def fileKey(p: Path): String = p.toUri.getPath
+  private[graft] def fileKey(p: Path): String = p.toUri.getPath
 
   def write(spark: SparkSession, dir: String, statsCols: Seq[String]): Unit = {
     val df = spark.read.parquet(dir)
@@ -137,9 +137,16 @@ object StatsManifest {
     * [[write]] when `statsCols` doesn't match the existing manifest's
     * column set (stats for a new column can't be synthesized). Run in
     * the same maintenance window as any manifest write: the overwrite
-    * briefly unlists the old manifest. */
-  def update(spark: SparkSession, dir: String,
-      statsCols: Seq[String]): UpdateResult = {
+    * briefly unlists the old manifest.
+    *
+    * `invalidate`: path keys ([[fileKey]]) whose manifest entries must
+    * NOT be reused even though their file still exists — the ingest
+    * sink passes the files a replayed micro-batch just REWROTE, whose
+    * content (hence stats) may differ from the failed attempt's under
+    * the same deterministic name. Stale stats are the one way a
+    * conservative pruner goes wrong, so replacement is forced here. */
+  def update(spark: SparkSession, dir: String, statsCols: Seq[String],
+      invalidate: Set[String] = Set.empty): UpdateResult = {
     val dirPath = new Path(dir)
     val fsys = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // recursive: Hive-partitioned layouts keep data files under p=… dirs;
@@ -179,10 +186,12 @@ object StatsManifest {
       return UpdateResult(0L, dataFiles.length.toLong, 0L)
     }
     val liveKeys = dataFiles.map(fileKey).toSet
+    // invalidated entries are treated as never-covered: carried drops
+    // them, the scan below recomputes them from the rewritten bytes
     val coveredKeys = existing.select("file").collect()
-      .map(_.getString(0)).toSet
+      .map(_.getString(0)).toSet -- invalidate
     val carried = existing.where(
-      col("file").isin(liveKeys.toSeq: _*))
+      col("file").isin((liveKeys -- invalidate).toSeq: _*))
     val newPaths = dataFiles.filter(p => !coveredKeys.contains(fileKey(p)))
     val freshOpt =
       if (newPaths.isEmpty) None
@@ -437,7 +446,13 @@ object StatsManifest {
     val partSchema = inner.partitionSchema
     val dataSchema = StructType(
       fullSchema.filterNot(f => partSchema.fieldNames.contains(f.name)))
-    val idx = new ManifestFileIndex(inner, read(spark, dir))
+    // no manifest (not yet written, or mid-overwrite by a concurrent
+    // update) → empty stats map → every file kept: a scan is never
+    // WRONG for lack of a manifest, only unpruned
+    val stats =
+      try read(spark, dir)
+      catch { case _: Exception => Map.empty[String, FileStats] }
+    val idx = new ManifestFileIndex(inner, stats)
     val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

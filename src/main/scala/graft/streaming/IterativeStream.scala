@@ -82,11 +82,12 @@ object IterativeStream {
     * overwrite alone would leave the stale higher-indexed parts enqueued
     * as duplicate feedback rows. Package-visible for the replay spec. */
   private[graft] def writeFeedback(fs: FileSystem, fbPath: Path,
-      stagingRoot: Path, batchId: Long, feedback: DataFrame): Unit = {
+      stagingRoot: Path, batchId: Long, feedback: DataFrame,
+      prefix: String = "fb"): Seq[Path] = {
     // the stale sweep runs even when this attempt's feedback is empty —
     // a replay that CONVERGED (non-empty original, empty replay) must
     // still retract the failed attempt's files
-    val stale = fs.globStatus(new Path(fbPath, f"fb-$batchId%012d-*"))
+    val stale = fs.globStatus(new Path(fbPath, f"$prefix%s-$batchId%012d-*"))
     if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
     // An EMPTY feedback frame must enqueue NOTHING — a parquet write of
     // an empty frame still creates one footer-only part file, the file
@@ -96,22 +97,24 @@ object IterativeStream {
     // (the self-termination signal) never arrives. O(1) probe: `feedback`
     // filters the foreachBatch-persisted batch, so isEmpty is a limit-1
     // scan of cached blocks.
-    if (feedback.isEmpty) return
+    if (feedback.isEmpty) return Seq.empty
     val staging = new Path(stagingRoot, s"b$batchId")
     feedback.write.mode("overwrite").parquet(staging.toString)
     val parts = fs.listStatus(staging)
       .map(_.getPath).filter(_.getName.startsWith("part-"))
       .sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (src, i) =>
-      val dst = new Path(fbPath, f"fb-$batchId%012d-$i%05d.parquet")
+    val dests = parts.zipWithIndex.map { case (src, i) =>
+      val dst = new Path(fbPath, f"$prefix%s-$batchId%012d-$i%05d.parquet")
       // some FileSystems signal failure as `false` instead of throwing;
       // a silently missing part would drop feedback rows (an incomplete
       // iteration) or index appendices (re-admitted duplicates). Failing
       // the batch is safe: the replay's glob-delete replaces the batch's
       // files wholesale.
       require(fs.rename(src, dst), s"feedback rename $src -> $dst failed")
+      dst
     }
     fs.delete(staging, true)
+    dests.toSeq
   }
 
   def iterate(spark: SparkSession, input: DataFrame, feedbackDir: String,

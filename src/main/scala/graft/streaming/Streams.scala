@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
@@ -1290,5 +1290,48 @@ object Streams {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** A continuously-ingested, query-optimized TABLE: append each
+    * micro-batch to `dir` as parquet and reconcile the per-file stats
+    * manifest incrementally — readers get
+    * [[graft.sources.StatsManifest.scan]]'s planning-time file pruning
+    * over a LIVE directory, the streaming half of the lakehouse write
+    * path (`Layout.optimize` is the batch half that periodically
+    * re-clusters what this sink appends).
+    *
+    * Replay-exact: files are named deterministically in (batchId, part)
+    * through the staged-rename protocol, so a replayed micro-batch
+    * REPLACES its own files; the replaced paths are passed to
+    * `StatsManifest.update(invalidate = …)` so their stats are
+    * recomputed from the rewritten bytes — a replay can change file
+    * boundaries, and stale stats are the one way a conservative pruner
+    * goes wrong. Readers racing a batch see either the old or the new
+    * manifest; a file newer than the manifest simply isn't pruned
+    * (missing stats keep the file). Per-batch manifest cost: one scan of
+    * the batch's own files + a driver-side merge — O(batch), never
+    * O(table). */
+  def appendToManifestedTable(spark: SparkSession, stream: DataFrame,
+      dir: String, statsCols: Seq[String], triggerMs: Long = 500L,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    val stagingRoot = new org.apache.hadoop.fs.Path(dir + ".staging")
+    val writer = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val written = IterativeStream.writeFeedback(
+          fs, dirPath, stagingRoot, batchId, batch, prefix = "tb")
+        if (written.nonEmpty)
+          graft.sources.StatsManifest.update(batch.sparkSession, dir,
+            statsCols,
+            invalidate = written
+              .map(graft.sources.StatsManifest.fileKey).toSet)
+        ()
+      }
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
   }
 }
