@@ -186,12 +186,18 @@ object StatsManifest {
       return UpdateResult(0L, dataFiles.length.toLong, 0L)
     }
     val liveKeys = dataFiles.map(fileKey).toSet
+    // driver-side carry-over: the manifest is O(files × cols) — a few MB
+    // at 100k files — and an `isin` of 100k keys would be a plan-size
+    // blowup for no gain when the merge materializes on the driver anyway
+    val fileIdx = existing.schema.fieldIndex("file")
+    val existingRows = existing.collect()
     // invalidated entries are treated as never-covered: carried drops
     // them, the scan below recomputes them from the rewritten bytes
-    val coveredKeys = existing.select("file").collect()
-      .map(_.getString(0)).toSet -- invalidate
-    val carried = existing.where(
-      col("file").isin((liveKeys -- invalidate).toSeq: _*))
+    val coveredKeys = existingRows.map(_.getString(fileIdx)).toSet -- invalidate
+    val carriedRows = existingRows.filter { r =>
+      val k = r.getString(fileIdx)
+      liveKeys.contains(k) && !invalidate.contains(k)
+    }
     val newPaths = dataFiles.filter(p => !coveredKeys.contains(fileKey(p)))
     val freshOpt =
       if (newPaths.isEmpty) None
@@ -210,12 +216,17 @@ object StatsManifest {
         Some(nd.groupBy(fileKeyCol)
           .agg(aggs.head, aggs.tail: _*))
       }
-    val merged = freshOpt.fold(carried)(carried.unionByName(_))
-    // materialize BEFORE overwriting: the merged plan reads the manifest
-    // files the overwrite is about to delete
-    val rows = merged.collect()
+    // fresh stats materialize BEFORE overwriting (their plan reads new
+    // data files only, but collecting first keeps the overwrite atomic
+    // w.r.t. this computation); carried rows are already on the driver
+    // align fresh columns to the stored order (a caller may pass
+    // statsCols in a different order than the original write)
+    val rows = carriedRows ++ freshOpt
+      .map(_.select(existing.schema.fieldNames.map(col).toIndexedSeq: _*)
+        .collect())
+      .getOrElse(Array.empty)
     val mergedDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), merged.schema)
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), existing.schema)
     mergedDf.coalesce(1).write.mode("overwrite").parquet(mDir.toString)
     UpdateResult(
       reused = (coveredKeys intersect liveKeys).size.toLong,
