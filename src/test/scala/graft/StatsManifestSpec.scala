@@ -296,6 +296,28 @@ class StatsManifestSpec extends AnyFunSuite {
     assert(scan2.where(col("p") === 3).count() === 3000L)
   }
 
+  test("format(\"graft-manifest\") reaches the pruned read path from the source API") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_fmt_").toString + "/t"
+    val df = (0 until 4000).map(i => (i.toLong, i % 7)).toDF("k", "m")
+    Layout.zorderWrite(df, Seq("k"), dir, 8)
+
+    val viaFormat = spark.read.format("graft-manifest").load(dir)
+    assert(viaFormat.where(col("k") === 123L).count() === 1L)
+    assert(viaFormat.count() === 4000L)
+    // the relation really is the manifest-pruned one: the scan's file
+    // index shows up in the plan as ManifestFileIndex
+    val plan = viaFormat.where(col("k") === 123L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ManifestFileIndex"), plan)
+    // and SQL DDL resolves the same short name
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW mfmt
+                 |USING `graft-manifest` OPTIONS (path '$dir')""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM mfmt WHERE k < 100")
+      .collect().head.getLong(0) === 100L)
+  }
+
   test("manifest dir is invisible to plain readers; manifest survives re-write") {
     import spark.implicits._
     val dir = java.nio.file.Files
