@@ -152,19 +152,27 @@ object NearDupStream {
     * replayed batch must see exactly the index state its original
     * attempt saw, never its own half-written appendix), only the
     * touched buckets, and within a bucket only compacted files whose
-    * k1 range intersects the batch's k1 values there. */
-  private[graft] def indexFilesFor(fs: FileSystem, indexDir: Path,
-      batchId: Long, touched: Map[Int, Array[Long]]): Seq[Path] =
+    * k1 range intersects the batch's k1 values there. Returns the
+    * statuses the per-bucket glob already fetched — callers read sizes
+    * off them instead of issuing one getFileStatus RPC per file. */
+  private[graft] def indexStatusesFor(fs: FileSystem, indexDir: Path,
+      batchId: Long, touched: Map[Int, Array[Long]])
+      : Seq[org.apache.hadoop.fs.FileStatus] =
     touched.toSeq.sortBy(_._1).flatMap { case (b, k1s) =>
       val st = fs.globStatus(new Path(indexDir, s"b=$b/*.parquet"))
       if (st == null) Seq.empty
-      else st.map(_.getPath).filter { p =>
-        fileBatchId(p.getName).exists(_ < batchId) &&
-          fileK1Range(p.getName).forall { case (lo, hi) =>
+      else st.filter { s =>
+        val n = s.getPath.getName
+        fileBatchId(n).exists(_ < batchId) &&
+          fileK1Range(n).forall { case (lo, hi) =>
             k1s.exists(v => v >= lo && v <= hi)
           }
       }.toSeq
     }
+
+  private[graft] def indexFilesFor(fs: FileSystem, indexDir: Path,
+      batchId: Long, touched: Map[Int, Array[Long]]): Seq[Path] =
+    indexStatusesFor(fs, indexDir, batchId, touched).map(_.getPath)
 
   /** The `floorBatchId` to adopt an existing index directory under a new
     * checkpoint: one past the highest batch id present (0 if empty).
@@ -262,9 +270,10 @@ object NearDupStream {
             val touched = bands.select(col("b"), col("k1")).distinct()
               .collect().map(r => (r.getInt(0), r.getLong(1)))
               .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
-            val idxFiles = indexFilesFor(fs, idxPath, batchId, touched)
+            val idxStatuses = indexStatusesFor(fs, idxPath, batchId, touched)
+            val idxFiles = idxStatuses.map(_.getPath)
             onReadStats(IndexReadStats(batchId, touched.size, idxFiles.size,
-              idxFiles.map(p => fs.getFileStatus(p).getLen).sum))
+              idxStatuses.map(_.getLen).sum))
             val index =
               if (idxFiles.isEmpty)
                 s.createDataFrame(s.sparkContext
