@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and delegates everything else to the default parser
     ext.injectParser((_, delegate) =>
       new graft.cep.MatchRecognizeParser(delegate))
+    // metadata-only aggregates over manifested scans: count/min/max from
+    // the stats manifest, zero scan tasks (ManifestMetadataOnly gates)
+    ext.injectOptimizerRule(_ => ManifestMetadataOnly)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,

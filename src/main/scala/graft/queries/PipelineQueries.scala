@@ -165,6 +165,71 @@ object PipelineQueries {
              |WHERE l_partkey < 400 ORDER BY 1, 2, 3""".stripMargin)),
 
     Query(
+      // Metadata-only aggregates (r9): a global count/min/max over the
+      // manifested layout folds to a LocalRelation — the manifest
+      // answers, ZERO scan tasks launch (ManifestMetadataOnlySpec pins
+      // the plan; this row pins that the folded answer equals DuckDB
+      // scanning the real rows). Temp dir keyed per sfDir, like
+      // q_layout_zorder_scan.
+      "q_manifest_agg",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_manifest_agg_" + java.security.MessageDigest
+            .getInstance("MD5").digest(d.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)).getAbsolutePath
+        graft.operators.Layout.zorderWrite(
+          li, Seq("l_orderkey", "l_partkey"), dir, 16)
+        graft.sources.StatsManifest.scan(s, dir)
+          .agg(count(lit(1)).as("n"),
+            min(col("l_orderkey")).as("min_ok"),
+            max(col("l_orderkey")).as("max_ok"),
+            min(col("l_partkey")).as("min_pk"),
+            max(col("l_partkey")).as("max_pk"),
+            count(col("l_quantity")).as("n_qty"))
+      },
+      Some("""SELECT COUNT(*) AS n,
+             |MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+             |MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+             |COUNT(l_quantity) AS n_qty FROM lineitem""".stripMargin)),
+
+    Query(
+      // Bloom-manifest point lookup (r9): digest = md5(text) is
+      // hash-scattered, so every file's [min,max] spans the hex domain
+      // and range stats prune NOTHING — the per-file bloom is what
+      // skips files (BloomManifestSpec pins selected ≪ total; this row
+      // pins the pruned answer against DuckDB). The probe digest is a
+      // 1-row driver lookup (control flow: a point-lookup literal, the
+      // same shape as Ops' id-range probe).
+      "q_bloom_point",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_bloom_point_" + java.security.MessageDigest
+            .getInstance("MD5").digest(d.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)).getAbsolutePath
+        docs.repartition(16).write.mode("overwrite").parquet(dir)
+        graft.sources.StatsManifest.write(s, dir,
+          Seq("digest"), Seq("digest"))
+        val probe = docs
+          .where(col("doc_id") === docs.agg(min(col("doc_id")))
+            .collect().head.getLong(0))
+          .select("digest").collect().head.getString(0)
+        graft.sources.StatsManifest.scan(s, dir)
+          .where(col("digest") === probe)
+          .select("doc_id", "source", "digest")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source, md5(text) AS digest FROM documents
+             |WHERE md5(text) = (SELECT md5(text) FROM documents
+             |  WHERE doc_id = (SELECT MIN(doc_id) FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
+
+    Query(
       "q_pipeline_curate",
       (s, d) => {
         flagged(t(s, d, "documents").select("doc_id", "source", "text"))

@@ -57,10 +57,16 @@ object StatsManifest {
 
   /** Per-file, per-column stats: [lo, hi] over non-null values in one of
     * the three order-exact domains, plus the non-null count. `lo`/`hi`
-    * are None for an all-null column. */
+    * are None for an all-null column. Dom 'B' = bloom-only (no range
+    * kept — the column's type has no order-exact stats domain). `bloom`,
+    * when non-null, is a per-file Bloom filter over `xxhash64(value)`
+    * ([[Bloom]]) — the equality-pruning complement to min/max for
+    * high-cardinality columns whose per-file range spans the whole
+    * domain (digests, hash-scattered ids). */
   final case class ColStats(dom: Char, lLo: Long = 0L, lHi: Long = 0L,
       dLo: Double = 0.0, dHi: Double = 0.0, sLo: String = null,
-      sHi: String = null, nonNull: Long = 0L, hasRange: Boolean = false)
+      sHi: String = null, nonNull: Long = 0L, hasRange: Boolean = false,
+      bloom: Array[Byte] = null)
 
   final case class FileStats(rows: Long, cols: Map[String, ColStats])
 
@@ -104,16 +110,120 @@ object StatsManifest {
       "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "").as("file")
   private[graft] def fileKey(p: Path): String = p.toUri.getPath
 
-  def write(spark: SparkSession, dir: String, statsCols: Seq[String]): Unit = {
-    val df = spark.read.parquet(dir)
-    val kept = statsCols.filter(c => domOf(df.schema(c).dataType).isDefined)
-    val aggs = count(lit(1)).as("rows") +: kept.flatMap { c =>
-      val dt = df.schema(c).dataType
+  // ---------------------------------------------------------------- //
+  //  Per-file Bloom filters (equality pruning)                        //
+  // ---------------------------------------------------------------- //
+
+  /** Bit math shared by the write-side aggregator and the read-side
+    * membership check. One 64-bit `xxhash64(value)` (seed 42 — Spark's
+    * default, so the pruner can recompute a literal's hash with the
+    * same built-in) splits Kirsch-Mitzenmacher-style into K=5 probe
+    * positions. Sizing: fpp ≈ (1 − e^(−K·n/m))^K for n distinct values
+    * per file and m bits — m ≈ 10·n gives ~1%; the default 2^16 bits
+    * (8 KB/file) covers ~6.5k distinct/file at 1%. A false positive
+    * only costs an unpruned file — never a wrong answer. */
+  private[graft] object Bloom {
+    val K = 5
+    def positions(h: Long, mBits: Int): Array[Int] = {
+      val h1 = (h & 0xffffffffL).toInt
+      val h2 = (((h >>> 32) | 1L) & 0xffffffffL).toInt // odd probe step
+      val out = new Array[Int](K)
+      var i = 0
+      while (i < K) {
+        val p = (h1.toLong + i.toLong * h2.toLong) % mBits
+        out(i) = ((p + mBits) % mBits).toInt
+        i += 1
+      }
+      out
+    }
+    def mayContain(bloom: Array[Byte], h: Long): Boolean =
+      positions(h, bloom.length * 8).forall(p =>
+        (bloom(p >> 3) & (1 << (p & 7))) != 0)
+  }
+
+  /** Spark `Aggregator` building one bloom per group (= per file) from
+    * `xxhash64` inputs: set-bits in a long-word buffer, merge = OR.
+    * Partition-parallel with map-side partials like any agg. */
+  final case class BloomAgg(mBits: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Array[Long], Array[Byte]] {
+    require(mBits >= 64 && mBits % 64 == 0, s"BloomAgg: mBits=$mBits")
+    override def zero: Array[Long] = new Array[Long](mBits / 64)
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      Bloom.positions(h, mBits).foreach(p => b(p >> 6) |= 1L << (p & 63))
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Byte] = {
+      // byte i = bits [8i, 8i+8) — little-endian within each word, so
+      // position p lives at byte p>>3, bit p&7 (Bloom.mayContain's view)
+      val out = new Array[Byte](b.length * 8)
+      var p = 0
+      while (p < out.length) {
+        out(p) = ((b(p >> 3) >>> ((p & 7) * 8)) & 0xff).toByte
+        p += 1
+      }
+      out
+    }
+    override def bufferEncoder
+        : org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder
+        : org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** `xxhash64` of a pushed-filter literal, computed with the SAME
+    * Catalyst expression the write side aggregates over — internal
+    * value + attribute type in, identical 64-bit hash out. */
+  private def hashLit(dt: DataType, v: Any): Long =
+    XxHash64(Seq(Literal(v, dt)), 42L).eval(null).asInstanceOf[Long]
+
+  /** The per-file agg columns for one manifest build: `rows`, range
+    * min/max per orderable stats column, non-null count per stats OR
+    * bloom column, one bloom per bloom column. Shared by [[write]] and
+    * the incremental [[update]] so both produce the same schema. */
+  private def statsAggs(schema: StructType, statsCols: Seq[String],
+      bloomCols: Seq[String], bloomBits: Int): Seq[Column] = {
+    val kept = statsCols.filter(c => domOf(schema(c).dataType).isDefined)
+    val cntCols = (kept ++ bloomCols).distinct
+    val ranges = kept.flatMap { c =>
+      val dt = schema(c).dataType
       val d = toDom(dt, col(c))
       val tag = domOf(dt).get.toLower
-      Seq(min(d).as(s"${tag}min__$c"), max(d).as(s"${tag}max__$c"),
-        count(col(c)).as(s"cnt__$c"))
+      Seq(min(d).as(s"${tag}min__$c"), max(d).as(s"${tag}max__$c"))
     }
+    val cnts = cntCols.map(c => count(col(c)).as(s"cnt__$c"))
+    val blooms = bloomCols.map { c =>
+      val agg = org.apache.spark.sql.functions.udaf(
+        BloomAgg(bloomBits), org.apache.spark.sql.Encoders.scalaLong)
+      agg(org.apache.spark.sql.functions.xxhash64(col(c)))
+        .as(s"bloom__$c")
+    }
+    count(lit(1)).as("rows") +: (ranges ++ cnts ++ blooms)
+  }
+
+  /** Manifest column names [[statsAggs]] produces (order-free set), for
+    * [[update]]'s reuse-compatibility check. */
+  private def expectedCols(schema: StructType, statsCols: Seq[String],
+      bloomCols: Seq[String]): Set[String] = {
+    val kept = statsCols.filter(c => domOf(schema(c).dataType).isDefined)
+    val cntCols = (kept ++ bloomCols).distinct
+    kept.flatMap { c =>
+      val tag = domOf(schema(c).dataType).get.toLower
+      Seq(s"${tag}min__$c", s"${tag}max__$c")
+    }.toSet ++ cntCols.map(c => s"cnt__$c") ++
+      bloomCols.map(c => s"bloom__$c") + "file" + "rows"
+  }
+
+  def write(spark: SparkSession, dir: String, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16): Unit = {
+    val df = spark.read.parquet(dir)
+    val aggs = statsAggs(df.schema, statsCols, bloomCols, bloomBits)
     df.groupBy(fileKeyCol)
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
@@ -146,7 +256,8 @@ object StatsManifest {
     * the same deterministic name. Stale stats are the one way a
     * conservative pruner goes wrong, so replacement is forced here. */
   def update(spark: SparkSession, dir: String, statsCols: Seq[String],
-      invalidate: Set[String] = Set.empty): UpdateResult = {
+      invalidate: Set[String] = Set.empty, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 16): UpdateResult = {
     val dirPath = new Path(dir)
     val fsys = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // recursive: Hive-partitioned layouts keep data files under p=… dirs;
@@ -168,21 +279,17 @@ object StatsManifest {
     val hasManifest = fsys.exists(mDir) &&
       fsys.listStatus(mDir).exists(_.getPath.getName.startsWith("part-"))
     if (!hasManifest) {
-      write(spark, dir, statsCols)
+      write(spark, dir, statsCols, bloomCols, bloomBits)
       return UpdateResult(0L, dataFiles.length.toLong, 0L)
     }
     val existing = spark.read.parquet(
       fsys.listStatus(mDir).map(_.getPath)
         .filter(_.getName.startsWith("part-")).map(_.toString).toIndexedSeq: _*)
     val df = spark.read.parquet(dir)
-    val kept = statsCols.filter(c => domOf(df.schema(c).dataType).isDefined)
-    val expectCols = kept.flatMap { c =>
-      val tag = domOf(df.schema(c).dataType).get.toLower
-      Seq(s"${tag}min__$c", s"${tag}max__$c", s"cnt__$c")
-    }.toSet + "file" + "rows"
-    if (existing.schema.fieldNames.toSet != expectCols) {
+    if (existing.schema.fieldNames.toSet !=
+        expectedCols(df.schema, statsCols, bloomCols)) {
       // column set changed → the old entries can't be reused
-      write(spark, dir, statsCols)
+      write(spark, dir, statsCols, bloomCols, bloomBits)
       return UpdateResult(0L, dataFiles.length.toLong, 0L)
     }
     val liveKeys = dataFiles.map(fileKey).toSet
@@ -206,13 +313,7 @@ object StatsManifest {
         // even though only the NEW files are listed explicitly
         val nd = spark.read.option("basePath", dir).schema(df.schema)
           .parquet(newPaths.map(_.toString).toIndexedSeq: _*)
-        val aggs = count(lit(1)).as("rows") +: kept.flatMap { c =>
-          val dt = df.schema(c).dataType
-          val d = toDom(dt, col(c))
-          val tag = domOf(dt).get.toLower
-          Seq(min(d).as(s"${tag}min__$c"), max(d).as(s"${tag}max__$c"),
-            count(col(c)).as(s"cnt__$c"))
-        }
+        val aggs = statsAggs(df.schema, statsCols, bloomCols, bloomBits)
         Some(nd.groupBy(fileKeyCol)
           .agg(aggs.head, aggs.tail: _*))
       }
@@ -245,34 +346,49 @@ object StatsManifest {
       .filter(_.getName.startsWith("part-")).map(_.toString)
     require(parts.nonEmpty, s"StatsManifest.read: no manifest under $mDir")
     val m = spark.read.parquet(parts.toIndexedSeq: _*)
-    val fields = m.schema.fieldNames
-    val statCols = fields.collect {
-      case f if f.startsWith("lmin__") => (f.stripPrefix("lmin__"), 'L')
-      case f if f.startsWith("dmin__") => (f.stripPrefix("dmin__"), 'D')
-      case f if f.startsWith("smin__") => (f.stripPrefix("smin__"), 'S')
+    val fields = m.schema.fieldNames.toSet
+    // every stats/bloom column carries a cnt__; the domain is whichever
+    // range pair exists for it ('B' = bloom-only, no range kept)
+    val statCols = m.schema.fieldNames.collect {
+      case f if f.startsWith("cnt__") =>
+        val c = f.stripPrefix("cnt__")
+        val dom =
+          if (fields(s"lmin__$c")) 'L'
+          else if (fields(s"dmin__$c")) 'D'
+          else if (fields(s"smin__$c")) 'S'
+          else 'B'
+        (c, dom)
     }
     m.collect().map { r =>
       val file = r.getAs[String]("file")
       val rows = r.getAs[Long]("rows")
       val cols = statCols.map { case (c, dom) =>
         val nn = r.getAs[Long](s"cnt__$c")
-        val (loI, hiI) = (r.fieldIndex(s"${dom.toLower}min__$c"),
-          r.fieldIndex(s"${dom.toLower}max__$c"))
-        val has = !r.isNullAt(loI)
-        val st = dom match {
-          case 'L' => ColStats('L',
-            lLo = if (has) r.getLong(loI) else 0L,
-            lHi = if (has) r.getLong(hiI) else 0L,
-            nonNull = nn, hasRange = has)
-          case 'D' => ColStats('D',
-            dLo = if (has) r.getDouble(loI) else 0.0,
-            dHi = if (has) r.getDouble(hiI) else 0.0,
-            nonNull = nn, hasRange = has)
-          case 'S' => ColStats('S',
-            sLo = if (has) r.getString(loI) else null,
-            sHi = if (has) r.getString(hiI) else null,
-            nonNull = nn, hasRange = has)
-        }
+        val bloom =
+          if (fields(s"bloom__$c") && !r.isNullAt(r.fieldIndex(s"bloom__$c")))
+            r.getAs[Array[Byte]](s"bloom__$c")
+          else null
+        val st =
+          if (dom == 'B') ColStats('B', nonNull = nn, bloom = bloom)
+          else {
+            val (loI, hiI) = (r.fieldIndex(s"${dom.toLower}min__$c"),
+              r.fieldIndex(s"${dom.toLower}max__$c"))
+            val has = !r.isNullAt(loI)
+            dom match {
+              case 'L' => ColStats('L',
+                lLo = if (has) r.getLong(loI) else 0L,
+                lHi = if (has) r.getLong(hiI) else 0L,
+                nonNull = nn, hasRange = has, bloom = bloom)
+              case 'D' => ColStats('D',
+                dLo = if (has) r.getDouble(loI) else 0.0,
+                dHi = if (has) r.getDouble(hiI) else 0.0,
+                nonNull = nn, hasRange = has, bloom = bloom)
+              case 'S' => ColStats('S',
+                sLo = if (has) r.getString(loI) else null,
+                sHi = if (has) r.getString(hiI) else null,
+                nonNull = nn, hasRange = has, bloom = bloom)
+            }
+          }
         c -> st
       }.toMap
       file -> FileStats(rows, cols)
@@ -326,13 +442,27 @@ object StatsManifest {
     * comparison semantics, so double ranges stay conservative. */
   private[graft] def mayMatch(e: Expression, fs: FileStats): Boolean = {
     def st(a: Attribute): Option[ColStats] = fs.cols.get(a.name)
-    // in-range: some non-null value could equal v
+    // bloom refutation: definitely-absent hash → no row equals v. A
+    // literal whose runtime type mismatches the attribute (a Catalyst
+    // cast we didn't see through) fails the hash eval → keep.
+    def bloomOk(a: Attribute, s: ColStats, v: Any): Boolean =
+      s.bloom == null ||
+        (try Bloom.mayContain(s.bloom, hashLit(a.dataType, v))
+        catch { case _: Exception => true })
+    // in-range AND in-bloom: some non-null value could equal v. A
+    // bloom-only column ('B') has no range — nonNull==0 is the all-null
+    // signal there (range-domain columns keep hasRange ⟺ nonNull>0).
     def eqRange(a: Attribute, v: Any): Boolean = st(a) match {
       case Some(s) =>
-        if (!s.hasRange) false // all nulls: = never matches
-        else (cmpLo(s, v), cmpHi(s, v)) match {
-          case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0
-          case _ => true
+        if (s.nonNull == 0) false // all nulls: = never matches
+        else {
+          val inRange =
+            if (!s.hasRange) s.dom == 'B' // range-less non-'B' = all null
+            else (cmpLo(s, v), cmpHi(s, v)) match {
+              case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0
+              case _ => true
+            }
+          inRange && bloomOk(a, s, v)
         }
       case None => true
     }
@@ -411,7 +541,7 @@ object StatsManifest {
     * pruned files never become tasks. `selected`/`total` record the
     * last listing for specs and SCALE.md. */
   final class ManifestFileIndex(inner: InMemoryFileIndex,
-      stats: Map[String, FileStats]) extends FileIndex {
+      val stats: Map[String, FileStats]) extends FileIndex {
     val selected = new AtomicLong(-1L)
     val total = new AtomicLong(-1L)
 

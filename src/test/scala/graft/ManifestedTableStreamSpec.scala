@@ -36,13 +36,19 @@ class ManifestedTableStreamSpec extends AnyFunSuite {
       }
     } finally { q.stop(); q.awaitTermination() }
 
+    // bare count() folds METADATA-ONLY from the live manifest — zero
+    // scan tasks on an actively-ingesting table (ManifestMetadataOnly)
     val (scan, idx) = StatsManifest.scanWithIndex(spark, dir)
     assert(scan.count() === 4000L)
+    assert(idx.total.get() === -1L, "metadata-only count listed files")
+    // an un-manifested-column filter forces the listing path: every row
+    val (scanAll, idxAll) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scanAll.where(col("v") >= 0L).count() === 4000L)
+    assert(idxAll.total.get() >= 4L)
     val (scan2, idx2) = StatsManifest.scanWithIndex(spark, dir)
     assert(scan2.where(col("k") < 1000L).count() === 1000L)
     assert(idx2.selected.get() < idx2.total.get(),
       s"live table admitted ${idx2.selected.get()} of ${idx2.total.get()}")
-    assert(idx.total.get() >= 4L)
   }
 
   test("a replayed batch's rewritten files get FRESH stats, not stale reuse") {

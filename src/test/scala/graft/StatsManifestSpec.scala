@@ -145,8 +145,11 @@ class StatsManifestSpec extends AnyFunSuite {
     Layout.zorderWrite(df, Seq("k"), dir, 8)
 
     val (scan, idx) = StatsManifest.scanWithIndex(spark, dir)
-    assert(scan.count() === 4000L)
+    // collect, not count: a bare count() folds metadata-only and would
+    // never touch the listing this test is about
+    assert(scan.collect().length === 4000)
     assert(idx.selected.get() === idx.total.get())
+    assert(idx.total.get() === 8L)
 
     // m has no manifest stats → conservative keep-all, same answer
     val (scan2, idx2) = StatsManifest.scanWithIndex(spark, dir)
@@ -202,7 +205,10 @@ class StatsManifestSpec extends AnyFunSuite {
     val r2 = StatsManifest.update(spark, dir, Seq("k"))
     assert(r2.scanned === 0L && r2.dropped === 1L && r2.reused === 5L)
     val (scan2, idx2) = StatsManifest.scanWithIndex(spark, dir)
-    assert(scan2.count() === spark.read.parquet(dir).count())
+    // a bare count() now folds metadata-only (ManifestMetadataOnlySpec)
+    // and never lists files — the filtered count exercises the listing
+    assert(scan2.where(col("k") >= 0L).count() ===
+      spark.read.parquet(dir).count())
     assert(idx2.total.get() === 5L)
 
     // a full overwrite deletes dir + manifest wholesale → rebuild path
