@@ -230,6 +230,35 @@ object PipelineQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     Query(
+      // Time travel (r9): manifest versions are immutable atomic
+      // commits, so a SNAPSHOT read reproduces the table AS OF an
+      // earlier version. v1 = the real lineitem; then junk rows are
+      // appended and the manifest updated (v2); the snapshot at v1 must
+      // equal DuckDB scanning the ORIGINAL table — the junk is
+      // invisible (ManifestVersionsSpec pins the mechanics: atomic
+      // rename commits, race retry, retention).
+      "q_time_travel",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_time_travel_" + java.security.MessageDigest
+            .getInstance("MD5").digest(d.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)).getAbsolutePath
+        li.repartition(8).write.mode("overwrite").parquet(dir)
+        graft.sources.StatsManifest.write(s, dir, Seq("l_orderkey"))
+        val v1 = graft.sources.StatsManifest.versions(s, dir).last
+        li.limit(50).withColumn("l_quantity", lit(-999.0))
+          .write.mode("append").parquet(dir)
+        graft.sources.StatsManifest.update(s, dir, Seq("l_orderkey"))
+        graft.sources.StatsManifest.scanAtVersion(s, dir, v1)._1
+          .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Query(
       "q_pipeline_curate",
       (s, d) => {
         flagged(t(s, d, "documents").select("doc_id", "source", "text"))

@@ -220,15 +220,98 @@ object StatsManifest {
       bloomCols.map(c => s"bloom__$c") + "file" + "rows"
   }
 
+  // ---------------------------------------------------------------- //
+  //  Versioned commits: snapshot isolation + time travel              //
+  // ---------------------------------------------------------------- //
+
+  /** Manifest versions are immutable directories
+    * `_graft_manifest/v%06d/part-*.parquet`, committed by ATOMIC rename
+    * from a hidden staging dir — a reader listing versions sees each
+    * one fully formed or not at all, so the old "overwrite briefly
+    * unlists the manifest" maintenance window is gone: readers resolve
+    * max(version) and never observe a half-written state. Concurrent
+    * writers race the rename; the loser's rename fails (the target
+    * exists) and it retries with the next number — optimistic
+    * single-winner commits on a plain FileSystem, the same shape as a
+    * lakehouse log's conditional put. Old versions are retained for
+    * snapshot reads ([[scanAtVersion]]) until [[expire]]d; note that
+    * `Layout.optimize` DELETES replaced data files, which invalidates
+    * snapshots that reference them (exactly like VACUUM vs time
+    * travel). Pre-versioning manifests (`part-*` directly under
+    * `_graft_manifest`) still resolve as a legacy fallback. */
+  private val VersionRe = """^v(\d{6})$""".r
+
+  /** Committed manifest versions under `dir`, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(mDir)) Seq.empty
+    else fsys.listStatus(mDir).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case VersionRe(n) => Some(n.toLong)
+          case _ => None
+        }
+    }.flatten.sorted
+  }
+
+  /** Stage `manifest` under a hidden dir, then commit it as the next
+    * version via atomic rename. Returns the committed version. */
+  private def commitVersion(spark: SparkSession, dir: String,
+      manifest: DataFrame): Long = {
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(mDir, s".stage-${java.util.UUID.randomUUID()}")
+    manifest.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    var v = versions(spark, dir).lastOption.getOrElse(0L) + 1
+    var attempts = 0
+    while (!fsys.rename(stage, new Path(mDir, f"v$v%06d"))) {
+      attempts += 1
+      require(attempts < 1000 && fsys.exists(stage),
+        s"StatsManifest: could not commit a manifest version under $mDir")
+      v += 1 // lost the race for v — try the next slot
+    }
+    v
+  }
+
+  /** Part files of the resolvable manifest: the LATEST version dir, or
+    * the legacy unversioned layout, or None (no manifest). */
+  private def resolveParts(fsys: org.apache.hadoop.fs.FileSystem,
+      mDir: Path): Option[Seq[Path]] = {
+    if (!fsys.exists(mDir)) return None
+    val sts = fsys.listStatus(mDir)
+    val vs = sts.filter(st => st.isDirectory &&
+      VersionRe.findFirstIn(st.getPath.getName).isDefined)
+    val parts =
+      if (vs.nonEmpty) {
+        val latest = vs.maxBy(_.getPath.getName)
+        fsys.listStatus(latest.getPath).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).toSeq
+      } else
+        sts.map(_.getPath).filter(_.getName.startsWith("part-")).toSeq
+    if (parts.nonEmpty) Some(parts) else None
+  }
+
+  /** Drop all but the newest `keep` versions; returns how many were
+    * deleted. Snapshots at expired versions become unreadable — run on
+    * the retention cadence the deployment's time-travel window needs. */
+  def expire(spark: SparkSession, dir: String, keep: Int): Int = {
+    require(keep >= 1, s"expire: keep=$keep")
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versions(spark, dir)
+    val drop = vs.dropRight(keep)
+    drop.foreach(v => fsys.delete(new Path(mDir, f"v$v%06d"), true))
+    drop.length
+  }
+
   def write(spark: SparkSession, dir: String, statsCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16): Unit = {
     val df = spark.read.parquet(dir)
     val aggs = statsAggs(df.schema, statsCols, bloomCols, bloomBits)
-    df.groupBy(fileKeyCol)
-      .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode("overwrite")
-      .parquet(new Path(dir, ManifestDir).toString)
+    commitVersion(spark, dir,
+      df.groupBy(fileKeyCol).agg(aggs.head, aggs.tail: _*))
+    ()
   }
 
   /** Result of an incremental [[update]]: how many file entries were
@@ -276,15 +359,13 @@ object StatsManifest {
       out.toArray
     }
     val mDir = new Path(dir, ManifestDir)
-    val hasManifest = fsys.exists(mDir) &&
-      fsys.listStatus(mDir).exists(_.getPath.getName.startsWith("part-"))
-    if (!hasManifest) {
+    val existingParts = resolveParts(fsys, mDir)
+    if (existingParts.isEmpty) {
       write(spark, dir, statsCols, bloomCols, bloomBits)
       return UpdateResult(0L, dataFiles.length.toLong, 0L)
     }
     val existing = spark.read.parquet(
-      fsys.listStatus(mDir).map(_.getPath)
-        .filter(_.getName.startsWith("part-")).map(_.toString).toIndexedSeq: _*)
+      existingParts.get.map(_.toString).toIndexedSeq: _*)
     val df = spark.read.parquet(dir)
     if (existing.schema.fieldNames.toSet !=
         expectedCols(df.schema, statsCols, bloomCols)) {
@@ -328,7 +409,7 @@ object StatsManifest {
       .getOrElse(Array.empty)
     val mergedDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), existing.schema)
-    mergedDf.coalesce(1).write.mode("overwrite").parquet(mDir.toString)
+    commitVersion(spark, dir, mergedDf)
     UpdateResult(
       reused = (coveredKeys intersect liveKeys).size.toLong,
       scanned = newPaths.length.toLong,
@@ -342,10 +423,28 @@ object StatsManifest {
   def read(spark: SparkSession, dir: String): Map[String, FileStats] = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fsys.listStatus(mDir).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).map(_.toString)
-    require(parts.nonEmpty, s"StatsManifest.read: no manifest under $mDir")
-    val m = spark.read.parquet(parts.toIndexedSeq: _*)
+    val parts = resolveParts(fsys, mDir).getOrElse(
+      throw new IllegalStateException(
+        s"StatsManifest.read: no manifest under $mDir"))
+    readParts(spark, parts)
+  }
+
+  /** The manifest exactly as version `v` committed it — the stats (and
+    * file set) of a historical snapshot. */
+  def readAt(spark: SparkSession, dir: String,
+      version: Long): Map[String, FileStats] = {
+    val vDir = new Path(new Path(dir, ManifestDir), f"v$version%06d")
+    val fsys = vDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fsys.exists(vDir),
+      s"StatsManifest.readAt: version $version does not exist (expired?)")
+    readParts(spark, fsys.listStatus(vDir).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).toSeq)
+  }
+
+  private def readParts(spark: SparkSession,
+      parts: Seq[Path]): Map[String, FileStats] = {
+    require(parts.nonEmpty, "StatsManifest: empty manifest version")
+    val m = spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
     val fields = m.schema.fieldNames.toSet
     // every stats/bloom column carries a cnt__; the domain is whichever
     // range pair exists for it ('B' = bloom-only, no range kept)
@@ -541,12 +640,20 @@ object StatsManifest {
     * pruned files never become tasks. `selected`/`total` record the
     * last listing for specs and SCALE.md. */
   final class ManifestFileIndex(inner: InMemoryFileIndex,
-      val stats: Map[String, FileStats]) extends FileIndex {
+      val stats: Map[String, FileStats],
+      /** snapshot reads: only these file keys exist for this scan —
+        * files appended after the snapshot's manifest version are
+        * invisible, exactly like reading a lakehouse table AS OF. */
+      val allow: Option[Set[String]] = None) extends FileIndex {
     val selected = new AtomicLong(-1L)
     val total = new AtomicLong(-1L)
 
     override def rootPaths: Seq[Path] = inner.rootPaths
-    override def inputFiles: Array[String] = inner.inputFiles
+    override def inputFiles: Array[String] = allow match {
+      case Some(keys) =>
+        inner.inputFiles.filter(f => keys.contains(fileKey(new Path(f))))
+      case None => inner.inputFiles
+    }
     override def refresh(): Unit = inner.refresh()
     override def sizeInBytes: Long = inner.sizeInBytes
     override def partitionSchema: StructType = inner.partitionSchema
@@ -558,11 +665,15 @@ object StatsManifest {
       var sel = 0L
       val pruned = dirs.map { pd =>
         val kept = pd.files.filter { f =>
-          tot += 1
-          val keep = stats.get(fileKey(f.getPath))
-            .forall(fs => dataFilters.forall(mayMatch(_, fs)))
-          if (keep) sel += 1
-          keep
+          val k = fileKey(f.getPath)
+          if (!allow.forall(_.contains(k))) false
+          else {
+            tot += 1
+            val keep = stats.get(k)
+              .forall(fs => dataFilters.forall(mayMatch(_, fs)))
+            if (keep) sel += 1
+            keep
+          }
         }
         pd.copy(files = kept)
       }
@@ -580,6 +691,39 @@ object StatsManifest {
     * still prune row groups inside the surviving files. */
   def scanWithIndex(spark: SparkSession,
       dir: String): (DataFrame, ManifestFileIndex) = {
+    // no manifest (not yet written) → empty stats map → every file
+    // kept: a scan is never WRONG for lack of a manifest, only
+    // unpruned. (Versioned commits mean a reader never observes a
+    // half-written manifest — it resolves the latest COMMITTED version.)
+    val stats =
+      try read(spark, dir)
+      catch { case _: Exception => Map.empty[String, FileStats] }
+    buildScan(spark, dir, stats, allow = None)
+  }
+
+  /** SNAPSHOT read: the table AS OF manifest version `version` — the
+    * scan sees exactly the files that version's manifest recorded
+    * (later appends are invisible) with that version's stats pruning
+    * them. Fails fast when retention has deleted a referenced data
+    * file (`Layout.optimize` replaces files; [[expire]] bounds how far
+    * back snapshots reach — the VACUUM/time-travel trade). */
+  def scanAtVersion(spark: SparkSession, dir: String,
+      version: Long): (DataFrame, ManifestFileIndex) = {
+    val stats = readAt(spark, dir, version)
+    val (df, idx) = buildScan(spark, dir, stats,
+      allow = Some(stats.keySet))
+    val listed = idx.inputFiles
+      .map(f => fileKey(new Path(f))).toSet
+    val missing = stats.keySet -- listed
+    require(missing.isEmpty,
+      s"scanAtVersion: ${missing.size} data files of version $version no " +
+        s"longer exist (compacted or expired); e.g. ${missing.head}")
+    (df, idx)
+  }
+
+  private def buildScan(spark: SparkSession, dir: String,
+      stats: Map[String, FileStats],
+      allow: Option[Set[String]]): (DataFrame, ManifestFileIndex) = {
     val fullSchema = spark.read.parquet(dir).schema
     val inner = new InMemoryFileIndex(spark, Seq(new Path(dir)),
       Map.empty[String, String], Some(fullSchema),
@@ -587,13 +731,7 @@ object StatsManifest {
     val partSchema = inner.partitionSchema
     val dataSchema = StructType(
       fullSchema.filterNot(f => partSchema.fieldNames.contains(f.name)))
-    // no manifest (not yet written, or mid-overwrite by a concurrent
-    // update) → empty stats map → every file kept: a scan is never
-    // WRONG for lack of a manifest, only unpruned
-    val stats =
-      try read(spark, dir)
-      catch { case _: Exception => Map.empty[String, FileStats] }
-    val idx = new ManifestFileIndex(inner, stats)
+    val idx = new ManifestFileIndex(inner, stats, allow)
     val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -1313,7 +1313,8 @@ object Streams {
     * O(table). */
   def appendToManifestedTable(spark: SparkSession, stream: DataFrame,
       dir: String, statsCols: Seq[String], triggerMs: Long = 500L,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      manifestVersionsToKeep: Int = 16): StreamingQuery = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dirPath)
@@ -1324,11 +1325,16 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val written = IterativeStream.writeFeedback(
           fs, dirPath, stagingRoot, batchId, batch, prefix = "tb")
-        if (written.nonEmpty)
+        if (written.nonEmpty) {
           graft.sources.StatsManifest.update(batch.sparkSession, dir,
             statsCols,
             invalidate = written
               .map(graft.sources.StatsManifest.fileKey).toSet)
+          // each batch commits one manifest version; keep a bounded
+          // time-travel window rather than a version per batch forever
+          graft.sources.StatsManifest.expire(batch.sparkSession, dir,
+            manifestVersionsToKeep)
+        }
         ()
       }
     checkpointDir.foreach(writer.option("checkpointLocation", _))
