@@ -180,8 +180,14 @@ object PipelineQueries {
           "graft_manifest_agg_" + java.security.MessageDigest
             .getInstance("MD5").digest(d.getBytes("UTF-8"))
             .map("%02x".format(_)).mkString.take(12)).getAbsolutePath
-        graft.operators.Layout.zorderWrite(
-          li, Seq("l_orderkey", "l_partkey"), dir, 16)
+        // stats cols ⊋ cluster cols: l_quantity gets manifest stats too,
+        // so count(l_quantity) folds along with the rest — a column
+        // missing stats would (correctly) disable the whole rewrite
+        graft.operators.Layout.zorder(
+          li, Seq("l_orderkey", "l_partkey"), 16)
+          .write.mode("overwrite").parquet(dir)
+        graft.sources.StatsManifest.write(s, dir,
+          Seq("l_orderkey", "l_partkey", "l_quantity"))
         graft.sources.StatsManifest.scan(s, dir)
           .agg(count(lit(1)).as("n"),
             min(col("l_orderkey")).as("min_ok"),

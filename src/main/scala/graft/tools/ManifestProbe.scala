@@ -82,8 +82,51 @@ object ManifestProbe {
         f""""sec_pruned":$tPruned%.3f,"sec_plain":$tPlain%.3f}"""
     }
 
+    // Bloom point-lookup section: digest = md5(comment) is
+    // hash-scattered, so per-file [min,max] spans the hex domain and
+    // range stats refute nothing — the per-file bloom is the only
+    // layer that can skip files for a point predicate.
+    val bloomEntry = {
+      val rows = graft.engine.Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), md5(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"))).as("digest"))
+      val bdir = new java.io.File("target/manifestprobe/bloom")
+        .getAbsolutePath
+      rows.repartition(p).write.mode("overwrite").parquet(bdir)
+      val tb = System.nanoTime()
+      StatsManifest.write(spark, bdir, Seq("digest"), Seq("digest"))
+      val bloomWriteSec = (System.nanoTime() - tb) / 1e9
+      val probe = rows.orderBy("l_orderkey").limit(1)
+        .select("digest").collect().head.getString(0)
+      def onceB(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val agg = df.where(col("digest") === probe)
+          .agg(count(lit(1)), sum("l_orderkey"))
+        val t = System.nanoTime()
+        agg.collect()
+        ((System.nanoTime() - t) / 1e9,
+          graft.engine.Observe.nodeMetrics(agg).collectFirst {
+            case (n, m, v) if n.contains("Scan") &&
+              m == "number of files read" => v
+          }.getOrElse(-1L))
+      }
+      val (scanDf, idx) = StatsManifest.scanWithIndex(spark, bdir)
+      onceB(scanDf) // warm
+      val prunedRuns = Seq.fill(3)(onceB(scanDf))
+      val plain = spark.read.parquet(bdir)
+      onceB(plain)
+      val plainRuns = Seq.fill(3)(onceB(plain))
+      f""""bloom_point":{"manifest_selected":${idx.selected.get()},""" +
+        f""""manifest_total":${idx.total.get()},""" +
+        f""""files_pruned":${prunedRuns.head._2},""" +
+        f""""files_plain":${plainRuns.head._2},""" +
+        f""""bloom_write_sec":$bloomWriteSec%.1f,""" +
+        f""""sec_pruned":${prunedRuns.map(_._1).min}%.3f,""" +
+        f""""sec_plain":${plainRuns.map(_._1).min}%.3f}"""
+    }
+
     val line = s"""{"sf":"$sfDir","files":$p,""" +
-      f""""zorder_write_sec":$writeSec%.1f,${entries.mkString(",")}}"""
+      f""""zorder_write_sec":$writeSec%.1f,${entries.mkString(",")},""" +
+      bloomEntry + "}"
     val out = new java.io.File("target/manifestprobe.json")
     val w = new java.io.PrintWriter(out, "UTF-8")
     try w.println(line) finally w.close()
