@@ -128,6 +128,25 @@ object ManifestMetadataOnly extends Rule[LogicalPlan] {
         }
       }
 
+    // exact long SUM for integral columns: order-free accumulation, so
+    // the fold equals the scan exactly; double sums are order-sensitive
+    // at ulp level and never folded. The fold adds with Math.addExact
+    // and BAILS on overflow — under ANSI (Spark 4's default) the scan
+    // raises there, under TRY it nulls, so the overflow edge is always
+    // left to the scan's own semantics.
+    def sumOf(a: Attribute): Option[Any] = a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        colStats(a).flatMap { sts =>
+          val contributing = sts.filter(_.nonNull > 0)
+          if (contributing.exists(!_.hasSum)) None // pre-sum manifest
+          else if (contributing.isEmpty) Some(null)
+          else
+            try Some(contributing.map(_.lSum).reduce(Math.addExact(_, _)))
+            catch { case _: ArithmeticException => None }
+        }
+      case _ => None
+    }
+
     def aggValue(ae: AggregateExpression): Option[Any] = ae match {
       case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
           if l.value != null =>
@@ -138,6 +157,9 @@ object ManifestMetadataOnly extends Rule[LogicalPlan] {
         extreme(a, wantMin = true)
       case AggregateExpression(Max(a: Attribute), _, _, None, _) =>
         extreme(a, wantMin = false)
+      case AggregateExpression(Sum(a: Attribute, mode), _, false, None, _)
+          if mode != EvalMode.TRY =>
+        sumOf(a)
       case _ => None
     }
 
@@ -152,11 +174,16 @@ object ManifestMetadataOnly extends Rule[LogicalPlan] {
       }
     }
     if (!ok || folded.exists(_.references.nonEmpty)) return None
-    val row = InternalRow.fromSeq(folded.map {
-      case Alias(child, _) => child.eval(InternalRow.empty)
-      case e => e.eval(InternalRow.empty)
-    })
-    Some(LocalRelation(aggExprs.map(_.toAttribute), Seq(row)))
+    // anything reference-free yet unevaluable at the driver (e.g. a
+    // scalar subquery riding next to the aggregates) → leave the plan
+    // alone rather than failing optimization
+    try {
+      val row = InternalRow.fromSeq(folded.map {
+        case Alias(child, _) => child.eval(InternalRow.empty)
+        case e => e.eval(InternalRow.empty)
+      })
+      Some(LocalRelation(aggExprs.map(_.toAttribute), Seq(row)))
+    } catch { case _: Exception => None }
   }
 
   private def longDomOk(dt: DataType): Boolean = dt match {

@@ -194,11 +194,13 @@ object PipelineQueries {
             max(col("l_orderkey")).as("max_ok"),
             min(col("l_partkey")).as("min_pk"),
             max(col("l_partkey")).as("max_pk"),
+            sum(col("l_partkey")).as("sum_pk"),
             count(col("l_quantity")).as("n_qty"))
       },
       Some("""SELECT COUNT(*) AS n,
              |MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
              |MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+             |CAST(SUM(l_partkey) AS BIGINT) AS sum_pk,
              |COUNT(l_quantity) AS n_qty FROM lineitem""".stripMargin)),
 
     Query(

@@ -1,25 +1,38 @@
 package graft.sources
 
-import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  RelationProvider}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.sources.{BaseRelation,
+  CreatableRelationProvider, DataSourceRegister, RelationProvider}
 
-/** `spark.read.format(...)` facade over [[StatsManifest.scan]], so the
-  * manifest-pruned read path is reachable from the generic source API
-  * and SQL DDL — not just the Scala helper:
+/** `spark.read.format(...)` / `df.write.format(...)` facade over the
+  * stats-manifest table layout, so the pruned read path AND the
+  * manifest-maintaining write path are reachable from the generic
+  * source API and SQL DDL — not just the Scala helpers:
   *
   * {{{
   *   spark.read.format("graft-manifest").load(dir)
+  *   df.write.format("graft-manifest")
+  *     .option("zorderBy", "a,b")      // optional: cluster on write
+  *     .option("statsCols", "a,b,c")   // default: zorderBy
+  *     .option("bloomCols", "digest")  // optional: equality blooms
+  *     .option("numFiles", "64")       // with zorderBy
+  *     .mode("overwrite").save(dir)    // or append → incremental update
   *   // or: CREATE TABLE t USING `graft-manifest` OPTIONS (path '<dir>')
   * }}}
   *
-  * The relation is the same `HadoopFsRelation` + `ManifestFileIndex`
-  * pair `scan` builds — FileSourceStrategy hands it the pushed data
-  * filters at planning time and files the stats refute never become
-  * tasks. Reference analogue: the pluggable-source registration surface
-  * (`flink-table-common/.../factories/DynamicTableSourceFactory.java`),
-  * where a factory id in DDL resolves to the connector. */
-final class ManifestSource extends RelationProvider with DataSourceRegister {
+  * The read relation is the same `HadoopFsRelation` + `ManifestFileIndex`
+  * pair `StatsManifest.scan` builds — FileSourceStrategy hands it the
+  * pushed data filters at planning time and files the stats refute never
+  * become tasks. Writes land as plain parquet plus a VERSIONED manifest
+  * commit: `overwrite` rewrites the directory (z-ordered when `zorderBy`
+  * is given) and computes fresh stats; `append` adds files and
+  * reconciles the manifest INCREMENTALLY (only the new files scan).
+  * Reference analogue: the pluggable-source registration surface
+  * (`flink-table-common/.../factories/DynamicTableSourceFactory.java` +
+  * `DynamicTableSinkFactory.java`), where a factory id in DDL resolves
+  * to both halves of a connector. */
+final class ManifestSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
 
@@ -36,5 +49,47 @@ final class ManifestSource extends RelationProvider with DataSourceRegister {
       }
       .getOrElse(throw new IllegalStateException(
         "graft-manifest: scan did not produce a file relation"))
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-manifest: 'path' option required"))
+    def cols(k: String): Seq[String] = parameters.get(k)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val zorderBy = cols("zorderBy")
+    val statsCols = {
+      val s = cols("statsCols")
+      if (s.nonEmpty) s else zorderBy
+    }
+    val bloomCols = cols("bloomCols")
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "graft-manifest write: set at least one of zorderBy / statsCols / " +
+        "bloomCols — a manifested table needs columns to keep stats for")
+    mode match {
+      case SaveMode.Overwrite =>
+        val out =
+          if (zorderBy.nonEmpty) {
+            val n = parameters.get("numFiles").map(_.toInt)
+              .getOrElse(data.rdd.getNumPartitions.max(1))
+            graft.operators.Layout.zorder(data, zorderBy, n)
+          } else data
+        out.write.mode(SaveMode.Overwrite).parquet(path)
+        StatsManifest.write(spark, path, statsCols, bloomCols)
+      case SaveMode.Append =>
+        // appends never re-cluster (that is Layout.optimize's job) and
+        // never rescan the table: only the new files get stats
+        data.write.mode(SaveMode.Append).parquet(path)
+        StatsManifest.update(spark, path, statsCols,
+          bloomCols = bloomCols)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-manifest write: SaveMode $other not supported " +
+            "(use overwrite or append)")
+    }
+    createRelation(sqlContext, parameters)
   }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.datasources.{
   PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{col, count, lit, max, min,
-  regexp_replace, unix_date, unix_micros}
+  regexp_replace, sum, unix_date, unix_micros}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -66,7 +66,12 @@ object StatsManifest {
   final case class ColStats(dom: Char, lLo: Long = 0L, lHi: Long = 0L,
       dLo: Double = 0.0, dHi: Double = 0.0, sLo: String = null,
       sHi: String = null, nonNull: Long = 0L, hasRange: Boolean = false,
-      bloom: Array[Byte] = null)
+      bloom: Array[Byte] = null,
+      /** exact long sum over non-null values — kept for INTEGRAL
+        * columns only (order-free, so a metadata-only SUM is
+        * bit-identical to the scan; double sums are order-sensitive at
+        * ulp level and are deliberately NOT kept). */
+      lSum: Long = 0L, hasSum: Boolean = false)
 
   final case class FileStats(rows: Long, cols: Map[String, ColStats])
 
@@ -187,6 +192,13 @@ object StatsManifest {
     * min/max per orderable stats column, non-null count per stats OR
     * bloom column, one bloom per bloom column. Shared by [[write]] and
     * the incremental [[update]] so both produce the same schema. */
+  /** Integral types whose exact long sum the manifest keeps (order-free
+    * accumulation, wrap-consistent with Spark's own non-ANSI long sum). */
+  private def sumable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   private def statsAggs(schema: StructType, statsCols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int): Seq[Column] = {
     val kept = statsCols.filter(c => domOf(schema(c).dataType).isDefined)
@@ -197,6 +209,8 @@ object StatsManifest {
       val tag = domOf(dt).get.toLower
       Seq(min(d).as(s"${tag}min__$c"), max(d).as(s"${tag}max__$c"))
     }
+    val sums = kept.filter(c => sumable(schema(c).dataType))
+      .map(c => sum(col(c).cast("long")).as(s"sum__$c"))
     val cnts = cntCols.map(c => count(col(c)).as(s"cnt__$c"))
     val blooms = bloomCols.map { c =>
       val agg = org.apache.spark.sql.functions.udaf(
@@ -204,7 +218,7 @@ object StatsManifest {
       agg(org.apache.spark.sql.functions.xxhash64(col(c)))
         .as(s"bloom__$c")
     }
-    count(lit(1)).as("rows") +: (ranges ++ cnts ++ blooms)
+    count(lit(1)).as("rows") +: (ranges ++ sums ++ cnts ++ blooms)
   }
 
   /** Manifest column names [[statsAggs]] produces (order-free set), for
@@ -216,7 +230,9 @@ object StatsManifest {
     kept.flatMap { c =>
       val tag = domOf(schema(c).dataType).get.toLower
       Seq(s"${tag}min__$c", s"${tag}max__$c")
-    }.toSet ++ cntCols.map(c => s"cnt__$c") ++
+    }.toSet ++
+      kept.filter(c => sumable(schema(c).dataType)).map(c => s"sum__$c") ++
+      cntCols.map(c => s"cnt__$c") ++
       bloomCols.map(c => s"bloom__$c") + "file" + "rows"
   }
 
@@ -467,6 +483,9 @@ object StatsManifest {
           if (fields(s"bloom__$c") && !r.isNullAt(r.fieldIndex(s"bloom__$c")))
             r.getAs[Array[Byte]](s"bloom__$c")
           else null
+        val hasSum = fields(s"sum__$c") &&
+          !r.isNullAt(r.fieldIndex(s"sum__$c"))
+        val lSum = if (hasSum) r.getAs[Long](s"sum__$c") else 0L
         val st =
           if (dom == 'B') ColStats('B', nonNull = nn, bloom = bloom)
           else {
@@ -477,7 +496,8 @@ object StatsManifest {
               case 'L' => ColStats('L',
                 lLo = if (has) r.getLong(loI) else 0L,
                 lHi = if (has) r.getLong(hiI) else 0L,
-                nonNull = nn, hasRange = has, bloom = bloom)
+                nonNull = nn, hasRange = has, bloom = bloom,
+                lSum = lSum, hasSum = hasSum)
               case 'D' => ColStats('D',
                 dLo = if (has) r.getDouble(loI) else 0.0,
                 dHi = if (has) r.getDouble(hiI) else 0.0,

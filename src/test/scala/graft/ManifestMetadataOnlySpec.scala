@@ -123,8 +123,35 @@ class ManifestMetadataOnlySpec extends AnyFunSuite {
     val distinctC = scan.agg(countDistinct(col("m")).as("n"))
     assert(!isMetadataOnly(distinctC))
     assert(distinctC.collect().head.getLong(0) === 97L)
-    // 5. an agg the manifest can't answer rides along → whole rewrite bails
-    val mixed = scan.agg(count(lit(1)).as("n"), sum(col("m")).as("sm"))
+    // 5. an agg the manifest can't answer rides along → whole rewrite
+    // bails (double sums are order-sensitive and never folded)
+    val mixed = scan.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
     assert(!isMetadataOnly(mixed))
+  }
+
+  test("integral SUM folds exactly; double SUM never does") {
+    val dir = mkTable()
+    val scan = StatsManifest.scan(spark, dir)
+    val df = scan.agg(sum(col("id")).as("sid"), sum(col("m")).as("sm"),
+      count(lit(1)).as("n"))
+    assert(isMetadataOnly(df), df.queryExecution.optimizedPlan.toString)
+    val got = df.collect().head
+    val want = spark.read.parquet(dir)
+      .agg(sum(col("id")), sum(col("m")), count(lit(1))).collect().head
+    assert(got === want)
+
+    // double: correct answer, but through the scan
+    val dv = StatsManifest.scan(spark, dir).agg(sum(col("v")).as("sv"))
+    assert(!isMetadataOnly(dv))
+
+    // all-null integral column sums to NULL metadata-only
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_mdonly_sum_").toString + "/t"
+    spark.range(10).select(col("id"), lit(null).cast("long").as("z"))
+      .coalesce(1).write.parquet(dir2)
+    StatsManifest.write(spark, dir2, Seq("z"))
+    val dz = StatsManifest.scan(spark, dir2).agg(sum(col("z")).as("sz"))
+    assert(isMetadataOnly(dz))
+    assert(dz.collect().head.isNullAt(0))
   }
 }

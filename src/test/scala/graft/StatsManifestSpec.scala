@@ -324,6 +324,39 @@ class StatsManifestSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 100L)
   }
 
+  test("format(\"graft-manifest\") WRITE path: overwrite clusters+manifests, append updates incrementally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_wfmt_").toString + "/t"
+    val df = (0 until 6000).map(i => (i.toLong, (i * 37 % 6000).toLong))
+      .toDF("a", "b")
+    df.write.format("graft-manifest")
+      .option("zorderBy", "a,b").option("numFiles", "8")
+      .mode("overwrite").save(dir)
+    assert(StatsManifest.versions(spark, dir) === Seq(1L))
+    // the written layout prunes on BOTH clustered columns
+    val (scan, idx) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan.where(col("b") === 74L).count() ===
+      df.where(col("b") === 74L).count())
+    assert(idx.selected.get() < idx.total.get())
+    assert(idx.total.get() === 8L)
+
+    // append: new files only are scanned, manifest commits v2
+    (100000 until 101000).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+      .coalesce(1).write.format("graft-manifest")
+      .option("statsCols", "a,b").mode("append").save(dir)
+    assert(StatsManifest.versions(spark, dir) === Seq(1L, 2L))
+    val (scan2, idx2) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan2.where(col("a") >= 100000L).count() === 1000L)
+    assert(idx2.selected.get() === 1L && idx2.total.get() === 9L)
+
+    // unsupported modes refuse loudly rather than corrupting the table
+    intercept[UnsupportedOperationException] {
+      df.write.format("graft-manifest").option("statsCols", "a")
+        .mode("ignore").save(dir)
+    }
+  }
+
   test("manifest dir is invisible to plain readers; manifest survives re-write") {
     import spark.implicits._
     val dir = java.nio.file.Files
