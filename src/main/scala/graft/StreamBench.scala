@@ -111,6 +111,15 @@ object StreamBench {
       start: => org.apache.spark.sql.streaming.StreamingQuery): OpResult = {
     val q = start
     Thread.sleep(durSec * 1000L)
+    // heavy ops (stream-stream joins building 100k+ state rows) can
+    // spend the whole window inside their first batches under load —
+    // extend up to 2× more until at least one steady batch completed,
+    // so the artifact never reports a spurious 0 rows/s
+    var extraMs = 0L
+    while (extraMs < 2000L * durSec &&
+        !q.recentProgress.exists(p => p.batchId >= 2 && p.numInputRows > 0)) {
+      Thread.sleep(1000L); extraMs += 1000L
+    }
     // stop between triggers where possible: a mid-batch stop interrupts
     // write tasks and state commits, which is abort-log noise and a
     // discarded batch either way (bounded wait — under backlog the
