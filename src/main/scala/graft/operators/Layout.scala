@@ -183,4 +183,69 @@ object Layout {
     graft.sources.StatsManifest.write(spark, dir, cols)
     (old.length, staged.length)
   }
+
+  /** INCREMENTAL compaction: bin-pack only the UNDER-SIZED files
+    * (< `smallBytes`) into ~`targetBytes` files and leave everything
+    * else untouched — the maintenance pass a 100 TB table runs hourly
+    * between full [[optimize]] rewrites. A streaming ingest sink lands
+    * a file per (batch × partition); compacting the whole table to fix
+    * that would rescan 100 TB, while this pass reads only the small
+    * tail: O(small bytes) read+write, and the manifest reconciles
+    * INCREMENTALLY (untouched files' entries carry over, the compacted
+    * files' entries drop, only the new files scan — which this pass
+    * just wrote and the page cache still holds).
+    *
+    * Same swap protocol and maintenance-window contract as
+    * [[optimize]] (trash → rename-in → delete), same crash recovery
+    * (the data always exists in full in at least one of staging ∪ live
+    * or trash ∪ live). Compaction deletes the small originals, so
+    * manifest versions that referenced them fail-fast on snapshot
+    * reads — the VACUUM/time-travel trade, unchanged. Top-level
+    * layouts only (like [[optimize]]); Hive-partitioned tables compact
+    * per partition directory by calling this on the partition path.
+    * Returns (smallFilesCompacted, filesWritten). */
+  def compactSmall(spark: org.apache.spark.sql.SparkSession, dir: String,
+      statsCols: Seq[String], targetBytes: Long = 128L << 20,
+      smallBytes: Long = 32L << 20,
+      bloomCols: Seq[String] = Nil): (Int, Int) = {
+    require(targetBytes >= 1L && smallBytes >= 1L,
+      s"compactSmall: targetBytes=$targetBytes smallBytes=$smallBytes")
+    import org.apache.hadoop.fs.Path
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val small = fs.listStatus(dirPath).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith(".") &&
+      st.getLen < smallBytes)
+    if (small.length < 2) return (0, 0)
+    val bytes = small.map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // schema from the whole table (a compaction must not narrow it);
+    // read ONLY the small files
+    val schema = spark.read.parquet(dir).schema
+    val df = spark.read.schema(schema)
+      .parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+    val staging = new Path(dir + ".compact")
+    df.repartition(n).write.mode("overwrite").parquet(staging.toString)
+    val staged = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+    val trash = new Path(dirPath, ".graft_trash")
+    fs.mkdirs(trash)
+    small.foreach { st =>
+      require(fs.rename(st.getPath, new Path(trash, st.getPath.getName)),
+        s"compactSmall: trash rename ${st.getPath} failed; nothing lost — " +
+          "restore .graft_trash and re-run")
+    }
+    staged.zipWithIndex.foreach { case (src, i) =>
+      val dst = new Path(dirPath, f"cmp-$i%05d-${src.getName}")
+      require(fs.rename(src, dst),
+        s"compactSmall: rename $src -> $dst failed; staged copy intact — " +
+          "finish the swap by hand or re-run after restoring trash")
+    }
+    fs.delete(trash, true)
+    fs.delete(staging, true)
+    graft.sources.StatsManifest.update(spark, dir, statsCols,
+      bloomCols = bloomCols)
+    (small.length, staged.length)
+  }
 }

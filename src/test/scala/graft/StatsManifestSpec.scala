@@ -250,6 +250,44 @@ class StatsManifestSpec extends AnyFunSuite {
     assert(idx.total.get() === after.toLong)
   }
 
+  test("compactSmall: only the small tail rewrites; big files and their manifest entries untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_").toString + "/t"
+    // 2 big files (20k rows each ≫ 10 KB) + 8 tiny ones (the streaming-
+    // ingest shape: one small file per batch)
+    (0 until 40000).map(i => (i.toLong, i.toString * 3)).toDF("k", "pad")
+      .repartitionByRange(2, col("k")).write.parquet(dir)
+    (100000 until 100800).map(i => (i.toLong, "x")).toDF("k", "pad")
+      .repartition(8).write.mode("append").parquet(dir)
+    graft.sources.StatsManifest.write(spark, dir, Seq("k"))
+    val bigNames = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet") && f.length >= 10240)
+      .map(_.getName).toSet
+    assert(bigNames.size === 2)
+
+    val (compacted, written) = graft.operators.Layout.compactSmall(
+      spark, dir, Seq("k"), targetBytes = 1L << 20, smallBytes = 10240L)
+    assert(compacted === 8 && written >= 1 && written < 8)
+
+    // big files physically untouched; content multiset unchanged
+    val namesAfter = new java.io.File(dir).listFiles.map(_.getName).toSet
+    assert(bigNames.subsetOf(namesAfter))
+    assert(!namesAfter.exists(_.startsWith(".graft_trash")))
+    assert(spark.read.parquet(dir).count() === 40800L)
+
+    // manifest reconciled incrementally: a fresh manifest version, both
+    // key ranges still prune, nothing stale
+    val (scan, idx) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan.where(col("k") >= 100000L).count() === 800L)
+    assert(idx.selected.get() === written.toLong,
+      s"compacted-range predicate should touch only the $written new " +
+        s"files, got ${idx.selected.get()}")
+    val (scan2, idx2) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan2.where(col("k") < 1000L).count() === 1000L)
+    assert(idx2.selected.get() === 1L) // just the first big file
+  }
+
   test("Hive-partitioned layout: partition pruning, file pruning and update compose") {
     import spark.implicits._
     val dir = java.nio.file.Files
