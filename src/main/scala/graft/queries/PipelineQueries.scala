@@ -267,6 +267,35 @@ object PipelineQueries {
              |ORDER BY 1, 2, 3""".stripMargin)),
 
     Query(
+      // Incremental compaction (r9): land orders in the streaming-sink
+      // shape (many small files + one big), compactSmall bin-packs ONLY
+      // the small tail, and the compacted table must still equal DuckDB
+      // scanning the original rows — content is invariant under
+      // physical reorganization (StatsManifestSpec pins the
+      // incremental-manifest and untouched-big-file mechanics).
+      "q_compact_small",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_compact_q_" + java.security.MessageDigest
+            .getInstance("MD5").digest(d.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)).getAbsolutePath
+        o.where(col("o_orderkey") % 10 =!= 0).coalesce(1)
+          .write.mode("overwrite").parquet(dir)
+        o.where(col("o_orderkey") % 10 === 0).repartition(8)
+          .write.mode("append").parquet(dir)
+        graft.sources.StatsManifest.write(s, dir, Seq("o_orderkey"))
+        graft.operators.Layout.compactSmall(s, dir, Seq("o_orderkey"),
+          targetBytes = 1L << 26, smallBytes = 64L << 10)
+        graft.sources.StatsManifest.scan(s, dir)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Query(
       "q_pipeline_curate",
       (s, d) => {
         flagged(t(s, d, "documents").select("doc_id", "source", "text"))
