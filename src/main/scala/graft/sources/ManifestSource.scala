@@ -41,7 +41,16 @@ final class ManifestSource extends RelationProvider
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-manifest: 'path' option required"))
-    val (df, _) = StatsManifest.scanWithIndex(sqlContext.sparkSession, path)
+    // time travel from the generic API / SQL DDL:
+    //   spark.read.format("graft-manifest").option("version", "3")
+    //   CREATE TABLE t_asof USING `graft-manifest`
+    //     OPTIONS (path '<dir>', version '3')
+    val (df, _) = parameters.get("version") match {
+      case Some(v) =>
+        StatsManifest.scanAtVersion(sqlContext.sparkSession, path, v.toLong)
+      case None =>
+        StatsManifest.scanWithIndex(sqlContext.sparkSession, path)
+    }
     df.queryExecution.logical
       .collectFirst {
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>

@@ -308,6 +308,25 @@ object StatsManifest {
     if (parts.nonEmpty) Some(parts) else None
   }
 
+  /** One manifest version's summary line for [[history]]. */
+  final case class VersionInfo(version: Long, files: Long, rows: Long,
+      committedAtMs: Long)
+
+  /** DESCRIBE-HISTORY-style view of the committed versions, ascending:
+    * per version the file count, total rows, and the commit's wall
+    * time (the version directory's FS modification time — the rename
+    * instant). Driver-side O(versions) manifest reads. */
+  def history(spark: SparkSession, dir: String): Seq[VersionInfo] = {
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versions(spark, dir).map { v =>
+      val stats = readAt(spark, dir, v)
+      VersionInfo(v, stats.size.toLong, stats.valuesIterator.map(_.rows).sum,
+        fsys.getFileStatus(new Path(mDir, f"v$v%06d"))
+          .getModificationTime)
+    }
+  }
+
   /** Drop all but the newest `keep` versions; returns how many were
     * deleted. Snapshots at expired versions become unreadable — run on
     * the retention cadence the deployment's time-travel window needs. */

@@ -108,6 +108,31 @@ class ManifestVersionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no longer exist"))
   }
 
+  test("history lists versions; format option `version` time-travels from SQL/DDL") {
+    val dir = mk()
+    (9000 until 9500).map(i => (i.toLong, 0)).toDF("k", "m")
+      .coalesce(1).write.mode("append").parquet(dir)
+    StatsManifest.update(spark, dir, Seq("k"))
+
+    val h = StatsManifest.history(spark, dir)
+    assert(h.map(_.version) === Seq(1L, 2L))
+    assert(h.map(_.files) === Seq(4L, 5L))
+    assert(h.map(_.rows) === Seq(2000L, 2500L))
+    assert(h.forall(_.committedAtMs > 0L))
+
+    // generic-API time travel
+    val asof = spark.read.format("graft-manifest")
+      .option("version", "1").load(dir)
+    assert(asof.count() === 2000L)
+    assert(spark.read.format("graft-manifest").load(dir).count() === 2500L)
+    // and through SQL DDL
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW t_asof
+                 |USING `graft-manifest`
+                 |OPTIONS (path '$dir', version '1')""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM t_asof WHERE k >= 9000")
+      .collect().head.getLong(0) === 0L)
+  }
+
   test("legacy unversioned manifest still resolves; the next update commits v1") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_mver_leg_").toString + "/t"
