@@ -33,7 +33,8 @@ object Catalog {
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       GraftFnQueries.queries ++ LookupQueries.queries ++
-      IterateQueries.queries ++ PipelineQueries.queries
+      IterateQueries.queries ++ PipelineQueries.queries ++
+      RowOpsQueries.queries
 
   lazy val byName: Map[String, Query] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Catalog.t
+import graft.sources.{RowOps, StatsManifest}
+
+/** Row-level operations on a manifested table, oracle-checked end to
+  * end: each row materializes a manifested copy of a fixture table in a
+  * per-sfDir temp dir, mutates it through [[graft.sources.RowOps]]
+  * (copy-on-write at file granularity, manifest-pruned candidate
+  * discovery, tombstoned replacements), then reads the FINAL state (or
+  * the CDC changefeed) back through the pruned scan — which must equal
+  * DuckDB computing the same mutation as a pure query over the original
+  * fixture. RowOpsSpec pins the mechanics (pruning counters, untouched
+  * files not rewritten, snapshots surviving the ops, vacuum); these
+  * rows pin the SEMANTICS against an independent engine. */
+object RowOpsQueries {
+
+  private def tmp(tag: String, d: String): String =
+    new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      tag + java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)).getAbsolutePath
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      // DELETE: z-order lineitem on (orderkey, partkey), delete a
+      // partkey range; candidate discovery runs through the manifest
+      // (files whose partkey range misses are never scanned), only
+      // files holding matches rewrite, and the final pruned scan must
+      // equal DuckDB's WHERE NOT(...) over the original table.
+      "q_rowops_delete",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+        val dir = tmp("graft_rowops_del_", d)
+        graft.operators.Layout.zorderWrite(
+          li, Seq("l_orderkey", "l_partkey"), dir, 16)
+        // orderkeys start near 1 at every SF, so the predicate both
+        // matches rows and leaves rows at sf0.001 through sf1+
+        RowOps.delete(s, dir, col("l_orderkey") < 100,
+          Seq("l_orderkey", "l_partkey"))
+        StatsManifest.scan(s, dir)
+          .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+             |WHERE NOT (l_orderkey < 100) ORDER BY 1, 2, 3""".stripMargin)),
+
+    Query(
+      // MERGE/upsert: replace matched keys with source rows (price
+      // bumped), insert unmatched keys (offset ids). The final state is
+      // the CASE-expression + UNION ALL the oracle computes directly.
+      "q_rowops_upsert",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val dir = tmp("graft_rowops_ups_", d)
+        o.repartition(8).write.mode("overwrite").parquet(dir)
+        StatsManifest.write(s, dir, Seq("o_orderkey"))
+        val upd = o.where(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val src = upd.unionByName(
+          upd.withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+        RowOps.upsert(s, dir, src, Seq("o_orderkey"), Seq("o_orderkey"))
+        StatsManifest.scan(s, dir).orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000
+             |       ELSE o_totalprice END AS o_totalprice
+             |FROM orders
+             |UNION ALL
+             |SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+             |  o_totalprice + 1000 AS o_totalprice
+             |FROM orders WHERE o_orderkey % 97 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Query(
+      // CDC: v1 = the table, v2 = a DELETE, v3 = an UPDATE; the
+      // row-level changefeed over (v1, v3] must surface EXACTLY the
+      // deleted rows (@2) and the updated rows as delete+insert pairs
+      // (@3) — every row a copy-on-write rewrite merely carried over
+      // nets out. The oracle replays the mutations as pure SQL.
+      "q_rowops_cdc",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+        val dir = tmp("graft_rowops_cdc_", d)
+        li.repartition(8).write.mode("overwrite").parquet(dir)
+        StatsManifest.write(s, dir, Seq("l_orderkey"))
+        RowOps.delete(s, dir, col("l_quantity") > 48, Seq("l_orderkey"))
+        RowOps.update(s, dir, col("l_partkey") % 1000 === 0,
+          Seq("l_quantity" -> lit(-1)), Seq("l_orderkey"))
+        RowOps.changes(s, dir, 1L, 3L)
+          .orderBy(col("_commit_version"), col("_change_type"),
+            col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      },
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, l_partkey, l_quantity FROM lineitem),
+             |d2 AS (
+             |  SELECT l_orderkey, l_partkey, l_quantity,
+             |    'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+             |  FROM base WHERE l_quantity > 48),
+             |rem AS (SELECT * FROM base WHERE NOT (l_quantity > 48)),
+             |upd AS (SELECT * FROM rem WHERE l_partkey % 1000 = 0)
+             |SELECT * FROM d2
+             |UNION ALL
+             |SELECT l_orderkey, l_partkey, l_quantity,
+             |  'delete', CAST(3 AS BIGINT) FROM upd
+             |UNION ALL
+             |SELECT l_orderkey, l_partkey, CAST(-1 AS DOUBLE),
+             |  'insert', CAST(3 AS BIGINT) FROM upd
+             |ORDER BY _commit_version, _change_type,
+             |  l_orderkey, l_partkey, l_quantity""".stripMargin)))
+}

@@ -1,0 +1,302 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Row-level operations — DELETE / UPDATE / MERGE(upsert) — on a
+  * stats-manifested parquet table, copy-on-write at FILE granularity
+  * with the manifest doing the work twice over:
+  *
+  *  1. '''Find''' — the op's predicate (or the source's key range for a
+  *     merge) runs through [[StatsManifest.scanAtVersion]]'s pruning
+  *     `FileIndex`, so files whose stats refute it never even launch a
+  *     task during candidate discovery. A z-ordered table turns a
+  *     point delete into a handful-of-files rewrite.
+  *  2. '''Commit''' — replacement files are staged in full, then ONE
+  *     atomic manifest commit ([[StatsManifest.commitFileOps]])
+  *     tombstones the touched files and adopts the staged ones.
+  *     Replaced bytes are physically retained: snapshot reads at
+  *     earlier versions keep working (time travel survives row ops,
+  *     unlike `Layout.optimize`'s physical swap), and [[changes]] reads
+  *     them back as a row-level CDC feed. [[StatsManifest.expire]]
+  *     reclaims them once retention drops every referencing version.
+  *
+  * Only files containing ≥1 affected row are rewritten — an untouched
+  * file's bytes and manifest entry both carry over. At 100 TB that is
+  * the difference between "a GDPR erasure rewrites ~the files one user
+  * touches" and "rewrites the corpus".
+  *
+  * Reference analogue: the reference expresses mutation as changelog
+  * streams (`flink-table-runtime-blink/…/operators/deduplicate/
+  * DeduplicateKeepLastRowFunction.java` materializes upserts into state);
+  * this module is the same upsert/retract semantics applied to a STORED
+  * table, the batch half a lakehouse needs.
+  *
+  * Top-level (non-Hive-partitioned) layouts, like `Layout.optimize`.
+  * Single-writer per table, like every maintenance pass here; readers
+  * racing a commit see the old version or a transiently-short new one
+  * (never duplicates — tombstones and the commit land atomically,
+  * staged files rename in immediately after; crash recovery = finish
+  * the renames, the staged bytes and the manifest's final keys are all
+  * on disk).
+  */
+object RowOps {
+
+  /** What one row-level op did. `candidateFiles`/`totalFiles` are the
+    * find-phase pruning evidence (files scanned for matches vs files in
+    * the table); `touchedFiles` of those actually contained matches and
+    * were rewritten; `matchedRows` hit the predicate / a source key;
+    * `rewrittenRows` landed in replacement files (kept + updated +
+    * upserted); `insertedRows` were new keys (merge only). */
+  final case class OpResult(version: Long, totalFiles: Long,
+      candidateFiles: Long, touchedFiles: Long, matchedRows: Long,
+      rewrittenRows: Long, insertedRows: Long = 0L)
+
+  /** DELETE FROM dir WHERE cond. Null-safe: rows where `cond` is null
+    * are kept (SQL DELETE semantics). */
+  def delete(spark: SparkSession, dir: String, cond: Column,
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil): OpResult = {
+    val ctx = open(spark, dir)
+    val touched = touchedByPredicate(ctx, ctx.snap.where(cond))
+    rewrite(ctx, touched, statsCols, bloomCols) { df =>
+      df.where(!coalesce(cond, lit(false)))
+    }
+  }
+
+  /** UPDATE dir SET set... WHERE cond. Each `set` entry is
+    * (column name, new-value expression over the row's columns); the
+    * new value is cast to the column's stored type. */
+  def update(spark: SparkSession, dir: String, cond: Column,
+      set: Seq[(String, Column)], statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil): OpResult = {
+    val ctx = open(spark, dir)
+    val bad = set.map(_._1).filterNot(ctx.schema.fieldNames.contains)
+    require(bad.isEmpty, s"update: unknown columns ${bad.mkString(", ")}")
+    val setMap = set.toMap
+    val touched = touchedByPredicate(ctx, ctx.snap.where(cond))
+    rewrite(ctx, touched, statsCols, bloomCols) { df =>
+      df.select(ctx.schema.map { f =>
+        setMap.get(f.name) match {
+          case Some(e) => when(coalesce(cond, lit(false)),
+            e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+    }
+  }
+
+  /** MERGE INTO dir USING source ON keys — upsert semantics: a target
+    * row whose key appears in `source` is REPLACED by the source row;
+    * source rows with no target match are INSERTED. `source` must have
+    * the target's columns (cast to the stored types) and, with
+    * `validate` on, unique keys — duplicate source keys would make the
+    * result order-dependent, so they fail fast (O(1)-output probe). */
+  def upsert(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String], statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, validate: Boolean = true): OpResult = {
+    val ctx = open(spark, dir)
+    val missing = ctx.schema.fieldNames.filterNot(
+      source.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"upsert: source lacks target columns ${missing.mkString(", ")}")
+    val src = source.select(ctx.schema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    if (validate) {
+      val dup = src.groupBy(keys.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"upsert: duplicate source key ${dup.headOption.mkString} — " +
+          "dedupe the source (e.g. keep-last by a version column) first")
+    }
+    val touched = touchedByKeys(ctx, src, keys)
+    val touchedDf = readFiles(ctx, touched.keys)
+    val tKeys = touchedDf.select(keys.map(col).toIndexedSeq: _*).distinct()
+    val inserted = src.join(tKeys, keys, "left_anti").count()
+    val res = rewriteWith(ctx, touched, statsCols, bloomCols,
+      touchedDf.join(src.select(keys.map(col).toIndexedSeq: _*),
+        keys, "left_anti")
+        .unionByName(src),
+      extraFiles = 1)
+    res.copy(insertedRows = inserted)
+  }
+
+  /** DELETE FROM dir WHERE key IN (keyRows) — erasure by key set (the
+    * GDPR shape). `keyRows` needs exactly the `keys` columns. */
+  def deleteKeys(spark: SparkSession, dir: String, keyRows: DataFrame,
+      keys: Seq[String], statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil): OpResult = {
+    val ctx = open(spark, dir)
+    val src = keyRows.select(keys.map(k =>
+      col(k).cast(ctx.schema(k).dataType).as(k)).toIndexedSeq: _*)
+    val touched = touchedByKeys(ctx, src, keys)
+    rewrite(ctx, touched, statsCols, bloomCols) { df =>
+      df.join(src, keys, "left_anti")
+    }
+  }
+
+  // ---------------------------------------------------------------- //
+  //  CDC: the row-level changefeed between two manifest versions       //
+  // ---------------------------------------------------------------- //
+
+  /** The rows that changed between manifest versions `fromVersion`
+    * (exclusive) and `toVersion` (inclusive), as a changefeed: the
+    * table's columns plus `_change_type` ('insert' | 'delete') and
+    * `_commit_version` (the version that committed the change). Per
+    * committed step, added files' rows are inserts and removed files'
+    * rows are deletes; with `rowLevel` (default) the two sides are
+    * NETTED multiset-wise (`exceptAll`), so rows a copy-on-write
+    * rewrite carried over unchanged — the bulk of a touched file —
+    * cancel out and only genuine row changes surface (an UPDATE appears
+    * as its old row deleted + new row inserted). Pure layout churn
+    * (ingest appends followed by rewrites of the same rows) nets to
+    * zero the same way.
+    *
+    * Requires every version step in the window to be retained and the
+    * removed files' bytes still present — i.e. retention
+    * ([[StatsManifest.expire]]) covering the window and no physical
+    * swap (`Layout.optimize`/`compactSmall`) inside it. */
+  def changes(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, rowLevel: Boolean = true): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
+    val vs = StatsManifest.versions(spark, dir)
+      .filter(v => v >= fromVersion && v <= toVersion)
+    require(vs.headOption.contains(fromVersion) &&
+      vs.lastOption.contains(toVersion),
+      s"changes: versions $fromVersion and/or $toVersion not retained " +
+        s"(have: ${vs.mkString(", ")})")
+    val schema = spark.read.parquet(dir).schema
+    def readKeys(ks: Iterable[String]): DataFrame =
+      if (ks.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(ks.toSeq.sorted: _*)
+    val steps = vs.sliding(2).filter(_.size == 2).map { case Seq(a, b) =>
+      val fa = StatsManifest.readAt(spark, dir, a).keySet
+      val fb = StatsManifest.readAt(spark, dir, b).keySet
+      val ins = readKeys(fb -- fa)
+      val del = readKeys(fa -- fb)
+      val (insN, delN) =
+        if (rowLevel) (ins.exceptAll(del), del.exceptAll(ins))
+        else (ins, del)
+      insN.withColumn("_change_type", lit("insert"))
+        .unionByName(delN.withColumn("_change_type", lit("delete")))
+        .withColumn("_commit_version", lit(b))
+    }.toSeq
+    if (steps.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(schema.fields).add("_change_type", "string")
+          .add("_commit_version", "long"))
+    else steps.reduce(_ unionByName _)
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Shared machinery                                                 //
+  // ---------------------------------------------------------------- //
+
+  private final case class Ctx(spark: SparkSession, dir: String,
+      version: Long, snap: DataFrame,
+      idx: StatsManifest.ManifestFileIndex, schema: StructType,
+      stats: Map[String, StatsManifest.FileStats])
+
+  private def open(spark: SparkSession, dir: String): Ctx = {
+    val vs = StatsManifest.versions(spark, dir)
+    require(vs.nonEmpty, s"RowOps: $dir is not a manifested table " +
+      "(StatsManifest.write it first)")
+    val v = vs.last
+    val (snap, idx) = StatsManifest.scanAtVersion(spark, dir, v)
+    require(idx.partitionSchema.isEmpty,
+      "RowOps: top-level layouts only (Hive-partitioned tables: run " +
+        "against the partition directory)")
+    Ctx(spark, dir, v, snap, idx, snap.schema,
+      StatsManifest.readAt(spark, dir, v))
+  }
+
+  /** (file key → matched rows) for the rows of `matches` — ONE pruned
+    * scan; the manifest refutes non-candidate files before tasks
+    * launch, and `idx.selected` records how many survived for
+    * [[OpResult]]. */
+  private def touchedByPredicate(ctx: Ctx,
+      matches: DataFrame): Map[String, Long] =
+    matches.groupBy(StatsManifest.fileKeyCol)
+      .agg(count(lit(1)).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Touch detection for key-set ops: files holding ≥1 row whose key is
+    * in `src`. The source's per-key min/max bounds become a range
+    * predicate FIRST, so manifest pruning (and parquet row-group
+    * skipping) cut the scan before the semi join runs — a row matching
+    * a source key is inside the source's key envelope by definition, so
+    * the restriction is free. */
+  private def touchedByKeys(ctx: Ctx, src: DataFrame,
+      keys: Seq[String]): Map[String, Long] = {
+    val ext = src.agg(min(col(keys.head)).as("lo0"),
+      (max(col(keys.head)).as("hi0") +:
+        keys.tail.zipWithIndex.flatMap { case (k, i) =>
+          Seq(min(col(k)).as(s"lo${i + 1}"), max(col(k)).as(s"hi${i + 1}"))
+        }).toIndexedSeq: _*).collect().head
+    if (ext.isNullAt(0)) return Map.empty // empty source → nothing touched
+    val range = keys.zipWithIndex.map { case (k, i) =>
+      col(k).between(lit(ext.get(2 * i)), lit(ext.get(2 * i + 1)))
+    }.reduce(_ && _)
+    // `_metadata` is a scan-relation column: project the file key BEFORE
+    // the join (it doesn't resolve through one)
+    ctx.snap.where(range)
+      .select((StatsManifest.fileKeyCol +: keys.map(col)).toIndexedSeq: _*)
+      .join(src.select(keys.map(col).toIndexedSeq: _*), keys, "left_semi")
+      .groupBy(col("file")).agg(count(lit(1)).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  private def readFiles(ctx: Ctx, keys: Iterable[String]): DataFrame =
+    if (keys.isEmpty)
+      ctx.spark.createDataFrame(
+        ctx.spark.sparkContext.emptyRDD[Row], ctx.schema)
+    else ctx.spark.read.schema(ctx.schema)
+      .parquet(keys.toSeq.sorted: _*)
+
+  private def rewrite(ctx: Ctx, touched: Map[String, Long],
+      statsCols: Seq[String], bloomCols: Seq[String])(
+      f: DataFrame => DataFrame): OpResult =
+    rewriteWith(ctx, touched, statsCols, bloomCols,
+      f(readFiles(ctx, touched.keys)))
+
+  /** Stage `replacement`, commit (tombstone touched + adopt staged under
+    * final keys), rename the staged files in, clean staging. */
+  private def rewriteWith(ctx: Ctx, touched: Map[String, Long],
+      statsCols: Seq[String], bloomCols: Seq[String],
+      replacement: DataFrame, extraFiles: Int = 0): OpResult = {
+    val totalFiles = ctx.stats.size.toLong
+    val candidates = ctx.idx.selected.get()
+    if (touched.isEmpty && extraFiles == 0)
+      return OpResult(ctx.version, totalFiles, candidates, 0L, 0L, 0L)
+    val matched = touched.valuesIterator.sum
+    if (touched.isEmpty && replacement.isEmpty)
+      return OpResult(ctx.version, totalFiles, candidates, 0L, 0L, 0L)
+    val dirPath = new Path(ctx.dir)
+    val fs = dirPath.getFileSystem(
+      ctx.spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(ctx.dir + ".rowops")
+    replacement
+      .repartition(math.max(1, touched.size + extraFiles))
+      .write.mode("overwrite").parquet(staging.toString)
+    val staged = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.startsWith("part-")).toSeq
+    val adds = staged.map { p =>
+      p -> StatsManifest.fileKey(
+        fs.makeQualified(new Path(dirPath, s"rw-${p.getName}")))
+    }
+    val (ver, addedRows) = StatsManifest.commitFileOps(ctx.spark, ctx.dir,
+      adds, touched.keySet, statsCols, bloomCols)
+    staged.foreach { src =>
+      val dst = new Path(dirPath, s"rw-${src.getName}")
+      require(fs.rename(src, dst),
+        s"RowOps: rename $src -> $dst failed; staged copy intact and the " +
+          "committed manifest names the final keys — finish the renames")
+    }
+    fs.delete(staging, true)
+    OpResult(ver, totalFiles, candidates, touched.size.toLong, matched,
+      addedRows)
+  }
+}

@@ -54,6 +54,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object StatsManifest {
 
   private val ManifestDir = "_graft_manifest"
+  private val RemovedFile = "_removed.txt"
 
   /** Per-file, per-column stats: [lo, hi] over non-null values in one of
     * the three order-exact domains, plus the non-null count. `lo`/`hi`
@@ -110,7 +111,7 @@ object StatsManifest {
     * touches. The SQL side strips `scheme://authority` from
     * `_metadata.file_path`; the lookup side uses `Path.toUri.getPath` —
     * both normalize to the same string. */
-  private def fileKeyCol: Column =
+  private[sources] def fileKeyCol: Column =
     regexp_replace(col("_metadata.file_path"),
       "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "").as("file")
   private[graft] def fileKey(p: Path): String = p.toUri.getPath
@@ -271,14 +272,62 @@ object StatsManifest {
     }.flatten.sorted
   }
 
+  // ---------------------------------------------------------------- //
+  //  Tombstones: files REMOVED by row-level ops (graft.sources.RowOps) //
+  // ---------------------------------------------------------------- //
+
+  /** Row-level operations (DELETE/UPDATE/MERGE — [[RowOps]]) replace
+    * data files WITHOUT physically deleting the old ones, so snapshot
+    * reads at earlier versions keep working and [[RowOps.changes]] can
+    * read the removed rows for CDC. The replaced files are TOMBSTONED
+    * instead: each manifest version carries the cumulative set of
+    * removed-but-still-present file keys in a `_removed.txt` sidecar
+    * (committed atomically with the version — it rides the same staged
+    * rename). Latest-scans deny tombstoned files; [[update]]/[[write]]
+    * reconciliation treats them as nonexistent (never "rediscovered" as
+    * new files); [[expire]] physically reclaims a tombstoned file once
+    * no retained version references it — the VACUUM half. The set is
+    * self-trimming: reconciliation drops keys whose file is physically
+    * gone. */
+  private def readRemoved(fsys: org.apache.hadoop.fs.FileSystem,
+      vDir: Path): Set[String] = {
+    val f = new Path(vDir, RemovedFile)
+    if (!fsys.exists(f)) Set.empty
+    else {
+      val in = fsys.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  /** The cumulative tombstone set as of manifest version `version`. */
+  def removedAt(spark: SparkSession, dir: String,
+      version: Long): Set[String] = {
+    val vDir = new Path(new Path(dir, ManifestDir), f"v$version%06d")
+    val fsys = vDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readRemoved(fsys, vDir)
+  }
+
+  /** Latest version's tombstone set; empty for unversioned/absent
+    * manifests (legacy layouts predate row-level ops). */
+  def removedLatest(spark: SparkSession, dir: String): Set[String] =
+    versions(spark, dir).lastOption
+      .map(removedAt(spark, dir, _)).getOrElse(Set.empty)
+
   /** Stage `manifest` under a hidden dir, then commit it as the next
     * version via atomic rename. Returns the committed version. */
   private def commitVersion(spark: SparkSession, dir: String,
-      manifest: DataFrame): Long = {
+      manifest: DataFrame, removed: Set[String] = Set.empty): Long = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new Path(mDir, s".stage-${java.util.UUID.randomUUID()}")
     manifest.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    if (removed.nonEmpty) {
+      val out = fsys.create(new Path(stage, RemovedFile), true)
+      try out.write(removed.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     var v = versions(spark, dir).lastOption.getOrElse(0L) + 1
     var attempts = 0
     while (!fsys.rename(stage, new Path(mDir, f"v$v%06d"))) {
@@ -329,7 +378,13 @@ object StatsManifest {
 
   /** Drop all but the newest `keep` versions; returns how many were
     * deleted. Snapshots at expired versions become unreadable — run on
-    * the retention cadence the deployment's time-travel window needs. */
+    * the retention cadence the deployment's time-travel window needs.
+    *
+    * Also the VACUUM half of row-level ops: a file TOMBSTONED as of the
+    * oldest RETAINED version is referenced by no retained manifest
+    * (removal is monotone — a removed key is never re-added), so its
+    * bytes are physically reclaimed here. Until then the bytes stay for
+    * snapshot and CDC reads. */
   def expire(spark: SparkSession, dir: String, keep: Int): Int = {
     require(keep >= 1, s"expire: keep=$keep")
     val mDir = new Path(dir, ManifestDir)
@@ -337,15 +392,55 @@ object StatsManifest {
     val vs = versions(spark, dir)
     val drop = vs.dropRight(keep)
     drop.foreach(v => fsys.delete(new Path(mDir, f"v$v%06d"), true))
+    vs.drop(drop.length).headOption.foreach { oldest =>
+      removedAt(spark, dir, oldest).foreach { k =>
+        val p = new Path(k)
+        if (fsys.exists(p)) fsys.delete(p, false)
+      }
+    }
     drop.length
+  }
+
+  /** Every data file under `dir`, recursively (Hive-partitioned layouts
+    * keep data under `p=…` dirs); anything under a hidden (`_`/`.`)
+    * component is metadata, not data. */
+  private def listDataFiles(fsys: org.apache.hadoop.fs.FileSystem,
+      dirPath: Path): Array[Path] = {
+    val rootKey = fileKey(fsys.makeQualified(dirPath))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = fsys.listFiles(dirPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = fileKey(st.getPath).stripPrefix(rootKey)
+      val hidden = rel.split("/").exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (st.isFile && !hidden) out += st.getPath
+    }
+    out.toArray
   }
 
   def write(spark: SparkSession, dir: String, statsCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16): Unit = {
-    val df = spark.read.parquet(dir)
+    val dirPath = new Path(dir)
+    val fsys = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val full = spark.read.parquet(dir)
+    // tombstoned files are dead rows: a full rebuild must not resurrect
+    // them. Trim the carried set to files still physically present.
+    val removed = removedLatest(spark, dir)
+    lazy val listed = listDataFiles(fsys, dirPath)
+    val df =
+      if (removed.isEmpty) full
+      else {
+        val live = listed.filterNot(p => removed.contains(fileKey(p)))
+        spark.read.option("basePath", dir).schema(full.schema)
+          .parquet(live.map(_.toString).toIndexedSeq: _*)
+      }
+    val removedTrim =
+      if (removed.isEmpty) removed
+      else removed intersect listed.map(fileKey).toSet
     val aggs = statsAggs(df.schema, statsCols, bloomCols, bloomBits)
     commitVersion(spark, dir,
-      df.groupBy(fileKeyCol).agg(aggs.head, aggs.tail: _*))
+      df.groupBy(fileKeyCol).agg(aggs.head, aggs.tail: _*), removedTrim)
     ()
   }
 
@@ -378,21 +473,13 @@ object StatsManifest {
       bloomBits: Int = 1 << 16): UpdateResult = {
     val dirPath = new Path(dir)
     val fsys = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recursive: Hive-partitioned layouts keep data files under p=… dirs;
-    // anything under a hidden (`_`/`.`) component is metadata, not data
-    val rootKey = fileKey(fsys.makeQualified(dirPath))
-    val dataFiles = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Path]
-      val it = fsys.listFiles(dirPath, true)
-      while (it.hasNext) {
-        val st = it.next()
-        val rel = fileKey(st.getPath).stripPrefix(rootKey)
-        val hidden = rel.split("/").exists(seg =>
-          seg.startsWith("_") || seg.startsWith("."))
-        if (st.isFile && !hidden) out += st.getPath
-      }
-      out.toArray
-    }
+    // tombstoned files are dead rows physically retained for snapshots:
+    // reconciliation must treat them as nonexistent, or a row-level
+    // delete would be silently undone by the next append's update
+    val listed = listDataFiles(fsys, dirPath)
+    val removed = removedLatest(spark, dir)
+    val removedTrim = removed intersect listed.map(fileKey).toSet
+    val dataFiles = listed.filterNot(p => removedTrim.contains(fileKey(p)))
     val mDir = new Path(dir, ManifestDir)
     val existingParts = resolveParts(fsys, mDir)
     if (existingParts.isEmpty) {
@@ -444,11 +531,76 @@ object StatsManifest {
       .getOrElse(Array.empty)
     val mergedDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), existing.schema)
-    commitVersion(spark, dir, mergedDf)
+    commitVersion(spark, dir, mergedDf, removedTrim)
     UpdateResult(
       reused = (coveredKeys intersect liveKeys).size.toLong,
       scanned = newPaths.length.toLong,
       dropped = (coveredKeys -- liveKeys).size.toLong)
+  }
+
+  /** Commit a ROW-LEVEL file operation ([[RowOps]]): tombstone
+    * `removeKeys` and add `adds` — each a (staged file, final file key)
+    * pair, where the staged file holds the bytes that will live at the
+    * final key after the caller renames it in. Stats for the added
+    * files are computed from the staged bytes in one pruned scan and
+    * recorded under the FINAL keys, so the committed version is
+    * consistent the instant the renames land; everything else carries
+    * over driver-side, O(files) like [[update]]. Returns
+    * (committed version, total rows across the added files).
+    *
+    * Called BEFORE the renames: a latest-reader between commit and
+    * rename resolves the new version, whose added files aren't listed
+    * yet — transiently short rows, never duplicates (the tombstoned
+    * files are denied from the same instant). Crash recovery is
+    * loss-free and mechanical: staged bytes exist in full, and the
+    * committed manifest names exactly the final keys still missing —
+    * finish the renames (re-run the op's rename loop) or expire the
+    * version. Same maintenance-window contract as `Layout.optimize`. */
+  def commitFileOps(spark: SparkSession, dir: String,
+      adds: Seq[(Path, String)], removeKeys: Set[String],
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 16): (Long, Long) = {
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = resolveParts(fsys, mDir).getOrElse(throw
+      new IllegalStateException(
+        s"commitFileOps: $dir is not a manifested table"))
+    val existing = spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+    val schema = spark.read.parquet(dir).schema
+    require(existing.schema.fieldNames.toSet ==
+      expectedCols(schema, statsCols, bloomCols),
+      "commitFileOps: statsCols/bloomCols don't match the existing " +
+        "manifest's column set — rebuild with write() first")
+    val fileIdx = existing.schema.fieldIndex("file")
+    val carried = existing.collect()
+      .filterNot(r => removeKeys.contains(r.getString(fileIdx)))
+    val (freshRows, addedRows) =
+      if (adds.isEmpty) (Array.empty[org.apache.spark.sql.Row], 0L)
+      else {
+        val staged = spark.read.schema(schema)
+          .parquet(adds.map(_._1.toString).toIndexedSeq: _*)
+        val aggs = statsAggs(schema, statsCols, bloomCols, bloomBits)
+        val fresh = staged.groupBy(fileKeyCol).agg(aggs.head, aggs.tail: _*)
+          .select(existing.schema.fieldNames.map(col).toIndexedSeq: _*)
+          .collect()
+        // re-key staged paths to the final keys the caller will rename to
+        val finalKey = adds.map { case (p, k) => fileKey(p) -> k }.toMap
+        val rowsIdx = existing.schema.fieldIndex("rows")
+        val rekeyed = fresh.map { r =>
+          val vals = r.toSeq.toArray
+          vals(fileIdx) = finalKey.getOrElse(r.getString(fileIdx),
+            throw new IllegalStateException(
+              s"commitFileOps: staged file ${r.getString(fileIdx)} has no " +
+                "final-key mapping"))
+          org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+        }
+        (rekeyed, fresh.map(_.getLong(rowsIdx)).sum)
+      }
+    val removed = removedLatest(spark, dir) ++ removeKeys
+    val mergedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize((carried ++ freshRows).toIndexedSeq, 1),
+      existing.schema)
+    (commitVersion(spark, dir, mergedDf, removed), addedRows)
   }
 
   /** Driver-side manifest read: file name → stats. The part files are
@@ -683,15 +835,25 @@ object StatsManifest {
       /** snapshot reads: only these file keys exist for this scan —
         * files appended after the snapshot's manifest version are
         * invisible, exactly like reading a lakehouse table AS OF. */
-      val allow: Option[Set[String]] = None) extends FileIndex {
+      val allow: Option[Set[String]] = None,
+      /** latest-reads: file keys TOMBSTONED by row-level ops — replaced
+        * bytes physically retained for snapshot/CDC reads but dead to
+        * the current table state. Disjoint from `allow`'s job: a file
+        * neither allowed-out nor denied nor manifested (a fresh append)
+        * is still conservatively kept. */
+      val deny: Set[String] = Set.empty) extends FileIndex {
     val selected = new AtomicLong(-1L)
     val total = new AtomicLong(-1L)
 
     override def rootPaths: Seq[Path] = inner.rootPaths
-    override def inputFiles: Array[String] = allow match {
-      case Some(keys) =>
-        inner.inputFiles.filter(f => keys.contains(fileKey(new Path(f))))
-      case None => inner.inputFiles
+    override def inputFiles: Array[String] = {
+      val base = allow match {
+        case Some(keys) =>
+          inner.inputFiles.filter(f => keys.contains(fileKey(new Path(f))))
+        case None => inner.inputFiles
+      }
+      if (deny.isEmpty) base
+      else base.filterNot(f => deny.contains(fileKey(new Path(f))))
     }
     override def refresh(): Unit = inner.refresh()
     override def sizeInBytes: Long = inner.sizeInBytes
@@ -705,7 +867,7 @@ object StatsManifest {
       val pruned = dirs.map { pd =>
         val kept = pd.files.filter { f =>
           val k = fileKey(f.getPath)
-          if (!allow.forall(_.contains(k))) false
+          if (deny.contains(k) || !allow.forall(_.contains(k))) false
           else {
             tot += 1
             val keep = stats.get(k)
@@ -737,7 +899,10 @@ object StatsManifest {
     val stats =
       try read(spark, dir)
       catch { case _: Exception => Map.empty[String, FileStats] }
-    buildScan(spark, dir, stats, allow = None)
+    val deny =
+      try removedLatest(spark, dir)
+      catch { case _: Exception => Set.empty[String] }
+    buildScan(spark, dir, stats, allow = None, deny = deny)
   }
 
   /** SNAPSHOT read: the table AS OF manifest version `version` — the
@@ -762,7 +927,8 @@ object StatsManifest {
 
   private def buildScan(spark: SparkSession, dir: String,
       stats: Map[String, FileStats],
-      allow: Option[Set[String]]): (DataFrame, ManifestFileIndex) = {
+      allow: Option[Set[String]],
+      deny: Set[String] = Set.empty): (DataFrame, ManifestFileIndex) = {
     val fullSchema = spark.read.parquet(dir).schema
     val inner = new InMemoryFileIndex(spark, Seq(new Path(dir)),
       Map.empty[String, String], Some(fullSchema),
@@ -770,7 +936,7 @@ object StatsManifest {
     val partSchema = inner.partitionSchema
     val dataSchema = StructType(
       fullSchema.filterNot(f => partSchema.fieldNames.contains(f.name)))
-    val idx = new ManifestFileIndex(inner, stats, allow)
+    val idx = new ManifestFileIndex(inner, stats, allow, deny)
     val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

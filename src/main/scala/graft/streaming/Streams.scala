@@ -1311,6 +1311,73 @@ object Streams {
     * (missing stats keep the file). Per-batch manifest cost: one scan of
     * the batch's own files + a driver-side merge — O(batch), never
     * O(table). */
+  /** CDC-APPLY sink: MERGE each micro-batch into a manifested table by
+    * key — the streaming materialization of a changelog into a stored,
+    * query-optimized table ([[graft.sources.RowOps.upsert]] per batch:
+    * manifest-pruned candidate discovery, copy-on-write rewrite of only
+    * the files holding matched keys, one atomic tombstone+adopt commit).
+    * The reference's changelog-upsert materialization
+    * (`flink-table-runtime-blink/…/deduplicate/
+    * DeduplicateKeepLastRowFunction.java`) holds the upserted table in
+    * keyed state; here it lands in the manifested layout where batch
+    * readers get file pruning, snapshots, and CDC over it.
+    *
+    * Within a batch, several updates for one key collapse to the LAST
+    * by `seqCol` (keep-last — the changelog convention); `upsert`'s
+    * duplicate-key guard then runs on an already-unique source.
+    * Replay-safe WITHOUT file-name tricks: upsert is idempotent — a
+    * replayed batch re-matches the keys it already wrote and replaces
+    * them with identical rows (the CDC feed nets the no-op rewrite to
+    * zero). Keys never seen insert; keys already applied converge.
+    * Deletes ride the same batch as a `deleteCol = true` flag
+    * ([[graft.sources.RowOps.deleteKeys]] on that slice) — the +I/+U/-D
+    * changelog split, applied deletes-last so a (upsert, delete) pair
+    * for one key in one batch lands deleted. */
+  def upsertToManifestedTable(spark: SparkSession, stream: DataFrame,
+      dir: String, keys: Seq[String], seqCol: String,
+      statsCols: Seq[String], deleteCol: Option[String] = None,
+      triggerMs: Long = 500L,
+      checkpointDir: Option[String] = None,
+      manifestVersionsToKeep: Int = 16): StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val spk = batch.sparkSession
+        // keep-last per key within the batch (ties broken by seqCol)
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(seqCol).desc)
+        val last = batch.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn", seqCol)
+        val (dels, ups) = deleteCol match {
+          case Some(dc) =>
+            (last.where(coalesce(col(dc), lit(false))).drop(dc),
+              last.where(!coalesce(col(dc), lit(false))).drop(dc))
+          case None => (null, last)
+        }
+        // bootstrap: the first non-empty batch CREATES the manifested
+        // table (idempotent under replay — overwrite mode)
+        val exists =
+          graft.sources.StatsManifest.versions(spk, dir).nonEmpty
+        if (!exists && !ups.isEmpty) {
+          ups.write.mode("overwrite").parquet(dir)
+          graft.sources.StatsManifest.write(spk, dir, statsCols)
+        } else if (!ups.isEmpty)
+          graft.sources.RowOps.upsert(spk, dir, ups, keys, statsCols,
+            validate = false) // keep-last above guarantees uniqueness
+        if (dels != null && !dels.isEmpty &&
+            graft.sources.StatsManifest.versions(spk, dir).nonEmpty)
+          graft.sources.RowOps.deleteKeys(spk, dir,
+            dels.select(keys.map(col).toIndexedSeq: _*), keys, statsCols)
+        graft.sources.StatsManifest.expire(spk, dir,
+          manifestVersionsToKeep)
+        ()
+      }
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   def appendToManifestedTable(spark: SparkSession, stream: DataFrame,
       dir: String, statsCols: Seq[String], triggerMs: Long = 500L,
       checkpointDir: Option[String] = None,

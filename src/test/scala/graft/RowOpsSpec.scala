@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{RowOps, StatsManifest}
+
+/** Row-level ops on a manifested table: copy-on-write at FILE
+  * granularity with manifest-pruned candidate discovery, tombstoned
+  * (not deleted) replacements so snapshots and CDC survive, atomic
+  * single-commit visibility, and vacuum via version retention. */
+class RowOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  /** 2000 rows, k = 0..1999 range-partitioned into 8 ~disjoint files —
+    * a predicate on k admits only the files whose range it hits. */
+  private def mk(tag: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_rowops_$tag").toString + "/t"
+    (0 until 2000).map(i => (i.toLong, (i % 7).toLong)).toDF("k", "m")
+      .repartitionByRange(8, col("k")).write.parquet(dir)
+    StatsManifest.write(spark, dir, Seq("k"))
+    dir
+  }
+
+  private def files(dir: String): Set[String] =
+    StatsManifest.read(spark, dir).keySet
+
+  private def physical(dir: String): Set[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith("."))
+      .map(st => StatsManifest.fileKey(st.getPath)).toSet
+  }
+
+  test("delete: only candidate files scan, only matching files rewrite, " +
+      "untouched entries carry over byte-identical") {
+    val dir = mk("del")
+    val before = files(dir)
+    val r = RowOps.delete(spark, dir, col("k") < 250, Seq("k"))
+    assert(r.version === 2L)
+    assert(r.totalFiles === 8L)
+    // range-partitioned on k: the manifest refutes most files at plan
+    // time, and only files actually holding k<250 rows were rewritten
+    assert(r.candidateFiles <= 2L, s"candidates ${r.candidateFiles}")
+    assert(r.touchedFiles === r.candidateFiles ||
+      r.touchedFiles <= r.candidateFiles)
+    assert(r.matchedRows === 250L)
+    assert(r.rewrittenRows === (// kept rows of the touched files
+      StatsManifest.readAt(spark, dir, 1L)
+        .filter(kv => !files(dir).contains(kv._1))
+        .valuesIterator.map(_.rows).sum - 250L))
+    // final state == the filter, read through the pruned latest scan
+    val got = StatsManifest.scan(spark, dir)
+      .orderBy("k").as[(Long, Long)].collect()
+    assert(got === (250 until 2000).map(i => (i.toLong, (i % 7).toLong)))
+    // untouched files carried over (same keys in the new manifest);
+    // touched files tombstoned but physically retained
+    val after = files(dir)
+    val touched = before -- after
+    assert(touched.size === r.touchedFiles)
+    assert((before intersect after).size ===
+      (8L - r.touchedFiles))
+    assert(touched.forall(physical(dir).contains),
+      "tombstoned files must stay on disk for snapshots/CDC")
+    // a plain latest-reader (scanWithIndex) denies the tombstones even
+    // though the bytes are present and the dir listing sees them
+    assert(StatsManifest.scan(spark, dir).count() === 1750L)
+  }
+
+  test("snapshot reads survive a delete: the table AS OF v1 is intact") {
+    val dir = mk("snap")
+    RowOps.delete(spark, dir, col("k") >= 1000L, Seq("k"))
+    val (snap, _) = StatsManifest.scanAtVersion(spark, dir, 1L)
+    assert(snap.count() === 2000L)
+    assert(StatsManifest.scan(spark, dir).count() === 1000L)
+  }
+
+  test("update: predicate rows rewritten in place, null-cond rows kept, " +
+      "values cast to the stored type") {
+    val dir = mk("upd")
+    val r = RowOps.update(spark, dir,
+      col("k").between(100, 104), Seq("m" -> lit(-1)), Seq("k"))
+    assert(r.matchedRows === 5L)
+    val got = StatsManifest.scan(spark, dir)
+      .where(col("k").between(98, 106)).orderBy("k")
+      .select("m").as[Long].collect()
+    assert(got === Array(0L, 1L, -1L, -1L, -1L, -1L, -1L, 0L, 1L))
+    // no-op predicate: no new version, nothing rewritten
+    val r2 = RowOps.update(spark, dir, col("k") === -5L,
+      Seq("m" -> lit(9)), Seq("k"))
+    assert(r2.version === r.version && r2.touchedFiles === 0L)
+  }
+
+  test("upsert: matched keys replaced, new keys inserted, source key " +
+      "range prunes candidate files, duplicate source keys fail fast") {
+    val dir = mk("ups")
+    val src = Seq((1600L, 777L), (1601L, 777L), (5000L, 888L))
+      .toDF("k", "m")
+    val r = RowOps.upsert(spark, dir, src, Seq("k"), Seq("k"))
+    assert(r.matchedRows === 2L && r.insertedRows === 1L)
+    // key envelope [1600, 5000]: every file whose k-range tops out below
+    // 1600 is refuted at plan time before the semi join runs
+    assert(r.candidateFiles < r.totalFiles,
+      s"candidates ${r.candidateFiles} of ${r.totalFiles}")
+    val got = StatsManifest.scan(spark, dir)
+      .where(col("k").isin(1600L, 1601L, 1602L, 5000L)).orderBy("k")
+      .as[(Long, Long)].collect()
+    assert(got === Array((1600L, 777L), (1601L, 777L), (1602L, 1602L % 7),
+      (5000L, 888L)))
+    assert(StatsManifest.scan(spark, dir).count() === 2001L)
+    intercept[IllegalArgumentException] {
+      RowOps.upsert(spark, dir,
+        Seq((1L, 1L), (1L, 2L)).toDF("k", "m"), Seq("k"), Seq("k"))
+    }
+  }
+
+  test("deleteKeys: erasure by key set") {
+    val dir = mk("dk")
+    val r = RowOps.deleteKeys(spark, dir,
+      Seq(3L, 4L, 1999L, 777777L).toDF("k"), Seq("k"), Seq("k"))
+    assert(r.matchedRows === 3L)
+    val s = StatsManifest.scan(spark, dir)
+    assert(s.count() === 1997L)
+    assert(s.where(col("k").isin(3L, 4L, 1999L)).count() === 0L)
+  }
+
+  test("changes: row-level CDC nets carried-over rows out; appends " +
+      "surface as inserts; file-level mode shows the raw churn") {
+    val dir = mk("cdc")
+    RowOps.delete(spark, dir, col("k") < 250, Seq("k")) // v2
+    RowOps.update(spark, dir, col("k") % 500 === 0,
+      Seq("m" -> lit(-42)), Seq("k")) // v3: k = 500, 1000, 1500
+    val cdc = RowOps.changes(spark, dir, 1L, 3L)
+      .orderBy("_commit_version", "_change_type", "k")
+      .select("k", "m", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Long)].collect()
+    val expect =
+      (0 until 250).map(i =>
+        (i.toLong, (i % 7).toLong, "delete", 2L)) ++
+        Seq(500L, 1000L, 1500L).map(k => (k, k % 7, "delete", 3L)) ++
+        Seq(500L, 1000L, 1500L).map(k => (k, -42L, "insert", 3L))
+    assert(cdc === expect.toArray)
+    // file-level (unnetted) churn is strictly larger: whole touched
+    // files appear on both sides
+    val raw = RowOps.changes(spark, dir, 1L, 3L, rowLevel = false)
+    assert(raw.count() > cdc.length.toLong)
+    // an ingest append + manifest update is a CDC step too: pure inserts
+    (9000 until 9100).map(i => (i.toLong, 0L)).toDF("k", "m")
+      .coalesce(1).write.mode("append").parquet(dir)
+    StatsManifest.update(spark, dir, Seq("k")) // v4
+    val step = RowOps.changes(spark, dir, 3L, 4L)
+    assert(step.where(col("_change_type") === "insert").count() === 100L)
+    assert(step.where(col("_change_type") === "delete").count() === 0L)
+  }
+
+  test("reconciliation never resurrects tombstones; expire vacuums them") {
+    val dir = mk("vac")
+    RowOps.delete(spark, dir, col("k") < 250, Seq("k"))
+    val tomb = StatsManifest.removedLatest(spark, dir)
+    assert(tomb.nonEmpty)
+    // an append + incremental update must NOT re-adopt the tombstoned
+    // files even though they still physically exist
+    (5000 until 5010).map(i => (i.toLong, 1L)).toDF("k", "m")
+      .coalesce(1).write.mode("append").parquet(dir)
+    StatsManifest.update(spark, dir, Seq("k"))
+    assert(StatsManifest.scan(spark, dir).count() === 1760L)
+    assert(StatsManifest.removedLatest(spark, dir) === tomb)
+    // retention drops v1/v2 → the tombstoned bytes vacuum away
+    StatsManifest.expire(spark, dir, keep = 1)
+    assert(tomb.forall(k => !physical(dir).contains(k)))
+    assert(StatsManifest.scan(spark, dir).count() === 1760L)
+    // and the next reconciliation trims the now-dead tombstone keys
+    StatsManifest.update(spark, dir, Seq("k"))
+    assert(StatsManifest.removedLatest(spark, dir).isEmpty)
+    assert(StatsManifest.scan(spark, dir).count() === 1760L)
+  }
+
+  test("full rebuild (write) after a delete keeps the tombstones dead") {
+    val dir = mk("rebuild")
+    RowOps.delete(spark, dir, col("k") < 100, Seq("k"))
+    StatsManifest.write(spark, dir, Seq("k")) // full rebuild, new stats col set could differ
+    assert(StatsManifest.scan(spark, dir).count() === 1900L)
+  }
+}
