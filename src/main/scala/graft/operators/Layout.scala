@@ -144,29 +144,74 @@ object Layout {
     * least one of (staging ∪ live) or (trash ∪ live): before (2)
     * completes, restore the `.graft_trash` files into `dir`; after (3)
     * begins,
-    * finish moving staged files in and delete the trash. */
+    * finish moving staged files in and delete the trash.
+    *
+    * `deferDelete = true` (manifested tables whose readers all go
+    * through `StatsManifest.scan` / format "graft-manifest"): the old
+    * layout is TOMBSTONED in one atomic manifest commit instead of
+    * physically swapped — no reader window at all, snapshots at earlier
+    * versions stay readable across the OPTIMIZE (the lakehouse
+    * contract), `RowOps.changes` nets the layout churn to zero, and
+    * `StatsManifest.expire` reclaims the old bytes on the retention
+    * cadence. Files tombstoned by earlier row-level ops are never
+    * optimize INPUT in either mode (their rows are dead); in physical
+    * mode they are deleted with the old layout. */
   def optimize(spark: org.apache.spark.sql.SparkSession, dir: String,
       cols: Seq[String], targetBytes: Long = 128L << 20, bits: Int = 8,
-      quantileErr: Double = 0.001): (Int, Int) = {
+      quantileErr: Double = 0.001, deferDelete: Boolean = false): (Int, Int) = {
     require(targetBytes >= 1L, s"optimize: targetBytes=$targetBytes")
     import org.apache.hadoop.fs.Path
+    import graft.sources.StatsManifest
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = fs.listStatus(dirPath).filter(st => st.isFile &&
+    // a file tombstoned by a row-level op holds DEAD rows kept only for
+    // snapshots/CDC: it is never optimize input (reading it would
+    // resurrect deleted rows) and in physical mode it dies with the old
+    // layout (old snapshots are invalidated anyway)
+    val tomb = StatsManifest.removedLatest(spark, dir)
+    val listed = fs.listStatus(dirPath).filter(st => st.isFile &&
       !st.getPath.getName.startsWith("_") &&
       !st.getPath.getName.startsWith("."))
+    val old = listed.filterNot(st =>
+      tomb.contains(StatsManifest.fileKey(st.getPath)))
     if (old.isEmpty) return (0, 0)
     val bytes = old.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val df = spark.read.schema(schema)
+      .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
     val staging = new Path(dir + ".optimize")
     zorder(df, cols, n, bits, quantileErr)
       .write.mode("overwrite").parquet(staging.toString)
     val staged = fs.listStatus(staging)
       .map(_.getPath).filter(_.getName.startsWith("part-"))
+    if (deferDelete) {
+      // lakehouse-style OPTIMIZE: one atomic manifest commit tombstones
+      // the whole old layout and adopts the clustered files — snapshots
+      // at earlier versions stay readable (expire reclaims the bytes),
+      // and CDC nets the pure layout churn to zero. Readers must go
+      // through the manifest (StatsManifest.scan / format
+      // "graft-manifest"); plain spark.read.parquet(dir) would see both
+      // layouts — that population keeps the default physical swap.
+      val adds = staged.zipWithIndex.map { case (src, i) =>
+        src -> StatsManifest.fileKey(fs.makeQualified(
+          new Path(dirPath, f"opt-$i%05d-${src.getName}")))
+      }.toSeq
+      StatsManifest.commitFileOps(spark, dir, adds,
+        old.map(st => StatsManifest.fileKey(st.getPath)).toSet, cols)
+      staged.zipWithIndex.foreach { case (src, i) =>
+        val dst = new Path(dirPath, f"opt-$i%05d-${src.getName}")
+        require(fs.rename(src, dst),
+          s"optimize: rename $src -> $dst failed; staged copy intact and " +
+            "the committed manifest names the final keys — finish the renames")
+      }
+      fs.delete(staging, true)
+      return (old.length, staged.length)
+    }
     val trash = new Path(dirPath, ".graft_trash")
     fs.mkdirs(trash)
-    old.foreach { st =>
+    (old ++ listed.filter(st =>
+      tomb.contains(StatsManifest.fileKey(st.getPath)))).foreach { st =>
       require(fs.rename(st.getPath, new Path(trash, st.getPath.getName)),
         s"optimize: trash rename ${st.getPath} failed; nothing lost — " +
           "restore .graft_trash and re-run")
@@ -200,23 +245,31 @@ object Layout {
     * (the data always exists in full in at least one of staging ∪ live
     * or trash ∪ live). Compaction deletes the small originals, so
     * manifest versions that referenced them fail-fast on snapshot
-    * reads — the VACUUM/time-travel trade, unchanged. Top-level
+    * reads — the VACUUM/time-travel trade — UNLESS `deferDelete = true`
+    * (manifest-routed readers only): then the originals are tombstoned
+    * in one atomic commit, snapshots survive, CDC nets the churn to
+    * zero, and `expire` reclaims the bytes later (see [[optimize]]).
+    * Top-level
     * layouts only (like [[optimize]]); Hive-partitioned tables compact
     * per partition directory by calling this on the partition path.
     * Returns (smallFilesCompacted, filesWritten). */
   def compactSmall(spark: org.apache.spark.sql.SparkSession, dir: String,
       statsCols: Seq[String], targetBytes: Long = 128L << 20,
       smallBytes: Long = 32L << 20,
-      bloomCols: Seq[String] = Nil): (Int, Int) = {
+      bloomCols: Seq[String] = Nil, deferDelete: Boolean = false): (Int, Int) = {
     require(targetBytes >= 1L && smallBytes >= 1L,
       s"compactSmall: targetBytes=$targetBytes smallBytes=$smallBytes")
     import org.apache.hadoop.fs.Path
+    import graft.sources.StatsManifest
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // never compact a tombstoned file's dead rows back into the table
+    val tomb = StatsManifest.removedLatest(spark, dir)
     val small = fs.listStatus(dirPath).filter(st => st.isFile &&
       !st.getPath.getName.startsWith("_") &&
       !st.getPath.getName.startsWith(".") &&
-      st.getLen < smallBytes)
+      st.getLen < smallBytes &&
+      !tomb.contains(StatsManifest.fileKey(st.getPath)))
     if (small.length < 2) return (0, 0)
     val bytes = small.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
@@ -229,6 +282,26 @@ object Layout {
     df.repartition(n).write.mode("overwrite").parquet(staging.toString)
     val staged = fs.listStatus(staging)
       .map(_.getPath).filter(_.getName.startsWith("part-"))
+    if (deferDelete) {
+      // atomic tombstone+adopt commit (see optimize): snapshots keep
+      // working across the compaction; manifest-routed readers only
+      val adds = staged.zipWithIndex.map { case (src, i) =>
+        src -> StatsManifest.fileKey(fs.makeQualified(
+          new Path(dirPath, f"cmp-$i%05d-${src.getName}")))
+      }.toSeq
+      StatsManifest.commitFileOps(spark, dir, adds,
+        small.map(st => StatsManifest.fileKey(st.getPath)).toSet,
+        statsCols, bloomCols)
+      staged.zipWithIndex.foreach { case (src, i) =>
+        val dst = new Path(dirPath, f"cmp-$i%05d-${src.getName}")
+        require(fs.rename(src, dst),
+          s"compactSmall: rename $src -> $dst failed; staged copy intact " +
+            "and the committed manifest names the final keys — finish the " +
+            "renames")
+      }
+      fs.delete(staging, true)
+      return (small.length, staged.length)
+    }
     val trash = new Path(dirPath, ".graft_trash")
     fs.mkdirs(trash)
     small.foreach { st =>

@@ -124,9 +124,48 @@ object ManifestProbe {
         f""""sec_plain":${plainRuns.map(_._1).min}%.3f}"""
     }
 
+    // Row-level op section: how much of the table does a targeted
+    // DELETE / MERGE actually rewrite on the z-ordered layout? The
+    // manifest prunes candidate discovery (files scanned for matches)
+    // and copy-on-write bounds the rewrite to files holding matches —
+    // candidates/touched/total are the evidence, sec is end-to-end
+    // (find + stage + commit + rename).
+    val rowopsEntry = {
+      val rdir = new java.io.File("target/manifestprobe/rowops")
+        .getAbsolutePath
+      Layout.zorderWrite(li, Seq("l_orderkey", "l_partkey"), rdir, p)
+      val t1 = System.nanoTime()
+      val del = graft.sources.RowOps.delete(spark, rdir,
+        col("l_orderkey").between(loMax / 3, loMax / 3 + loMax / 100),
+        Seq("l_orderkey", "l_partkey"))
+      val delSec = (System.nanoTime() - t1) / 1e9
+      // upsert: 1000 keys in a narrow range — the CDC-apply batch shape
+      val src = StatsManifest.scan(spark, rdir)
+        .where(col("l_orderkey").between(loMax / 2,
+          loMax / 2 + loMax / 200))
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(max("l_quantity").as("l_quantity"),
+          max("l_extendedprice").as("l_extendedprice"))
+        .limit(1000)
+      val srcRows = src.collect()
+      val srcDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(srcRows.toIndexedSeq, 4), src.schema)
+        .withColumn("l_quantity", lit(-1.0))
+      val t2 = System.nanoTime()
+      val ups = graft.sources.RowOps.upsert(spark, rdir, srcDf,
+        Seq("l_orderkey", "l_partkey"), Seq("l_orderkey", "l_partkey"))
+      val upsSec = (System.nanoTime() - t2) / 1e9
+      f""""rowops":{"delete":{"candidates":${del.candidateFiles},""" +
+        f""""touched":${del.touchedFiles},"total":${del.totalFiles},""" +
+        f""""matched_rows":${del.matchedRows},"sec":$delSec%.2f},""" +
+        f""""upsert":{"candidates":${ups.candidateFiles},""" +
+        f""""touched":${ups.touchedFiles},"total":${ups.totalFiles},""" +
+        f""""matched_rows":${ups.matchedRows},"sec":$upsSec%.2f}}"""
+    }
+
     val line = s"""{"sf":"$sfDir","files":$p,""" +
       f""""zorder_write_sec":$writeSec%.1f,${entries.mkString(",")},""" +
-      bloomEntry + "}"
+      bloomEntry + "," + rowopsEntry + "}"
     val out = new java.io.File("target/manifestprobe.json")
     val w = new java.io.PrintWriter(out, "UTF-8")
     try w.println(line) finally w.close()

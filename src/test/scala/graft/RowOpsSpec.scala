@@ -187,4 +187,64 @@ class RowOpsSpec extends AnyFunSuite {
     StatsManifest.write(spark, dir, Seq("k")) // full rebuild, new stats col set could differ
     assert(StatsManifest.scan(spark, dir).count() === 1900L)
   }
+
+  test("physical OPTIMIZE / compactSmall after a delete never resurrect " +
+      "tombstoned rows, and optimize reclaims the dead bytes") {
+    val dir = mk("optphys")
+    RowOps.delete(spark, dir, col("k") < 250, Seq("k"))
+    graft.operators.Layout.optimize(spark, dir, Seq("k"),
+      targetBytes = 1L << 26)
+    assert(spark.read.parquet(dir).count() === 1750L) // plain reader too
+    assert(StatsManifest.scan(spark, dir).count() === 1750L)
+    assert(StatsManifest.removedLatest(spark, dir).isEmpty,
+      "physical optimize deletes tombstoned bytes; write() trims the set")
+
+    val dir2 = mk("cmpphys")
+    RowOps.delete(spark, dir2, col("k") < 250, Seq("k"))
+    graft.operators.Layout.compactSmall(spark, dir2, Seq("k"),
+      targetBytes = 1L << 26, smallBytes = 1L << 26) // everything "small"
+    // the tombstoned replaced files were NOT selected for compaction
+    assert(StatsManifest.scan(spark, dir2).count() === 1750L)
+  }
+
+  test("deferDelete OPTIMIZE: atomic commit, snapshots survive the " +
+      "rewrite, CDC nets the layout churn to zero, expire reclaims") {
+    val dir = mk("optdefer")
+    val vDel = RowOps.delete(spark, dir, col("k") < 250, Seq("k")).version
+    graft.operators.Layout.optimize(spark, dir, Seq("k"),
+      targetBytes = 1L << 26, deferDelete = true)
+    val vOpt = StatsManifest.versions(spark, dir).last
+    assert(vOpt === vDel + 1)
+    // latest reads the clustered layout; plain parquet would see both —
+    // manifest-routed readers only, as documented
+    assert(StatsManifest.scan(spark, dir).count() === 1750L)
+    // the snapshot BEFORE the optimize still reads (old bytes retained)
+    assert(StatsManifest.scanAtVersion(spark, dir, vDel)._1
+      .count() === 1750L)
+    assert(StatsManifest.scanAtVersion(spark, dir, 1L)._1
+      .count() === 2000L)
+    // pure layout churn: the row-level changefeed is EMPTY
+    assert(RowOps.changes(spark, dir, vDel, vOpt).count() === 0L)
+    // retention reclaims every superseded file
+    StatsManifest.expire(spark, dir, keep = 1)
+    assert(StatsManifest.removedLatest(spark, dir).forall(k =>
+      !physical(dir).contains(k)))
+    assert(StatsManifest.scan(spark, dir).count() === 1750L)
+  }
+
+  test("deferDelete compactSmall: small tail compacts, snapshot of the " +
+      "pre-compaction version still reads") {
+    val dir = mk("cmpdefer")
+    (5000 until 5100).map(i => (i.toLong, 0L)).toDF("k", "m")
+      .repartition(4).write.mode("append").parquet(dir)
+    StatsManifest.update(spark, dir, Seq("k")) // v2: 12 files
+    val (c, w) = graft.operators.Layout.compactSmall(spark, dir, Seq("k"),
+      targetBytes = 1L << 26, smallBytes = 1L << 26,
+      deferDelete = true)
+    assert(c === 12 && w >= 1)
+    assert(StatsManifest.scan(spark, dir).count() === 2100L)
+    assert(StatsManifest.scanAtVersion(spark, dir, 2L)._1
+      .count() === 2100L)
+    assert(RowOps.changes(spark, dir, 2L, 3L).count() === 0L)
+  }
 }
