@@ -57,12 +57,15 @@ object RowOps {
   /** DELETE FROM dir WHERE cond. Null-safe: rows where `cond` is null
     * are kept (SQL DELETE semantics). */
   def delete(spark: SparkSession, dir: String, cond: Column,
-      statsCols: Seq[String], bloomCols: Seq[String] = Nil): OpResult = {
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      cdf: Boolean = true): OpResult = {
     val ctx = open(spark, dir)
     val touched = touchedByPredicate(ctx, ctx.snap.where(cond))
-    rewrite(ctx, touched, statsCols, bloomCols) { df =>
-      df.where(!coalesce(cond, lit(false)))
-    }
+    val old = readFiles(ctx, touched.keys)
+    rewriteWith(ctx, touched, statsCols, bloomCols,
+      old.where(!coalesce(cond, lit(false))),
+      cdc = if (cdf) Some((old.where(coalesce(cond, lit(false))),
+        emptyOf(ctx))) else None)
   }
 
   /** UPDATE dir SET set... WHERE cond. Each `set` entry is
@@ -70,13 +73,14 @@ object RowOps {
     * new value is cast to the column's stored type. */
   def update(spark: SparkSession, dir: String, cond: Column,
       set: Seq[(String, Column)], statsCols: Seq[String],
-      bloomCols: Seq[String] = Nil): OpResult = {
+      bloomCols: Seq[String] = Nil, cdf: Boolean = true): OpResult = {
     val ctx = open(spark, dir)
     val bad = set.map(_._1).filterNot(ctx.schema.fieldNames.contains)
     require(bad.isEmpty, s"update: unknown columns ${bad.mkString(", ")}")
     val setMap = set.toMap
     val touched = touchedByPredicate(ctx, ctx.snap.where(cond))
-    rewrite(ctx, touched, statsCols, bloomCols) { df =>
+    val old = readFiles(ctx, touched.keys)
+    def applySet(df: DataFrame): DataFrame =
       df.select(ctx.schema.map { f =>
         setMap.get(f.name) match {
           case Some(e) => when(coalesce(cond, lit(false)),
@@ -84,7 +88,9 @@ object RowOps {
           case None => col(f.name)
         }
       }.toIndexedSeq: _*)
-    }
+    val oldM = old.where(coalesce(cond, lit(false)))
+    rewriteWith(ctx, touched, statsCols, bloomCols, applySet(old),
+      cdc = if (cdf) Some((oldM, applySet(oldM))) else None)
   }
 
   /** MERGE INTO dir USING source ON keys — upsert semantics: a target
@@ -95,7 +101,8 @@ object RowOps {
     * result order-dependent, so they fail fast (O(1)-output probe). */
   def upsert(spark: SparkSession, dir: String, source: DataFrame,
       keys: Seq[String], statsCols: Seq[String],
-      bloomCols: Seq[String] = Nil, validate: Boolean = true): OpResult = {
+      bloomCols: Seq[String] = Nil, validate: Boolean = true,
+      cdf: Boolean = true): OpResult = {
     val ctx = open(spark, dir)
     val missing = ctx.schema.fieldNames.filterNot(
       source.schema.fieldNames.contains)
@@ -114,11 +121,14 @@ object RowOps {
     val touchedDf = readFiles(ctx, touched.keys)
     val tKeys = touchedDf.select(keys.map(col).toIndexedSeq: _*).distinct()
     val inserted = src.join(tKeys, keys, "left_anti").count()
+    val replacedOld = touchedDf.join(
+      src.select(keys.map(col).toIndexedSeq: _*), keys, "left_semi")
     val res = rewriteWith(ctx, touched, statsCols, bloomCols,
       touchedDf.join(src.select(keys.map(col).toIndexedSeq: _*),
         keys, "left_anti")
         .unionByName(src),
-      extraFiles = 1)
+      extraFiles = 1,
+      cdc = if (cdf) Some((replacedOld, src)) else None)
     res.copy(insertedRows = inserted)
   }
 
@@ -126,14 +136,16 @@ object RowOps {
     * GDPR shape). `keyRows` needs exactly the `keys` columns. */
   def deleteKeys(spark: SparkSession, dir: String, keyRows: DataFrame,
       keys: Seq[String], statsCols: Seq[String],
-      bloomCols: Seq[String] = Nil): OpResult = {
+      bloomCols: Seq[String] = Nil, cdf: Boolean = true): OpResult = {
     val ctx = open(spark, dir)
     val src = keyRows.select(keys.map(k =>
       col(k).cast(ctx.schema(k).dataType).as(k)).toIndexedSeq: _*)
     val touched = touchedByKeys(ctx, src, keys)
-    rewrite(ctx, touched, statsCols, bloomCols) { df =>
-      df.join(src, keys, "left_anti")
-    }
+    val old = readFiles(ctx, touched.keys)
+    rewriteWith(ctx, touched, statsCols, bloomCols,
+      old.join(src, keys, "left_anti"),
+      cdc = if (cdf) Some((old.join(src, keys, "left_semi"),
+        emptyOf(ctx))) else None)
   }
 
   // ---------------------------------------------------------------- //
@@ -143,20 +155,26 @@ object RowOps {
   /** The rows that changed between manifest versions `fromVersion`
     * (exclusive) and `toVersion` (inclusive), as a changefeed: the
     * table's columns plus `_change_type` ('insert' | 'delete') and
-    * `_commit_version` (the version that committed the change). Per
-    * committed step, added files' rows are inserts and removed files'
-    * rows are deletes; with `rowLevel` (default) the two sides are
-    * NETTED multiset-wise (`exceptAll`), so rows a copy-on-write
-    * rewrite carried over unchanged — the bulk of a touched file —
-    * cancel out and only genuine row changes surface (an UPDATE appears
-    * as its old row deleted + new row inserted). Pure layout churn
-    * (ingest appends followed by rewrites of the same rows) nets to
-    * zero the same way.
+    * `_commit_version` (the version that committed the change).
     *
-    * Requires every version step in the window to be retained and the
-    * removed files' bytes still present — i.e. retention
-    * ([[StatsManifest.expire]]) covering the window and no physical
-    * swap (`Layout.optimize`/`compactSmall`) inside it. */
+    * Two sources per step, cheapest first:
+    *  - PRECOMPUTED change files (`_graft_cdc/v%06d-*.parquet`, written
+    *    by the ops themselves when `cdf = true`, already netted): the
+    *    consumer reads O(changes) — at 100 TB the difference between a
+    *    CDC subscriber reading megabytes and re-deriving the diff from
+    *    the touched files' gigabytes.
+    *  - FALLBACK file-diff netting: added files' rows are inserts,
+    *    removed files' rows are deletes, netted multiset-wise
+    *    (`exceptAll`) so rows a copy-on-write rewrite carried over
+    *    unchanged cancel out — an UPDATE surfaces as its old+new row
+    *    pair, pure layout churn nets to zero. Used when change files
+    *    are absent (ops run with `cdf = false`, reconciliation commits
+    *    from appends, a crash between commit and CDC write) or when a
+    *    step spans expired intermediate versions.
+    *
+    * `rowLevel = false` always uses the raw (unnetted) file diff — the
+    * physical churn view. Requires the window's versions retained and
+    * removed files' bytes still present for any step that falls back. */
   def changes(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long, rowLevel: Boolean = true): DataFrame = {
     require(fromVersion <= toVersion,
@@ -168,32 +186,75 @@ object RowOps {
       s"changes: versions $fromVersion and/or $toVersion not retained " +
         s"(have: ${vs.mkString(", ")})")
     val schema = spark.read.parquet(dir).schema
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     def readKeys(ks: Iterable[String]): DataFrame =
       if (ks.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.schema(schema).parquet(ks.toSeq.sorted: _*)
     val steps = vs.sliding(2).filter(_.size == 2).map { case Seq(a, b) =>
-      val fa = StatsManifest.readAt(spark, dir, a).keySet
-      val fb = StatsManifest.readAt(spark, dir, b).keySet
-      val ins = readKeys(fb -- fa)
-      val del = readKeys(fa -- fb)
-      val (insN, delN) =
-        if (rowLevel) (ins.exceptAll(del), del.exceptAll(ins))
-        else (ins, del)
-      insN.withColumn("_change_type", lit("insert"))
-        .unionByName(delN.withColumn("_change_type", lit("delete")))
-        .withColumn("_commit_version", lit(b))
+      // precomputed files describe ONE commit: only valid when the step
+      // is a single commit (b = a+1; retention gaps fall back)
+      val pre =
+        if (rowLevel && b == a + 1) cdcFiles(fs, dir, b) else Seq.empty
+      if (pre.nonEmpty)
+        spark.read.schema(cdcSchema(schema)).parquet(pre.map(_.toString): _*)
+      else {
+        val fa = StatsManifest.readAt(spark, dir, a).keySet
+        val fb = StatsManifest.readAt(spark, dir, b).keySet
+        val ins = readKeys(fb -- fa)
+        val del = readKeys(fa -- fb)
+        val (insN, delN) =
+          if (rowLevel) (ins.exceptAll(del), del.exceptAll(ins))
+          else (ins, del)
+        insN.withColumn("_change_type", lit("insert"))
+          .unionByName(delN.withColumn("_change_type", lit("delete")))
+          .withColumn("_commit_version", lit(b))
+      }
     }.toSeq
     if (steps.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(schema.fields).add("_change_type", "string")
-          .add("_commit_version", "long"))
+        cdcSchema(schema))
     else steps.reduce(_ unionByName _)
+  }
+
+  /** STREAMING changefeed: a `readStream` over the precomputed change
+    * files — every committed row-level op lands its netted changes as
+    * new files under `_graft_cdc/`, and Spark's file stream source
+    * discovers them per micro-batch. The CDC consumer (a downstream
+    * materialization, an audit sink, a cache invalidator) reads
+    * O(changes) continuously, never touching the table's data files.
+    * Only ops run with `cdf = true` feed it (reconciliation commits
+    * from plain appends don't — route ingest through
+    * `Streams.upsertToManifestedTable` or backfill with [[changes]]). */
+  def changesStream(spark: SparkSession, dir: String): DataFrame = {
+    val cdcPath = new Path(dir, CdcDir)
+    val fs = cdcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(cdcPath)
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(cdcSchema(schema)).parquet(cdcPath.toString)
   }
 
   // ---------------------------------------------------------------- //
   //  Shared machinery                                                 //
   // ---------------------------------------------------------------- //
+
+  /** Flat dir of precomputed change files, named `v%06d-….parquet` by
+    * the committing op (staged + renamed in, like every write here).
+    * Underscore prefix: invisible to data listings and reconciliation. */
+  private[graft] val CdcDir = "_graft_cdc"
+
+  private def cdcSchema(schema: StructType): StructType =
+    StructType(schema.fields).add("_change_type", "string")
+      .add("_commit_version", "long")
+
+  private[graft] def cdcFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, version: Long): Seq[Path] = {
+    val d = new Path(dir, CdcDir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.globStatus(new Path(d, f"v$version%06d-*.parquet"))
+      .map(_.getPath).toSeq
+  }
 
   private final case class Ctx(spark: SparkSession, dir: String,
       version: Long, snap: DataFrame,
@@ -250,23 +311,25 @@ object RowOps {
   }
 
   private def readFiles(ctx: Ctx, keys: Iterable[String]): DataFrame =
-    if (keys.isEmpty)
-      ctx.spark.createDataFrame(
-        ctx.spark.sparkContext.emptyRDD[Row], ctx.schema)
+    if (keys.isEmpty) emptyOf(ctx)
     else ctx.spark.read.schema(ctx.schema)
       .parquet(keys.toSeq.sorted: _*)
 
-  private def rewrite(ctx: Ctx, touched: Map[String, Long],
-      statsCols: Seq[String], bloomCols: Seq[String])(
-      f: DataFrame => DataFrame): OpResult =
-    rewriteWith(ctx, touched, statsCols, bloomCols,
-      f(readFiles(ctx, touched.keys)))
+  private def emptyOf(ctx: Ctx): DataFrame =
+    ctx.spark.createDataFrame(
+      ctx.spark.sparkContext.emptyRDD[Row], ctx.schema)
 
   /** Stage `replacement`, commit (tombstone touched + adopt staged under
-    * final keys), rename the staged files in, clean staging. */
+    * final keys), rename the staged files in, clean staging; then land
+    * the netted change files (`cdc` = raw (deletes, inserts) — rows a
+    * rewrite carried over cancel via `exceptAll` before writing). CDC
+    * lands AFTER the data commit: a crash in between loses only the
+    * precomputed files, and [[changes]] falls back to file-diff netting
+    * for that version. */
   private def rewriteWith(ctx: Ctx, touched: Map[String, Long],
       statsCols: Seq[String], bloomCols: Seq[String],
-      replacement: DataFrame, extraFiles: Int = 0): OpResult = {
+      replacement: DataFrame, extraFiles: Int = 0,
+      cdc: Option[(DataFrame, DataFrame)] = None): OpResult = {
     val totalFiles = ctx.stats.size.toLong
     val candidates = ctx.idx.selected.get()
     if (touched.isEmpty && extraFiles == 0)
@@ -296,6 +359,26 @@ object RowOps {
           "committed manifest names the final keys — finish the renames")
     }
     fs.delete(staging, true)
+    cdc.foreach { case (del, ins) =>
+      val net = ins.exceptAll(del)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(del.exceptAll(ins)
+          .withColumn("_change_type", lit("delete")))
+        .withColumn("_commit_version", lit(ver))
+      val cdcStage = new Path(ctx.dir + ".cdcstage")
+      net.coalesce(1).write.mode("overwrite").parquet(cdcStage.toString)
+      val cdcDir = new Path(dirPath, CdcDir)
+      fs.mkdirs(cdcDir)
+      fs.listStatus(cdcStage).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).zipWithIndex
+        .foreach { case (src, i) =>
+          val dst = new Path(cdcDir, f"v$ver%06d-$i%05d.parquet")
+          require(fs.rename(src, dst),
+            s"RowOps: CDC rename $src -> $dst failed — changes() will " +
+              "fall back to file-diff netting for this version")
+        }
+      fs.delete(cdcStage, true)
+    }
     OpResult(ver, totalFiles, candidates, touched.size.toLong, matched,
       addedRows)
   }

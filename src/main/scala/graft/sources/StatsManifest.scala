@@ -391,7 +391,11 @@ object StatsManifest {
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = versions(spark, dir)
     val drop = vs.dropRight(keep)
-    drop.foreach(v => fsys.delete(new Path(mDir, f"v$v%06d"), true))
+    drop.foreach { v =>
+      fsys.delete(new Path(mDir, f"v$v%06d"), true)
+      // the version's precomputed change files (RowOps CDC) expire with it
+      RowOps.cdcFiles(fsys, dir, v).foreach(fsys.delete(_, false))
+    }
     vs.drop(drop.length).headOption.foreach { oldest =>
       removedAt(spark, dir, oldest).foreach { k =>
         val p = new Path(k)

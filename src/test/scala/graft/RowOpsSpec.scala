@@ -150,6 +150,21 @@ class RowOpsSpec extends AnyFunSuite {
     // files appear on both sides
     val raw = RowOps.changes(spark, dir, 1L, 3L, rowLevel = false)
     assert(raw.count() > cdc.length.toLong)
+    // the feed above came from PRECOMPUTED change files (ops write them
+    // at commit); deleting them must fall back to file-diff netting
+    // with the identical result
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cdcDir = new Path(dir, "_graft_cdc")
+    val pre = fs.listStatus(cdcDir).map(_.getPath)
+    assert(pre.count(_.getName.startsWith("v000002-")) >= 1)
+    assert(pre.count(_.getName.startsWith("v000003-")) >= 1)
+    pre.foreach(fs.delete(_, false))
+    val fallback = RowOps.changes(spark, dir, 1L, 3L)
+      .orderBy("_commit_version", "_change_type", "k")
+      .select("k", "m", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Long)].collect()
+    assert(fallback === cdc)
     // an ingest append + manifest update is a CDC step too: pure inserts
     (9000 until 9100).map(i => (i.toLong, 0L)).toDF("k", "m")
       .coalesce(1).write.mode("append").parquet(dir)
@@ -157,6 +172,32 @@ class RowOpsSpec extends AnyFunSuite {
     val step = RowOps.changes(spark, dir, 3L, 4L)
     assert(step.where(col("_change_type") === "insert").count() === 100L)
     assert(step.where(col("_change_type") === "delete").count() === 0L)
+  }
+
+  test("changesStream: a readStream over the change files delivers each " +
+      "op's netted rows; expire drops a version's change files with it") {
+    val dir = mk("cdcstream")
+    RowOps.delete(spark, dir, col("k") < 10, Seq("k")) // v2: 10 deletes
+    RowOps.upsert(spark, dir,
+      Seq((15L, -7L), (9000L, 1L)).toDF("k", "m"), Seq("k"), Seq("k"))
+    // ^ v3: 1 replace (delete+insert) + 1 insert = 3 netted rows
+    val feed = graft.streaming.Streams.runToTable(spark,
+      RowOps.changesStream(spark, dir), "cdc_feed", "append")
+    assert(feed.count() === 13L)
+    assert(feed.where(col("_commit_version") === 2L &&
+      col("_change_type") === "delete").count() === 10L)
+    assert(feed.where(col("_commit_version") === 3L).count() === 3L)
+    assert(feed.where(col("_commit_version") === 3L &&
+      col("_change_type") === "insert" && col("k") === 15L)
+      .select("m").as[Long].head() === -7L)
+    // retention: dropping v1/v2 removes v2's change files too
+    StatsManifest.expire(spark, dir, keep = 1)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val left = fs.listStatus(new Path(dir, "_graft_cdc"))
+      .map(_.getPath.getName)
+    assert(!left.exists(_.startsWith("v000002-")))
+    assert(left.exists(_.startsWith("v000003-")))
   }
 
   test("reconciliation never resurrects tombstones; expire vacuums them") {
