@@ -77,6 +77,34 @@ object RowOpsQueries {
              |ORDER BY o_orderkey""".stripMargin)),
 
     Query(
+      // Schema evolution: ADD COLUMN is one manifest commit (no file
+      // rewritten — RowOpsSpec/SchemaEvolutionSpec pin that); old rows
+      // serve NULL, appended rows carry values, and the final evolved
+      // table must equal DuckDB computing the same shape directly.
+      "q_schema_evolve",
+      (s, d) => {
+        val o = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+        val dir = tmp("graft_schev_q_", d)
+        o.repartition(8).write.mode("overwrite").parquet(dir)
+        StatsManifest.write(s, dir, Seq("o_orderkey"))
+        RowOps.addColumn(s, dir, "o_flag",
+          org.apache.spark.sql.types.LongType)
+        o.where(col("o_orderkey") % 50 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("o_flag", lit(1L))
+          .write.mode("append").parquet(dir)
+        StatsManifest.update(s, dir, Seq("o_orderkey"))
+        StatsManifest.scan(s, dir).orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  CAST(NULL AS BIGINT) AS o_flag FROM orders
+             |UNION ALL
+             |SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice,
+             |  CAST(1 AS BIGINT) AS o_flag
+             |FROM orders WHERE o_orderkey % 50 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Query(
       // CDC: v1 = the table, v2 = a DELETE, v3 = an UPDATE; the
       // row-level changefeed over (v1, v3] must surface EXACTLY the
       // deleted rows (@2) and the updated rows as delete+insert pairs

@@ -149,6 +149,42 @@ object RowOps {
   }
 
   // ---------------------------------------------------------------- //
+  //  Schema evolution: metadata-only ADD / DROP COLUMN                 //
+  // ---------------------------------------------------------------- //
+
+  /** ADD COLUMN — metadata-only: commits a schema-only manifest version
+    * ([[StatsManifest.commitSchema]]); NO data file is rewritten.
+    * Existing files simply lack the column and serve nulls (the
+    * explicit-schema read fills them); files written afterwards — by
+    * appends, row ops, compaction — carry it. Backfill a non-null
+    * value with `update(cond = lit(true), Seq(name -> default))` when
+    * wanted; at 100 TB the point is that adding a column costs one
+    * manifest commit, not a corpus rewrite. Snapshot reads BEFORE this
+    * version keep the old schema (the sidecar is versioned). */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    val schema = StatsManifest.tableSchema(spark, dir)
+    require(!schema.fieldNames.contains(name),
+      s"addColumn: column $name already exists")
+    StatsManifest.commitSchema(spark, dir,
+      schema.add(name, dataType, nullable = true))
+  }
+
+  /** DROP COLUMN — metadata-only: the column disappears from the
+    * authoritative schema; the bytes stay in the files (projected away
+    * by every read) until rewrites retire them. Stats the manifest
+    * keeps for the column become dead weight until the next full
+    * `write()` (harmless — `mayMatch` is only consulted for columns a
+    * query can reference). */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long = {
+    val schema = StatsManifest.tableSchema(spark, dir)
+    require(schema.fieldNames.contains(name),
+      s"dropColumn: no column $name")
+    StatsManifest.commitSchema(spark, dir,
+      StructType(schema.filterNot(_.name == name)))
+  }
+
+  // ---------------------------------------------------------------- //
   //  CDC: the row-level changefeed between two manifest versions       //
   // ---------------------------------------------------------------- //
 
@@ -185,7 +221,7 @@ object RowOps {
       vs.lastOption.contains(toVersion),
       s"changes: versions $fromVersion and/or $toVersion not retained " +
         s"(have: ${vs.mkString(", ")})")
-    val schema = spark.read.parquet(dir).schema
+    val schema = StatsManifest.tableSchema(spark, dir)
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     def readKeys(ks: Iterable[String]): DataFrame =
@@ -231,7 +267,7 @@ object RowOps {
     val cdcPath = new Path(dir, CdcDir)
     val fs = cdcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(cdcPath)
-    val schema = spark.read.parquet(dir).schema
+    val schema = StatsManifest.tableSchema(spark, dir)
     spark.readStream.schema(cdcSchema(schema)).parquet(cdcPath.toString)
   }
 

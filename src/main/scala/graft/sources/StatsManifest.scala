@@ -55,6 +55,7 @@ object StatsManifest {
 
   private val ManifestDir = "_graft_manifest"
   private val RemovedFile = "_removed.txt"
+  private val SchemaFile = "_schema.json"
 
   /** Per-file, per-column stats: [lo, hi] over non-null values in one of
     * the three order-exact domains, plus the non-null count. `lo`/`hi`
@@ -315,10 +316,70 @@ object StatsManifest {
     versions(spark, dir).lastOption
       .map(removedAt(spark, dir, _)).getOrElse(Set.empty)
 
+  // ---------------------------------------------------------------- //
+  //  Versioned table schema: metadata-only evolution                  //
+  // ---------------------------------------------------------------- //
+
+  /** Each manifest version may carry the table's AUTHORITATIVE schema
+    * in a `_schema.json` sidecar (committed in the same atomic rename).
+    * Absent (every pre-evolution table), the schema is whatever parquet
+    * footer inference says — unchanged behavior. Present, every read
+    * and stats scan uses it EXPLICITLY: files missing a column serve
+    * nulls (how a metadata-only ADD COLUMN works — zero rewrite), files
+    * carrying extra columns have them projected away (DROP COLUMN).
+    * Snapshot reads use the schema AS OF their version, so time travel
+    * crosses schema changes faithfully. */
+  private def readSchemaSidecar(fsys: org.apache.hadoop.fs.FileSystem,
+      vDir: Path): Option[StructType] = {
+    val f = new Path(vDir, SchemaFile)
+    if (!fsys.exists(f)) None
+    else {
+      val in = fsys.open(f)
+      try Some(DataType.fromJson(scala.io.Source
+        .fromInputStream(in, "UTF-8").mkString).asInstanceOf[StructType])
+      finally in.close()
+    }
+  }
+
+  /** The schema AS OF version `version` (sidecar), if one was committed. */
+  def schemaAt(spark: SparkSession, dir: String,
+      version: Long): Option[StructType] = {
+    val vDir = new Path(new Path(dir, ManifestDir), f"v$version%06d")
+    readSchemaSidecar(vDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration), vDir)
+  }
+
+  private def schemaLatest(spark: SparkSession,
+      dir: String): Option[StructType] =
+    versions(spark, dir).lastOption.flatMap(schemaAt(spark, dir, _))
+
+  /** The table's authoritative CURRENT schema: the latest version's
+    * sidecar, else parquet inference over the directory. */
+  def tableSchema(spark: SparkSession, dir: String): StructType =
+    schemaLatest(spark, dir)
+      .getOrElse(spark.read.parquet(dir).schema)
+
+  /** Commit a SCHEMA-ONLY version: same file entries and tombstones as
+    * the latest version, new authoritative schema — the metadata-only
+    * half of ADD/DROP COLUMN ([[RowOps.addColumn]]/[[RowOps.dropColumn]]).
+    * Returns the committed version. */
+  def commitSchema(spark: SparkSession, dir: String,
+      newSchema: StructType): Long = {
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = resolveParts(fsys, mDir).getOrElse(throw
+      new IllegalStateException(
+        s"commitSchema: $dir is not a manifested table"))
+    val existing = spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+    commitVersion(spark, dir, existing, removedLatest(spark, dir),
+      Some(newSchema))
+  }
+
   /** Stage `manifest` under a hidden dir, then commit it as the next
     * version via atomic rename. Returns the committed version. */
   private def commitVersion(spark: SparkSession, dir: String,
-      manifest: DataFrame, removed: Set[String] = Set.empty): Long = {
+      manifest: DataFrame, removed: Set[String] = Set.empty,
+      schema: Option[StructType] = None): Long = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new Path(mDir, s".stage-${java.util.UUID.randomUUID()}")
@@ -326,6 +387,11 @@ object StatsManifest {
     if (removed.nonEmpty) {
       val out = fsys.create(new Path(stage, RemovedFile), true)
       try out.write(removed.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    schema.foreach { s =>
+      val out = fsys.create(new Path(stage, SchemaFile), true)
+      try out.write(s.json.getBytes("UTF-8"))
       finally out.close()
     }
     var v = versions(spark, dir).lastOption.getOrElse(0L) + 1
@@ -427,7 +493,12 @@ object StatsManifest {
       bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16): Unit = {
     val dirPath = new Path(dir)
     val fsys = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val full = spark.read.parquet(dir)
+    // an evolved schema (sidecar) is authoritative over footer inference
+    val sidecar = schemaLatest(spark, dir)
+    val full = sidecar match {
+      case Some(s) => spark.read.schema(s).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
     // tombstoned files are dead rows: a full rebuild must not resurrect
     // them. Trim the carried set to files still physically present.
     val removed = removedLatest(spark, dir)
@@ -444,7 +515,8 @@ object StatsManifest {
       else removed intersect listed.map(fileKey).toSet
     val aggs = statsAggs(df.schema, statsCols, bloomCols, bloomBits)
     commitVersion(spark, dir,
-      df.groupBy(fileKeyCol).agg(aggs.head, aggs.tail: _*), removedTrim)
+      df.groupBy(fileKeyCol).agg(aggs.head, aggs.tail: _*), removedTrim,
+      sidecar)
     ()
   }
 
@@ -492,7 +564,11 @@ object StatsManifest {
     }
     val existing = spark.read.parquet(
       existingParts.get.map(_.toString).toIndexedSeq: _*)
-    val df = spark.read.parquet(dir)
+    val sidecar = schemaLatest(spark, dir)
+    val df = sidecar match {
+      case Some(s) => spark.read.schema(s).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
     if (existing.schema.fieldNames.toSet !=
         expectedCols(df.schema, statsCols, bloomCols)) {
       // column set changed → the old entries can't be reused
@@ -535,7 +611,7 @@ object StatsManifest {
       .getOrElse(Array.empty)
     val mergedDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), existing.schema)
-    commitVersion(spark, dir, mergedDf, removedTrim)
+    commitVersion(spark, dir, mergedDf, removedTrim, sidecar)
     UpdateResult(
       reused = (coveredKeys intersect liveKeys).size.toLong,
       scanned = newPaths.length.toLong,
@@ -570,7 +646,8 @@ object StatsManifest {
       new IllegalStateException(
         s"commitFileOps: $dir is not a manifested table"))
     val existing = spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
-    val schema = spark.read.parquet(dir).schema
+    val sidecar = schemaLatest(spark, dir)
+    val schema = sidecar.getOrElse(spark.read.parquet(dir).schema)
     require(existing.schema.fieldNames.toSet ==
       expectedCols(schema, statsCols, bloomCols),
       "commitFileOps: statsCols/bloomCols don't match the existing " +
@@ -604,7 +681,7 @@ object StatsManifest {
     val mergedDf = spark.createDataFrame(
       spark.sparkContext.parallelize((carried ++ freshRows).toIndexedSeq, 1),
       existing.schema)
-    (commitVersion(spark, dir, mergedDf, removed), addedRows)
+    (commitVersion(spark, dir, mergedDf, removed, sidecar), addedRows)
   }
 
   /** Driver-side manifest read: file name → stats. The part files are
@@ -918,8 +995,23 @@ object StatsManifest {
   def scanAtVersion(spark: SparkSession, dir: String,
       version: Long): (DataFrame, ManifestFileIndex) = {
     val stats = readAt(spark, dir, version)
+    // the schema AS OF that version: the version's sidecar, or — for
+    // versions committed before evolution support — inference over the
+    // version's OWN files (basePath keeps Hive-partition columns), so
+    // time travel crosses ADD/DROP COLUMN faithfully either way
+    val histSchema = schemaAt(spark, dir, version).getOrElse(
+      try spark.read.option("basePath", dir)
+        .parquet(stats.keySet.toSeq.sorted: _*).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          // fail FAST and loud, same contract as the post-build check
+          throw new IllegalArgumentException(
+            s"scanAtVersion: data files of version $version no " +
+              s"longer exist (compacted or expired): ${e.getMessage}")
+      })
     val (df, idx) = buildScan(spark, dir, stats,
-      allow = Some(stats.keySet))
+      allow = Some(stats.keySet),
+      schemaOverride = Some(histSchema))
     val listed = idx.inputFiles
       .map(f => fileKey(new Path(f))).toSet
     val missing = stats.keySet -- listed
@@ -932,8 +1024,10 @@ object StatsManifest {
   private def buildScan(spark: SparkSession, dir: String,
       stats: Map[String, FileStats],
       allow: Option[Set[String]],
-      deny: Set[String] = Set.empty): (DataFrame, ManifestFileIndex) = {
-    val fullSchema = spark.read.parquet(dir).schema
+      deny: Set[String] = Set.empty,
+      schemaOverride: Option[StructType] = None)
+      : (DataFrame, ManifestFileIndex) = {
+    val fullSchema = schemaOverride.getOrElse(tableSchema(spark, dir))
     val inner = new InMemoryFileIndex(spark, Seq(new Path(dir)),
       Map.empty[String, String], Some(fullSchema),
       FileStatusCache.getOrCreate(spark), None, None)
