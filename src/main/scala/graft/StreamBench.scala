@@ -264,6 +264,38 @@ object StreamBench {
       } catch { case e: Throwable =>
         System.err.println(s"[streambench] dedup_index_filter failed: $e")
         OpResult("dedup_index_filter", 20000, -1, -1, -1, -1, 0, -1, -1)
+      },
+
+      // CDC-apply: merge a keyed changelog into a manifested table per
+      // micro-batch (RowOps.upsert + deleteKeys through
+      // upsertToManifestedTable). Keys recycle over a 50k space, so
+      // most rows are UPDATES scattered uniformly — the copy-on-write
+      // worst case (every file holds matches); ~1% are deletes. State
+      // is the table itself (state_rows reads 0).
+      try measureQuery("cdc_apply", 20000, durSec) {
+        val tblDir = {
+          val p = Paths.get("target", "streambench", "cdctbl").toAbsolutePath
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete()
+          }
+          rm(p.toFile)
+          p.toString + "/t"
+        }
+        val changes = spark.readStream.format("rate")
+          .option("rowsPerSecond", 20000)
+          .option("numPartitions", 8).load()
+          .select(pmod(col("value") * 2654435761L, lit(50000L)).as("k"),
+            col("value").as("v"),
+            col("value").as("seq"),
+            (pmod(col("value"), lit(97L)) === 0L).as("del"))
+        graft.streaming.Streams.upsertToManifestedTable(spark, changes,
+          tblDir, keys = Seq("k"), seqCol = "seq", statsCols = Seq("k"),
+          deleteCol = Some("del"), triggerMs = triggerMs,
+          checkpointDir = Some(cpDir("cdc_apply")))
+      } catch { case e: Throwable =>
+        System.err.println(s"[streambench] cdc_apply failed: $e")
+        OpResult("cdc_apply", 20000, -1, -1, -1, -1, 0, -1, -1)
       })
   }
 

@@ -45,6 +45,26 @@ final class ManifestSource extends RelationProvider
     //   spark.read.format("graft-manifest").option("version", "3")
     //   CREATE TABLE t_asof USING `graft-manifest`
     //     OPTIONS (path '<dir>', version '3')
+    // CDC from the generic API: the row-level changefeed over
+    // (changesFrom, changesTo] — table columns + _change_type +
+    // _commit_version (see RowOps.changes):
+    //   .option("changesFrom", "1").option("changesTo", "4")
+    val sqlContext0 = sqlContext
+    (parameters.get("changesFrom"), parameters.get("changesTo")) match {
+      case (Some(a), b) =>
+        val spark = sqlContext.sparkSession
+        val to = b.map(_.toLong).getOrElse(
+          StatsManifest.versions(spark, path).last)
+        val cdc = RowOps.changes(spark, path, a.toLong, to)
+        return new BaseRelation
+          with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: SQLContext = sqlContext0
+          override def schema = cdc.schema
+          override def buildScan(): org.apache.spark.rdd.RDD[
+            org.apache.spark.sql.Row] = cdc.rdd
+        }
+      case _ =>
+    }
     val (df, _) = parameters.get("version") match {
       case Some(v) =>
         StatsManifest.scanAtVersion(sqlContext.sparkSession, path, v.toLong)

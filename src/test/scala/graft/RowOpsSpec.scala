@@ -200,6 +200,22 @@ class RowOpsSpec extends AnyFunSuite {
     assert(left.exists(_.startsWith("v000003-")))
   }
 
+  test("CDC through the generic read API: changesFrom/changesTo options") {
+    val dir = mk("cdcfmt")
+    RowOps.delete(spark, dir, col("k") < 5, Seq("k")) // v2
+    RowOps.update(spark, dir, col("k") === 10L,
+      Seq("m" -> lit(99)), Seq("k")) // v3
+    val cdc = spark.read.format("graft-manifest")
+      .option("path", dir).option("changesFrom", "1").load()
+    assert(cdc.where(col("_change_type") === "delete").count() === 6L)
+    assert(cdc.where(col("_change_type") === "insert")
+      .select("m").as[Long].head() === 99L)
+    val step = spark.read.format("graft-manifest")
+      .option("path", dir)
+      .option("changesFrom", "1").option("changesTo", "2").load()
+    assert(step.count() === 5L)
+  }
+
   test("reconciliation never resurrects tombstones; expire vacuums them") {
     val dir = mk("vac")
     RowOps.delete(spark, dir, col("k") < 250, Seq("k"))
