@@ -34,8 +34,12 @@ import org.apache.spark.sql.types.StructType
   * this module is the same upsert/retract semantics applied to a STORED
   * table, the batch half a lakehouse needs.
   *
-  * Top-level (non-Hive-partitioned) layouts, like `Layout.optimize`.
-  * Single-writer per table, like every maintenance pass here; readers
+  * Hive-partitioned layouts compose: partition predicates prune
+  * DIRECTORIES before the manifest prunes files, rewrites stage back
+  * partitioned, and the file moves preserve the `p=…` relative paths.
+  * Single-writer per table, enforced optimistically at commit
+  * ([[StatsManifest.commitFileOps]] aborts when the analyzed version
+  * is no longer the latest — no lost updates under a race); readers
   * racing a commit see the old version or a transiently-short new one
   * (never duplicates — tombstones and the commit land atomically,
   * staged files rename in immediately after; crash recovery = finish
@@ -227,7 +231,9 @@ object RowOps {
     def readKeys(ks: Iterable[String]): DataFrame =
       if (ks.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(ks.toSeq.sorted: _*)
+      // basePath: Hive-partition columns derive from the paths
+      else spark.read.option("basePath", dir).schema(schema)
+        .parquet(ks.toSeq.sorted: _*)
     val steps = vs.sliding(2).filter(_.size == 2).map { case Seq(a, b) =>
       // precomputed files describe ONE commit: only valid when the step
       // is a single commit (b = a+1; retention gaps fall back)
@@ -295,7 +301,12 @@ object RowOps {
   private final case class Ctx(spark: SparkSession, dir: String,
       version: Long, snap: DataFrame,
       idx: StatsManifest.ManifestFileIndex, schema: StructType,
-      stats: Map[String, StatsManifest.FileStats])
+      stats: Map[String, StatsManifest.FileStats],
+      /** Hive partition columns (empty for flat layouts): rewrites go
+        * back partitioned and the file moves preserve the `p=…`
+        * relative path, so partition-directory pruning keeps working
+        * on the replacement files. */
+      partCols: Seq[String])
 
   private def open(spark: SparkSession, dir: String): Ctx = {
     val vs = StatsManifest.versions(spark, dir)
@@ -303,11 +314,9 @@ object RowOps {
       "(StatsManifest.write it first)")
     val v = vs.last
     val (snap, idx) = StatsManifest.scanAtVersion(spark, dir, v)
-    require(idx.partitionSchema.isEmpty,
-      "RowOps: top-level layouts only (Hive-partitioned tables: run " +
-        "against the partition directory)")
     Ctx(spark, dir, v, snap, idx, snap.schema,
-      StatsManifest.readAt(spark, dir, v))
+      StatsManifest.readAt(spark, dir, v),
+      idx.partitionSchema.fieldNames.toSeq)
   }
 
   /** (file key → matched rows) for the rows of `matches` — ONE pruned
@@ -348,7 +357,8 @@ object RowOps {
 
   private def readFiles(ctx: Ctx, keys: Iterable[String]): DataFrame =
     if (keys.isEmpty) emptyOf(ctx)
-    else ctx.spark.read.schema(ctx.schema)
+    // basePath keeps Hive-partition columns derivable from the paths
+    else ctx.spark.read.option("basePath", ctx.dir).schema(ctx.schema)
       .parquet(keys.toSeq.sorted: _*)
 
   private def emptyOf(ctx: Ctx): DataFrame =
@@ -377,25 +387,58 @@ object RowOps {
     val fs = dirPath.getFileSystem(
       ctx.spark.sparkContext.hadoopConfiguration)
     val staging = new Path(ctx.dir + ".rowops")
-    replacement
-      .repartition(math.max(1, touched.size + extraFiles))
-      .write.mode("overwrite").parquet(staging.toString)
-    val staged = fs.listStatus(staging)
-      .map(_.getPath).filter(_.getName.startsWith("part-")).toSeq
+    val n = math.max(1, touched.size + extraFiles)
+    val writer =
+      if (ctx.partCols.isEmpty) replacement.repartition(n).write
+      else replacement // co-locate partition values to bound file count
+        .repartition(n, ctx.partCols.map(col).toIndexedSeq: _*)
+        .write.partitionBy(ctx.partCols: _*)
+    writer.mode("overwrite").parquet(staging.toString)
+    // recursive: a partitioned rewrite stages under p=… subdirs; the
+    // move preserves the relative path so directory pruning still works
+    val stagingKey = StatsManifest.fileKey(fs.makeQualified(staging))
+    val staged = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val it = fs.listFiles(staging, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.startsWith("part-"))
+          out += st.getPath
+      }
+      out.toSeq
+    }
+    def finalPath(src: Path): Path = {
+      val rel = StatsManifest.fileKey(src).stripPrefix(stagingKey)
+        .stripPrefix("/")
+      val parent = rel.split("/").dropRight(1)
+      val base = new Path(rel).getName
+      parent.foldLeft(dirPath)(new Path(_, _)) match {
+        case d => new Path(d, s"rw-$base")
+      }
+    }
     val adds = staged.map { p =>
-      p -> StatsManifest.fileKey(
-        fs.makeQualified(new Path(dirPath, s"rw-${p.getName}")))
+      p -> StatsManifest.fileKey(fs.makeQualified(finalPath(p)))
     }
     val (ver, addedRows) = StatsManifest.commitFileOps(ctx.spark, ctx.dir,
-      adds, touched.keySet, statsCols, bloomCols)
+      adds, touched.keySet, statsCols, bloomCols,
+      expectedVersion = Some(ctx.version),
+      addsBasePath = if (ctx.partCols.isEmpty) None
+        else Some(staging.toString))
     staged.foreach { src =>
-      val dst = new Path(dirPath, s"rw-${src.getName}")
+      val dst = finalPath(src)
+      fs.mkdirs(dst.getParent)
       require(fs.rename(src, dst),
         s"RowOps: rename $src -> $dst failed; staged copy intact and the " +
           "committed manifest names the final keys — finish the renames")
     }
     fs.delete(staging, true)
-    cdc.foreach { case (del, ins) =>
+    cdc.foreach { case (del0, ins0) =>
+      // exceptAll is POSITIONAL: align both sides to the table's column
+      // order first (a using-columns join moves its keys to the front,
+      // which would mis-pair columns, widen types, and break netting)
+      val cols = ctx.schema.fieldNames.map(col).toIndexedSeq
+      val del = del0.select(cols: _*)
+      val ins = ins0.select(cols: _*)
       val net = ins.exceptAll(del)
         .withColumn("_change_type", lit("insert"))
         .unionByName(del.exceptAll(ins)

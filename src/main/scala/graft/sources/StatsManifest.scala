@@ -639,9 +639,26 @@ object StatsManifest {
   def commitFileOps(spark: SparkSession, dir: String,
       adds: Seq[(Path, String)], removeKeys: Set[String],
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomBits: Int = 1 << 16): (Long, Long) = {
+      bloomBits: Int = 1 << 16,
+      /** optimistic concurrency: the version the caller ANALYZED. A
+        * racer's commit in between means the touch analysis ran against
+        * stale bytes (lost update) — abort loudly; the caller re-runs
+        * against the new latest. None skips the check. */
+      expectedVersion: Option[Long] = None,
+      /** basePath for reading the staged files when they live under
+        * Hive-partition subdirs of a staging root — partition columns
+        * derive from the staged paths exactly as they will from the
+        * final ones. */
+      addsBasePath: Option[String] = None): (Long, Long) = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    expectedVersion.foreach { v =>
+      val latest = versions(spark, dir).lastOption.getOrElse(-1L)
+      if (latest != v)
+        throw new java.util.ConcurrentModificationException(
+          s"commitFileOps: table advanced to version $latest while this " +
+            s"op analyzed version $v — re-run the operation")
+    }
     val parts = resolveParts(fsys, mDir).getOrElse(throw
       new IllegalStateException(
         s"commitFileOps: $dir is not a manifested table"))
@@ -658,7 +675,9 @@ object StatsManifest {
     val (freshRows, addedRows) =
       if (adds.isEmpty) (Array.empty[org.apache.spark.sql.Row], 0L)
       else {
-        val staged = spark.read.schema(schema)
+        val reader0 = spark.read.schema(schema)
+        val staged = addsBasePath.fold(reader0)(
+          b => reader0.option("basePath", b))
           .parquet(adds.map(_._1.toString).toIndexedSeq: _*)
         val aggs = statsAggs(schema, statsCols, bloomCols, bloomBits)
         val fresh = staged.groupBy(fileKeyCol).agg(aggs.head, aggs.tail: _*)

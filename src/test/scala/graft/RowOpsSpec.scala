@@ -238,6 +238,67 @@ class RowOpsSpec extends AnyFunSuite {
     assert(StatsManifest.scan(spark, dir).count() === 1760L)
   }
 
+  test("Hive-partitioned layout: partition pruning bounds the touch " +
+      "scan, rewrites land back in their partition dirs, CDC keeps the " +
+      "partition column") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rowops_part").toString + "/t"
+    (0 until 3000).map(i => (i % 3, i.toLong, (i % 7).toLong))
+      .toDF("p", "k", "m")
+      .repartitionByRange(6, col("p"), col("k"))
+      .write.partitionBy("p").parquet(dir)
+    StatsManifest.write(spark, dir, Seq("k"))
+    val total = StatsManifest.read(spark, dir).size
+    // delete inside ONE partition: candidates bounded by the partition
+    val r = RowOps.delete(spark, dir,
+      col("p") === 1 && col("k") < 900, Seq("k"))
+    assert(r.candidateFiles < total.toLong,
+      s"candidates ${r.candidateFiles} of $total")
+    assert(r.matchedRows === 300L) // k ≡ 1 mod 3, k < 900
+    val t = StatsManifest.scan(spark, dir)
+    assert(t.count() === 2700L)
+    assert(t.where(col("p") === 1 && col("k") < 900).count() === 0L)
+    assert(t.where(col("p") === 0).count() === 1000L)
+    // replacement files live under the partition dir they belong to
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rw = fs.listStatus(new Path(dir, "p=1"))
+      .map(_.getPath.getName).filter(_.startsWith("rw-"))
+    assert(rw.nonEmpty)
+    // upsert across partitions, incl. a brand-new partition value
+    val src = Seq((1, 901L, -1L), (9, 77L, -2L)).toDF("p", "k", "m")
+    RowOps.upsert(spark, dir, src, Seq("p", "k"), Seq("k"))
+    val t2 = StatsManifest.scan(spark, dir)
+    assert(t2.where(col("p") === 1 && col("k") === 901L)
+      .select("m").as[Long].head() === -1L)
+    assert(t2.where(col("p") === 9).count() === 1L)
+    // CDC rows carry the partition column with the table's types
+    val cdc = RowOps.changes(spark, dir, 2L, 3L)
+    assert(cdc.schema("p").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(cdc.where(col("p") === 9 &&
+      col("_change_type") === "insert").count() === 1L)
+    assert(cdc.where(col("p").isNull).count() === 0L)
+    // netting across the reordered-key join: a source row IDENTICAL to
+    // the stored row nets to zero; only the real change surfaces
+    RowOps.upsert(spark, dir,
+      Seq((9, 77L, -2L), (1, 901L, -4L)).toDF("p", "k", "m"),
+      Seq("p", "k"), Seq("k"))
+    val cdc2 = RowOps.changes(spark, dir, 3L, 4L)
+    assert(cdc2.where(col("p") === 9).count() === 0L,
+      "an unchanged upserted row must net out of the CDC feed")
+    assert(cdc2.count() === 2L) // 901's old+new pair
+  }
+
+  test("a commit whose analysis version is stale aborts loudly " +
+      "(optimistic concurrency)") {
+    val dir = mk("conflict")
+    intercept[java.util.ConcurrentModificationException] {
+      StatsManifest.commitFileOps(spark, dir, Nil, Set.empty, Seq("k"),
+        expectedVersion = Some(0L)) // table is at v1 — analysis is stale
+    }
+  }
+
   test("full rebuild (write) after a delete keeps the tombstones dead") {
     val dir = mk("rebuild")
     RowOps.delete(spark, dir, col("k") < 100, Seq("k"))
