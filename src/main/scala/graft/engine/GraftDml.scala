@@ -1,0 +1,226 @@
+package graft.engine
+
+import org.apache.spark.sql.{GraftSqlBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
+  EqualTo, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+
+import graft.sources.{RowOps, StatsManifest}
+
+/** SQL DML over manifested tables: the analyzer rule [[GraftDmlRule]]
+  * (injected by [[GraftExtensions]]) recognizes Spark's parsed
+  * `DELETE FROM` / `UPDATE` / `MERGE INTO` plans whose target resolves
+  * to a graft-manifest relation (the scan's `FileIndex` is a
+  * [[StatsManifest.ManifestFileIndex]]) and rewrites them into eager
+  * commands backed by [[graft.sources.RowOps]] — so
+  *
+  * {{{
+  *   spark.sql("DELETE FROM t WHERE k < 100")
+  *   spark.sql("UPDATE t SET m = -1 WHERE k % 10 = 0")
+  *   spark.sql("MERGE INTO t USING s ON t.k = s.k " +
+  *     "WHEN MATCHED THEN UPDATE SET * " +
+  *     "WHEN NOT MATCHED THEN INSERT *")
+  *   spark.sql("MERGE INTO t USING s ON t.k = s.k " +
+  *     "WHEN MATCHED THEN DELETE")
+  * }}}
+  *
+  * run end-to-end with the manifest-pruned copy-on-write machinery
+  * (tombstones, snapshots, CDC, vacuum) on a plain-parquet-backed
+  * table. Without this rule the same statements fail Spark's v2-only
+  * check — the rule fires during resolution, before CheckAnalysis.
+  * The stats configuration is reconstructed from the manifest itself
+  * ([[StatsManifest.manifestColumns]]); the commands refresh the
+  * relation cache by path so subsequent reads of the catalog table see
+  * the new version. MERGE supports the upsert form (unconditional
+  * UPDATE SET * / INSERT *, by-name) and the matched-delete form —
+  * other action combinations fail with a clear error rather than
+  * silently approximating.
+  *
+  * Reference analogue: DML statements enter the reference through the
+  * planner's DDL/DML converter
+  * (`flink-table-planner-blink/…/operations/SqlToOperationConverter.java`);
+  * here the same surface rides Spark's own parser, with only the
+  * target-resolution seam customized. */
+object GraftDml {
+
+  /** Resolved attrs → unresolved by name, so the condition re-resolves
+    * against the fresh scan RowOps builds (resolved attribute ids are
+    * plan-local and would not survive the crossing). */
+  private def unresolve(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  private[engine] def checkNoSubquery(e: Expression, stmt: String): Unit =
+    require(!e.exists(_.isInstanceOf[PlanExpression[_]]),
+      s"graft $stmt: subqueries in the condition are not supported")
+
+  private def cond(e: Expression): org.apache.spark.sql.Column =
+    GraftSqlBridge.column(unresolve(e))
+
+  /** The manifested-table directory (and catalog identifier, for the
+    * post-DML relation-cache refresh) behind a resolved DML target, if
+    * the target is a graft-manifest relation. */
+  private[engine] def manifestedDir(
+      plan: LogicalPlan): Option[(String, Option[String])] =
+    plan match {
+      case SubqueryAlias(_, child) => manifestedDir(child)
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case m: StatsManifest.ManifestFileIndex =>
+            Some((m.rootPaths.head.toString,
+              lr.catalogTable.map(_.identifier.unquotedString)))
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** The v1 relation cache captures the ManifestFileIndex (stats + file
+    * listing) at resolution time — refresh both the by-path data cache
+    * and the catalog entry so the next read resolves the new version. */
+  private def refreshRelation(spark: SparkSession, dir: String,
+      table: Option[String]): Unit = {
+    spark.catalog.refreshByPath(dir)
+    table.foreach(spark.catalog.refreshTable)
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Equi-join keys of a merge condition: every conjunct must be
+    * `t.col = s.col` on the SAME column name. */
+  private[engine] def mergeKeys(e: Expression): Seq[String] =
+    conjuncts(e).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name.equalsIgnoreCase(b.name) => a.name
+      case other => throw new IllegalArgumentException(
+        "graft MERGE: the ON clause must be a conjunction of " +
+          s"t.col = s.col equalities on matching names; got: ${other.sql}")
+    }
+
+  /** Is this assignment list the identity by name (the expansion of
+    * `SET *` / `INSERT *`)? */
+  private[engine] def isIdentity(as: Seq[Assignment]): Boolean =
+    as.nonEmpty && as.forall { a =>
+      (a.key, a.value) match {
+        case (k: AttributeReference, v: AttributeReference) =>
+          k.name.equalsIgnoreCase(v.name)
+        case _ => false
+      }
+    }
+
+  final case class GraftDeleteCommand(dir: String,
+      condition: Expression,
+      table: Option[String]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
+      RowOps.delete(spark, dir, cond(condition), sc, bc)
+      refreshRelation(spark, dir, table)
+      Seq.empty
+    }
+  }
+
+  final case class GraftUpdateCommand(dir: String,
+      set: Seq[(String, Expression)],
+      condition: Expression,
+      table: Option[String]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
+      RowOps.update(spark, dir, cond(condition),
+        set.map { case (n, e) => n -> cond(e) }, sc, bc)
+      refreshRelation(spark, dir, table)
+      Seq.empty
+    }
+  }
+
+  final case class GraftMergeCommand(dir: String, source: LogicalPlan,
+      keys: Seq[String], deleteMatched: Boolean,
+      table: Option[String]) extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(source)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
+      val src = GraftSqlBridge.ofRows(spark, source)
+      if (deleteMatched)
+        RowOps.deleteKeys(spark, dir,
+          src.select(keys.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*), keys, sc, bc)
+      else RowOps.upsert(spark, dir, src, keys, sc, bc)
+      refreshRelation(spark, dir, table)
+      Seq.empty
+    }
+  }
+}
+
+/** The resolution rule: fires once the DML node and its target are
+  * resolved, before CheckAnalysis would reject the v1 relation. */
+final case class GraftDmlRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+  import GraftDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case d @ DeleteFromTable(target, condition) if d.resolved =>
+        manifestedDir(target) match {
+          case Some((dir, tbl)) =>
+            checkNoSubquery(condition, "DELETE")
+            GraftDml.GraftDeleteCommand(dir, condition, tbl)
+          case None => d
+        }
+
+      case u @ UpdateTable(target, assignments, condition)
+          if u.resolved =>
+        manifestedDir(target) match {
+          case Some((dir, tbl)) =>
+            condition.foreach(checkNoSubquery(_, "UPDATE"))
+            val set = assignments.map { a =>
+              a.key match {
+                case k: org.apache.spark.sql.catalyst.expressions
+                    .AttributeReference => k.name -> a.value
+                case other => throw new IllegalArgumentException(
+                  s"graft UPDATE: unsupported SET target ${other.sql}")
+              }
+            }
+            GraftDml.GraftUpdateCommand(dir, set,
+              condition.getOrElse(
+                org.apache.spark.sql.catalyst.expressions.Literal(true)),
+              tbl)
+          case None => u
+        }
+
+      case m: MergeIntoTable if m.resolved =>
+        manifestedDir(m.targetTable) match {
+          case Some((dir, tbl)) =>
+            val keys = mergeKeys(m.mergeCondition)
+            (m.matchedActions, m.notMatchedActions,
+              m.notMatchedBySourceActions) match {
+              case (Seq(u: UpdateAction), Seq(i: InsertAction), Seq())
+                  if u.condition.isEmpty && i.condition.isEmpty &&
+                    isIdentity(u.assignments) &&
+                    isIdentity(i.assignments) =>
+                GraftDml.GraftMergeCommand(dir, m.sourceTable, keys,
+                  deleteMatched = false, tbl)
+              case (Seq(UpdateStarAction(None)),
+                  Seq(InsertStarAction(None)), Seq()) =>
+                GraftDml.GraftMergeCommand(dir, m.sourceTable, keys,
+                  deleteMatched = false, tbl)
+              case (Seq(DeleteAction(None)), Seq(), Seq()) =>
+                GraftDml.GraftMergeCommand(dir, m.sourceTable, keys,
+                  deleteMatched = true, tbl)
+              case _ => throw new IllegalArgumentException(
+                "graft MERGE: supported forms are {WHEN MATCHED THEN " +
+                  "UPDATE SET * / WHEN NOT MATCHED THEN INSERT *} " +
+                  "(upsert) and {WHEN MATCHED THEN DELETE}")
+            }
+          case None => m
+        }
+    }
+
+}

@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // metadata-only aggregates over manifested scans: count/min/max from
     // the stats manifest, zero scan tasks (ManifestMetadataOnly gates)
     ext.injectOptimizerRule(_ => ManifestMetadataOnly)
+    // SQL DML (DELETE/UPDATE/MERGE) over manifested tables → RowOps
+    // commands; fires during resolution, before the v1-relation check
+    ext.injectResolutionRule(spark => GraftDmlRule(spark))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,

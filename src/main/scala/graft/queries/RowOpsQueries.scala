@@ -77,6 +77,36 @@ object RowOpsQueries {
              |ORDER BY o_orderkey""".stripMargin)),
 
     Query(
+      // SQL DML end-to-end: DELETE FROM + UPDATE statements over a
+      // graft-manifest catalog table (GraftDmlRule rewrites Spark's
+      // parsed plans onto RowOps before the v1-relation check); the
+      // final table state must equal DuckDB computing the same
+      // mutations as a pure query.
+      "q_rowops_sql",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+        val dir = tmp("graft_sqldml_q_", d)
+        li.repartition(8).write.mode("overwrite").parquet(dir)
+        StatsManifest.write(s, dir, Seq("l_orderkey"))
+        val tbl = "graft_dml_" + java.security.MessageDigest
+          .getInstance("MD5").digest(d.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(10)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+          s"OPTIONS (path '$dir')")
+        s.sql(s"DELETE FROM $tbl WHERE l_quantity > 45")
+        s.sql(s"UPDATE $tbl SET l_quantity = -1 WHERE l_orderkey % 500 = 0")
+        s.table(tbl)
+          .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      },
+      Some("""SELECT l_orderkey, l_partkey,
+             |  CASE WHEN l_orderkey % 500 = 0 THEN CAST(-1 AS DOUBLE)
+             |       ELSE l_quantity END AS l_quantity
+             |FROM lineitem WHERE NOT (l_quantity > 45)
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Query(
       // Schema evolution: ADD COLUMN is one manifest commit (no file
       // rewritten — RowOpsSpec/SchemaEvolutionSpec pin that); old rows
       // serve NULL, appended rows carry values, and the final evolved

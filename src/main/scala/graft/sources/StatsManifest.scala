@@ -703,6 +703,18 @@ object StatsManifest {
     (commitVersion(spark, dir, mergedDf, removed, sidecar), addedRows)
   }
 
+  /** Reconstruct the (statsCols, bloomCols) a manifest was built with —
+    * lets SQL DML commands run against any manifested table without the
+    * caller restating the stats configuration. */
+  def manifestColumns(spark: SparkSession,
+      dir: String): (Seq[String], Seq[String]) = {
+    val cols = read(spark, dir).values.headOption
+      .map(_.cols).getOrElse(Map.empty)
+    (cols.collect { case (c, s) if s.dom != 'B' => c }.toSeq.sorted,
+      cols.collect { case (c, s) if s.bloom != null || s.dom == 'B' => c }
+        .toSeq.sorted)
+  }
+
   /** Driver-side manifest read: file name → stats. The part files are
     * listed explicitly (a directory path starting with `_` trips
     * DataSource's advisory "all paths were ignored" warning on every
