@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and delegates everything else to the default parser
     ext.injectParser((_, delegate) =>
       new graft.cep.MatchRecognizeParser(delegate))
+    // OPTIMIZE [ZORDER BY] / VACUUM maintenance statements for
+    // manifested tables (GraftMaintenance)
+    ext.injectParser((_, delegate) =>
+      new GraftMaintenanceParser(delegate))
     // metadata-only aggregates over manifested scans: count/min/max from
     // the stats manifest, zero scan tasks (ManifestMetadataOnly gates)
     ext.injectOptimizerRule(_ => ManifestMetadataOnly)

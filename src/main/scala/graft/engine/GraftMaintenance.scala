@@ -1,0 +1,121 @@
+package graft.engine
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.operators.Layout
+import graft.sources.StatsManifest
+
+/** SQL maintenance statements for manifested tables, grafted onto the
+  * parser chain (same seam as the MATCH_RECOGNIZE surface):
+  *
+  * {{{
+  *   OPTIMIZE t ZORDER BY (a, b)   -- full re-cluster, deferDelete commit
+  *   OPTIMIZE t                    -- compact the small-file tail only
+  *   VACUUM t RETAIN 3 VERSIONS    -- expire old versions + reclaim bytes
+  * }}}
+  *
+  * Both OPTIMIZE forms commit through the atomic tombstone+adopt path
+  * (snapshots keep working across the rewrite; VACUUM is what finally
+  * reclaims superseded bytes), return (files_before, files_written),
+  * and refresh the table's cached relation. The table must resolve to a
+  * graft-manifest relation — anything else fails loudly. Reference
+  * analogue: maintenance DDL enters the reference through the same
+  * statement-converter seam as DML
+  * (`flink-table-planner-blink/…/operations/SqlToOperationConverter.java`). */
+object GraftMaintenance {
+
+  // anchored, case-insensitive full-statement patterns — anything that
+  // doesn't match EXACTLY falls through to the delegate parser
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+
+  private def ident(s: String): String = s.replace("`", "")
+
+  /** The manifested dir behind a catalog table name (resolved through
+    * the session's analyzer — same path a query takes). */
+  private def dirOf(spark: SparkSession, table: String): String =
+    GraftDml.manifestedDir(
+      spark.table(table).queryExecution.analyzed) match {
+      case Some((dir, _)) => dir
+      case None => throw new IllegalArgumentException(
+        s"graft OPTIMIZE/VACUUM: $table is not a graft-manifest table")
+    }
+
+  final case class GraftOptimizeCommand(table: String,
+      zorderBy: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq(
+      AttributeReference("files_before", IntegerType, nullable = false)(),
+      AttributeReference("files_written", IntegerType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val dir = dirOf(spark, table)
+      val (before, after) =
+        if (zorderBy.nonEmpty)
+          Layout.optimize(spark, dir, zorderBy, deferDelete = true)
+        else {
+          val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
+          Layout.compactSmall(spark, dir, sc, bloomCols = bc,
+            deferDelete = true)
+        }
+      spark.catalog.refreshByPath(dir)
+      spark.catalog.refreshTable(table)
+      Seq(Row(before, after))
+    }
+  }
+
+  final case class GraftVacuumCommand(table: String,
+      keep: Int) extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq(
+      AttributeReference("versions_expired", IntegerType,
+        nullable = false)(),
+      AttributeReference("versions_kept", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val dir = dirOf(spark, table)
+      val n = StatsManifest.expire(spark, dir, keep)
+      spark.catalog.refreshByPath(dir)
+      spark.catalog.refreshTable(table)
+      Seq(Row(n, StatsManifest.versions(spark, dir).length.toLong))
+    }
+  }
+
+  /** The parser hook: intercept the two maintenance statements, delegate
+    * everything else untouched. */
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case OptimizeRe(tbl, cols) =>
+      val zs = Option(cols).map(_.split(",").map(c => ident(c.trim))
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      Some(GraftOptimizeCommand(ident(tbl), zs))
+    case VacuumRe(tbl, n) =>
+      Some(GraftVacuumCommand(ident(tbl), n.toInt))
+    case _ => None
+  }
+}
+
+/** Delegating parser wrapping [[GraftMaintenance.parse]]. */
+final class GraftMaintenanceParser(delegate: ParserInterface)
+    extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftMaintenance.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+}

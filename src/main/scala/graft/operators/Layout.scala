@@ -197,8 +197,12 @@ object Layout {
         src -> StatsManifest.fileKey(fs.makeQualified(
           new Path(dirPath, f"opt-$i%05d-${src.getName}")))
       }.toSeq
+      // stats config comes from the manifest itself: the commit must
+      // reproduce the existing column set regardless of which columns
+      // the caller clusters by
+      val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
       StatsManifest.commitFileOps(spark, dir, adds,
-        old.map(st => StatsManifest.fileKey(st.getPath)).toSet, cols)
+        old.map(st => StatsManifest.fileKey(st.getPath)).toSet, sc, bc)
       staged.zipWithIndex.foreach { case (src, i) =>
         val dst = new Path(dirPath, f"opt-$i%05d-${src.getName}")
         require(fs.rename(src, dst),
@@ -289,9 +293,10 @@ object Layout {
         src -> StatsManifest.fileKey(fs.makeQualified(
           new Path(dirPath, f"cmp-$i%05d-${src.getName}")))
       }.toSeq
+      val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
       StatsManifest.commitFileOps(spark, dir, adds,
         small.map(st => StatsManifest.fileKey(st.getPath)).toSet,
-        statsCols, bloomCols)
+        sc, bc)
       staged.zipWithIndex.foreach { case (src, i) =>
         val dst = new Path(dirPath, f"cmp-$i%05d-${src.getName}")
         require(fs.rename(src, dst),

@@ -73,6 +73,26 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dml_mrg")
   }
 
+  test("OPTIMIZE ... ZORDER BY and VACUUM ... RETAIN as SQL statements") {
+    val dir = mkTable("dml_opt")
+    // fragment the table first so OPTIMIZE has something to do
+    spark.sql("DELETE FROM dml_opt WHERE k < 50")
+    spark.sql("UPDATE dml_opt SET m = 0 WHERE k BETWEEN 100 AND 120")
+    val res = spark.sql("OPTIMIZE dml_opt ZORDER BY (k, m)").collect()
+    assert(res.length === 1 && res.head.getInt(1) >= 1)
+    assert(spark.table("dml_opt").count() === 950L)
+    // snapshots survived the SQL OPTIMIZE (deferDelete commit)
+    assert(StatsManifest.scanAtVersion(spark, dir, 1L)._1
+      .count() === 1000L)
+    val vac = spark.sql("VACUUM dml_opt RETAIN 1 VERSIONS").collect()
+    assert(vac.head.getInt(0) >= 2 && vac.head.getLong(1) === 1L)
+    assert(spark.table("dml_opt").count() === 950L)
+    // compact-only form parses and runs (may be a no-op on few files)
+    spark.sql("OPTIMIZE dml_opt").collect()
+    assert(spark.table("dml_opt").count() === 950L)
+    spark.sql("DROP TABLE dml_opt")
+  }
+
   test("unsupported MERGE forms and plain-parquet targets fail loudly") {
     mkTable("dml_bad")
     Seq((1L, 1L)).toDF("k", "m").createOrReplaceTempView("dml_src2")
