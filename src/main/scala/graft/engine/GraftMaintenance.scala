@@ -35,6 +35,8 @@ object GraftMaintenance {
     """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
 
   private def ident(s: String): String = s.replace("`", "")
 
@@ -84,7 +86,23 @@ object GraftMaintenance {
     }
   }
 
-  /** The parser hook: intercept the two maintenance statements, delegate
+  final case class GraftHistoryCommand(table: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("files", LongType, nullable = false)(),
+      AttributeReference("rows", LongType, nullable = false)(),
+      AttributeReference("committed_at",
+        org.apache.spark.sql.types.TimestampType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val dir = dirOf(spark, table)
+      StatsManifest.history(spark, dir).map(v =>
+        Row(v.version, v.files, v.rows,
+          new java.sql.Timestamp(v.committedAtMs)))
+    }
+  }
+
+  /** The parser hook: intercept the maintenance statements, delegate
     * everything else untouched. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRe(tbl, cols) =>
@@ -93,6 +111,8 @@ object GraftMaintenance {
       Some(GraftOptimizeCommand(ident(tbl), zs))
     case VacuumRe(tbl, n) =>
       Some(GraftVacuumCommand(ident(tbl), n.toInt))
+    case HistoryRe(tbl) =>
+      Some(GraftHistoryCommand(ident(tbl)))
     case _ => None
   }
 }

@@ -90,6 +90,9 @@ class SqlDmlSpec extends AnyFunSuite {
     // compact-only form parses and runs (may be a no-op on few files)
     spark.sql("OPTIMIZE dml_opt").collect()
     assert(spark.table("dml_opt").count() === 950L)
+    // DESCRIBE HISTORY reads the version log through SQL
+    val h = spark.sql("DESCRIBE HISTORY dml_opt").collect()
+    assert(h.length >= 1 && h.last.getLong(2) === 950L)
     spark.sql("DROP TABLE dml_opt")
   }
 
