@@ -39,22 +39,34 @@ class RowOpsPropSpec extends AnyFunSuite {
       (0 until 300).map(i => (i.toLong, (i % 5).toLong)).toVector
     model.toDF("k", "m").repartitionByRange(4, col("k")).write.parquet(dir)
     StatsManifest.write(spark, dir, Seq("k"))
+    // half the predicate ops run as SQL DML statements against a
+    // catalog table over the same dir — the fuzz then also covers the
+    // parser-hook → resolution-rule → command path
+    val tbl = s"rowprop_$seed"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+      s"OPTIONS (path '$dir')")
     // version → model snapshot (v1 = the initial table)
     var snaps = Vector(1L -> model)
 
     for (step <- 0 until 8) {
       rnd.nextInt(4) match {
-        case 0 => // range delete
+        case 0 => // range delete (Scala API or SQL, same semantics)
           val a = rnd.nextInt(400).toLong
           val b = a + rnd.nextInt(60) + 1
-          RowOps.delete(spark, dir,
-            col("k") >= a && col("k") < b, Seq("k"))
+          if (rnd.nextBoolean())
+            RowOps.delete(spark, dir,
+              col("k") >= a && col("k") < b, Seq("k"))
+          else spark.sql(s"DELETE FROM $tbl WHERE k >= $a AND k < $b")
           model = model.filterNot { case (k, _) => k >= a && k < b }
         case 1 => // modulo update
           val p = rnd.nextInt(7) + 2
           val r = rnd.nextInt(p)
-          RowOps.update(spark, dir, col("k") % p === r,
-            Seq("m" -> lit(-(step + 1).toLong)), Seq("k"))
+          if (rnd.nextBoolean())
+            RowOps.update(spark, dir, col("k") % p === r,
+              Seq("m" -> lit(-(step + 1).toLong)), Seq("k"))
+          else spark.sql(s"UPDATE $tbl SET m = ${-(step + 1)} " +
+            s"WHERE k % $p = $r")
           model = model.map { case (k, m) =>
             if (k % p == r) (k, -(step + 1).toLong) else (k, m)
           }
@@ -102,5 +114,6 @@ class RowOpsPropSpec extends AnyFunSuite {
       assert(sortedSeq(mi ++ ins) === sortedSeq(mj ++ del),
         s"seed=$seed: CDC v$vi→v$vj violates the changefeed invariant")
     }
+    spark.sql(s"DROP TABLE IF EXISTS rowprop_$seed")
   }
 }
