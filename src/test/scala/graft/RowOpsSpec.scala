@@ -299,6 +299,23 @@ class RowOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("delete-all: the table empties but stays functional — scan, " +
+      "snapshot, append, rebuild") {
+    val dir = mk("delall")
+    val r = RowOps.delete(spark, dir, lit(true), Seq("k"))
+    assert(r.matchedRows === 2000L && r.rewrittenRows === 0L)
+    assert(StatsManifest.scan(spark, dir).count() === 0L)
+    assert(StatsManifest.scanAtVersion(spark, dir, 1L)._1
+      .count() === 2000L)
+    // life goes on: append + incremental update, then a full rebuild
+    (0 until 10).map(i => (i.toLong, 0L)).toDF("k", "m")
+      .coalesce(1).write.mode("append").parquet(dir)
+    StatsManifest.update(spark, dir, Seq("k"))
+    assert(StatsManifest.scan(spark, dir).count() === 10L)
+    StatsManifest.write(spark, dir, Seq("k"))
+    assert(StatsManifest.scan(spark, dir).count() === 10L)
+  }
+
   test("full rebuild (write) after a delete keeps the tombstones dead") {
     val dir = mk("rebuild")
     RowOps.delete(spark, dir, col("k") < 100, Seq("k"))
