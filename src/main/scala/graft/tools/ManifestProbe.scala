@@ -163,9 +163,35 @@ object ManifestProbe {
         f""""matched_rows":${ups.matchedRows},"sec":$upsSec%.2f}}"""
     }
 
+    // CDC read cost: the same changefeed served from the ops'
+    // PRECOMPUTED netted change files vs re-derived by file-diff
+    // netting (exceptAll over the touched files' old+new bytes). The
+    // precomputed path is what a CDC subscriber pays per poll.
+    val cdcEntry = {
+      val rdir = new java.io.File("target/manifestprobe/rowops")
+        .getAbsolutePath // reuse the rowops table: v1..v3 committed above
+      def timeChanges(): (Double, Long) = {
+        val t = System.nanoTime()
+        val n = graft.sources.RowOps.changes(spark, rdir, 1L, 3L).count()
+        ((System.nanoTime() - t) / 1e9, n)
+      }
+      timeChanges() // warm
+      val (tPre, nPre) = Seq.fill(3)(timeChanges()).minBy(_._1)
+      // drop the change files → same rows via fallback netting
+      val fs = new org.apache.hadoop.fs.Path(rdir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.globStatus(new org.apache.hadoop.fs.Path(rdir,
+        "_graft_cdc/v*.parquet")).foreach(st => fs.delete(st.getPath, false))
+      timeChanges() // warm
+      val (tFall, nFall) = Seq.fill(3)(timeChanges()).minBy(_._1)
+      require(nPre == nFall, s"cdc probe: $nPre != $nFall")
+      f""""cdc_read":{"rows":$nPre,"sec_precomputed":$tPre%.3f,""" +
+        f""""sec_fallback_netting":$tFall%.3f}"""
+    }
+
     val line = s"""{"sf":"$sfDir","files":$p,""" +
       f""""zorder_write_sec":$writeSec%.1f,${entries.mkString(",")},""" +
-      bloomEntry + "," + rowopsEntry + "}"
+      bloomEntry + "," + rowopsEntry + "," + cdcEntry + "}"
     val out = new java.io.File("target/manifestprobe.json")
     val w = new java.io.PrintWriter(out, "UTF-8")
     try w.println(line) finally w.close()
