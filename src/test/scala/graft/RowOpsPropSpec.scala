@@ -89,6 +89,25 @@ class RowOpsPropSpec extends AnyFunSuite {
       assert(scanRows(dir) === sortedSeq(model),
         s"seed=$seed step=$step: live state diverged from the model")
       if (v != snaps.last._1) snaps :+= v -> model
+
+      // interleave content-neutral MAINTENANCE: deferDelete re-cluster /
+      // compaction (layout churn the CDC invariant must net to zero)
+      // and retention (vacuum) — the model is unchanged by all three
+      if (rnd.nextInt(10) < 3) {
+        rnd.nextInt(3) match {
+          case 0 => graft.operators.Layout.optimize(spark, dir,
+            Seq("k"), targetBytes = 1L << 20, deferDelete = true)
+          case 1 => graft.operators.Layout.compactSmall(spark, dir,
+            Seq("k"), targetBytes = 1L << 26, smallBytes = 1L << 26,
+            deferDelete = true)
+          case 2 =>
+            StatsManifest.expire(spark, dir, keep = 6)
+            val oldest = StatsManifest.versions(spark, dir).head
+            snaps = snaps.filter(_._1 >= oldest)
+        }
+        assert(scanRows(dir) === sortedSeq(model),
+          s"seed=$seed step=$step: maintenance changed the content")
+      }
     }
 
     // every snapshot replays its historical state
