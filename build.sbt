@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as JSON. Two sbt behaviors defeat that: the trailing
+// `[success] Total time: …` line and the `[info] ` prefix on forked
+// program output. Kill both so Bench's compact JSON line is the
+// literal final stdout line (VERDICT r9 what's-wrong #1).
+ThisBuild / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
