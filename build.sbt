@@ -16,7 +16,8 @@ run / fork := true
 // `[success] Total time: …` line and the `[info] ` prefix on forked
 // program output. Kill both so Bench's compact JSON line is the
 // literal final stdout line (VERDICT r9 what's-wrong #1).
-ThisBuild / showSuccess := false
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

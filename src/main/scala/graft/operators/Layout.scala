@@ -164,6 +164,10 @@ object Layout {
     import graft.sources.StatsManifest
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the version this pass ANALYZES (tombstones + listing below derive
+    // from it): a deferDelete commit is only sound as analyzed+1, else a
+    // racing RowOps/ingest commit's adds and tombstones are lost
+    val analyzedVersion = StatsManifest.versions(spark, dir).lastOption
     // a file tombstoned by a row-level op holds DEAD rows kept only for
     // snapshots/CDC: it is never optimize input (reading it would
     // resurrect deleted rows) and in physical mode it dies with the old
@@ -202,7 +206,8 @@ object Layout {
       // the caller clusters by
       val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
       StatsManifest.commitFileOps(spark, dir, adds,
-        old.map(st => StatsManifest.fileKey(st.getPath)).toSet, sc, bc)
+        old.map(st => StatsManifest.fileKey(st.getPath)).toSet, sc, bc,
+        expectedVersion = analyzedVersion)
       staged.zipWithIndex.foreach { case (src, i) =>
         val dst = new Path(dirPath, f"opt-$i%05d-${src.getName}")
         require(fs.rename(src, dst),
@@ -267,6 +272,8 @@ object Layout {
     import graft.sources.StatsManifest
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // analyzed version for the deferDelete commit (see optimize)
+    val analyzedVersion = StatsManifest.versions(spark, dir).lastOption
     // never compact a tombstoned file's dead rows back into the table
     val tomb = StatsManifest.removedLatest(spark, dir)
     val small = fs.listStatus(dirPath).filter(st => st.isFile &&
@@ -296,7 +303,7 @@ object Layout {
       val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
       StatsManifest.commitFileOps(spark, dir, adds,
         small.map(st => StatsManifest.fileKey(st.getPath)).toSet,
-        sc, bc)
+        sc, bc, expectedVersion = analyzedVersion)
       staged.zipWithIndex.foreach { case (src, i) =>
         val dst = new Path(dirPath, f"cmp-$i%05d-${src.getName}")
         require(fs.rename(src, dst),

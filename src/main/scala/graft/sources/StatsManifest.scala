@@ -371,15 +371,26 @@ object StatsManifest {
       new IllegalStateException(
         s"commitSchema: $dir is not a manifested table"))
     val existing = spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+    // The new version carries over the LATEST version's entries, so it's
+    // only sound as latest+1 — a racer in between means lost updates.
     commitVersion(spark, dir, existing, removedLatest(spark, dir),
-      Some(newSchema))
+      Some(newSchema), versions(spark, dir).lastOption)
   }
 
   /** Stage `manifest` under a hidden dir, then commit it as the next
-    * version via atomic rename. Returns the committed version. */
-  private def commitVersion(spark: SparkSession, dir: String,
+    * version via atomic rename. Returns the committed version.
+    *
+    * When `expected` is set the manifest was BUILT from that version's
+    * state, so the ONLY sound slot is expected+1: the rename itself is
+    * the atomic check-and-act, and losing it means a racer committed in
+    * between — abort with ConcurrentModificationException (the staged
+    * dir is cleaned up). The bump-to-next-free-slot retry is reserved
+    * for expectation-free commits (e.g. streaming reconciliation),
+    * where the manifest content doesn't depend on the predecessor. */
+  private[graft] def commitVersion(spark: SparkSession, dir: String,
       manifest: DataFrame, removed: Set[String] = Set.empty,
-      schema: Option[StructType] = None): Long = {
+      schema: Option[StructType] = None,
+      expected: Option[Long] = None): Long = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new Path(mDir, s".stage-${java.util.UUID.randomUUID()}")
@@ -394,15 +405,53 @@ object StatsManifest {
       try out.write(s.json.getBytes("UTF-8"))
       finally out.close()
     }
-    var v = versions(spark, dir).lastOption.getOrElse(0L) + 1
-    var attempts = 0
-    while (!fsys.rename(stage, new Path(mDir, f"v$v%06d"))) {
-      attempts += 1
-      require(attempts < 1000 && fsys.exists(stage),
-        s"StatsManifest: could not commit a manifest version under $mDir")
-      v += 1 // lost the race for v — try the next slot
+    // verified-atomic slot claim: a marker file with this commit's UUID
+    // distinguishes "our stage now lives AT dst" from every way a rename
+    // can mislead — see claimSlot
+    val marker = s"_claim-${stage.getName.stripPrefix(".stage-")}"
+    fsys.create(new Path(stage, marker), true).close()
+    expected match {
+      case Some(e) =>
+        val v = e + 1
+        if (!claimSlot(fsys, stage, new Path(mDir, f"v$v%06d"), marker)) {
+          fsys.delete(stage, true)
+          throw new java.util.ConcurrentModificationException(
+            s"StatsManifest: version $v already committed under $mDir — " +
+              s"this op analyzed version $e and a racer won the slot; " +
+              "re-run the operation against the new latest")
+        }
+        v
+      case None =>
+        var v = versions(spark, dir).lastOption.getOrElse(0L) + 1
+        var attempts = 0
+        while (!claimSlot(fsys, stage, new Path(mDir, f"v$v%06d"), marker)) {
+          attempts += 1
+          require(attempts < 1000 && fsys.exists(stage),
+            s"StatsManifest: could not commit a manifest version under $mDir")
+          v += 1 // lost the race for v — try the next slot
+        }
+        v
     }
-    v
+  }
+
+  /** Claim version slot `dst` by renaming the staged dir onto it;
+    * true iff the stage now lives AT dst. A bare rename is NOT a sound
+    * claim test: the FileSystem contract renames a source INTO an
+    * existing destination directory (LocalFileSystem/ChecksumFileSystem
+    * do exactly that), so losing the race can return `true` with the
+    * stage nested INSIDE the winner's committed version — silently
+    * merging two commits. The pre-created `marker` file must appear
+    * directly under dst for the claim to count; a detected mis-move is
+    * undone (the nested stage moves back out) so the winner's version
+    * dir is left byte-identical and the caller retries or aborts. */
+  private[graft] def claimSlot(fsys: org.apache.hadoop.fs.FileSystem,
+      stage: Path, dst: Path, marker: String): Boolean = {
+    if (fsys.exists(dst)) return false
+    if (!fsys.rename(stage, dst)) return false
+    if (fsys.exists(new Path(dst, marker))) return true
+    val nested = new Path(dst, stage.getName)
+    if (fsys.exists(nested)) fsys.rename(nested, stage)
+    false
   }
 
   /** Part files of the resolvable manifest: the LATEST version dir, or
@@ -700,7 +749,8 @@ object StatsManifest {
     val mergedDf = spark.createDataFrame(
       spark.sparkContext.parallelize((carried ++ freshRows).toIndexedSeq, 1),
       existing.schema)
-    (commitVersion(spark, dir, mergedDf, removed, sidecar), addedRows)
+    (commitVersion(spark, dir, mergedDf, removed, sidecar,
+      expectedVersion), addedRows)
   }
 
   /** Reconstruct the (statsCols, bloomCols) a manifest was built with —

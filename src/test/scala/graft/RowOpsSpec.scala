@@ -299,6 +299,77 @@ class RowOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** The racer's committed version dir: a copy of v1 (non-empty, like
+    * every real commit). */
+  private def fakeRacerVersion(dir: String, v: Long): Path = {
+    val mDir = new Path(dir, "_graft_manifest")
+    val fs = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(mDir, f"v$v%06d")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(mDir, "v000001"),
+      fs, dst, false, spark.sparkContext.hadoopConfiguration)
+    dst
+  }
+
+  test("rename-level race: a slot claimed between analysis and rename " +
+      "aborts the loser and leaves the winner's version byte-identical") {
+    val dir = mk("race")
+    val mDir = new Path(dir, "_graft_manifest")
+    val fs = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v2 = fakeRacerVersion(dir, 2L)
+    val before = fs.listStatus(v2).map(_.getPath.getName).toSet
+    val manifest = spark.read.parquet(fs.listStatus(new Path(mDir,
+      "v000001")).map(_.getPath.toString).filter(_.contains("part-"))
+      .toIndexedSeq: _*)
+    // the loser analyzed v1, so its ONLY sound slot is v2 — already
+    // taken: it must abort, not bump to v3 (lost update), and must not
+    // merge its staged dir into the racer's committed dir (the
+    // FileSystem contract renames INTO an existing destination dir)
+    intercept[java.util.ConcurrentModificationException] {
+      StatsManifest.commitVersion(spark, dir, manifest,
+        expected = Some(1L))
+    }
+    assert(fs.listStatus(v2).map(_.getPath.getName).toSet === before,
+      "the winner's version dir must be untouched")
+    assert(StatsManifest.versions(spark, dir) === Seq(1L, 2L))
+    assert(!fs.listStatus(mDir).exists(
+      _.getPath.getName.startsWith(".stage")), "staged dir cleaned up")
+  }
+
+  test("TOCTOU window: the slot appears between the existence check and " +
+      "the rename — the marker detects the rename-INTO mis-move, the " +
+      "mis-move is undone, and the expectation still aborts") {
+    val dir = mk("toctou")
+    val mDir = new Path(dir, "_graft_manifest")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val raw = mDir.getFileSystem(conf)
+    val v2 = fakeRacerVersion(dir, 2L)
+    val before = raw.listStatus(v2).map(_.getPath.getName).toSet
+    // a FileSystem that lies ONCE about v2's existence — deterministic
+    // stand-in for the racer committing inside the check→rename window.
+    // LocalFileSystem then renames the stage INSIDE the racer's v2
+    // (the FileSystem dir-rename contract), which a bare rename-result
+    // check would mis-read as a successful claim.
+    var lied = false
+    val lying = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def exists(p: Path): Boolean =
+        if (!lied && raw.makeQualified(p) == raw.makeQualified(v2)) {
+          lied = true; false
+        } else super.exists(p)
+    }
+    val stage = new Path(mDir, ".stage-toctou")
+    raw.mkdirs(stage)
+    raw.create(new Path(stage, "_claim-toctou"), true).close()
+    raw.create(new Path(stage, "part-00000-x.parquet"), true).close()
+    assert(!StatsManifest.claimSlot(lying, stage, v2, "_claim-toctou"),
+      "a lost TOCTOU race must not read as a successful claim")
+    assert(lied, "the injected window was exercised")
+    assert(raw.listStatus(v2).map(_.getPath.getName).toSet === before,
+      "the winner's version dir must be restored byte-identical")
+    assert(raw.exists(new Path(stage, "part-00000-x.parquet")),
+      "the staged bytes must survive the undone mis-move")
+    raw.delete(stage, true)
+  }
+
   test("delete-all: the table empties but stays functional — scan, " +
       "snapshot, append, rebuild") {
     val dir = mk("delall")
