@@ -106,10 +106,15 @@ object GraftDml {
           s"t.col = s.col equalities on matching names; got: ${other.sql}")
     }
 
-  /** Is this assignment list the identity by name (the expansion of
-    * `SET *` / `INSERT *`)? */
-  private[engine] def isIdentity(as: Seq[Assignment]): Boolean =
-    as.nonEmpty && as.forall { a =>
+  /** Is this assignment list the identity by name over ALL `arity`
+    * target columns (the expansion of `SET *` / `INSERT *`)? The arity
+    * check matters: a partial name-identical list like `SET v = s.v`
+    * is a partial UPDATE, not a row replace — treating it as the
+    * upsert fast path would silently overwrite the unassigned target
+    * columns with source values. */
+  private[engine] def isIdentity(as: Seq[Assignment],
+      arity: Int): Boolean =
+    as.length == arity && as.forall { a =>
       (a.key, a.value) match {
         case (k: AttributeReference, v: AttributeReference) =>
           k.name.equalsIgnoreCase(v.name)
@@ -157,6 +162,42 @@ object GraftDml {
       Seq.empty
     }
   }
+
+  /** One WHEN clause carried from the parsed plan to [[RowOps.merge]]:
+    * expressions are unresolved-by-name with source attributes under
+    * [[RowOps.SrcPrefix]] ([[GraftDmlRule.unresolveMerge]]) so they
+    * re-resolve against the joined frame the merge builds. `set` =
+    * None means DELETE; for a not-matched clause it holds the INSERT
+    * values. */
+  final case class MergeClauseSpec(cond: Option[Expression],
+      set: Option[Seq[(String, Expression)]])
+
+  /** The general MERGE: conditional / multi-clause matched actions,
+    * conditional inserts, and NOT MATCHED BY SOURCE. */
+  final case class GraftMergeFullCommand(dir: String, source: LogicalPlan,
+      keys: Seq[String], matched: Seq[MergeClauseSpec],
+      notMatched: Seq[MergeClauseSpec], bySource: Seq[MergeClauseSpec],
+      table: Option[String]) extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(source)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
+      val src = GraftSqlBridge.ofRows(spark, source)
+      def clause(s: MergeClauseSpec): RowOps.MergeClause = s.set match {
+        case None => RowOps.MergeDelete(s.cond.map(cond))
+        case Some(as) => RowOps.MergeUpdate(s.cond.map(cond),
+          as.map { case (n, e) => n -> cond(e) })
+      }
+      RowOps.merge(spark, dir, src, keys, sc, bc,
+        matched = matched.map(clause),
+        notMatched = notMatched.map { s =>
+          RowOps.MergeInsert(s.cond.map(cond),
+            s.set.getOrElse(Nil).map { case (n, e) => n -> cond(e) })
+        },
+        notMatchedBySource = bySource.map(clause))
+      refreshRelation(spark, dir, table)
+      Seq.empty
+    }
+  }
 }
 
 /** The resolution rule: fires once the DML node and its target are
@@ -199,12 +240,59 @@ final case class GraftDmlRule(spark: SparkSession)
         manifestedDir(m.targetTable) match {
           case Some((dir, tbl)) =>
             val keys = mergeKeys(m.mergeCondition)
+            val targetCols = m.targetTable.output.map(_.name)
+            val arity = targetCols.length
+            val srcOut = m.sourceTable.outputSet
+            // source attrs cross under RowOps.SrcPrefix — the joined
+            // frame RowOps.merge builds carries them by that name
+            def un(e: Expression): Expression = e.transform {
+              case a: AttributeReference if srcOut.contains(a) =>
+                UnresolvedAttribute.quoted(RowOps.SrcPrefix + a.name)
+              case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+            }
+            def assigns(as: Seq[Assignment],
+                what: String): Seq[(String, Expression)] = as.map { x =>
+              checkNoSubquery(x.value, "MERGE")
+              x.key match {
+                case k: AttributeReference => k.name -> un(x.value)
+                case other => throw new IllegalArgumentException(
+                  s"graft MERGE: unsupported $what target ${other.sql}")
+              }
+            }
+            def spec(a: MergeAction): GraftDml.MergeClauseSpec = {
+              a.condition.foreach(checkNoSubquery(_, "MERGE"))
+              a match {
+                case UpdateAction(c, as, _) =>
+                  GraftDml.MergeClauseSpec(c.map(un),
+                    Some(assigns(as, "SET")))
+                case UpdateStarAction(c) =>
+                  GraftDml.MergeClauseSpec(c.map(un), Some(targetCols.map(
+                    n => n -> (UnresolvedAttribute.quoted(
+                      RowOps.SrcPrefix + n): Expression))))
+                case DeleteAction(c) =>
+                  GraftDml.MergeClauseSpec(c.map(un), None)
+                case InsertAction(c, as) =>
+                  GraftDml.MergeClauseSpec(c.map(un),
+                    Some(assigns(as, "INSERT")))
+                case InsertStarAction(c) =>
+                  GraftDml.MergeClauseSpec(c.map(un), Some(targetCols.map(
+                    n => n -> (UnresolvedAttribute.quoted(
+                      RowOps.SrcPrefix + n): Expression))))
+                case other => throw new IllegalArgumentException(
+                  s"graft MERGE: unsupported action $other")
+              }
+            }
             (m.matchedActions, m.notMatchedActions,
               m.notMatchedBySourceActions) match {
+              // fast paths: the exact upsert / delete-by-key shapes map
+              // straight onto RowOps.upsert / deleteKeys (narrower CDC,
+              // no join-frame build). isIdentity's arity check keeps
+              // partial name-identical SET lists OUT of here — those
+              // are partial updates and take the general path below.
               case (Seq(u: UpdateAction), Seq(i: InsertAction), Seq())
                   if u.condition.isEmpty && i.condition.isEmpty &&
-                    isIdentity(u.assignments) &&
-                    isIdentity(i.assignments) =>
+                    isIdentity(u.assignments, arity) &&
+                    isIdentity(i.assignments, arity) =>
                 GraftDml.GraftMergeCommand(dir, m.sourceTable, keys,
                   deleteMatched = false, tbl)
               case (Seq(UpdateStarAction(None)),
@@ -214,10 +302,12 @@ final case class GraftDmlRule(spark: SparkSession)
               case (Seq(DeleteAction(None)), Seq(), Seq()) =>
                 GraftDml.GraftMergeCommand(dir, m.sourceTable, keys,
                   deleteMatched = true, tbl)
-              case _ => throw new IllegalArgumentException(
-                "graft MERGE: supported forms are {WHEN MATCHED THEN " +
-                  "UPDATE SET * / WHEN NOT MATCHED THEN INSERT *} " +
-                  "(upsert) and {WHEN MATCHED THEN DELETE}")
+              // the general clause matrix: conditional / multi-clause
+              // matched actions, conditional inserts, NOT MATCHED BY
+              // SOURCE — first-true-wins per group (ANSI)
+              case (ma, na, ba) =>
+                GraftDml.GraftMergeFullCommand(dir, m.sourceTable, keys,
+                  ma.map(spec), na.map(spec), ba.map(spec), tbl)
             }
           case None => m
         }

@@ -107,6 +107,74 @@ object RowOpsQueries {
              |ORDER BY 1, 2, 3""".stripMargin)),
 
     Query(
+      // FULL MERGE clause matrix as one SQL statement: conditional
+      // matched DELETE + conditional matched partial UPDATE (unassigned
+      // columns keep their target values), conditional INSERT with a
+      // partial column list (unassigned → NULL), and NOT MATCHED BY
+      // SOURCE UPDATE — first-true-wins per clause group (ANSI). The
+      // oracle replays every clause as CASE + anti-join SQL over the
+      // original fixture.
+      "q_rowops_merge_full",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val dir = tmp("graft_rowops_mf_", d)
+        o.repartition(8).write.mode("overwrite").parquet(dir)
+        StatsManifest.write(s, dir, Seq("o_orderkey"))
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(10)
+        val tbl = "graft_mf_" + h
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+          s"OPTIONS (path '$dir')")
+        val matchedSrc = o.where(col("o_orderkey") % 97 === 0)
+        matchedSrc.unionByName(matchedSrc
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+          .createOrReplaceTempView(s"graft_mfsrc_$h")
+        s.sql(s"""MERGE INTO $tbl t USING graft_mfsrc_$h s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.o_totalprice > 150000 THEN DELETE
+          |WHEN MATCHED AND t.o_custkey % 2 = 0
+          |  THEN UPDATE SET o_totalprice = t.o_totalprice + s.o_totalprice
+          |WHEN NOT MATCHED AND s.o_custkey % 3 = 0
+          |  THEN INSERT (o_orderkey, o_totalprice)
+          |       VALUES (s.o_orderkey, -1)
+          |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 113 = 0
+          |  THEN UPDATE SET o_totalprice = 0
+          |""".stripMargin)
+        s.table(tbl).orderBy(col("o_orderkey"))
+      },
+      Some("""WITH tgt AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+             |src AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |  WHERE o_orderkey % 97 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+             |  FROM orders WHERE o_orderkey % 97 = 0),
+             |merged AS (
+             |  SELECT t.o_orderkey, t.o_custkey,
+             |    CASE WHEN s.o_orderkey IS NOT NULL THEN
+             |           CASE WHEN t.o_custkey % 2 = 0
+             |                THEN t.o_totalprice + s.o_totalprice
+             |                ELSE t.o_totalprice END
+             |         WHEN t.o_orderkey % 113 = 0 THEN 0
+             |         ELSE t.o_totalprice END AS o_totalprice,
+             |    CASE WHEN s.o_orderkey IS NOT NULL
+             |              AND s.o_totalprice > 150000
+             |         THEN 1 ELSE 0 END AS del
+             |  FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey)
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM merged
+             |WHERE del = 0
+             |UNION ALL
+             |SELECT s.o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+             |  CAST(-1 AS DOUBLE) AS o_totalprice
+             |FROM src s LEFT JOIN tgt t ON s.o_orderkey = t.o_orderkey
+             |WHERE t.o_orderkey IS NULL AND s.o_custkey % 3 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Query(
       // Schema evolution: ADD COLUMN is one manifest commit (no file
       // rewritten — RowOpsSpec/SchemaEvolutionSpec pin that); old rows
       // serve NULL, appended rows carry values, and the final evolved

@@ -136,6 +136,209 @@ object RowOps {
     res.copy(insertedRows = inserted)
   }
 
+  // ---------------------------------------------------------------- //
+  //  Full MERGE: conditional, multi-clause, by-source                  //
+  // ---------------------------------------------------------------- //
+
+  /** Prefix under which [[merge]] exposes SOURCE columns to clause
+    * conditions and values (target columns keep their bare names). */
+  private[graft] val SrcPrefix = "__s_"
+  private val MatchedFlag = "__graft_matched"
+  private val ClauseIdx = "__graft_clause"
+
+  /** Reference a SOURCE column in a merge clause condition or value —
+    * matched clauses see both sides (target by bare name, source via
+    * this); NOT MATCHED insert values see only source columns; NOT
+    * MATCHED BY SOURCE clauses see only target columns. */
+  def srcCol(name: String): Column = col(SrcPrefix + name)
+
+  /** One WHEN clause of a full [[merge]]. Within each clause group
+    * (matched / not-matched / not-matched-by-source) the FIRST clause
+    * whose condition holds applies; a row no clause claims is kept
+    * (target side) or ignored (source side) — ANSI MERGE semantics. */
+  sealed trait MergeClause { def condition: Option[Column] }
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET name = value, … (also the
+    * by-source update). Unassigned target columns keep their values —
+    * a partial SET is a partial update, never a row replace. */
+  final case class MergeUpdate(condition: Option[Column],
+      set: Seq[(String, Column)]) extends MergeClause
+  /** WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN DELETE. */
+  final case class MergeDelete(condition: Option[Column] = None)
+      extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (…) —
+    * values over source columns ([[srcCol]]); unassigned target
+    * columns get NULL. */
+  final case class MergeInsert(condition: Option[Column],
+      values: Seq[(String, Column)]) extends MergeClause
+
+  /** MERGE INTO dir USING source ON keys — the full ANSI clause
+    * matrix: conditional and multiple WHEN MATCHED UPDATE/DELETE
+    * clauses, conditional multi-clause WHEN NOT MATCHED INSERT, and
+    * WHEN NOT MATCHED BY SOURCE UPDATE/DELETE. Same copy-on-write
+    * machinery as [[upsert]]: matched-clause candidate files prune by
+    * the source's key envelope; by-source clauses prune by the OR of
+    * their conditions (an unconditional by-source clause touches every
+    * file — it rewrites the whole unmatched side by definition).
+    * Untouched rows in rewritten files carry over bit-exact and net
+    * out of the CDC feed. `validate` enforces unique source keys — a
+    * target row matched by two source rows is ANSI-undefined. */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String], statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil,
+      matched: Seq[MergeClause] = Nil,
+      notMatched: Seq[MergeInsert] = Nil,
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      validate: Boolean = true, cdf: Boolean = true): OpResult = {
+    val ctx = open(spark, dir)
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "merge: no WHEN clauses")
+    (matched ++ notMatchedBySource).foreach {
+      case _: MergeInsert => throw new IllegalArgumentException(
+        "merge: INSERT is only a NOT MATCHED action")
+      case _ => ()
+    }
+    val fields = ctx.schema.fieldNames.toSet
+    def checkNames(ns: Seq[String], what: String): Unit = {
+      val bad = ns.filterNot(fields.contains)
+      require(bad.isEmpty,
+        s"merge: unknown target columns in $what: ${bad.mkString(", ")}")
+    }
+    (matched ++ notMatchedBySource).foreach {
+      case MergeUpdate(_, s) => checkNames(s.map(_._1), "UPDATE SET")
+      case _ => ()
+    }
+    notMatched.foreach(i => checkNames(i.values.map(_._1), "INSERT"))
+    val missingKeys = keys.filterNot(source.columns.contains)
+    require(missingKeys.isEmpty,
+      s"merge: source lacks key columns ${missingKeys.mkString(", ")}")
+    require(!ctx.schema.fieldNames.exists(_.startsWith(SrcPrefix)),
+      s"merge: target columns may not start with $SrcPrefix")
+    if (validate) {
+      val dup = source.groupBy(keys.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"merge: duplicate source key ${dup.headOption.mkString} — " +
+          "a target row matched by two source rows is undefined; " +
+          "dedupe the source first")
+    }
+    def cnd(c: Option[Column]): Column =
+      coalesce(c.getOrElse(lit(true)), lit(false))
+    // every source column under SrcPrefix; keys pre-cast to the target
+    // key types so the equi-join and envelope compare exactly
+    val srcP = source.select(source.columns.map { c =>
+      val base = if (keys.contains(c)) col(c).cast(ctx.schema(c).dataType)
+        else col(c)
+      base.as(SrcPrefix + c)
+    }.toIndexedSeq: _*).withColumn(MatchedFlag, lit(true))
+    val srcKeys = source.select(keys.map(k =>
+      col(k).cast(ctx.schema(k).dataType).as(k)).toIndexedSeq: _*)
+
+    // ---- touch detection (find phase) ----
+    val matchedTouched =
+      if (matched.isEmpty) Map.empty[String, Long]
+      else touchedByKeys(ctx, srcKeys, keys)
+    val bsTouched =
+      if (notMatchedBySource.isEmpty) Map.empty[String, Long]
+      else {
+        // conservative: a row satisfying a by-source condition marks its
+        // file whether or not it is matched — carried-over rows are
+        // bit-exact and net out of CDC
+        val bsOr = notMatchedBySource.map(c => cnd(c.condition))
+          .reduce(_ || _)
+        touchedByPredicate(ctx, ctx.snap.where(bsOr))
+      }
+    val touched = matchedTouched ++
+      bsTouched.view.filterKeys(k => !matchedTouched.contains(k)).toMap
+
+    // ---- inserts (source rows with no target key match) ----
+    val insRows =
+      if (notMatched.isEmpty) emptyOf(ctx)
+      else {
+        val tKeys = keyEnvelope(srcKeys, keys) match {
+          case None => srcKeys.limit(0)
+          case Some(range) => ctx.snap.where(range)
+            .select(keys.map(col).toIndexedSeq: _*)
+            .join(srcKeys, keys, "left_semi").distinct()
+        }
+        val un = srcP.join(tKeys,
+          keys.map(k => srcP(SrcPrefix + k) === tKeys(k)).reduce(_ && _),
+          "left_anti")
+        val conds = notMatched.map(i => cnd(i.condition))
+        val withIdx = un.withColumn(ClauseIdx, firstTrueIdx(conds))
+          .where(col(ClauseIdx) >= 0)
+        withIdx.select(ctx.schema.map { f =>
+          val branches = notMatched.zipWithIndex.flatMap { case (ic, i) =>
+            ic.values.collectFirst { case (n, v) if n == f.name =>
+              (col(ClauseIdx) === i, v) }
+          }
+          valueChain(branches, lit(null)).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      }
+
+    // ---- rewrite of touched files ----
+    val touchedDf = readFiles(ctx, touched.keys)
+    val rewritten =
+      if (touched.isEmpty) emptyOf(ctx)
+      else {
+        val joinCond = keys.map(k =>
+          touchedDf(k) === srcP(SrcPrefix + k)).reduce(_ && _)
+        val joined = touchedDf.join(srcP, joinCond, "left")
+        val isM = coalesce(col(MatchedFlag), lit(false))
+        val branches: Seq[(Column, Option[Map[String, Column]])] =
+          matched.map {
+            case MergeUpdate(c, s) => (isM && cnd(c), Some(s.toMap))
+            case MergeDelete(c) => (isM && cnd(c), None)
+            case _: MergeInsert => throw new IllegalStateException()
+          } ++ notMatchedBySource.map {
+            case MergeUpdate(c, s) => (!isM && cnd(c), Some(s.toMap))
+            case MergeDelete(c) => (!isM && cnd(c), None)
+            case _: MergeInsert => throw new IllegalStateException()
+          }
+        val withIdx = joined.withColumn(ClauseIdx,
+          firstTrueIdx(branches.map(_._1)))
+        val deleteIdx = branches.zipWithIndex.collect {
+          case ((_, None), i) => i }
+        val kept =
+          if (deleteIdx.isEmpty) withIdx
+          else withIdx.where(!col(ClauseIdx)
+            .isin(deleteIdx.map(Integer.valueOf): _*))
+        kept.select(ctx.schema.map { f =>
+          val upd = branches.zipWithIndex.flatMap { case ((_, set), i) =>
+            set.flatMap(_.get(f.name)).map(v => (col(ClauseIdx) === i, v))
+          }
+          valueChain(upd, col(f.name)).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      }
+    val replacement = rewritten.unionByName(insRows)
+    val inserted = if (notMatched.isEmpty) 0L else insRows.count()
+    // CDC over (everything old in touched files, everything new incl.
+    // inserts): exceptAll netting reduces that to exactly the row-level
+    // changes each clause made
+    val res = rewriteWith(ctx, touched, statsCols, bloomCols, replacement,
+      extraFiles = if (notMatched.nonEmpty) 1 else 0,
+      cdc = if (cdf) Some((touchedDf, replacement)) else None)
+    res.copy(matchedRows = matchedTouched.valuesIterator.sum,
+      insertedRows = inserted)
+  }
+
+  /** Index of the first true condition (−1 if none) — the clause
+    * dispatch for first-true-wins semantics. */
+  private def firstTrueIdx(conds: Seq[Column]): Column =
+    conds.zipWithIndex.tail
+      .foldLeft(when(conds.head, lit(0))) { case (acc, (c, i)) =>
+        acc.when(c, lit(i))
+      }.otherwise(lit(-1))
+
+  /** Chained `when` over (guard, value) branches with a default. */
+  private def valueChain(branches: Seq[(Column, Column)],
+      default: Column): Column = branches match {
+    case Seq() => default
+    case (c0, v0) +: rest =>
+      rest.foldLeft(when(c0, v0)) { case (acc, (c, v)) =>
+        acc.when(c, v)
+      }.otherwise(default)
+  }
+
   /** DELETE FROM dir WHERE key IN (keyRows) — erasure by key set (the
     * GDPR shape). `keyRows` needs exactly the `keys` columns. */
   def deleteKeys(spark: SparkSession, dir: String, keyRows: DataFrame,
@@ -329,31 +532,42 @@ object RowOps {
       .agg(count(lit(1)).as("m")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  /** Touch detection for key-set ops: files holding ≥1 row whose key is
-    * in `src`. The source's per-key min/max bounds become a range
-    * predicate FIRST, so manifest pruning (and parquet row-group
-    * skipping) cut the scan before the semi join runs — a row matching
-    * a source key is inside the source's key envelope by definition, so
-    * the restriction is free. */
-  private def touchedByKeys(ctx: Ctx, src: DataFrame,
-      keys: Seq[String]): Map[String, Long] = {
+  /** Per-key min/max envelope of `src` as a range predicate over the
+    * target's key columns — None when the source has no non-null first
+    * key (nothing can equi-match). A row matching a source key is inside
+    * the envelope by definition, so restricting a scan by it is free. */
+  private def keyEnvelope(src: DataFrame,
+      keys: Seq[String]): Option[Column] = {
     val ext = src.agg(min(col(keys.head)).as("lo0"),
       (max(col(keys.head)).as("hi0") +:
         keys.tail.zipWithIndex.flatMap { case (k, i) =>
           Seq(min(col(k)).as(s"lo${i + 1}"), max(col(k)).as(s"hi${i + 1}"))
         }).toIndexedSeq: _*).collect().head
-    if (ext.isNullAt(0)) return Map.empty // empty source → nothing touched
-    val range = keys.zipWithIndex.map { case (k, i) =>
+    if (ext.isNullAt(0)) None
+    else Some(keys.zipWithIndex.map { case (k, i) =>
       col(k).between(lit(ext.get(2 * i)), lit(ext.get(2 * i + 1)))
-    }.reduce(_ && _)
-    // `_metadata` is a scan-relation column: project the file key BEFORE
-    // the join (it doesn't resolve through one)
-    ctx.snap.where(range)
-      .select((StatsManifest.fileKeyCol +: keys.map(col)).toIndexedSeq: _*)
-      .join(src.select(keys.map(col).toIndexedSeq: _*), keys, "left_semi")
-      .groupBy(col("file")).agg(count(lit(1)).as("m")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }.reduce(_ && _))
   }
+
+  /** Touch detection for key-set ops: files holding ≥1 row whose key is
+    * in `src`. The source's key envelope becomes a range predicate
+    * FIRST, so manifest pruning (and parquet row-group skipping) cut
+    * the scan before the semi join runs. */
+  private def touchedByKeys(ctx: Ctx, src: DataFrame,
+      keys: Seq[String]): Map[String, Long] =
+    keyEnvelope(src, keys) match {
+      case None => Map.empty // empty source → nothing touched
+      case Some(range) =>
+        // `_metadata` is a scan-relation column: project the file key
+        // BEFORE the join (it doesn't resolve through one)
+        ctx.snap.where(range)
+          .select((StatsManifest.fileKeyCol +:
+            keys.map(col)).toIndexedSeq: _*)
+          .join(src.select(keys.map(col).toIndexedSeq: _*), keys,
+            "left_semi")
+          .groupBy(col("file")).agg(count(lit(1)).as("m")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
 
   private def readFiles(ctx: Ctx, keys: Iterable[String]): DataFrame =
     if (keys.isEmpty) emptyOf(ctx)

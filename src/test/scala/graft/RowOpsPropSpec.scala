@@ -50,7 +50,7 @@ class RowOpsPropSpec extends AnyFunSuite {
     var snaps = Vector(1L -> model)
 
     for (step <- 0 until 8) {
-      rnd.nextInt(4) match {
+      rnd.nextInt(5) match {
         case 0 => // range delete (Scala API or SQL, same semantics)
           val a = rnd.nextInt(400).toLong
           val b = a + rnd.nextInt(60) + 1
@@ -84,6 +84,50 @@ class RowOpsPropSpec extends AnyFunSuite {
           RowOps.deleteKeys(spark, dir, keys.toDF("k"), Seq("k"), Seq("k"))
           val ks = keys.toSet
           model = model.filterNot(r => ks.contains(r._1))
+        case 4 => // FULL merge: conditional clause matrix, first-true-wins
+          val keys = (Seq.fill(rnd.nextInt(8) + 2)(
+            rnd.nextInt(340).toLong) ++
+            Seq.fill(rnd.nextInt(4))(1000L + rnd.nextInt(60))).distinct
+          val src = keys.map(k => (k, 100L * step + k % 9))
+          val srcMap = src.toMap
+          val x = rnd.nextInt(200).toLong
+          val tgtKeys = model.map(_._1).toSet
+          if (rnd.nextBoolean()) {
+            import graft.sources.RowOps.{MergeDelete, MergeInsert,
+              MergeUpdate, srcCol}
+            RowOps.merge(spark, dir, src.toDF("k", "m"), Seq("k"),
+              Seq("k"),
+              matched = Seq(
+                MergeUpdate(Some(srcCol("m") % 3 === 0),
+                  Seq("m" -> (col("m") + 1))),
+                MergeDelete(Some(col("m") < 0))),
+              notMatched = Seq(MergeInsert(Some(srcCol("m") % 2 === 0),
+                Seq("k" -> srcCol("k"), "m" -> -srcCol("m")))),
+              notMatchedBySource = Seq(MergeUpdate(Some(col("k") < x),
+                Seq("m" -> lit(-77L)))))
+          } else {
+            src.toDF("k", "m").createOrReplaceTempView("rowprop_msrc")
+            spark.sql(
+              s"""MERGE INTO $tbl t USING rowprop_msrc s ON t.k = s.k
+                 |WHEN MATCHED AND s.m % 3 = 0 THEN UPDATE SET m = t.m + 1
+                 |WHEN MATCHED AND t.m < 0 THEN DELETE
+                 |WHEN NOT MATCHED AND s.m % 2 = 0
+                 |  THEN INSERT (k, m) VALUES (s.k, -s.m)
+                 |WHEN NOT MATCHED BY SOURCE AND t.k < $x
+                 |  THEN UPDATE SET m = -77
+                 |""".stripMargin)
+          }
+          model = model.flatMap { case (k, m) =>
+            srcMap.get(k) match {
+              case Some(sm) =>
+                if (sm % 3 == 0) Some((k, m + 1))
+                else if (m < 0) None
+                else Some((k, m))
+              case None => if (k < x) Some((k, -77L)) else Some((k, m))
+            }
+          } ++ src.filter { case (k, sm) =>
+            !tgtKeys.contains(k) && sm % 2 == 0
+          }.map { case (k, sm) => (k, -sm) }
       }
       val v = StatsManifest.versions(spark, dir).last
       assert(scanRows(dir) === sortedSeq(model),

@@ -96,16 +96,112 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dml_opt")
   }
 
-  test("unsupported MERGE forms and plain-parquet targets fail loudly") {
+  /** (k, m, v) table for partial-SET tests. */
+  private def mkTable3(name: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_sqldml_$name").toString + "/t"
+    (0 until 1000).map(i => (i.toLong, (i % 7).toLong, i.toLong * 10))
+      .toDF("k", "m", "v")
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    StatsManifest.write(spark, dir, Seq("k"))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING `graft-manifest` " +
+      s"OPTIONS (path '$dir')")
+    dir
+  }
+
+  test("MERGE partial SET updates ONLY the assigned columns — a " +
+      "name-identical partial list is a partial update, not a replace") {
+    mkTable3("dml_part")
+    // source carries a CHANGED m alongside the v it assigns: a row
+    // replace (the old isIdentity bug) would smuggle m = -9 in
+    Seq((10L, -9L, 111L), (20L, -9L, 222L)).toDF("k", "m", "v")
+      .createOrReplaceTempView("dml_psrc")
+    spark.sql("""MERGE INTO dml_part t USING dml_psrc s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val got = spark.sql(
+      "SELECT k, m, v FROM dml_part WHERE k IN (10, 20) ORDER BY k")
+      .as[(Long, Long, Long)].collect()
+    assert(got === Array((10L, 3L, 111L), (20L, 6L, 222L)),
+      "unassigned column m must keep its target value")
+    spark.sql("DROP TABLE dml_part")
+  }
+
+  test("MERGE full clause matrix: conditional matched UPDATE + DELETE, " +
+      "conditional INSERT, NOT MATCHED BY SOURCE — first-true-wins") {
+    mkTable3("dml_full")
+    // matched keys 0,100,200,…,900; unmatched source keys 5000,5001
+    val src = (0 until 10).map(i => (i * 100L, -1L, i.toLong)) ++
+      Seq((5000L, -1L, 50L), (5001L, -1L, 3L))
+    src.toDF("k", "m", "v").createOrReplaceTempView("dml_fsrc")
+    spark.sql("""MERGE INTO dml_full t USING dml_fsrc s ON t.k = s.k
+      |WHEN MATCHED AND s.v < 3 THEN UPDATE SET m = t.m + s.v
+      |WHEN MATCHED AND s.v < 6 THEN UPDATE SET v = -t.v
+      |WHEN MATCHED THEN DELETE
+      |WHEN NOT MATCHED AND s.v >= 10 THEN INSERT (k, v) VALUES (s.k, s.v)
+      |WHEN NOT MATCHED BY SOURCE AND t.k >= 990 THEN DELETE
+      |""".stripMargin)
+    val t = spark.table("dml_full")
+    // matched, v<3 (keys 0,100,200): m updated, v kept
+    assert(spark.sql("SELECT k, m, v FROM dml_full WHERE k IN (0,100,200)" +
+      " ORDER BY k").as[(Long, Long, Long)].collect() ===
+      Array((0L, 0L, 0L), (100L, 3L, 1000L), (200L, 6L, 2000L)))
+    // matched, 3<=v<6 (keys 300,400,500): v negated — FIRST true clause
+    // wins, the later DELETE must not fire
+    assert(spark.sql("SELECT k, m, v FROM dml_full WHERE k IN (300,400,500)" +
+      " ORDER BY k").as[(Long, Long, Long)].collect() ===
+      Array((300L, 6L, -3000L), (400L, 1L, -4000L), (500L, 3L, -5000L)))
+    // matched, v>=6 (keys 600..900): deleted
+    assert(t.where(col("k").isin(600L, 700L, 800L, 900L)).count() === 0L)
+    // conditional INSERT: 5000 (v=50) inserted with NULL m; 5001 (v=3)
+    // skipped by its condition
+    assert(spark.sql("SELECT k, v FROM dml_full WHERE k = 5000")
+      .as[(Long, Long)].collect() === Array((5000L, 50L)))
+    assert(spark.sql("SELECT m FROM dml_full WHERE k = 5000")
+      .collect().head.isNullAt(0))
+    assert(t.where(col("k") === 5001L).count() === 0L)
+    // by-source DELETE: unmatched target rows k in 990..999 gone;
+    // k=900 was matched (claimed by the matched DELETE path, not this)
+    assert(t.where(col("k") >= 990L && col("k") < 1000L).count() === 0L)
+    // everything else untouched: 1000 - 4 deleted(matched 600..900) -
+    // 10 deleted(by-source 990..999) + 1 insert = 987
+    assert(t.count() === 987L)
+    spark.sql("DROP TABLE dml_full")
+  }
+
+  test("MERGE by-source UPDATE rewrites only unmatched rows; CDC nets " +
+      "the clause matrix exactly") {
+    val dir = mkTable3("dml_bsrc")
+    Seq((0L, 0L, 0L)).toDF("k", "m", "v")
+      .createOrReplaceTempView("dml_bs")
+    spark.sql("""MERGE INTO dml_bsrc t USING dml_bs s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET m = -100
+      |WHEN NOT MATCHED BY SOURCE AND t.k < 3 THEN UPDATE SET m = -200
+      |""".stripMargin)
+    val got = spark.sql(
+      "SELECT k, m FROM dml_bsrc WHERE k < 5 ORDER BY k")
+      .as[(Long, Long)].collect()
+    assert(got === Array((0L, -100L), (1L, -200L), (2L, -200L),
+      (3L, 3L), (4L, 4L)))
+    // CDC: exactly the 3 updated rows as delete+insert pairs
+    val cdc = RowOps.changes(spark, dir, 1L, 2L)
+    assert(cdc.count() === 6L)
+    assert(cdc.where(col("_change_type") === "insert").count() === 3L)
+    spark.sql("DROP TABLE dml_bsrc")
+  }
+
+  test("unsupported MERGE conditions and plain-parquet targets fail " +
+      "loudly") {
     mkTable("dml_bad")
     Seq((1L, 1L)).toDF("k", "m").createOrReplaceTempView("dml_src2")
+    // subqueries in clause conditions are declared out
     val e = intercept[Exception] {
       spark.sql("""MERGE INTO dml_bad t USING dml_src2 s ON t.k = s.k
-                  |WHEN MATCHED THEN UPDATE SET m = s.m + 1
-                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+                  |WHEN MATCHED AND t.m < (SELECT MAX(m) FROM dml_src2)
+                  |THEN DELETE""".stripMargin)
     }
-    assert(e.getMessage.contains("supported forms") ||
-      Option(e.getCause).exists(_.getMessage.contains("supported forms")),
+    assert(e.getMessage.contains("subquer") ||
+      Option(e.getCause).exists(_.getMessage.contains("subquer")),
       e.getMessage)
     // a NON-manifested parquet table keeps Spark's own v2-only error
     val plainDir = java.nio.file.Files
