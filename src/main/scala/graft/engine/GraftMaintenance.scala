@@ -102,16 +102,31 @@ object GraftMaintenance {
     }
   }
 
-  /** The parser hook: intercept the maintenance statements, delegate
-    * everything else untouched. */
+  /** Does `table` resolve to a graft-manifest relation in the active
+    * session? Other products ship the SAME maintenance syntax (Delta's
+    * OPTIMIZE/ZORDER/VACUUM is identical), so the hook must only CLAIM
+    * a statement whose target is ours and let everything else flow to
+    * the delegate chain — erroring on a foreign table would break
+    * coexistence with whichever extension owns it. Resolution failures
+    * (unknown table, unresolvable relation) also fall through: the
+    * delegate produces its own, correct, error. */
+  private def targetIsManifested(table: String): Boolean =
+    SparkSession.getActiveSession.exists { spark =>
+      try GraftDml.manifestedDir(
+        spark.table(table).queryExecution.analyzed).isDefined
+      catch { case _: Exception => false }
+    }
+
+  /** The parser hook: intercept the maintenance statements whose target
+    * is a graft-manifest table, delegate everything else untouched. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case OptimizeRe(tbl, cols) =>
+    case OptimizeRe(tbl, cols) if targetIsManifested(ident(tbl)) =>
       val zs = Option(cols).map(_.split(",").map(c => ident(c.trim))
         .filter(_.nonEmpty).toSeq).getOrElse(Nil)
       Some(GraftOptimizeCommand(ident(tbl), zs))
-    case VacuumRe(tbl, n) =>
+    case VacuumRe(tbl, n) if targetIsManifested(ident(tbl)) =>
       Some(GraftVacuumCommand(ident(tbl), n.toInt))
-    case HistoryRe(tbl) =>
+    case HistoryRe(tbl) if targetIsManifested(ident(tbl)) =>
       Some(GraftHistoryCommand(ident(tbl)))
     case _ => None
   }

@@ -500,15 +500,29 @@ object StatsManifest {
     * (removal is monotone — a removed key is never re-added), so its
     * bytes are physically reclaimed here. Until then the bytes stay for
     * snapshot and CDC reads. */
-  def expire(spark: SparkSession, dir: String, keep: Int): Int = {
+  def expire(spark: SparkSession, dir: String, keep: Int,
+      /** retention for the precomputed CDC change files, in versions;
+        * negative = follow `keep`. A [[RowOps.changesStream]] consumer
+        * discovers change files at its OWN cadence — deleting them on
+        * the manifest's (often tight) snapshot-retention schedule
+        * silently drops changes a lagging subscriber has not seen yet,
+        * so a streaming-fed table should keep the CDC window several
+        * multiples of the consumer's worst-case lag. The files are
+        * O(changes), not O(table): a longer window is cheap. */
+      cdcVersionsToKeep: Int = -1): Int = {
     require(keep >= 1, s"expire: keep=$keep")
+    val cdcKeep =
+      if (cdcVersionsToKeep < 0) keep else math.max(keep, cdcVersionsToKeep)
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = versions(spark, dir)
     val drop = vs.dropRight(keep)
     drop.foreach { v =>
       fsys.delete(new Path(mDir, f"v$v%06d"), true)
-      // the version's precomputed change files (RowOps CDC) expire with it
+    }
+    // change files live on their own retention window (decoupled from
+    // snapshot retention — they may outlive their manifest version)
+    vs.dropRight(cdcKeep).foreach { v =>
       RowOps.cdcFiles(fsys, dir, v).foreach(fsys.delete(_, false))
     }
     vs.drop(drop.length).headOption.foreach { oldest =>

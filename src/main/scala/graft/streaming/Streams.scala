@@ -1338,7 +1338,13 @@ object Streams {
       statsCols: Seq[String], deleteCol: Option[String] = None,
       triggerMs: Long = 500L,
       checkpointDir: Option[String] = None,
-      manifestVersionsToKeep: Int = 16): StreamingQuery = {
+      manifestVersionsToKeep: Int = 16,
+      /** CDC change files keep a LONGER window than the manifest (a
+        * changesStream consumer lagging past manifest retention must
+        * still find every change file it has not discovered yet);
+        * size this to several multiples of the subscriber's worst-case
+        * lag in batches. The files are O(changes) — cheap to keep. */
+      cdcVersionsToKeep: Int = 256): StreamingQuery = {
     val writer = stream.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
@@ -1371,7 +1377,7 @@ object Streams {
           graft.sources.RowOps.deleteKeys(spk, dir,
             dels.select(keys.map(col).toIndexedSeq: _*), keys, statsCols)
         graft.sources.StatsManifest.expire(spk, dir,
-          manifestVersionsToKeep)
+          manifestVersionsToKeep, cdcVersionsToKeep)
         ()
       }
     checkpointDir.foreach(writer.option("checkpointLocation", _))

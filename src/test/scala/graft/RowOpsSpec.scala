@@ -370,6 +370,31 @@ class RowOpsSpec extends AnyFunSuite {
     raw.delete(stage, true)
   }
 
+  test("CDC retention decouples from manifest retention: a lagging " +
+      "changesStream consumer still finds expired versions' change files") {
+    val dir = mk("cdcret")
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // v2..v5: four ops, each landing precomputed change files
+    RowOps.delete(spark, dir, col("k") < 10, Seq("k"))
+    RowOps.update(spark, dir, col("k") === 100L,
+      Seq("m" -> lit(-1L)), Seq("k"))
+    RowOps.delete(spark, dir, col("k") === 500L, Seq("k"))
+    RowOps.update(spark, dir, col("k") === 600L,
+      Seq("m" -> lit(-2L)), Seq("k"))
+    assert((2L to 5L).forall(v =>
+      RowOps.cdcFiles(fs, dir, v).nonEmpty))
+    // tight snapshot retention, wide CDC retention
+    StatsManifest.expire(spark, dir, keep = 2, cdcVersionsToKeep = 100)
+    assert(StatsManifest.versions(spark, dir) === Seq(4L, 5L))
+    assert((2L to 5L).forall(v => RowOps.cdcFiles(fs, dir, v).nonEmpty),
+      "change files must outlive their manifest version")
+    // default (-1) follows manifest retention, as before
+    StatsManifest.expire(spark, dir, keep = 1)
+    assert(RowOps.cdcFiles(fs, dir, 4L).isEmpty)
+    assert(RowOps.cdcFiles(fs, dir, 5L).nonEmpty)
+  }
+
   test("delete-all: the table empties but stays functional — scan, " +
       "snapshot, append, rebuild") {
     val dir = mk("delall")

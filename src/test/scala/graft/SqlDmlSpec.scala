@@ -190,6 +190,36 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dml_bsrc")
   }
 
+  test("maintenance statements on a non-graft table fall through to " +
+      "the delegate parser (coexistence with foreign OPTIMIZE/VACUUM)") {
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft_sqldml_coex").toString + "/t"
+    Seq((1L, 1L)).toDF("k", "m").write.parquet(plainDir)
+    spark.sql("DROP TABLE IF EXISTS dml_coex")
+    spark.sql(s"CREATE TABLE dml_coex USING parquet " +
+      s"OPTIONS (path '$plainDir')")
+    // the hook must NOT claim these: the delegate chain (vanilla Spark
+    // here; Delta's identical syntax in a mixed deployment) owns them —
+    // so the error is the DELEGATE's parse error, never our
+    // 'not a graft-manifest table'
+    for (stmt <- Seq("OPTIMIZE dml_coex ZORDER BY (k)",
+        "OPTIMIZE dml_coex", "VACUUM dml_coex RETAIN 3 VERSIONS")) {
+      val e = intercept[Exception] { spark.sql(stmt) }
+      assert(!e.getMessage.contains("graft-manifest"), s"$stmt: claimed " +
+        s"a foreign table instead of delegating: ${e.getMessage}")
+      assert(e.isInstanceOf[
+        org.apache.spark.sql.catalyst.parser.ParseException],
+        s"$stmt: expected the delegate's parse error, got $e")
+    }
+    // an unknown table also delegates (the delegate's missing-table /
+    // parse error, not ours)
+    val e2 = intercept[Exception] {
+      spark.sql("OPTIMIZE graft_no_such_table_xyz")
+    }
+    assert(!e2.getMessage.contains("graft-manifest"))
+    spark.sql("DROP TABLE dml_coex")
+  }
+
   test("unsupported MERGE conditions and plain-parquet targets fail " +
       "loudly") {
     mkTable("dml_bad")
