@@ -201,7 +201,11 @@ object GraftDml {
 }
 
 /** The resolution rule: fires once the DML node and its target are
-  * resolved, before CheckAnalysis would reject the v1 relation. */
+  * resolved, before CheckAnalysis would reject the v1 relation. Also
+  * resolves the read-side SQL surfaces of the lakehouse layer —
+  * `VERSION AS OF` / `TIMESTAMP AS OF` time travel and the
+  * `graft_changes(tbl, from[, to])` changefeed TVF — for manifested
+  * tables. */
 final case class GraftDmlRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
   import GraftDml._

@@ -35,6 +35,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DML (DELETE/UPDATE/MERGE) over manifested tables → RowOps
     // commands; fires during resolution, before the v1-relation check
     ext.injectResolutionRule(spark => GraftDmlRule(spark))
+    // VERSION AS OF / TIMESTAMP AS OF on manifested tables — must run
+    // BEFORE the Resolution batch (ResolveRelations throws for v1 time
+    // travel instead of leaving the node), hence the hint batch
+    ext.injectHintResolutionRule(spark => GraftTimeTravelRule(spark))
+    // row-level changefeed TVF: SELECT * FROM graft_changes('t', 1, 4)
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(GraftTimeTravel.getClass.getName,
+        "graft_changes"),
+      (args: Seq[Expression]) => GraftTimeTravel.changesTvf(args)))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,

@@ -1,0 +1,128 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel,
+  UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{StringType, TimestampType}
+
+import graft.sources.{RowOps, StatsManifest}
+
+/** Read-side SQL surfaces of the lakehouse layer:
+  *
+  * {{{
+  *   SELECT … FROM t VERSION AS OF 3            -- snapshot by version
+  *   SELECT … FROM t TIMESTAMP AS OF '<ts>'     -- newest commit ≤ ts
+  *   SELECT * FROM graft_changes('t', 1, 4)     -- row-level changefeed
+  *   SELECT * FROM graft_changes('t', 2)        -- …to the latest version
+  * }}}
+  *
+  * Time travel rides Spark's own parsed `RelationTimeTravel` node. It
+  * must be claimed BEFORE the main Resolution batch — `ResolveRelations`
+  * throws UNSUPPORTED_FEATURE.TIME_TRAVEL for v1 relations rather than
+  * leaving the node unresolved, so an ordinary injected resolution rule
+  * never sees it. [[GraftTimeTravelRule]] therefore runs in the earlier
+  * hint-resolution batch (`injectHintResolutionRule`) and only claims
+  * targets that resolve to graft-manifest relations; everything else
+  * keeps Spark's resolution and its errors.
+  *
+  * The changefeed TVF registers through `injectTableFunction`, i.e. the
+  * session's table-function registry — no rule-ordering race at all.
+  * Reference analogue: the reference's changelog is SQL-native end to
+  * end (`flink-table-planner-blink/…/operations/SqlToOperationConverter
+  * .java` routes table functions); here the stored table's changefeed
+  * reads back the same way. */
+object GraftTimeTravel {
+
+  /** Directory behind a (possibly qualified) table NAME, when it
+    * resolves to a graft-manifest relation. */
+  private def manifestedDirOfName(spark: SparkSession,
+      name: String): Option[String] =
+    try GraftDml.manifestedDir(
+      spark.table(name).queryExecution.analyzed).map(_._1)
+    catch { case _: Exception => None }
+
+  private[engine] def dirOf(spark: SparkSession,
+      parts: Seq[String]): Option[String] =
+    manifestedDirOfName(spark, parts.mkString("."))
+
+  /** The version a `TIMESTAMP AS OF t` resolves to: the newest commit
+    * at or before t (commit wall times from the version log). */
+  private[engine] def versionAtTimestamp(spark: SparkSession, dir: String,
+      ts: Expression): Long = {
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val micros = Cast(ts, TimestampType, Some(zone)).eval() match {
+      case l: java.lang.Long => l.longValue()
+      case _ => throw new IllegalArgumentException(
+        s"graft time travel: cannot read ${ts.sql} as a timestamp")
+    }
+    val ms = Math.floorDiv(micros, 1000L)
+    val h = StatsManifest.history(spark, dir)
+    h.filter(_.committedAtMs <= ms).lastOption.map(_.version).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft time travel: no retained version committed at or " +
+          s"before ${ts.sql} (oldest retained: " +
+          s"${h.headOption.map(_.version).getOrElse(-1L)})"))
+  }
+
+  /** Resolved snapshot relation at `version` — the same pruning
+    * `ManifestFileIndex` scan every manifested read gets. */
+  private[engine] def snapshotPlan(spark: SparkSession, dir: String,
+      version: Long): LogicalPlan =
+    spark.read.format("graft-manifest").option("path", dir)
+      .option("version", version.toString).load()
+      .queryExecution.analyzed
+
+  private def evalLong(e: Expression, what: String): Long = e match {
+    case Literal(v, _) if v != null => v.toString.toLong
+    case other => throw new IllegalArgumentException(
+      s"graft_changes: $what must be a literal version, got ${other.sql}")
+  }
+
+  /** Builder for `injectTableFunction`:
+    * graft_changes(table, fromVersion[, toVersion]). */
+  def changesTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      "graft_changes(table, fromVersion[, toVersion]): wrong arity")
+    val spark = SparkSession.active
+    val tbl = args.head match {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_changes: table must be a string literal, got ${other.sql}")
+    }
+    val dir = manifestedDirOfName(spark, tbl).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_changes: $tbl is not a graft-manifest table"))
+    val from = evalLong(args(1), "fromVersion")
+    val to = args.lift(2).map(evalLong(_, "toVersion")).getOrElse(
+      StatsManifest.versions(spark, dir).last)
+    RowOps.changes(spark, dir, from, to).queryExecution.analyzed
+  }
+}
+
+/** Hint-batch rule claiming `VERSION AS OF` / `TIMESTAMP AS OF` on
+  * manifested tables (see [[GraftTimeTravel]] for why this batch). */
+final case class GraftTimeTravelRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+  import GraftTimeTravel._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case tt: RelationTimeTravel =>
+        (tt.relation match {
+          case u: UnresolvedRelation =>
+            GraftTimeTravel.dirOf(spark, u.multipartIdentifier)
+          case _ => None
+        }) match {
+          case Some(dir) =>
+            val v = tt.version match {
+              case Some(s) => s.toLong
+              case None => versionAtTimestamp(spark, dir, tt.timestamp.get)
+            }
+            snapshotPlan(spark, dir, v)
+          case None => tt
+        }
+    }
+}

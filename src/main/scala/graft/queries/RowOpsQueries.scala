@@ -203,6 +203,74 @@ object RowOpsQueries {
              |ORDER BY o_orderkey""".stripMargin)),
 
     Query(
+      // SQL time travel (r10): the same snapshot semantics as
+      // q_time_travel, but reached through `VERSION AS OF` — the
+      // hint-batch rule resolves the parsed RelationTimeTravel onto the
+      // versioned manifest scan. v1 = the table, v2 = a SQL DELETE; the
+      // v1 read must equal the untouched fixture.
+      "q_time_travel_sql",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+        val dir = tmp("graft_ttsql_q_", d)
+        li.repartition(8).write.mode("overwrite").parquet(dir)
+        StatsManifest.write(s, dir, Seq("l_orderkey"))
+        val tbl = "graft_tt_" + java.security.MessageDigest
+          .getInstance("MD5").digest(d.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(10)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+          s"OPTIONS (path '$dir')")
+        s.sql(s"DELETE FROM $tbl WHERE l_quantity > 10")
+        s.sql(s"""SELECT l_orderkey, l_partkey, l_quantity
+                 |FROM $tbl VERSION AS OF 1
+                 |ORDER BY 1, 2, 3""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Query(
+      // CDC through SQL (r10): the same changefeed as q_rowops_cdc read
+      // back via the graft_changes TVF — the reference's changelog is
+      // SQL-native end to end; the stored table's changefeed is too.
+      "q_rowops_cdc_sql",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+        val dir = tmp("graft_cdcsql_q_", d)
+        li.repartition(8).write.mode("overwrite").parquet(dir)
+        StatsManifest.write(s, dir, Seq("l_orderkey"))
+        val tbl = "graft_cdc_" + java.security.MessageDigest
+          .getInstance("MD5").digest(d.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(10)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+          s"OPTIONS (path '$dir')")
+        s.sql(s"DELETE FROM $tbl WHERE l_quantity > 48")
+        s.sql(s"UPDATE $tbl SET l_quantity = -1 WHERE l_partkey % 1000 = 0")
+        s.sql(s"""SELECT * FROM graft_changes('$tbl', 1, 3)
+                 |ORDER BY _commit_version, _change_type,
+                 |  l_orderkey, l_partkey, l_quantity""".stripMargin)
+      },
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, l_partkey, l_quantity FROM lineitem),
+             |d2 AS (
+             |  SELECT l_orderkey, l_partkey, l_quantity,
+             |    'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+             |  FROM base WHERE l_quantity > 48),
+             |rem AS (SELECT * FROM base WHERE NOT (l_quantity > 48)),
+             |upd AS (SELECT * FROM rem WHERE l_partkey % 1000 = 0)
+             |SELECT * FROM d2
+             |UNION ALL
+             |SELECT l_orderkey, l_partkey, l_quantity,
+             |  'delete', CAST(3 AS BIGINT) FROM upd
+             |UNION ALL
+             |SELECT l_orderkey, l_partkey, CAST(-1 AS DOUBLE),
+             |  'insert', CAST(3 AS BIGINT) FROM upd
+             |ORDER BY _commit_version, _change_type,
+             |  l_orderkey, l_partkey, l_quantity""".stripMargin)),
+
+    Query(
       // CDC: v1 = the table, v2 = a DELETE, v3 = an UPDATE; the
       // row-level changefeed over (v1, v3] must surface EXACTLY the
       // deleted rows (@2) and the updated rows as delete+insert pairs

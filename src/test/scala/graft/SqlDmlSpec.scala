@@ -190,6 +190,70 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dml_bsrc")
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF resolve " +
+      "manifested snapshots; out-of-retention and pre-history fail") {
+    val dir = mkTable("dml_tt")
+    spark.sql("DELETE FROM dml_tt WHERE k < 100") // v2
+    Thread.sleep(1200) // separate v2/v3 commit wall times measurably
+    spark.sql("DELETE FROM dml_tt WHERE k < 200") // v3
+    assert(spark.sql("SELECT COUNT(*) FROM dml_tt VERSION AS OF 1")
+      .as[Long].head() === 1000L)
+    assert(spark.sql("SELECT COUNT(*) FROM dml_tt VERSION AS OF 2")
+      .as[Long].head() === 900L)
+    assert(spark.table("dml_tt").count() === 800L)
+    // a timestamped read resolves to the newest commit at or before it
+    val h = StatsManifest.history(spark, dir)
+    val t2 = java.time.Instant.ofEpochMilli(
+      h.find(_.version == 2L).get.committedAtMs)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM dml_tt TIMESTAMP AS OF '$t2'")
+      .as[Long].head() === 900L)
+    // before the first commit: loud error naming the retention window
+    val e0 = intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM dml_tt TIMESTAMP AS OF " +
+        "'1999-01-01 00:00:00'").collect()
+    }
+    assert(e0.getMessage.contains("no retained version"))
+    // vacuum, then the expired version errors
+    StatsManifest.expire(spark, dir, keep = 1)
+    intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM dml_tt VERSION AS OF 1").collect()
+    }
+    // a non-graft relation keeps Spark's own time-travel error
+    Seq((1L, 1L)).toDF("k", "m").createOrReplaceTempView("dml_tt_plain")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM dml_tt_plain VERSION AS OF 1").collect()
+    }
+    assert(!e1.getMessage.contains("graft"), e1.getMessage)
+    spark.sql("DROP TABLE dml_tt")
+  }
+
+  test("graft_changes TVF: the row-level changefeed is SQL-reachable") {
+    val dir = mkTable("dml_cdc")
+    spark.sql("DELETE FROM dml_cdc WHERE k < 50") // v2
+    spark.sql("UPDATE dml_cdc SET m = -1 WHERE k = 500") // v3
+    val all = spark.sql(
+      "SELECT * FROM graft_changes('dml_cdc', 1, 3) ORDER BY " +
+        "_commit_version, _change_type, k")
+    assert(all.columns.toSeq === Seq("k", "m", "_change_type",
+      "_commit_version"))
+    assert(all.where(col("_commit_version") === 2L).count() === 50L)
+    assert(all.where(col("_commit_version") === 3L).count() === 2L)
+    // to-version defaults to latest; joins/aggregates compose over it
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_changes('dml_cdc', 2)")
+      .as[Long].head() === 2L)
+    assert(RowOps.changes(spark, dir, 1L, 3L).count() === 52L)
+    // non-graft target fails loudly
+    Seq((1L, 1L)).toDF("k", "m").createOrReplaceTempView("dml_cdc_plain")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_changes('dml_cdc_plain', 1, 2)")
+        .collect()
+    }
+    assert(e.getMessage.contains("not a graft-manifest table"))
+    spark.sql("DROP TABLE dml_cdc")
+  }
+
   test("maintenance statements on a non-graft table fall through to " +
       "the delegate parser (coexistence with foreign OPTIMIZE/VACUUM)") {
     val plainDir = java.nio.file.Files
