@@ -132,7 +132,8 @@ object RowOps {
         keys, "left_anti")
         .unionByName(src),
       extraFiles = 1,
-      cdc = if (cdf) Some((replacedOld, src)) else None)
+      cdc = if (cdf) Some((replacedOld, src)) else None,
+      conflictIfInterimAdds = true) // inserts depend on the key set
     res.copy(insertedRows = inserted)
   }
 
@@ -316,7 +317,10 @@ object RowOps {
     // changes each clause made
     val res = rewriteWith(ctx, touched, statsCols, bloomCols, replacement,
       extraFiles = if (notMatched.nonEmpty) 1 else 0,
-      cdc = if (cdf) Some((touchedDf, replacement)) else None)
+      cdc = if (cdf) Some((touchedDf, replacement)) else None,
+      // insert clauses make the write set key-dependent; matched and
+      // by-source clauses alone tolerate concurrent blind appends
+      conflictIfInterimAdds = notMatched.nonEmpty)
     res.copy(matchedRows = matchedTouched.valuesIterator.sum,
       insertedRows = inserted)
   }
@@ -589,7 +593,11 @@ object RowOps {
   private def rewriteWith(ctx: Ctx, touched: Map[String, Long],
       statsCols: Seq[String], bloomCols: Seq[String],
       replacement: DataFrame, extraFiles: Int = 0,
-      cdc: Option[(DataFrame, DataFrame)] = None): OpResult = {
+      cdc: Option[(DataFrame, DataFrame)] = None,
+      /** ops whose write set depends on which KEYS exist (insert
+        * determination) conflict with concurrent appends; predicate
+        * ops tolerate them (serialize before — see commitFileOps). */
+      conflictIfInterimAdds: Boolean = false): OpResult = {
     val totalFiles = ctx.stats.size.toLong
     val candidates = ctx.idx.selected.get()
     if (touched.isEmpty && extraFiles == 0)
@@ -637,7 +645,8 @@ object RowOps {
       adds, touched.keySet, statsCols, bloomCols,
       expectedVersion = Some(ctx.version),
       addsBasePath = if (ctx.partCols.isEmpty) None
-        else Some(staging.toString))
+        else Some(staging.toString),
+      conflictIfInterimAdds = conflictIfInterimAdds)
     staged.foreach { src =>
       val dst = finalPath(src)
       fs.mkdirs(dst.getParent)

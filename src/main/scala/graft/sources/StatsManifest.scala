@@ -703,25 +703,68 @@ object StatsManifest {
       adds: Seq[(Path, String)], removeKeys: Set[String],
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
       bloomBits: Int = 1 << 16,
-      /** optimistic concurrency: the version the caller ANALYZED. A
-        * racer's commit in between means the touch analysis ran against
-        * stale bytes (lost update) — abort loudly; the caller re-runs
-        * against the new latest. None skips the check. */
+      /** optimistic concurrency: the version the caller ANALYZED. When
+        * a racer commits in between, the op REBASES (up to `maxRebase`
+        * times) if the interim commits are provably disjoint — none of
+        * them removed or rewrote a file this op touches, the schema is
+        * unchanged, and (when `conflictIfInterimAdds`) none added files
+        * — rebuilding the carried manifest on the new latest and
+        * retrying; a true conflict aborts with
+        * ConcurrentModificationException. None skips the check AND the
+        * rebase machinery (reconciliation commits). */
       expectedVersion: Option[Long] = None,
       /** basePath for reading the staged files when they live under
         * Hive-partition subdirs of a staging root — partition columns
         * derive from the staged paths exactly as they will from the
         * final ones. */
-      addsBasePath: Option[String] = None): (Long, Long) = {
+      addsBasePath: Option[String] = None,
+      /** treat ANY interim-added file as a conflict. Ops whose write
+        * set depends on which KEYS exist (upsert/merge insert
+        * determination) must set this: a racer's append may introduce
+        * the very keys this op decided to insert, and file-level
+        * disjointness cannot see that. Predicate ops (delete/update)
+        * tolerate blind appends — the op serializes BEFORE the append
+        * (write-serializable semantics, the lakehouse convention). */
+      conflictIfInterimAdds: Boolean = false,
+      maxRebase: Int = 3): (Long, Long) = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    expectedVersion.foreach { v =>
-      val latest = versions(spark, dir).lastOption.getOrElse(-1L)
-      if (latest != v)
-        throw new java.util.ConcurrentModificationException(
-          s"commitFileOps: table advanced to version $latest while this " +
-            s"op analyzed version $v — re-run the operation")
+
+    def conflict(why: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"commitFileOps: $why — re-run the operation against the " +
+          "new latest version")
+
+    /** Interim commits (analyzed, latest] are disjoint from this op —
+      * or abort. Returns unit; every non-disjoint shape throws. */
+    def checkDisjoint(analyzedV: Long, latestV: Long): Unit = {
+      val filesAtAnalyzed =
+        try readAt(spark, dir, analyzedV).keySet
+        catch { case _: Exception => conflict(
+          s"analyzed version $analyzedV is no longer retained " +
+            "(vacuumed during the op)") }
+      val filesAtLatest = readAt(spark, dir, latestV).keySet
+      val removedInterim =
+        removedAt(spark, dir, latestV) -- removedAt(spark, dir, analyzedV)
+      val hit = removeKeys intersect removedInterim
+      if (hit.nonEmpty) conflict(
+        s"a concurrent commit removed ${hit.size} file(s) this op " +
+          s"rewrites (e.g. ${hit.head})")
+      val gone = removeKeys -- filesAtLatest
+      if (gone.nonEmpty) conflict(
+        s"${gone.size} file(s) this op rewrites are no longer in the " +
+          s"latest manifest (e.g. ${gone.head})")
+      if (conflictIfInterimAdds) {
+        val added = filesAtLatest -- filesAtAnalyzed
+        if (added.nonEmpty) conflict(
+          s"a concurrent commit added ${added.size} file(s) and this " +
+            "op's write set depends on which keys exist " +
+            s"(e.g. ${added.head})")
+      }
+      if (schemaAt(spark, dir, analyzedV) != schemaAt(spark, dir, latestV))
+        conflict("a concurrent commit changed the table schema")
     }
+
     val parts = resolveParts(fsys, mDir).getOrElse(throw
       new IllegalStateException(
         s"commitFileOps: $dir is not a manifested table"))
@@ -733,8 +776,6 @@ object StatsManifest {
       "commitFileOps: statsCols/bloomCols don't match the existing " +
         "manifest's column set — rebuild with write() first")
     val fileIdx = existing.schema.fieldIndex("file")
-    val carried = existing.collect()
-      .filterNot(r => removeKeys.contains(r.getString(fileIdx)))
     val (freshRows, addedRows) =
       if (adds.isEmpty) (Array.empty[org.apache.spark.sql.Row], 0L)
       else {
@@ -759,12 +800,40 @@ object StatsManifest {
         }
         (rekeyed, fresh.map(_.getLong(rowsIdx)).sum)
       }
-    val removed = removedLatest(spark, dir) ++ removeKeys
-    val mergedDf = spark.createDataFrame(
-      spark.sparkContext.parallelize((carried ++ freshRows).toIndexedSeq, 1),
-      existing.schema)
-    (commitVersion(spark, dir, mergedDf, removed, sidecar,
-      expectedVersion), addedRows)
+    // rebase loop: carried entries and the removed set are rebuilt from
+    // the CURRENT latest each attempt (a disjoint racer's adds and
+    // tombstones carry straight through); the fresh stats derive from
+    // the staged bytes only and never change across rebases
+    var attempts = 0
+    while (true) {
+      val latestV = versions(spark, dir).lastOption
+      (expectedVersion, latestV) match {
+        case (Some(a), Some(l)) if a != l => checkDisjoint(a, l)
+        case _ => ()
+      }
+      val curParts = resolveParts(fsys, mDir).getOrElse(throw
+        new IllegalStateException(
+          s"commitFileOps: $dir is not a manifested table"))
+      val cur = spark.read.parquet(curParts.map(_.toString).toIndexedSeq: _*)
+      val carried = cur.collect()
+        .filterNot(r => removeKeys.contains(r.getString(fileIdx)))
+      val removed = removedLatest(spark, dir) ++ removeKeys
+      val mergedDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (carried ++ freshRows).toIndexedSeq, 1),
+        existing.schema)
+      try {
+        return (commitVersion(spark, dir, mergedDf, removed, sidecar,
+          if (expectedVersion.isDefined) latestV else None), addedRows)
+      } catch {
+        case cme: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > maxRebase) throw cme
+        // loop: the next pass re-reads the latest and re-checks
+        // disjointness against the ORIGINAL analyzed version
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Reconstruct the (statsCols, bloomCols) a manifest was built with —

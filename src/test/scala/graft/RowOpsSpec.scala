@@ -299,6 +299,55 @@ class RowOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent disjoint commits REBASE: appends land between an " +
+      "op's analysis and its commit and everything still lands; a true " +
+      "conflict and a key-dependent op racing an append still abort") {
+    val dir = mk("rebase")
+    // op X analyzes v1 and decides to drop one whole file
+    val f = files(dir).toSeq.sorted.head
+    val fRows = spark.read.parquet(f).count()
+    // interim: two disjoint appends reconcile (v2, v3)
+    Seq((5000L, 1L)).toDF("k", "m").coalesce(1)
+      .write.mode("append").parquet(dir)
+    StatsManifest.update(spark, dir, Seq("k"))
+    Seq((6000L, 2L)).toDF("k", "m").coalesce(1)
+      .write.mode("append").parquet(dir)
+    StatsManifest.update(spark, dir, Seq("k"))
+    assert(StatsManifest.versions(spark, dir) === Seq(1L, 2L, 3L))
+    // X commits against its stale analysis — interim commits touched
+    // none of X's files → rebase onto v3 and land as v4, not abort
+    val (v, _) = StatsManifest.commitFileOps(spark, dir, Nil, Set(f),
+      Seq("k"), expectedVersion = Some(1L))
+    assert(v === 4L)
+    val t = StatsManifest.scan(spark, dir)
+    assert(t.count() === 2000L - fRows + 2L,
+      "the rebased commit must keep the racers' appends AND apply its own removal")
+    assert(t.where(col("k") === 5000L).count() === 1L)
+    assert(t.where(col("k") === 6000L).count() === 1L)
+    // TRUE conflict: two ops analyzed v4 and both rewrite file G —
+    // the second must abort (its file was removed by the interim commit)
+    val g = files(dir).toSeq.sorted.last
+    StatsManifest.commitFileOps(spark, dir, Nil, Set(g), Seq("k"),
+      expectedVersion = Some(4L)) // racer wins, v5
+    intercept[java.util.ConcurrentModificationException] {
+      StatsManifest.commitFileOps(spark, dir, Nil, Set(g), Seq("k"),
+        expectedVersion = Some(4L))
+    }
+    // KEY-DEPENDENT op (insert determination — upsert/merge shape):
+    // a concurrent APPEND is a conflict even though no file overlaps,
+    // because the append may introduce the very keys the op decided
+    // to insert
+    val h = files(dir).toSeq.sorted.head
+    Seq((7000L, 3L)).toDF("k", "m").coalesce(1)
+      .write.mode("append").parquet(dir)
+    StatsManifest.update(spark, dir, Seq("k")) // v6
+    val e = intercept[java.util.ConcurrentModificationException] {
+      StatsManifest.commitFileOps(spark, dir, Nil, Set(h), Seq("k"),
+        expectedVersion = Some(5L), conflictIfInterimAdds = true)
+    }
+    assert(e.getMessage.contains("added"), e.getMessage)
+  }
+
   /** The racer's committed version dir: a copy of v1 (non-empty, like
     * every real commit). */
   private def fakeRacerVersion(dir: String, v: Long): Path = {
