@@ -238,7 +238,13 @@ object StreamBench {
       // every batch semi-joins the index AND appends to it — the honest
       // worst case for index growth within the run. State lives in the
       // index directory, not a state store (state_rows reads 0).
-      try measureQuery("dedup_index_filter", 20000, durSec) {
+      // r10: inline compaction every 6 batches bounds the per-batch file
+      // count, and the input rate rises 20k → 100k so the number is the
+      // op's backlog-driven CAPACITY again (at 20k it now keeps pace,
+      // which would just echo the input rate). r9's 14-15k was also a
+      // capacity number (the op fell behind at 20k), so the series
+      // stays comparable.
+      try measureQuery("dedup_index_filter", 100000, durSec) {
         val idxDir = {
           val p = Paths.get("target", "streambench", "dupidx").toAbsolutePath
           def rm(f: java.io.File): Unit = {
@@ -249,7 +255,7 @@ object StreamBench {
           p.toString
         }
         val docs = spark.readStream.format("rate")
-          .option("rowsPerSecond", 20000)
+          .option("rowsPerSecond", 100000)
           .option("numPartitions", 8).load()
           .select(col("value").as("doc_id"),
             format_string("alpha%d beta%d gamma%d delta%d",
@@ -260,7 +266,8 @@ object StreamBench {
           out = (df, _) =>
             df.write.format("noop").mode("overwrite").save(),
           triggerMs = triggerMs,
-          checkpointDir = Some(cpDir("dedup_index_filter")))
+          checkpointDir = Some(cpDir("dedup_index_filter")),
+          compactEvery = 6)
       } catch { case e: Throwable =>
         System.err.println(s"[streambench] dedup_index_filter failed: $e")
         OpResult("dedup_index_filter", 20000, -1, -1, -1, -1, 0, -1, -1)

@@ -144,9 +144,14 @@ object NearDupStream {
 
   /** Per-batch index-read telemetry (what BucketedDupIndexSpec pins and
     * a production dashboard would chart): how much of the index this
-    * batch actually listed and scanned. */
+    * batch actually listed and scanned, and where the batch's wall time
+    * went (r10: the phase split that located the fixed-cost floor —
+    * banding/collect, bucket listing, the index semi-join, emission,
+    * the appendix write). */
   final case class IndexReadStats(batchId: Long, bucketsTouched: Int,
-      filesRead: Int, bytesRead: Long)
+      filesRead: Int, bytesRead: Long,
+      bandMs: Long = 0L, listMs: Long = 0L, dedupMs: Long = 0L,
+      emitMs: Long = 0L, appendMs: Long = 0L)
 
   /** Index files batch `batchId` must read: only EARLIER batches (a
     * replayed batch must see exactly the index state its original
@@ -215,10 +220,11 @@ object NearDupStream {
       checkpointDir: Option[String] = None,
       floorBatchId: Long = 0L,
       numBuckets: Int = 64,
-      onReadStats: IndexReadStats => Unit = _ => ()): StreamingQuery =
+      onReadStats: IndexReadStats => Unit = _ => (),
+      compactEvery: Int = 0): StreamingQuery =
     dupFilter(spark, docs, indexDir, out, idCol, textCol, triggerMs,
       checkpointDir, floorBatchId, numBuckets, onReadStats,
-      minhashBands(_, idCol, textCol))
+      minhashBands(_, idCol, textCol), compactEvery)
 
   /** EXACT-dup streaming filter: same index machinery, contract and
     * replay semantics as [[nearDupFilter]], but docs collide only on
@@ -233,10 +239,11 @@ object NearDupStream {
       checkpointDir: Option[String] = None,
       floorBatchId: Long = 0L,
       numBuckets: Int = 64,
-      onReadStats: IndexReadStats => Unit = _ => ()): StreamingQuery =
+      onReadStats: IndexReadStats => Unit = _ => (),
+      compactEvery: Int = 0): StreamingQuery =
     dupFilter(spark, docs, indexDir, out, idCol, textCol, triggerMs,
       checkpointDir, floorBatchId, numBuckets, onReadStats,
-      exactBands(_, idCol, textCol))
+      exactBands(_, idCol, textCol), compactEvery)
 
   private val bandSchema = "id LONG, band INT, k1 BIGINT, k2 BIGINT"
 
@@ -245,7 +252,18 @@ object NearDupStream {
       idCol: String, textCol: String, triggerMs: Long,
       checkpointDir: Option[String], floorBatchId: Long, numBuckets: Int,
       onReadStats: IndexReadStats => Unit,
-      bander: DataFrame => DataFrame): StreamingQuery = {
+      bander: DataFrame => DataFrame,
+      /** > 0: every `compactEvery` batches, fold all earlier batches'
+        * appendix files into per-bucket k1-range files INLINE (before
+        * the batch's own read). Safe from inside batch B: batches < B
+        * are committed, so no replay can glob-delete the compacted
+        * files, and they adopt batch id B−1 — visibility is unchanged.
+        * This is what keeps the per-batch file count (and its footer
+        * open cost) BOUNDED on a long-running ingest instead of
+        * growing ~numBuckets files per batch between maintenance
+        * windows; the amortized cost shows up as a periodic slower
+        * batch (batchMsMax) while the median stays low. */
+      compactEvery: Int = 0): StreamingQuery = {
     require(floorBatchId >= 0L, s"floorBatchId < 0: $floorBatchId")
     require(numBuckets >= 1, s"numBuckets < 1: $numBuckets")
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -259,21 +277,25 @@ object NearDupStream {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, rawBatchId: Long) =>
         val batchId = floorBatchId + rawBatchId
+        if (compactEvery > 0 && rawBatchId > 0 &&
+            rawBatchId % compactEvery == 0)
+          compactIndex(batch.sparkSession, indexDir, batchId, numBuckets)
         val b = batch.persist()
         try {
           val s = b.sparkSession
           val bands = bander(b)
             .withColumn("b", bucketCol(numBuckets)).persist()
           try {
+            val t0 = System.nanoTime()
             // the batch's bucket → k1-values map: bounded by the batch
             // itself (≤ 4 band rows/doc), the driver-side listing input
             val touched = bands.select(col("b"), col("k1")).distinct()
               .collect().map(r => (r.getInt(0), r.getLong(1)))
               .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+            val t1 = System.nanoTime()
             val idxStatuses = indexStatusesFor(fs, idxPath, batchId, touched)
             val idxFiles = idxStatuses.map(_.getPath)
-            onReadStats(IndexReadStats(batchId, touched.size, idxFiles.size,
-              idxStatuses.map(_.getLen).sum))
+            val t2 = System.nanoTime()
             val index =
               if (idxFiles.isEmpty)
                 s.createDataFrame(s.sparkContext
@@ -293,15 +315,32 @@ object NearDupStream {
                   .partitionBy("band", "k1", "k2")))
               .where(col("id") > col("m"))
               .select(col("id")).distinct()
-            val dupIds = crossDup.unionByName(intraDup).distinct()
-            val novel = b.join(dupIds,
-              b(idCol) === dupIds("id"), "left_anti")
-            out(novel, batchId)
-            // append the accepted docs' buckets; (batchId, part)-named
-            // renames make the replay REPLACE, and the batch-scoped
-            // index read above keeps the replay blind to them
-            writeAppendix(fs, idxPath, stagingRoot, batchId,
-              bands.join(dupIds, bands("id") === dupIds("id"), "left_anti"))
+            // persisted + forced ONCE: both the emission's anti-join and
+            // the appendix's anti-join reuse it — without this the index
+            // parquet is read (and the semi-join run) twice per batch,
+            // which was half the fixed-cost floor (r10 profile)
+            val dupIds = crossDup.unionByName(intraDup).distinct().persist()
+            try {
+              dupIds.count()
+              val t3 = System.nanoTime()
+              val novel = b.join(dupIds,
+                b(idCol) === dupIds("id"), "left_anti")
+              out(novel, batchId)
+              val t4 = System.nanoTime()
+              // append the accepted docs' buckets; (batchId, part)-named
+              // renames make the replay REPLACE, and the batch-scoped
+              // index read above keeps the replay blind to them
+              writeAppendix(fs, idxPath, stagingRoot, batchId,
+                bands.join(dupIds, bands("id") === dupIds("id"),
+                  "left_anti"))
+              val t5 = System.nanoTime()
+              def ms(a: Long, bb: Long) = (bb - a) / 1000000L
+              onReadStats(IndexReadStats(batchId, touched.size,
+                idxFiles.size, idxStatuses.map(_.getLen).sum,
+                bandMs = ms(t0, t1), listMs = ms(t1, t2),
+                dedupMs = ms(t2, t3), emitMs = ms(t3, t4),
+                appendMs = ms(t4, t5)))
+            } finally dupIds.unpersist()
           } finally bands.unpersist()
         } finally b.unpersist()
       }
@@ -323,11 +362,19 @@ object NearDupStream {
       stagingRoot: Path, batchId: Long, bandsWithBucket: DataFrame): Unit = {
     val stale = fs.globStatus(new Path(idxPath, f"b=*/fb-$batchId%012d-*"))
     if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
-    // an empty frame must enqueue nothing (an empty parquet write still
-    // creates a footer-only file, which later batches would list+open)
-    if (bandsWithBucket.isEmpty) return
+    // an empty frame enqueues nothing WITHOUT a pre-check job: a
+    // partitionBy write of zero rows creates no partition dirs (only
+    // _SUCCESS), so the rename loop below is naturally a no-op — unlike
+    // a plain parquet write, which would land a footer-only file that
+    // every later batch lists and opens
     val staging = new Path(stagingRoot, s"b$batchId")
-    bandsWithBucket.write.mode("overwrite")
+    // co-locate each bucket's rows into one task BEFORE partitionBy:
+    // without this every (shuffle partition × bucket) pair lands its own
+    // tiny file — up to partitions×buckets per batch — and every later
+    // batch pays the listing + footer reads. One file per touched bucket
+    // per batch bounds index growth at numBuckets files/batch. The
+    // shuffle is a few MB of (id, band, k1, k2) rows — noise.
+    bandsWithBucket.repartition(col("b")).write.mode("overwrite")
       .partitionBy("b").parquet(staging.toString)
     val bucketDirs = fs.listStatus(staging)
       .map(_.getPath).filter(_.getName.startsWith("b="))

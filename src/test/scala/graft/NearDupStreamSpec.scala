@@ -181,6 +181,48 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(files.exists(_.startsWith("fb-000000000003-")))
   }
 
+  test("inline compaction (compactEvery) bounds the file count on a " +
+      "long-running ingest and leaves filtering semantics unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_ndup6_").toString
+    val idxDir = s"$root/idx"
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mem = MemoryStream[(Long, String)]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val out = (df: DataFrame, _: Long) =>
+      df.collect().foreach(r => emitted.add(r.getLong(0)))
+    val q = NearDupStream.exactDupFilter(spark,
+      mem.toDF().toDF("doc_id", "text"), idxDir, out,
+      compactEvery = 2)
+    try {
+      // 6 batches: every even raw batch id (2, 4) compacts first
+      for (i <- 1 to 6) {
+        mem.addData((i.toLong, s"document number $i unique text"))
+        q.processAllAvailable()
+      }
+      // a late duplicate of batch 1's doc must still drop — the index
+      // rows survived two inline compactions
+      mem.addData((100L, "document number 1 unique text"))
+      q.processAllAvailable()
+    } finally { q.stop(); q.awaitTermination() }
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSet === (1L to 6L).toSet,
+      "all six novel docs pass, the late duplicate drops")
+    val names = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        idxDir, "b=*/*.parquet"))).getOrElse(Array.empty)
+      .map(_.getPath.getName).toSeq
+    // batches 0-3 folded into range files by the batch-4 compaction;
+    // appendices 4-6 remain — the steady-state shape: O(compactEvery)
+    // appendix files + O(buckets) range files, however long the run
+    assert(names.exists(_.startsWith("fbr-")), names.mkString(","))
+    assert(!names.exists(_.startsWith("fb-000000000000-")),
+      names.mkString(","))
+    assert(!names.exists(_.startsWith("fb-000000000001-")),
+      names.mkString(","))
+  }
+
   test("nearDupFilter reads only touched buckets, never the whole index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
