@@ -172,6 +172,67 @@ object GraftDml {
   final case class MergeClauseSpec(cond: Option[Expression],
       set: Option[Seq[(String, Expression)]])
 
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a manifested table —
+    * the write statement the read/DML surfaces were missing. Without
+    * this, Spark's own InsertIntoHadoopFsRelationCommand would land
+    * the files but leave the manifest stale, making the inserted rows
+    * SILENTLY invisible to every manifest-routed reader. Append =
+    * parquet append + one INCREMENTAL manifest reconciliation (only
+    * the new files scan — a commit costs O(inserted), never
+    * O(table)); overwrite = rewrite + full manifest rebuild (which,
+    * like physical OPTIMIZE, invalidates older snapshots — the
+    * VACUUM-vs-time-travel trade). Hive-partitioned layouts write
+    * back partitioned. Append commits are reconciliation commits:
+    * like streaming appends they land no precomputed CDC files, and
+    * `changes()` falls back to file-diff netting for them. */
+  final case class GraftInsertCommand(dir: String, query: LogicalPlan,
+      overwrite: Boolean, userCols: Seq[String], byName: Boolean,
+      table: Option[String]) extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(query)
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{col, lit}
+      val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
+      val schema = StatsManifest.tableSchema(spark, dir)
+      val src = GraftSqlBridge.ofRows(spark, query)
+      // align to the table schema: by NAME for named/userCols inserts
+      // (missing columns → NULL), by POSITION otherwise (SQL default)
+      val aligned =
+        if (byName || userCols.nonEmpty) {
+          val provided =
+            if (userCols.nonEmpty) {
+              require(userCols.length == src.columns.length,
+                s"graft INSERT: ${userCols.length} target columns but " +
+                  s"${src.columns.length} query columns")
+              src.toDF(userCols: _*)
+            } else src
+          val have = provided.columns.map(_.toLowerCase).toSet
+          provided.select(schema.map { f =>
+            if (have.contains(f.name.toLowerCase))
+              col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+        } else {
+          require(src.columns.length == schema.length,
+            s"graft INSERT: table has ${schema.length} columns but the " +
+              s"query produced ${src.columns.length}")
+          src.toDF(schema.fieldNames.toIndexedSeq: _*)
+            .select(schema.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        }
+      val partCols = StatsManifest.scanWithIndex(spark, dir)
+        ._2.partitionSchema.fieldNames.toSeq
+      val writer0 = aligned.write.mode(
+        if (overwrite) "overwrite" else "append")
+      val writer = if (partCols.isEmpty) writer0
+        else writer0.partitionBy(partCols: _*)
+      writer.parquet(dir)
+      if (overwrite) StatsManifest.write(spark, dir, sc, bc)
+      else StatsManifest.update(spark, dir, sc, bloomCols = bc)
+      refreshRelation(spark, dir, table)
+      Seq.empty
+    }
+  }
+
   /** The general MERGE: conditional / multi-clause matched actions,
     * conditional inserts, and NOT MATCHED BY SOURCE. */
   final case class GraftMergeFullCommand(dir: String, source: LogicalPlan,
@@ -212,6 +273,19 @@ final case class GraftDmlRule(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
+      // claim INSERT before DataSourceAnalysis (postHoc) would land the
+      // files WITHOUT the manifest commit — silently invisible rows
+      case i: InsertIntoStatement if i.query.resolved =>
+        manifestedDir(i.table) match {
+          case Some((dir, tbl)) =>
+            require(i.partitionSpec.isEmpty,
+              "graft INSERT: static PARTITION specs are not supported " +
+                "— write the partition column values in the query")
+            GraftDml.GraftInsertCommand(dir, i.query, i.overwrite,
+              i.userSpecifiedCols, i.byName, tbl)
+          case None => i
+        }
+
       case d @ DeleteFromTable(target, condition) if d.resolved =>
         manifestedDir(target) match {
           case Some((dir, tbl)) =>

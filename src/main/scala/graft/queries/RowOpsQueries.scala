@@ -203,6 +203,41 @@ object RowOpsQueries {
              |ORDER BY o_orderkey""".stripMargin)),
 
     Query(
+      // SQL INSERT (r10): INSERT INTO ... SELECT and a named-column
+      // VALUES insert over a manifested catalog table — the rule
+      // claims the parsed InsertIntoStatement so the files land WITH
+      // a manifest commit (without it the rows would be silently
+      // invisible to manifest-routed readers). Oracle = the fixture
+      // plus both inserted row sets.
+      "q_rowops_insert",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val dir = tmp("graft_inssql_q_", d)
+        o.repartition(8).write.mode("overwrite").parquet(dir)
+        StatsManifest.write(s, dir, Seq("o_orderkey"))
+        val tbl = "graft_ins_" + java.security.MessageDigest
+          .getInstance("MD5").digest(d.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(10)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+          s"OPTIONS (path '$dir')")
+        s.sql(s"""INSERT INTO $tbl
+          |SELECT o_orderkey + 100000000, o_custkey, o_totalprice + 1
+          |FROM $tbl WHERE o_orderkey % 200 = 0""".stripMargin)
+        s.sql(s"INSERT INTO $tbl (o_orderkey) VALUES (999999999)")
+        s.table(tbl).orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |UNION ALL
+             |SELECT o_orderkey + 100000000, o_custkey, o_totalprice + 1
+             |FROM orders WHERE o_orderkey % 200 = 0
+             |UNION ALL
+             |SELECT CAST(999999999 AS BIGINT), CAST(NULL AS BIGINT),
+             |  CAST(NULL AS DOUBLE)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Query(
       // SQL time travel (r10): the same snapshot semantics as
       // q_time_travel, but reached through `VERSION AS OF` — the
       // hint-batch rule resolves the parsed RelationTimeTravel onto the

@@ -190,6 +190,40 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dml_bsrc")
   }
 
+  test("INSERT INTO / INSERT OVERWRITE commit the manifest — inserted " +
+      "rows are visible to manifest-routed readers immediately") {
+    val dir = mkTable("dml_ins")
+    spark.sql("INSERT INTO dml_ins VALUES (5000, -1), (5001, -2)")
+    assert(spark.table("dml_ins").count() === 1002L)
+    assert(spark.sql("SELECT m FROM dml_ins WHERE k = 5000")
+      .as[Long].head() === -1L)
+    // the commit is versioned: the pre-insert snapshot still reads
+    assert(StatsManifest.versions(spark, dir) === Seq(1L, 2L))
+    assert(StatsManifest.scanAtVersion(spark, dir, 1L)._1
+      .count() === 1000L)
+    // named-column insert: unassigned columns go NULL
+    spark.sql("INSERT INTO dml_ins (k) VALUES (6000)")
+    val r = spark.sql("SELECT k, m FROM dml_ins WHERE k = 6000").collect()
+    assert(r.length === 1 && r.head.getLong(0) === 6000L &&
+      r.head.isNullAt(1))
+    // INSERT ... SELECT composes; arity mismatch fails loudly
+    spark.sql("INSERT INTO dml_ins SELECT k + 10000, m FROM dml_ins " +
+      "WHERE k >= 5000")
+    assert(spark.table("dml_ins").count() === 1006L)
+    intercept[Exception] {
+      spark.sql("INSERT INTO dml_ins SELECT k FROM dml_ins LIMIT 1")
+    }
+    // INSERT OVERWRITE replaces the table and rebuilds the manifest
+    spark.sql("INSERT OVERWRITE dml_ins VALUES (1, 10), (2, 20)")
+    assert(spark.sql("SELECT k, m FROM dml_ins ORDER BY k")
+      .as[(Long, Long)].collect() === Array((1L, 10L), (2L, 20L)))
+    // DML composes on top of the overwritten table
+    spark.sql("UPDATE dml_ins SET m = 30 WHERE k = 2")
+    assert(spark.sql("SELECT m FROM dml_ins WHERE k = 2")
+      .as[Long].head() === 30L)
+    spark.sql("DROP TABLE dml_ins")
+  }
+
   test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF resolve " +
       "manifested snapshots; out-of-retention and pre-history fail") {
     val dir = mkTable("dml_tt")
