@@ -37,6 +37,8 @@ object GraftMaintenance {
     """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
 
   private def ident(s: String): String = s.replace("`", "")
 
@@ -86,6 +88,45 @@ object GraftMaintenance {
     }
   }
 
+  /** DESCRIBE DETAIL t — the one-row operational summary a table
+    * owner checks before/after maintenance (Delta ships the same
+    * statement shape): location, retained version window, live
+    * file/row/byte totals, partition columns. Bytes come from one
+    * O(files) driver-side listing of the LIVE file set — the
+    * lakehouse-log cost shape, never a data scan. */
+  final case class GraftDetailCommand(table: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq(
+      AttributeReference("format", org.apache.spark.sql.types.StringType,
+        nullable = false)(),
+      AttributeReference("location", org.apache.spark.sql.types.StringType,
+        nullable = false)(),
+      AttributeReference("current_version", LongType, nullable = false)(),
+      AttributeReference("oldest_retained_version", LongType,
+        nullable = false)(),
+      AttributeReference("num_files", LongType, nullable = false)(),
+      AttributeReference("num_rows", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("partition_columns",
+        org.apache.spark.sql.types.StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val dir = dirOf(spark, table)
+      val vs = StatsManifest.versions(spark, dir)
+      val stats = StatsManifest.read(spark, dir)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = stats.keysIterator.map { k =>
+        val fp = new org.apache.hadoop.fs.Path(k)
+        if (fs.exists(fp)) fs.getFileStatus(fp).getLen else 0L
+      }.sum
+      val partCols = StatsManifest.scanWithIndex(spark, dir)
+        ._2.partitionSchema.fieldNames.mkString(",")
+      Seq(Row("graft-manifest", dir, vs.last, vs.head,
+        stats.size.toLong, stats.valuesIterator.map(_.rows).sum,
+        bytes, partCols))
+    }
+  }
+
   final case class GraftHistoryCommand(table: String)
       extends LeafRunnableCommand {
     override val output: Seq[AttributeReference] = Seq(
@@ -128,6 +169,8 @@ object GraftMaintenance {
       Some(GraftVacuumCommand(ident(tbl), n.toInt))
     case HistoryRe(tbl) if targetIsManifested(ident(tbl)) =>
       Some(GraftHistoryCommand(ident(tbl)))
+    case DetailRe(tbl) if targetIsManifested(ident(tbl)) =>
+      Some(GraftDetailCommand(ident(tbl)))
     case _ => None
   }
 }

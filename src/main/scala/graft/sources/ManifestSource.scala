@@ -65,9 +65,25 @@ final class ManifestSource extends RelationProvider
         }
       case _ =>
     }
-    val (df, _) = parameters.get("version") match {
+    // `timestampAsOf` resolves to the newest commit at or before the
+    // timestamp (commit wall times from the version log) — the reader-
+    // option twin of SQL `TIMESTAMP AS OF`.
+    val version: Option[Long] = parameters.get("version").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        val spark = sqlContext.sparkSession
+        val ms = java.sql.Timestamp.from(
+          java.time.OffsetDateTime.parse(
+            ts.replace(' ', 'T') + (if (ts.contains("+") ||
+              ts.endsWith("Z")) "" else "Z")).toInstant).getTime
+        val h = StatsManifest.history(spark, path)
+        h.filter(_.committedAtMs <= ms).lastOption.map(_.version)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-manifest: no retained version committed at or " +
+              s"before $ts"))
+      })
+    val (df, _) = version match {
       case Some(v) =>
-        StatsManifest.scanAtVersion(sqlContext.sparkSession, path, v.toLong)
+        StatsManifest.scanAtVersion(sqlContext.sparkSession, path, v)
       case None =>
         StatsManifest.scanWithIndex(sqlContext.sparkSession, path)
     }
@@ -98,16 +114,26 @@ final class ManifestSource extends RelationProvider
     require(statsCols.nonEmpty || bloomCols.nonEmpty,
       "graft-manifest write: set at least one of zorderBy / statsCols / " +
         "bloomCols — a manifested table needs columns to keep stats for")
+    def writeOverwrite(): Unit = {
+      val out =
+        if (zorderBy.nonEmpty) {
+          val n = parameters.get("numFiles").map(_.toInt)
+            .getOrElse(data.rdd.getNumPartitions.max(1))
+          graft.operators.Layout.zorder(data, zorderBy, n)
+        } else data
+      out.write.mode(SaveMode.Overwrite).parquet(path)
+      StatsManifest.write(spark, path, statsCols, bloomCols)
+    }
     mode match {
-      case SaveMode.Overwrite =>
-        val out =
-          if (zorderBy.nonEmpty) {
-            val n = parameters.get("numFiles").map(_.toInt)
-              .getOrElse(data.rdd.getNumPartitions.max(1))
-            graft.operators.Layout.zorder(data, zorderBy, n)
-          } else data
-        out.write.mode(SaveMode.Overwrite).parquet(path)
-        StatsManifest.write(spark, path, statsCols, bloomCols)
+      case SaveMode.Overwrite => writeOverwrite()
+      // CTAS arrives as ErrorIfExists: create when absent, refuse to
+      // clobber an existing manifested table
+      case SaveMode.ErrorIfExists =>
+        require(StatsManifest.versions(spark, path).isEmpty,
+          s"graft-manifest: a manifested table already exists at $path")
+        writeOverwrite()
+      case SaveMode.Ignore =>
+        if (StatsManifest.versions(spark, path).isEmpty) writeOverwrite()
       case SaveMode.Append =>
         // appends never re-cluster (that is Layout.optimize's job) and
         // never rescan the table: only the new files get stats

@@ -288,6 +288,42 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dml_cdc")
   }
 
+  test("DESCRIBE DETAIL, CTAS, and the timestampAsOf reader option") {
+    // CTAS: the write half of the source API through SQL DDL
+    val ctasDir = java.nio.file.Files
+      .createTempDirectory("graft_sqldml_ctas").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS dml_ctas")
+    spark.sql(s"""CREATE TABLE dml_ctas USING `graft-manifest`
+      |OPTIONS (path '$ctasDir', statsCols 'k')
+      |AS SELECT id AS k, id % 7 AS m FROM RANGE(1000)""".stripMargin)
+    assert(spark.table("dml_ctas").count() === 1000L)
+    assert(StatsManifest.versions(spark, ctasDir).nonEmpty,
+      "CTAS must commit a manifest, not just land files")
+    // DML composes on the CTAS table
+    spark.sql("DELETE FROM dml_ctas WHERE k < 100")
+    assert(spark.table("dml_ctas").count() === 900L)
+    // DESCRIBE DETAIL: one-row operational summary
+    val d = spark.sql("DESCRIBE DETAIL dml_ctas").collect().head
+    assert(d.getString(0) === "graft-manifest")
+    assert(d.getLong(2) === 2L) // current_version (CTAS=1, DELETE=2)
+    assert(d.getLong(5) === 900L, d.toString) // num_rows
+    assert(d.getLong(6) > 0L) // size_bytes
+    // timestampAsOf reader option: newest commit ≤ ts; v1 readable
+    val h = StatsManifest.history(spark, ctasDir)
+    val t1 = java.time.Instant.ofEpochMilli(
+      h.find(_.version == 1L).get.committedAtMs)
+    Thread.sleep(5)
+    assert(spark.read.format("graft-manifest")
+      .option("timestampAsOf", t1.toString)
+      .load(ctasDir).count() === 1000L)
+    intercept[Exception] {
+      spark.read.format("graft-manifest")
+        .option("timestampAsOf", "1999-01-01T00:00:00Z")
+        .load(ctasDir).count()
+    }
+    spark.sql("DROP TABLE dml_ctas")
+  }
+
   test("maintenance statements on a non-graft table fall through to " +
       "the delegate parser (coexistence with foreign OPTIMIZE/VACUUM)") {
     val plainDir = java.nio.file.Files
