@@ -299,6 +299,50 @@ class RowOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("full MERGE on a Hive-partitioned layout: clause matrix applies, " +
+      "rewrites and inserts land in their partition dirs") {
+    import graft.sources.RowOps.{MergeDelete, MergeInsert, MergeUpdate,
+      srcCol}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rowops_mfpart").toString + "/t"
+    (0 until 3000).map(i => (i % 3, i.toLong, (i % 7).toLong))
+      .toDF("p", "k", "m")
+      .repartitionByRange(6, col("p"), col("k"))
+      .write.partitionBy("p").parquet(dir)
+    StatsManifest.write(spark, dir, Seq("k"))
+    // source: matched keys 0..9 (p = k%3), one unmatched key per clause
+    val src = ((0 until 10).map(i => (i % 3, i.toLong, 100L + i)) ++
+      Seq((2, 50001L, 500L), (1, 50002L, 1L))).toDF("p", "k", "sv")
+    RowOps.merge(spark, dir, src, Seq("p", "k"), Seq("k"),
+      matched = Seq(
+        MergeUpdate(Some(srcCol("sv") < 105L),
+          Seq("m" -> (col("m") + srcCol("sv")))),
+        MergeDelete(None)),
+      notMatched = Seq(MergeInsert(Some(srcCol("sv") >= 100L),
+        Seq("p" -> srcCol("p"), "k" -> srcCol("k"),
+          "m" -> -srcCol("sv")))),
+      notMatchedBySource = Seq(MergeUpdate(Some(col("k") >= 2995L),
+        Seq("m" -> lit(-9L)))))
+    val t = StatsManifest.scan(spark, dir)
+    // matched sv<105 (k=0..4): m += sv; matched sv>=105 (k=5..9): deleted
+    assert(t.where(col("k") === 3L).select("m").as[Long].head() ===
+      3L + 103L)
+    assert(t.where(col("k").between(5L, 9L)).count() === 0L)
+    // conditional insert: 50001 (sv=500) in, 50002 (sv=1) skipped
+    assert(t.where(col("k") === 50001L).select("p", "m")
+      .as[(Int, Long)].head() === ((2, -500L)))
+    assert(t.where(col("k") === 50002L).count() === 0L)
+    // by-source: unmatched k >= 2995 updated
+    assert(t.where(col("k") >= 2995L && col("k") < 3000L)
+      .select("m").as[Long].collect().forall(_ === -9L))
+    assert(t.count() === 3000L - 5L + 1L)
+    // the insert landed under its Hive partition dir
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(dir, "p=2")).map(_.getPath.getName)
+      .exists(_.startsWith("rw-")))
+  }
+
   test("concurrent disjoint commits REBASE: appends land between an " +
       "op's analysis and its commit and everything still lands; a true " +
       "conflict and a key-dependent op racing an append still abort") {
