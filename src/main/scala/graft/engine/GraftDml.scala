@@ -50,14 +50,83 @@ object GraftDml {
 
   /** Resolved attrs → unresolved by name, so the condition re-resolves
     * against the fresh scan RowOps builds (resolved attribute ids are
-    * plan-local and would not survive the crossing). */
-  private def unresolve(e: Expression): Expression = e.transform {
-    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    * plan-local and would not survive the crossing). `With`
+    * common-expression nodes (Spark's BETWEEN/NULLIF parse shape) are
+    * inlined first: held inside an opaque command field they escape the
+    * analyzer's RewriteWithExpression, and a With with unresolved
+    * children can't be rebuilt (its dataType comes from the def). */
+  private def unresolve(e: Expression): Expression =
+    inlineWith(e).transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
+
+  private def inlineWith(e: Expression): Expression = e.transformUp {
+    case w: org.apache.spark.sql.catalyst.expressions.With =>
+      val defs = w.defs.map(d => d.id -> d.child).toMap
+      w.child.transformUp {
+        case r: org.apache.spark.sql.catalyst.expressions
+            .CommonExpressionRef => defs(r.id)
+      }
   }
 
   private[engine] def checkNoSubquery(e: Expression, stmt: String): Unit =
     require(!e.exists(_.isInstanceOf[PlanExpression[_]]),
       s"graft $stmt: subqueries in the condition are not supported")
+
+  /** DELETE/UPDATE accept UNCORRELATED subqueries in the condition;
+    * correlated ones (referencing the target row inside the subquery)
+    * stay declared out — they would need per-row evaluation across
+    * the plan crossing. */
+  private[engine] def checkUncorrelated(e: Expression,
+      stmt: String): Unit = e.foreach {
+    case s: org.apache.spark.sql.catalyst.expressions
+        .SubqueryExpression =>
+      require(s.getOuterAttrs.isEmpty,
+        s"graft $stmt: correlated subqueries in the condition are " +
+          "not supported — rewrite as MERGE against the subquery's " +
+          "result, or pre-join it into a source table")
+    case _ => ()
+  }
+
+  /** IN-subquery materialization cap: past this, the right tool is
+    * MERGE … WHEN MATCHED THEN DELETE (deleteKeys — a distributed
+    * semi-join), not an IN-list literal. */
+  private[engine] val MaxInList = 100000
+
+  /** Evaluate every (uncorrelated) subquery in a DELETE/UPDATE
+    * condition ONCE, at command run time, against the current catalog
+    * state: scalar → its value as a literal, `IN (SELECT …)` → an
+    * IN-list (bounded by [[MaxInList]], loud past it), EXISTS → a
+    * boolean literal. Runs BEFORE the unresolve crossing, while the
+    * subquery plans are still resolved. */
+  private[engine] def evalSubqueries(spark: SparkSession,
+      e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, In,
+      InSubquery, ListQuery, Literal, ScalarSubquery}
+    e.transformUp {
+      case s: ScalarSubquery =>
+        val rows = GraftSqlBridge.ofRows(spark, s.plan).limit(2).collect()
+        require(rows.length <= 1,
+          "graft DML: scalar subquery returned more than one row")
+        Literal.create(if (rows.isEmpty) null else rows.head.get(0),
+          s.dataType)
+      case InSubquery(values, q: ListQuery) =>
+        require(values.length == 1 && q.plan.output.length == 1,
+          "graft DML: multi-column IN subqueries are not supported")
+        val rows = GraftSqlBridge.ofRows(spark, q.plan)
+          .limit(MaxInList + 1).collect()
+        require(rows.length <= MaxInList,
+          s"graft DML: IN-subquery materialized more than $MaxInList " +
+            "rows — use MERGE … WHEN MATCHED THEN DELETE (a " +
+            "distributed semi-join) for large key sets")
+        val dt = q.plan.output.head.dataType
+        In(values.head,
+          rows.map(r => Literal.create(r.get(0), dt)).toIndexedSeq)
+      case ex: Exists =>
+        Literal(GraftSqlBridge.ofRows(spark, ex.plan)
+          .limit(1).collect().nonEmpty)
+    }
+  }
 
   private def cond(e: Expression): org.apache.spark.sql.Column =
     GraftSqlBridge.column(unresolve(e))
@@ -122,25 +191,35 @@ object GraftDml {
       }
     }
 
+  /** Opaque expression holder: a bare `Expression` constructor field
+    * on a command is auto-collected by `QueryPlan.expressions`, so
+    * CheckAnalysis would re-reject a held subquery ("IN/EXISTS
+    * predicate subqueries can only be used in …") even though the
+    * command evaluates it once at run time. The wrapper is invisible
+    * to that reflection. */
+  final case class Held(e: Expression)
+
   final case class GraftDeleteCommand(dir: String,
-      condition: Expression,
+      condition: Held,
       table: Option[String]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
-      RowOps.delete(spark, dir, cond(condition), sc, bc)
+      RowOps.delete(spark, dir, cond(evalSubqueries(spark, condition.e)),
+        sc, bc)
       refreshRelation(spark, dir, table)
       Seq.empty
     }
   }
 
   final case class GraftUpdateCommand(dir: String,
-      set: Seq[(String, Expression)],
-      condition: Expression,
+      set: Seq[(String, Held)],
+      condition: Held,
       table: Option[String]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
-      RowOps.update(spark, dir, cond(condition),
-        set.map { case (n, e) => n -> cond(e) }, sc, bc)
+      RowOps.update(spark, dir, cond(evalSubqueries(spark, condition.e)),
+        set.map { case (n, h) => n -> cond(evalSubqueries(spark, h.e)) },
+        sc, bc)
       refreshRelation(spark, dir, table)
       Seq.empty
     }
@@ -289,8 +368,8 @@ final case class GraftDmlRule(spark: SparkSession)
       case d @ DeleteFromTable(target, condition) if d.resolved =>
         manifestedDir(target) match {
           case Some((dir, tbl)) =>
-            checkNoSubquery(condition, "DELETE")
-            GraftDml.GraftDeleteCommand(dir, condition, tbl)
+            checkUncorrelated(condition, "DELETE")
+            GraftDml.GraftDeleteCommand(dir, GraftDml.Held(condition), tbl)
           case None => d
         }
 
@@ -298,18 +377,20 @@ final case class GraftDmlRule(spark: SparkSession)
           if u.resolved =>
         manifestedDir(target) match {
           case Some((dir, tbl)) =>
-            condition.foreach(checkNoSubquery(_, "UPDATE"))
+            condition.foreach(checkUncorrelated(_, "UPDATE"))
             val set = assignments.map { a =>
+              checkUncorrelated(a.value, "UPDATE")
               a.key match {
                 case k: org.apache.spark.sql.catalyst.expressions
-                    .AttributeReference => k.name -> a.value
+                    .AttributeReference =>
+                  k.name -> GraftDml.Held(a.value)
                 case other => throw new IllegalArgumentException(
                   s"graft UPDATE: unsupported SET target ${other.sql}")
               }
             }
             GraftDml.GraftUpdateCommand(dir, set,
-              condition.getOrElse(
-                org.apache.spark.sql.catalyst.expressions.Literal(true)),
+              GraftDml.Held(condition.getOrElse(
+                org.apache.spark.sql.catalyst.expressions.Literal(true))),
               tbl)
           case None => u
         }

@@ -288,6 +288,41 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dml_cdc")
   }
 
+  test("uncorrelated subqueries in DELETE/UPDATE conditions: scalar, " +
+      "IN, NOT IN, EXISTS; correlated stays a loud error") {
+    mkTable("dml_subq")
+    Seq(100L, 200L, 300L).toDF("kk").createOrReplaceTempView("dml_keys")
+    // IN (SELECT …): the GDPR erasure shape
+    spark.sql(
+      "DELETE FROM dml_subq WHERE k IN (SELECT kk FROM dml_keys)")
+    assert(spark.table("dml_subq").count() === 997L)
+    assert(spark.sql("SELECT COUNT(*) FROM dml_subq WHERE k IN " +
+      "(100, 200, 300)").as[Long].head() === 0L)
+    // scalar subquery in an UPDATE condition and SET value
+    spark.sql("UPDATE dml_subq SET m = (SELECT MAX(kk) FROM dml_keys) " +
+      "WHERE k > (SELECT MAX(kk) FROM dml_keys) + 695")
+    assert(spark.sql("SELECT m FROM dml_subq WHERE k = 999")
+      .as[Long].head() === 300L)
+    assert(spark.sql("SELECT COUNT(*) FROM dml_subq WHERE m = 300")
+      .as[Long].head() === 4L) // k in 996..999
+    // NOT IN and uncorrelated EXISTS
+    spark.sql("DELETE FROM dml_subq WHERE k >= 990 AND " +
+      "k NOT IN (SELECT kk FROM dml_keys)")
+    assert(spark.table("dml_subq").count() === 987L)
+    spark.sql("DELETE FROM dml_subq WHERE k < 5 AND " +
+      "EXISTS (SELECT 1 FROM dml_keys WHERE kk = 100)")
+    assert(spark.table("dml_subq").count() === 982L)
+    // correlated → loud unsupported
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM dml_subq WHERE EXISTS " +
+        "(SELECT 1 FROM dml_keys WHERE kk = k)")
+    }
+    assert(e.getMessage.contains("correlated") ||
+      Option(e.getCause).exists(_.getMessage.contains("correlated")),
+      e.getMessage)
+    spark.sql("DROP TABLE dml_subq")
+  }
+
   test("DESCRIBE DETAIL, CTAS, and the timestampAsOf reader option") {
     // CTAS: the write half of the source API through SQL DDL
     val ctasDir = java.nio.file.Files

@@ -388,11 +388,17 @@ class StatsManifestSpec extends AnyFunSuite {
     assert(scan2.where(col("a") >= 100000L).count() === 1000L)
     assert(idx2.selected.get() === 1L && idx2.total.get() === 9L)
 
-    // unsupported modes refuse loudly rather than corrupting the table
-    intercept[UnsupportedOperationException] {
+    // r10 CTAS semantics: ErrorIfExists refuses to clobber an existing
+    // manifested table; Ignore is a silent no-op on one
+    intercept[IllegalArgumentException] {
       df.write.format("graft-manifest").option("statsCols", "a")
-        .mode("ignore").save(dir)
+        .mode("error").save(dir)
     }
+    df.write.format("graft-manifest").option("statsCols", "a")
+      .mode("ignore").save(dir)
+    assert(StatsManifest.versions(spark, dir) === Seq(1L, 2L),
+      "Ignore on an existing table must not commit anything")
+    assert(StatsManifest.scan(spark, dir).count() === scan2.count())
   }
 
   test("manifest dir is invisible to plain readers; manifest survives re-write") {
