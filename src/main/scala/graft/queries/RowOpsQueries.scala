@@ -203,6 +203,49 @@ object RowOpsQueries {
              |ORDER BY o_orderkey""".stripMargin)),
 
     Query(
+      // DML subqueries (r10): DELETE ... WHERE key IN (SELECT ...) and
+      // an UPDATE gated by a scalar subquery — evaluated once at
+      // command time (uncorrelated); the oracle replays both as pure
+      // SQL over the fixture.
+      "q_rowops_subquery",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val dir = tmp("graft_subq_q_", d)
+        o.repartition(8).write.mode("overwrite").parquet(dir)
+        StatsManifest.write(s, dir, Seq("o_orderkey"))
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(10)
+        val tbl = "graft_sq_" + h
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+          s"OPTIONS (path '$dir')")
+        // the GDPR-erasure shape: keys from another relation
+        t(s, d, "customer").select("c_custkey")
+          .where(col("c_custkey") % 50 === 0)
+          .createOrReplaceTempView(s"graft_erase_$h")
+        s.sql(s"""DELETE FROM $tbl WHERE o_custkey IN
+                 |(SELECT c_custkey FROM graft_erase_$h)""".stripMargin)
+        // MAX is accumulation-order-free: the scalar threshold is
+        // bit-identical in both engines (AVG would differ at ulp)
+        s.sql(s"""UPDATE $tbl SET o_totalprice = -1
+                 |WHERE o_totalprice >
+                 |  (SELECT 0.9 * MAX(o_totalprice) FROM $tbl)""".stripMargin)
+        s.table(tbl).orderBy(col("o_orderkey"))
+      },
+      Some("""WITH kept AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |  WHERE o_custkey NOT IN (
+             |    SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0)),
+             |thr AS (SELECT 0.9 * MAX(o_totalprice) AS t FROM kept)
+             |SELECT o_orderkey, o_custkey,
+             |  CASE WHEN o_totalprice > (SELECT t FROM thr)
+             |       THEN CAST(-1 AS DOUBLE) ELSE o_totalprice END
+             |    AS o_totalprice
+             |FROM kept ORDER BY o_orderkey""".stripMargin)),
+
+    Query(
       // SQL INSERT (r10): INSERT INTO ... SELECT and a named-column
       // VALUES insert over a manifested catalog table — the rule
       // claims the parsed InsertIntoStatement so the files land WITH
