@@ -322,16 +322,18 @@ object GraftDml {
     override def run(spark: SparkSession): Seq[Row] = {
       val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
       val src = GraftSqlBridge.ofRows(spark, source)
+      def xc(e: Expression): org.apache.spark.sql.Column =
+        cond(evalSubqueries(spark, e))
       def clause(s: MergeClauseSpec): RowOps.MergeClause = s.set match {
-        case None => RowOps.MergeDelete(s.cond.map(cond))
-        case Some(as) => RowOps.MergeUpdate(s.cond.map(cond),
-          as.map { case (n, e) => n -> cond(e) })
+        case None => RowOps.MergeDelete(s.cond.map(xc))
+        case Some(as) => RowOps.MergeUpdate(s.cond.map(xc),
+          as.map { case (n, e) => n -> xc(e) })
       }
       RowOps.merge(spark, dir, src, keys, sc, bc,
         matched = matched.map(clause),
         notMatched = notMatched.map { s =>
-          RowOps.MergeInsert(s.cond.map(cond),
-            s.set.getOrElse(Nil).map { case (n, e) => n -> cond(e) })
+          RowOps.MergeInsert(s.cond.map(xc),
+            s.set.getOrElse(Nil).map { case (n, e) => n -> xc(e) })
         },
         notMatchedBySource = bySource.map(clause))
       refreshRelation(spark, dir, table)
@@ -411,7 +413,7 @@ final case class GraftDmlRule(spark: SparkSession)
             }
             def assigns(as: Seq[Assignment],
                 what: String): Seq[(String, Expression)] = as.map { x =>
-              checkNoSubquery(x.value, "MERGE")
+              checkUncorrelated(x.value, "MERGE")
               x.key match {
                 case k: AttributeReference => k.name -> un(x.value)
                 case other => throw new IllegalArgumentException(
@@ -419,7 +421,7 @@ final case class GraftDmlRule(spark: SparkSession)
               }
             }
             def spec(a: MergeAction): GraftDml.MergeClauseSpec = {
-              a.condition.foreach(checkNoSubquery(_, "MERGE"))
+              a.condition.foreach(checkUncorrelated(_, "MERGE"))
               a match {
                 case UpdateAction(c, as, _) =>
                   GraftDml.MergeClauseSpec(c.map(un),

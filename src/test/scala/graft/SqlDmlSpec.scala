@@ -390,17 +390,24 @@ class SqlDmlSpec extends AnyFunSuite {
   }
 
   test("unsupported MERGE conditions and plain-parquet targets fail " +
-      "loudly") {
+      "loudly; uncorrelated MERGE subqueries work") {
     mkTable("dml_bad")
-    Seq((1L, 1L)).toDF("k", "m").createOrReplaceTempView("dml_src2")
-    // subqueries in clause conditions are declared out
+    Seq((1L, 5L)).toDF("k", "m").createOrReplaceTempView("dml_src2")
+    // UNCORRELATED subqueries in clause conditions evaluate once
+    spark.sql("""MERGE INTO dml_bad t USING dml_src2 s ON t.k = s.k
+                |WHEN MATCHED AND t.m < (SELECT MAX(m) FROM dml_src2)
+                |THEN UPDATE SET m = -5""".stripMargin)
+    assert(spark.sql("SELECT m FROM dml_bad WHERE k = 1")
+      .as[Long].head() === -5L)
+    // CORRELATED subqueries stay declared out
     val e = intercept[Exception] {
       spark.sql("""MERGE INTO dml_bad t USING dml_src2 s ON t.k = s.k
-                  |WHEN MATCHED AND t.m < (SELECT MAX(m) FROM dml_src2)
+                  |WHEN MATCHED AND t.m <
+                  |  (SELECT MAX(m) FROM dml_src2 WHERE k = t.k)
                   |THEN DELETE""".stripMargin)
     }
-    assert(e.getMessage.contains("subquer") ||
-      Option(e.getCause).exists(_.getMessage.contains("subquer")),
+    assert(e.getMessage.contains("correlated") ||
+      Option(e.getCause).exists(_.getMessage.contains("correlated")),
       e.getMessage)
     // a NON-manifested parquet table keeps Spark's own v2-only error
     val plainDir = java.nio.file.Files
