@@ -36,10 +36,19 @@ import graft.sources.{RowOps, StatsManifest}
   * The stats configuration is reconstructed from the manifest itself
   * ([[StatsManifest.manifestColumns]]); the commands refresh the
   * relation cache by path so subsequent reads of the catalog table see
-  * the new version. MERGE supports the upsert form (unconditional
-  * UPDATE SET * / INSERT *, by-name) and the matched-delete form —
-  * other action combinations fail with a clear error rather than
-  * silently approximating.
+  * the new version.
+  *
+  * Surface (round 10): full CRUD. `INSERT INTO` / `INSERT OVERWRITE`
+  * (append = incremental manifest reconciliation; overwrite = rebuild),
+  * `DELETE` / `UPDATE`, and the complete ANSI MERGE clause matrix —
+  * conditional and multiple WHEN MATCHED UPDATE/DELETE (the exact
+  * unconditional SET-star/INSERT-star shapes keep the narrower upsert
+  * / delete-by-key fast paths), conditional multi-clause WHEN NOT
+  * MATCHED INSERT, WHEN NOT MATCHED BY SOURCE UPDATE/DELETE.
+  * Conditions and SET/VALUES expressions accept UNCORRELATED
+  * subqueries, evaluated once at command run time ([[GraftDml
+  * .evalSubqueries]]); correlated subqueries fail with a clear error
+  * rather than silently approximating.
   *
   * Reference analogue: DML statements enter the reference through the
   * planner's DDL/DML converter
