@@ -195,7 +195,9 @@ private final class ManifestMicroBatchStream(schema: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  // built ONCE per stream (the schema is pinned at start): a fresh
+  // SessionState per micro-batch would be needless driver work
+  private lazy val readerFactory: PartitionReaderFactory = {
     val idx = StatsManifest.scanWithIndex(spark, dir)._2
     val partSchema = idx.partitionSchema
     val dataSchema = StructType(schema.filterNot(f =>
@@ -213,6 +215,9 @@ private final class ManifestMicroBatchStream(schema: StructType,
         .newHadoopConfWithOptions(Map.empty))
     new ManifestStreamReaderFactory(readFunc)
   }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    readerFactory
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
