@@ -41,6 +41,10 @@ object StreamBench {
       rowsPerSec: Double, batchMsP50: Double, batchMsMax: Double,
       batches: Int, stateRows: Long, stateBytes: Long)
 
+  /** dedup_index_filter input rate — one constant so the success path
+    * and the failure-fallback OpResult can never disagree on it. */
+  private val DedupFilterRate = 100000L
+
   private def cpDir(op: String): String = {
     val p = Paths.get("target", "streambench", s"cp-$op").toAbsolutePath
     // fresh checkpoint per run: the bench measures steady state, not
@@ -244,7 +248,7 @@ object StreamBench {
       // which would just echo the input rate). r9's 14-15k was also a
       // capacity number (the op fell behind at 20k), so the series
       // stays comparable.
-      try measureQuery("dedup_index_filter", 100000, durSec) {
+      try measureQuery("dedup_index_filter", DedupFilterRate, durSec) {
         val idxDir = {
           val p = Paths.get("target", "streambench", "dupidx").toAbsolutePath
           def rm(f: java.io.File): Unit = {
@@ -255,7 +259,7 @@ object StreamBench {
           p.toString
         }
         val docs = spark.readStream.format("rate")
-          .option("rowsPerSecond", 100000)
+          .option("rowsPerSecond", DedupFilterRate)
           .option("numPartitions", 8).load()
           .select(col("value").as("doc_id"),
             format_string("alpha%d beta%d gamma%d delta%d",
@@ -270,7 +274,8 @@ object StreamBench {
           compactEvery = 6)
       } catch { case e: Throwable =>
         System.err.println(s"[streambench] dedup_index_filter failed: $e")
-        OpResult("dedup_index_filter", 20000, -1, -1, -1, -1, 0, -1, -1)
+        OpResult("dedup_index_filter", DedupFilterRate,
+          -1, -1, -1, -1, 0, -1, -1)
       },
 
       // CDC-apply: merge a keyed changelog into a manifested table per

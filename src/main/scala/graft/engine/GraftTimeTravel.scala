@@ -58,13 +58,8 @@ object GraftTimeTravel {
       case _ => throw new IllegalArgumentException(
         s"graft time travel: cannot read ${ts.sql} as a timestamp")
     }
-    val ms = Math.floorDiv(micros, 1000L)
-    val h = StatsManifest.history(spark, dir)
-    h.filter(_.committedAtMs <= ms).lastOption.map(_.version).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft time travel: no retained version committed at or " +
-          s"before ${ts.sql} (oldest retained: " +
-          s"${h.headOption.map(_.version).getOrElse(-1L)})"))
+    StatsManifest.versionAtMillis(spark, dir,
+      Math.floorDiv(micros, 1000L), ts.sql)
   }
 
   /** Resolved snapshot relation at `version` — the same pruning

@@ -66,20 +66,14 @@ final class ManifestSource extends RelationProvider
       case _ =>
     }
     // `timestampAsOf` resolves to the newest commit at or before the
-    // timestamp (commit wall times from the version log) — the reader-
-    // option twin of SQL `TIMESTAMP AS OF`.
+    // timestamp — the reader-option twin of SQL `TIMESTAMP AS OF`,
+    // sharing its Catalyst Cast parse (session time zone, all offset
+    // forms) so the two surfaces can never resolve differently.
     val version: Option[Long] = parameters.get("version").map(_.toLong)
       .orElse(parameters.get("timestampAsOf").map { ts =>
         val spark = sqlContext.sparkSession
-        val ms = java.sql.Timestamp.from(
-          java.time.OffsetDateTime.parse(
-            ts.replace(' ', 'T') + (if (ts.contains("+") ||
-              ts.endsWith("Z")) "" else "Z")).toInstant).getTime
-        val h = StatsManifest.history(spark, path)
-        h.filter(_.committedAtMs <= ms).lastOption.map(_.version)
-          .getOrElse(throw new IllegalArgumentException(
-            s"graft-manifest: no retained version committed at or " +
-              s"before $ts"))
+        StatsManifest.versionAtMillis(spark, path,
+          StatsManifest.parseTsMillis(spark, ts), ts)
       })
     val (df, _) = version match {
       case Some(v) =>
@@ -127,10 +121,18 @@ final class ManifestSource extends RelationProvider
     mode match {
       case SaveMode.Overwrite => writeOverwrite()
       // CTAS arrives as ErrorIfExists: create when absent, refuse to
-      // clobber an existing manifested table
+      // clobber an existing manifested table — or ANY pre-existing
+      // content (writeOverwrite would silently wipe a directory of
+      // plain parquet, violating the ErrorIfExists contract)
       case SaveMode.ErrorIfExists =>
         require(StatsManifest.versions(spark, path).isEmpty,
           s"graft-manifest: a manifested table already exists at $path")
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(!fsys.exists(p) || fsys.listStatus(p).isEmpty,
+          s"graft-manifest: $path already exists and is not empty " +
+            "(not a manifested table — refusing to overwrite it; " +
+            "use mode overwrite to replace the contents)")
         writeOverwrite()
       case SaveMode.Ignore =>
         if (StatsManifest.versions(spark, path).isEmpty) writeOverwrite()

@@ -160,8 +160,16 @@ private final class ManifestMicroBatchStream(schema: StructType,
     val rootKey = StatsManifest.fileKey(fs.makeQualified(new Path(dir)))
     (after.keySet -- before.keySet).toArray.sorted.map { key =>
       val p = new Path(key)
+      // a vanished added file means retention (vacuum / physical
+      // rewrite) outran the stream — emitting zero rows here would
+      // silently break exactly-once, so fail loudly like filesAt()
       val len =
-        if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+        if (fs.exists(p)) fs.getFileStatus(p).getLen
+        else throw new IllegalStateException(
+          s"graft-manifest-stream: added file $key of versions " +
+            s"($s, $e] no longer exists — the table was vacuumed or " +
+            "physically rewritten past the stream's position; re-seed " +
+            "from a fresh startingVersion")
       // Hive-partition values synthesize from the file's path, exactly
       // like the batch scan
       val rel = key.stripPrefix(rootKey).stripPrefix("/")

@@ -476,6 +476,46 @@ object StatsManifest {
   final case class VersionInfo(version: Long, files: Long, rows: Long,
       committedAtMs: Long)
 
+  /** (version, commit wall-time ms) per retained version, ascending —
+    * the version directory's FS modification time (the rename
+    * instant). Listing-only: no manifest parquet is read, so timestamp
+    * resolution stays O(versions) directory metadata, never O(files). */
+  def commitTimes(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versions(spark, dir).map { v =>
+      v -> fsys.getFileStatus(new Path(mDir, f"v$v%06d"))
+        .getModificationTime
+    }
+  }
+
+  /** The newest version committed at or before wall time `ms` — the
+    * shared resolution behind SQL `TIMESTAMP AS OF` and the
+    * `timestampAsOf` reader option, so both surfaces agree. */
+  def versionAtMillis(spark: SparkSession, dir: String, ms: Long,
+      tsText: String): Long = {
+    val ts = commitTimes(spark, dir)
+    ts.filter(_._2 <= ms).lastOption.map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft time travel: no retained version committed at or " +
+          s"before $tsText (oldest retained: " +
+          s"${ts.headOption.map(_._1).getOrElse(-1L)})"))
+  }
+
+  /** Parse a timestamp string in the SESSION time zone via Catalyst's
+    * own Cast — the exact semantics SQL `TIMESTAMP AS OF '<ts>'` gets,
+    * including offset forms (`…Z`, `…+02:00`, `…-05:00`) and bare
+    * local timestamps. Loud on unparseable input. */
+  def parseTsMillis(spark: SparkSession, ts: String): Long = {
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    Cast(Literal(UTF8String.fromString(ts), StringType), TimestampType,
+      Some(zone)).eval() match {
+      case l: java.lang.Long => Math.floorDiv(l.longValue(), 1000L)
+      case _ => throw new IllegalArgumentException(
+        s"graft time travel: cannot read '$ts' as a timestamp")
+    }
+  }
+
   /** DESCRIBE-HISTORY-style view of the committed versions, ascending:
     * per version the file count, total rows, and the commit's wall
     * time (the version directory's FS modification time — the rename

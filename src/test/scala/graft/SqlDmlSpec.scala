@@ -359,6 +359,62 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dml_ctas")
   }
 
+  test("timestampAsOf agrees with TIMESTAMP AS OF (session-zone Cast) " +
+      "and parses negative-offset forms; CTAS refuses non-empty dirs") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sqldml_tz").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS dml_tz")
+    spark.sql(s"""CREATE TABLE dml_tz USING `graft-manifest`
+      |OPTIONS (path '$dir', statsCols 'k')
+      |AS SELECT id AS k FROM RANGE(10)""".stripMargin)
+    Thread.sleep(5)
+    spark.sql("DELETE FROM dml_tz WHERE k < 5")
+    val t1 = StatsManifest.commitTimes(spark, dir)
+      .find(_._1 == 1L).get._2
+    // a timestamp between v1 and v2, expressed three ways — UTC 'Z',
+    // an explicit NEGATIVE offset (previously threw DateTimeParse), and
+    // a bare local timestamp (previously mis-read as UTC): all three
+    // must resolve to v1 through BOTH surfaces
+    val inst = java.time.Instant.ofEpochMilli(t1 + 2)
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val forms = Seq(
+      inst.toString,
+      inst.atZone(java.time.ZoneId.of("-05:00")).toOffsetDateTime.toString,
+      inst.atZone(zone).toLocalDateTime.toString.replace('T', ' '))
+    for (ts <- forms) {
+      assert(spark.read.format("graft-manifest")
+        .option("timestampAsOf", ts).load(dir).count() === 10L,
+        s"reader option at $ts")
+      assert(spark.sql(
+        s"SELECT * FROM dml_tz TIMESTAMP AS OF '$ts'").count() === 10L,
+        s"SQL time travel at $ts")
+    }
+    // ErrorIfExists (CTAS) must refuse a directory holding ANY
+    // pre-existing content, not only a manifested table
+    val plain = java.nio.file.Files
+      .createTempDirectory("graft_sqldml_plain").toString + "/t"
+    Seq((1L, 2L)).toDF("a", "b").write.parquet(plain)
+    spark.sql("DROP TABLE IF EXISTS dml_clobber")
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE dml_clobber USING `graft-manifest`
+        |OPTIONS (path '$plain', statsCols 'k')
+        |AS SELECT id AS k FROM RANGE(10)""".stripMargin)
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage)
+      .getOrElse("")).toLowerCase.contains("non-empty"), e.getMessage)
+    // …and through the direct writer API, where Spark's own CTAS guard
+    // doesn't run — the provider's ErrorIfExists check is the only line
+    val e2 = intercept[Exception] {
+      Seq((9L, 9L)).toDF("a", "b").write.format("graft-manifest")
+        .option("statsCols", "a").mode("errorifexists").save(plain)
+    }
+    assert(e2.getMessage.contains("not empty"), e2.getMessage)
+    assert(spark.read.parquet(plain).count() === 1L,
+      "pre-existing data must be untouched")
+    spark.sql("DROP TABLE dml_tz")
+  }
+
   test("maintenance statements on a non-graft table fall through to " +
       "the delegate parser (coexistence with foreign OPTIMIZE/VACUUM)") {
     val plainDir = java.nio.file.Files
