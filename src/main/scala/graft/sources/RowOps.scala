@@ -516,10 +516,10 @@ object RowOps {
       partCols: Seq[String])
 
   private def open(spark: SparkSession, dir: String): Ctx = {
-    val vs = StatsManifest.versions(spark, dir)
-    require(vs.nonEmpty, s"RowOps: $dir is not a manifested table " +
-      "(StatsManifest.write it first)")
-    val v = vs.last
+    val v = StatsManifest.latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"RowOps: $dir is not a manifested table " +
+          "(StatsManifest.write it first)"))
     val (snap, idx) = StatsManifest.scanAtVersion(spark, dir, v)
     Ctx(spark, dir, v, snap, idx, snap.schema,
       StatsManifest.readAt(spark, dir, v),
@@ -619,14 +619,16 @@ object RowOps {
     // recursive: a partitioned rewrite stages under p=… subdirs; the
     // move preserves the relative path so directory pruning still works
     val stagingKey = StatsManifest.fileKey(fs.makeQualified(staging))
+    // listStatus walk (not the recursive listFiles iterator): the
+    // latter shells out per file on the local FS — see
+    // StatsManifest.listDataFiles
     val staged = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Path]
-      val it = fs.listFiles(staging, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.startsWith("part-"))
-          out += st.getPath
+      def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.startsWith("part-")) out += st.getPath
       }
+      walk(staging)
       out.toSeq
     }
     def finalPath(src: Path): Path = {

@@ -56,6 +56,46 @@ object StatsManifest {
   private val ManifestDir = "_graft_manifest"
   private val RemovedFile = "_removed.txt"
   private val SchemaFile = "_schema.json"
+  /** Marks a DELTA version (content = newly-deleted entry keys, one per
+    * line, possibly empty): the version carries only its own added
+    * entries (`part-*`), inheriting everything else from its
+    * predecessor chain down to the nearest checkpoint. Absent = the
+    * version is a full CHECKPOINT (every pre-delta version reads as
+    * one — seamless back-compat). */
+  private val DeltaFile = "_delta.txt"
+  /** Marks a delta version that [[expire]] retro-materialized into a
+    * checkpoint: the folded full entry set lives in `cp-*` files inside
+    * the version dir, written BEFORE the marker — a racing reader
+    * either sees the complete checkpoint or keeps folding the (still
+    * intact) delta chain. */
+  private val CpMarker = "_checkpointed"
+  private val CpPrefix = "cp-"
+  /** Best-effort pointer to the newest committed version — the O(1)
+    * seed for [[latestVersion]]'s galloping probe, so resolving
+    * "latest" stops being an O(versions) directory listing on every
+    * read and commit (the last driver-side growth curve of a long-
+    * lived table: a streaming sink commits per micro-batch, 10⁵+
+    * versions are routine). Torn/stale/missing hints are all safe:
+    * retained versions are a dense integer suffix (commits claim
+    * consecutive slots, expire deletes a prefix), so any hint at or
+    * below the true latest gallops up to it, and anything unparseable
+    * falls back to the full listing. */
+  private val HintFile = "_latest_hint"
+
+  private def vDirPath(mDir: Path, v: Long): Path =
+    new Path(mDir, f"v$v%06d")
+
+  /** Auto-checkpoint cadence: every version whose number is a multiple
+    * of this commits as a full checkpoint; the rest are deltas. Bounds
+    * the fold chain a reader walks AND amortizes the O(files) fold
+    * cost across `interval` O(delta) commits. */
+  private def checkpointInterval(spark: SparkSession): Int = {
+    val n = spark.conf
+      .get("spark.graft.manifest.checkpointInterval", "16").toInt
+    require(n >= 1,
+      s"spark.graft.manifest.checkpointInterval must be >= 1, got $n")
+    n
+  }
 
   /** Per-file, per-column stats: [lo, hi] over non-null values in one of
     * the three order-exact domains, plus the non-null count. `lo`/`hi`
@@ -75,7 +115,12 @@ object StatsManifest {
         * ulp level and are deliberately NOT kept). */
       lSum: Long = 0L, hasSum: Boolean = false)
 
-  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+  final case class FileStats(rows: Long, cols: Map[String, ColStats],
+      /** file length in bytes, carried so per-batch split planning
+        * (e.g. the streaming source) never issues a per-file
+        * getFileStatus RPC; −1 for manifests written before the column
+        * existed (callers fall back to a live stat). */
+      len: Long = -1L)
 
   /** The order-exact stats domain of `dt`, or None (no stats kept). */
   private def domOf(dt: DataType): Option[Char] = dt match {
@@ -220,7 +265,11 @@ object StatsManifest {
       agg(org.apache.spark.sql.functions.xxhash64(col(c)))
         .as(s"bloom__$c")
     }
-    count(lit(1)).as("rows") +: (ranges ++ sums ++ cnts ++ blooms)
+    // file length (constant within the group = one file) rides along so
+    // downstream split planning is a pure metadata read
+    count(lit(1)).as("rows") +:
+      min(col("_metadata.file_size")).as("flen") +:
+      (ranges ++ sums ++ cnts ++ blooms)
   }
 
   /** Manifest column names [[statsAggs]] produces (order-free set), for
@@ -235,7 +284,7 @@ object StatsManifest {
     }.toSet ++
       kept.filter(c => sumable(schema(c).dataType)).map(c => s"sum__$c") ++
       cntCols.map(c => s"cnt__$c") ++
-      bloomCols.map(c => s"bloom__$c") + "file" + "rows"
+      bloomCols.map(c => s"bloom__$c") + "file" + "rows" + "flen"
   }
 
   // ---------------------------------------------------------------- //
@@ -271,6 +320,49 @@ object StatsManifest {
           case _ => None
         }
     }.flatten.sorted
+  }
+
+  private def writeHint(fsys: org.apache.hadoop.fs.FileSystem,
+      mDir: Path, v: Long): Unit =
+    try {
+      val out = fsys.create(new Path(mDir, HintFile), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () } // best-effort; probe falls back
+
+  /** The newest committed version — O(log gap) `exists()` probes from
+    * the hint instead of an O(versions) listing. Sound because retained
+    * versions form a dense integer suffix: gallop up from any existing
+    * hinted version, then bisect the first gap. Any hint problem
+    * (missing, torn, expired, foreign) falls back to the listing. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val probed =
+      try {
+        val f = new Path(mDir, HintFile)
+        if (!fsys.exists(f)) None
+        else {
+          val in = fsys.open(f)
+          val h = (try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()).toLong
+          if (!fsys.exists(vDirPath(mDir, h))) None
+          else {
+            var lo = h // exists
+            var step = 1L
+            while (fsys.exists(vDirPath(mDir, lo + step))) {
+              lo += step
+              step *= 2
+            }
+            var hi = lo + step // does not exist
+            while (hi - lo > 1) {
+              val mid = lo + (hi - lo) / 2
+              if (fsys.exists(vDirPath(mDir, mid))) lo = mid else hi = mid
+            }
+            Some(lo)
+          }
+        }
+      } catch { case _: Exception => None }
+    probed.orElse(versions(spark, dir).lastOption)
   }
 
   // ---------------------------------------------------------------- //
@@ -313,7 +405,7 @@ object StatsManifest {
   /** Latest version's tombstone set; empty for unversioned/absent
     * manifests (legacy layouts predate row-level ops). */
   def removedLatest(spark: SparkSession, dir: String): Set[String] =
-    versions(spark, dir).lastOption
+    latestVersion(spark, dir)
       .map(removedAt(spark, dir, _)).getOrElse(Set.empty)
 
   // ---------------------------------------------------------------- //
@@ -351,7 +443,7 @@ object StatsManifest {
 
   private def schemaLatest(spark: SparkSession,
       dir: String): Option[StructType] =
-    versions(spark, dir).lastOption.flatMap(schemaAt(spark, dir, _))
+    latestVersion(spark, dir).flatMap(schemaAt(spark, dir, _))
 
   /** The table's authoritative CURRENT schema: the latest version's
     * sidecar, else parquet inference over the directory. */
@@ -367,14 +459,23 @@ object StatsManifest {
       newSchema: StructType): Long = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = resolveParts(fsys, mDir).getOrElse(throw
-      new IllegalStateException(
-        s"commitSchema: $dir is not a manifested table"))
-    val existing = spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
-    // The new version carries over the LATEST version's entries, so it's
-    // only sound as latest+1 — a racer in between means lost updates.
-    commitVersion(spark, dir, existing, removedLatest(spark, dir),
-      Some(newSchema), versions(spark, dir).lastOption)
+    latestVersion(spark, dir) match {
+      case Some(l) =>
+        // a pure-metadata DELTA: no entries change hands, so the commit
+        // is O(1) — but it inherits from l, so the only sound slot is
+        // l+1 (a racer in between means lost updates)
+        commitDelta(spark, dir, Nil, new StructType(), Set.empty,
+          removedLatest(spark, dir), Some(newSchema), Some(l))
+      case None =>
+        // legacy unversioned manifest: first versioned commit is full
+        val parts = legacyParts(fsys, mDir).getOrElse(throw
+          new IllegalStateException(
+            s"commitSchema: $dir is not a manifested table"))
+        val existing =
+          spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+        commitVersion(spark, dir, existing, removedLatest(spark, dir),
+          Some(newSchema), None)
+    }
   }
 
   /** Stage `manifest` under a hidden dir, then commit it as the next
@@ -420,9 +521,10 @@ object StatsManifest {
               s"this op analyzed version $e and a racer won the slot; " +
               "re-run the operation against the new latest")
         }
+        writeHint(fsys, mDir, v)
         v
       case None =>
-        var v = versions(spark, dir).lastOption.getOrElse(0L) + 1
+        var v = latestVersion(spark, dir).getOrElse(0L) + 1
         var attempts = 0
         while (!claimSlot(fsys, stage, new Path(mDir, f"v$v%06d"), marker)) {
           attempts += 1
@@ -430,7 +532,113 @@ object StatsManifest {
             s"StatsManifest: could not commit a manifest version under $mDir")
           v += 1 // lost the race for v — try the next slot
         }
+        writeHint(fsys, mDir, v)
         v
+    }
+  }
+
+  /** Commit a DELTA version: `addRows` (manifest entries in the stats
+    * schema `entrySchema`) enter, `deleteKeys` leave, everything else
+    * is inherited — the commit writes O(delta), never re-materializing
+    * the carried entry set. Every [[checkpointInterval]]-th slot (and
+    * the first versioned commit over a legacy layout) materializes a
+    * full checkpoint instead, via the distributed fold — that is what
+    * amortizes reads to a bounded chain and lets [[expire]] drop
+    * history. Same slot-claim protocol and `expected` semantics as
+    * [[commitVersion]]; `removed` is the CUMULATIVE tombstone set to
+    * record (it rides every version, delta or not — O(tombstones) text,
+    * self-trimming via reconciliation). */
+  private[graft] def commitDelta(spark: SparkSession, dir: String,
+      addRows: Seq[org.apache.spark.sql.Row], entrySchema: StructType,
+      deleteKeys: Set[String], removed: Set[String],
+      schema: Option[StructType], expected: Option[Long],
+      forceCheckpoint: Boolean = false): Long = {
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val interval = checkpointInterval(spark)
+
+    def writeText(stage: Path, name: String, content: String): Unit = {
+      val out = fsys.create(new Path(stage, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+
+    /** Stage this commit's content for slot `slot` (predecessor
+      * `prev`; 0 = none/legacy) and try to claim it. */
+    def stageAndClaim(slot: Long, prev: Long): Option[Long] = {
+      val stage = new Path(mDir, s".stage-${java.util.UUID.randomUUID()}")
+      val marker = s"_claim-${stage.getName.stripPrefix(".stage-")}"
+      val addsDf =
+        if (addRows.isEmpty) None
+        else Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(addRows.toIndexedSeq, 1),
+          entrySchema))
+      val isCp = forceCheckpoint || slot % interval == 0 || prev == 0L
+      if (isCp) {
+        // fold predecessor + this delta into a full checkpoint. The
+        // fold is the distributed entriesAt read; the delta applies as
+        // (drop deleted-or-replaced keys) ∪ adds.
+        val prevDf =
+          if (prev > 0L) entriesAt(spark, dir, prev)
+          else legacyParts(fsys, mDir) match {
+            case Some(parts) => spark.read
+              .parquet(parts.map(_.toString).toIndexedSeq: _*)
+            case None => addsDf.getOrElse(throw new IllegalStateException(
+              s"commitDelta: $dir has no manifest to fold")).limit(0)
+          }
+        val fileIdx = entrySchema.fieldNames.indexOf("file")
+        val dropKeys = deleteKeys ++
+          addRows.map(_.getString(if (fileIdx < 0) 0 else fileIdx))
+        val kept =
+          if (dropKeys.isEmpty) prevDf
+          else prevDf.where(!col("file")
+            .isin(dropKeys.toSeq.sorted: _*))
+        val full = addsDf.fold(kept)(a => kept.unionByName(a))
+        full.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        // no DeltaFile → reads treat this version as a checkpoint
+      } else {
+        addsDf match {
+          case Some(a) =>
+            a.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          case None => fsys.mkdirs(stage)
+        }
+        writeText(stage, DeltaFile,
+          deleteKeys.toSeq.sorted.mkString("\n"))
+      }
+      if (removed.nonEmpty)
+        writeText(stage, RemovedFile,
+          removed.toSeq.sorted.mkString("\n"))
+      schema.foreach(s => writeText(stage, SchemaFile, s.json))
+      fsys.create(new Path(stage, marker), true).close()
+      if (claimSlot(fsys, stage, vDirPath(mDir, slot), marker)) {
+        writeHint(fsys, mDir, slot)
+        Some(slot)
+      } else {
+        fsys.delete(stage, true)
+        None
+      }
+    }
+
+    expected match {
+      case Some(e) =>
+        stageAndClaim(e + 1, e).getOrElse(
+          throw new java.util.ConcurrentModificationException(
+            s"StatsManifest: version ${e + 1} already committed under " +
+              s"$mDir — this op analyzed version $e and a racer won the " +
+              "slot; re-run the operation against the new latest"))
+      case None =>
+        var attempts = 0
+        while (true) {
+          val prev = latestVersion(spark, dir).getOrElse(0L)
+          stageAndClaim(prev + 1, prev) match {
+            case Some(v) => return v
+            case None =>
+              attempts += 1
+              require(attempts < 1000,
+                "StatsManifest: could not commit a manifest version " +
+                  s"under $mDir")
+          }
+        }
+        throw new IllegalStateException("unreachable")
     }
   }
 
@@ -454,22 +662,199 @@ object StatsManifest {
     false
   }
 
-  /** Part files of the resolvable manifest: the LATEST version dir, or
-    * the legacy unversioned layout, or None (no manifest). */
-  private def resolveParts(fsys: org.apache.hadoop.fs.FileSystem,
+  /** Part files of a LEGACY unversioned manifest (`part-*` directly
+    * under `_graft_manifest` — layouts that predate versioned commits),
+    * or None. */
+  private def legacyParts(fsys: org.apache.hadoop.fs.FileSystem,
       mDir: Path): Option[Seq[Path]] = {
     if (!fsys.exists(mDir)) return None
-    val sts = fsys.listStatus(mDir)
-    val vs = sts.filter(st => st.isDirectory &&
-      VersionRe.findFirstIn(st.getPath.getName).isDefined)
-    val parts =
-      if (vs.nonEmpty) {
-        val latest = vs.maxBy(_.getPath.getName)
-        fsys.listStatus(latest.getPath).map(_.getPath)
-          .filter(_.getName.startsWith("part-")).toSeq
-      } else
-        sts.map(_.getPath).filter(_.getName.startsWith("part-")).toSeq
+    val parts = fsys.listStatus(mDir).map(_.getPath)
+      .filter(p => !p.getName.startsWith(".") &&
+        p.getName.startsWith("part-")).toSeq
     if (parts.nonEmpty) Some(parts) else None
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Delta versions + checkpoints: the manifest log                    //
+  // ---------------------------------------------------------------- //
+
+  /** True when version dir `vDir` must be folded onto its predecessor
+    * (a delta that [[expire]] has not retro-materialized). */
+  private def isDeltaVersion(fsys: org.apache.hadoop.fs.FileSystem,
+      vDir: Path): Boolean =
+    fsys.exists(new Path(vDir, DeltaFile)) &&
+      !fsys.exists(new Path(vDir, CpMarker))
+
+  /** The full-entry part files of a checkpoint version dir: the
+    * retro-materialized `cp-*` set when present, else the committed
+    * `part-*` set. */
+  private def basePartsOf(fsys: org.apache.hadoop.fs.FileSystem,
+      vDir: Path): Seq[Path] = {
+    val prefix =
+      if (fsys.exists(new Path(vDir, CpMarker))) CpPrefix else "part-"
+    fsys.listStatus(vDir).map(_.getPath)
+      .filter(_.getName.startsWith(prefix)).toSeq
+  }
+
+  /** Retro-materialize delta version `v` into a checkpoint: fold its
+    * state, land it as `cp-*` files inside the version dir, then drop
+    * the marker. Append-only and crash-safe — until the marker exists
+    * readers keep folding the untouched delta chain; stray `cp-*`
+    * files from a crash are ignored. Single-maintenance-writer, like
+    * every expire-side mutation. */
+  private def materializeCheckpoint(spark: SparkSession, dir: String,
+      v: Long): Unit = {
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vDir = vDirPath(mDir, v)
+    if (!isDeltaVersion(fsys, vDir)) return
+    val tmp = new Path(mDir, s".cpstage-${java.util.UUID.randomUUID()}")
+    entriesAt(spark, dir, v).coalesce(1).write
+      .mode("overwrite").parquet(tmp.toString)
+    fsys.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).foreach { p =>
+        require(fsys.rename(p, new Path(vDir, CpPrefix + p.getName)),
+          s"StatsManifest: checkpoint rename $p failed")
+      }
+    fsys.create(new Path(vDir, CpMarker), true).close()
+    fsys.delete(tmp, true)
+  }
+
+  /** Force a full-checkpoint commit at latest+1 (entries unchanged) —
+    * run before an aggressive [[expire]] when the retained window must
+    * shrink below the distance to the last auto-checkpoint. */
+  def checkpoint(spark: SparkSession, dir: String): Long = {
+    val l = latestVersion(spark, dir).getOrElse(throw
+      new IllegalStateException(
+        s"StatsManifest.checkpoint: $dir is not a manifested table"))
+    commitDelta(spark, dir, Nil, new StructType(), Set.empty,
+      removedLatest(spark, dir), schemaLatest(spark, dir), Some(l),
+      forceCheckpoint = true)
+  }
+
+  private def readDeltaDeletes(fsys: org.apache.hadoop.fs.FileSystem,
+      vDir: Path): Set[String] = {
+    val f = new Path(vDir, DeltaFile)
+    val in = fsys.open(f)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** Resolve the fold chain for version `v`: the nearest checkpoint at
+    * or below it plus the delta versions above, ascending. Walk length
+    * is bounded by the checkpoint interval (every interval-th version
+    * commits full). Loud when the base checkpoint has been expired out
+    * from under a retained delta (never happens through [[expire]],
+    * which refuses to orphan a delta). */
+  private def foldChain(spark: SparkSession, dir: String, v: Long)
+      : (Seq[Path], Seq[(Long, Seq[Path], Set[String])]) = {
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var b = v
+    while ({
+      val d = vDirPath(mDir, b)
+      if (b <= 0 || !fsys.exists(d))
+        throw new IllegalStateException(
+          s"StatsManifest: no base checkpoint at or below version $v " +
+            s"under $mDir (expired or corrupt)")
+      isDeltaVersion(fsys, d)
+    }) b -= 1
+    val baseParts = basePartsOf(fsys, vDirPath(mDir, b))
+    val deltas = ((b + 1) to v).map { dv =>
+      val dDir = vDirPath(mDir, dv)
+      (dv,
+        fsys.listStatus(dDir).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).toSeq,
+        readDeltaDeletes(fsys, dDir))
+    }
+    (baseParts, deltas)
+  }
+
+  /** The folded manifest entries AT version `v`, as a DataFrame in the
+    * stats schema. One distributed fold: base + delta part files read
+    * in a single scan (version recovered from `_metadata.file_path`),
+    * delete events unioned in, last event per file key wins (an add
+    * beats a delete within one version — the invalidate-replace shape).
+    * No O(files) driver collect anywhere on this path. */
+  private def entriesAt(spark: SparkSession, dir: String,
+      v: Long): DataFrame = {
+    val (baseParts, deltas) = foldChain(spark, dir, v)
+    if (deltas.isEmpty)
+      return spark.read.parquet(baseParts.map(_.toString).toIndexedSeq: _*)
+    foldEntries(spark,
+      spark.read.parquet((baseParts ++ deltas.flatMap(_._2))
+        .map(_.toString).toIndexedSeq: _*),
+      deltas)
+  }
+
+  private def foldEntries(spark: SparkSession, parts: DataFrame,
+      deltas: Seq[(Long, Seq[Path], Set[String])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val entryCols = parts.schema.fieldNames
+    val adds = parts
+      .withColumn("__v", regexp_replace(col("_metadata.file_path"),
+        "^.*/v(\\d{6})/[^/]*$", "$1").cast("long"))
+      .withColumn("__isAdd", lit(true))
+    val delRows = deltas.flatMap { case (dv, _, dels) =>
+      dels.toSeq.map(k => org.apache.spark.sql.Row(k, dv, false))
+    }
+    val events =
+      if (delRows.isEmpty) adds
+      else adds.unionByName(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(delRows, 1),
+          StructType(Seq(StructField("file", StringType),
+            StructField("__v", LongType),
+            StructField("__isAdd", BooleanType)))),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(col("file"))
+      .orderBy(col("__v").desc, col("__isAdd").desc)
+    events
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__rn") === 1 && col("__isAdd"))
+      .select(entryCols.map(col).toIndexedSeq: _*)
+  }
+
+  /** Just the folded entry KEYS at version `v` — a column-pruned fold
+    * (only `file` reads from parquet), for key-set checks that must not
+    * pull blooms and ranges to the driver. */
+  private[graft] def keysAt(spark: SparkSession, dir: String,
+      v: Long): Set[String] = {
+    val (baseParts, deltas) = foldChain(spark, dir, v)
+    if (deltas.isEmpty)
+      return spark.read
+        .parquet(baseParts.map(_.toString).toIndexedSeq: _*)
+        .select("file").collect().map(_.getString(0)).toSet
+    // driver fold over keys only: base keys + per-delta add keys read
+    // column-pruned; events replayed ascending
+    val addKeys = spark.read
+      .parquet((baseParts ++ deltas.flatMap(_._2))
+        .map(_.toString).toIndexedSeq: _*)
+      .select(col("file"),
+        regexp_replace(col("_metadata.file_path"),
+          "^.*/v(\\d{6})/[^/]*$", "$1").cast("long").as("__v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val baseV = deltas.head._1 - 1
+    val keys = scala.collection.mutable.Set.empty[String]
+    keys ++= addKeys.filter(_._2 <= baseV).map(_._1)
+    val addsByV = addKeys.filter(_._2 > baseV).groupBy(_._2)
+    deltas.foreach { case (dv, _, dels) =>
+      keys --= dels
+      keys ++= addsByV.getOrElse(dv, Array.empty).map(_._1)
+    }
+    keys.toSet
+  }
+
+  /** The stats schema of the manifest at version `v` — a parquet footer
+    * read of the base checkpoint (deltas share its schema by
+    * construction; a stats-column change forces a full rebuild). No
+    * Spark job, no row reads. */
+  private def entrySchemaAt(spark: SparkSession, dir: String,
+      v: Long): StructType = {
+    val (baseParts, _) = foldChain(spark, dir, v)
+    spark.read.parquet(baseParts.map(_.toString).toIndexedSeq: _*).schema
   }
 
   /** One manifest version's summary line for [[history]]. */
@@ -549,14 +934,38 @@ object StatsManifest {
         * so a streaming-fed table should keep the CDC window several
         * multiples of the consumer's worst-case lag. The files are
         * O(changes), not O(table): a longer window is cheap. */
-      cdcVersionsToKeep: Int = -1): Int = {
+      cdcVersionsToKeep: Int = -1,
+      /** a DELTA version folds onto its base checkpoint, so dropping
+        * must not orphan a retained delta. `exact = true` (default —
+        * the vacuum-now semantics) retro-materializes the boundary
+        * delta into a checkpoint (one fold) and then drops precisely
+        * `versions − keep`; `exact = false` drops lazily — only below
+        * the newest checkpoint at or below the boundary, retaining
+        * `keep` to `keep + interval − 1` versions at zero fold cost
+        * (the right mode for a per-micro-batch streaming sink, where
+        * the auto-checkpoint cadence alone bounds the window). */
+      exact: Boolean = true): Int = {
     require(keep >= 1, s"expire: keep=$keep")
     val cdcKeep =
       if (cdcVersionsToKeep < 0) keep else math.max(keep, cdcVersionsToKeep)
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = versions(spark, dir)
-    val drop = vs.dropRight(keep)
+    val dropReq = vs.dropRight(keep)
+    val drop =
+      if (dropReq.isEmpty) dropReq
+      else {
+        val boundary = vs(dropReq.length) // oldest version to keep
+        if (exact) {
+          materializeCheckpoint(spark, dir, boundary)
+          dropReq
+        } else
+          vs.filter(_ <= boundary).reverse
+            .find(v => !isDeltaVersion(fsys, vDirPath(mDir, v))) match {
+            case Some(cp) => vs.filter(_ < cp)
+            case None => Seq.empty // no checkpoint at/below: keep all
+          }
+      }
     drop.foreach { v =>
       fsys.delete(new Path(mDir, f"v$v%06d"), true)
     }
@@ -576,20 +985,138 @@ object StatsManifest {
 
   /** Every data file under `dir`, recursively (Hive-partitioned layouts
     * keep data under `p=…` dirs); anything under a hidden (`_`/`.`)
-    * component is metadata, not data. */
-  private def listDataFiles(fsys: org.apache.hadoop.fs.FileSystem,
+    * component is metadata, not data — and those subtrees are PRUNED
+    * from the walk, not just filtered (a long version log must not be
+    * traversed by every reconciliation).
+    *
+    * listStatus walk, NOT `fs.listFiles(dir, recursive)`: the recursive
+    * iterator materializes a LocatedFileStatus per file, which on the
+    * local FileSystem forces a permission load that SHELLS OUT once per
+    * file — an O(files) fork-exec per commit (measured: ~25 ms × files,
+    * the dominant cost of a streaming sink's reconciliation on a local
+    * table). listStatus never touches permissions; on HDFS/S3A the RPC
+    * count is the same one-listing-per-directory either way. */
+  private[sources] def listDataFiles(
+      fsys: org.apache.hadoop.fs.FileSystem,
       dirPath: Path): Array[Path] = {
-    val rootKey = fileKey(fsys.makeQualified(dirPath))
     val out = scala.collection.mutable.ArrayBuffer.empty[Path]
-    val it = fsys.listFiles(dirPath, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = fileKey(st.getPath).stripPrefix(rootKey)
-      val hidden = rel.split("/").exists(seg =>
-        seg.startsWith("_") || seg.startsWith("."))
-      if (st.isFile && !hidden) out += st.getPath
-    }
+    def hidden(name: String): Boolean =
+      name.startsWith("_") || name.startsWith(".")
+    def walk(d: Path): Unit =
+      fsys.listStatus(d).foreach { st =>
+        if (!hidden(st.getPath.getName)) {
+          if (st.isDirectory) walk(st.getPath)
+          else out += st.getPath
+        }
+      }
+    if (fsys.exists(dirPath)) walk(dirPath)
     out.toArray
+  }
+
+  /** Columns of `schema` with an order-exact stats domain — the default
+    * stats configuration for a table created without one. */
+  def statsEligible(schema: StructType): Seq[String] =
+    schema.fields.toSeq.collect {
+      case f if domOf(f.dataType).isDefined => f.name
+    }
+
+  /** Table-level properties sidecar (`_graft_manifest/_table.props`):
+    * partition columns (which an EMPTY table cannot infer from its
+    * layout) and anything else create-time config wants to survive.
+    * Plain `k=v` lines; absent file = empty map. */
+  private val TablePropsFile = "_table.props"
+
+  def writeTableProps(spark: SparkSession, dir: String,
+      props: Map[String, String]): Unit = {
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.mkdirs(mDir)
+    val out = fsys.create(new Path(mDir, TablePropsFile), true)
+    try out.write(props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def tableProps(spark: SparkSession, dir: String): Map[String, String] = {
+    val f = new Path(new Path(dir, ManifestDir), TablePropsFile)
+    val fsys = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(f)) Map.empty
+    else {
+      val in = fsys.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap { l =>
+          l.split("=", 2) match {
+            case Array(k, v) if k.nonEmpty => Some(k -> v)
+            case _ => None
+          }
+        }.toMap
+      finally in.close()
+    }
+  }
+
+  /** The table's partition columns: the create-time sidecar when
+    * present (an empty table has no layout to infer from), else
+    * directory-layout inference. */
+  def tablePartitionCols(spark: SparkSession, dir: String): Seq[String] =
+    tableProps(spark, dir).get("partitionCols") match {
+      case Some(cs) => cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => scanWithIndex(spark, dir)._2
+        .partitionSchema.fieldNames.toSeq
+    }
+
+  /** The manifest entry schema [[statsAggs]] would produce for this
+    * configuration — built WITHOUT data, for committing an EMPTY table
+    * (CREATE TABLE before any INSERT): one 0-row checkpoint in exactly
+    * the schema later incremental updates expect. */
+  private def emptyEntrySchema(schema: StructType, statsCols: Seq[String],
+      bloomCols: Seq[String]): StructType = {
+    val kept = statsCols.filter(c => domOf(schema(c).dataType).isDefined)
+    val cntCols = (kept ++ bloomCols).distinct
+    val ranges = kept.flatMap { c =>
+      val (tag, dt) = domOf(schema(c).dataType).get match {
+        case 'L' => ("l", LongType: DataType)
+        case 'D' => ("d", DoubleType: DataType)
+        case 'S' => ("s", StringType: DataType)
+      }
+      Seq(StructField(s"${tag}min__$c", dt), StructField(s"${tag}max__$c", dt))
+    }
+    val sums = kept.filter(c => sumable(schema(c).dataType))
+      .map(c => StructField(s"sum__$c", LongType))
+    val cnts = cntCols.map(c => StructField(s"cnt__$c", LongType))
+    val blooms = bloomCols.map(c => StructField(s"bloom__$c", BinaryType))
+    StructType(
+      StructField("file", StringType) +: StructField("rows", LongType) +:
+        StructField("flen", LongType) +: (ranges ++ sums ++ cnts ++ blooms))
+  }
+
+  /** CREATE a manifested table with no data yet: a 0-entry checkpoint
+    * version carrying the authoritative schema sidecar and create-time
+    * table props. The first INSERT reconciles incrementally like any
+    * append — the entry schema here matches [[statsAggs]]' exactly. */
+  def createEmpty(spark: SparkSession, dir: String, schema: StructType,
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil): Long = {
+    val missing = (statsCols ++ bloomCols ++ partitionCols)
+      .filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"createEmpty: columns not in the schema: ${missing.mkString(", ")}")
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "createEmpty: a manifested table needs at least one stats or " +
+        "bloom column")
+    val dirPath = new Path(dir)
+    val fsys = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.mkdirs(dirPath)
+    writeTableProps(spark, dir, Map(
+      "partitionCols" -> partitionCols.mkString(","),
+      "statsCols" -> statsCols.mkString(","),
+      "bloomCols" -> bloomCols.mkString(",")))
+    // repartition(1), not coalesce: an emptyRDD has ZERO partitions and
+    // coalesce keeps it that way — zero tasks would write zero part
+    // files, and a checkpoint version must hold its (empty) entry file
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      emptyEntrySchema(schema, statsCols, bloomCols)).repartition(1)
+    commitVersion(spark, dir, empty, Set.empty, Some(schema), None)
   }
 
   def write(spark: SparkSession, dir: String, statsCols: Seq[String],
@@ -660,61 +1187,65 @@ object StatsManifest {
     val removedTrim = removed intersect listed.map(fileKey).toSet
     val dataFiles = listed.filterNot(p => removedTrim.contains(fileKey(p)))
     val mDir = new Path(dir, ManifestDir)
-    val existingParts = resolveParts(fsys, mDir)
-    if (existingParts.isEmpty) {
+    val latest = latestVersion(spark, dir)
+    // existing entry keys + stats schema — key-only fold (never the
+    // bloom-heavy full rows) or the legacy unversioned parts. An
+    // UNREADABLE latest (a foreign/garbage version dir squatting on a
+    // slot) degrades to a full rebuild, which self-heals by committing
+    // past it — reconciliation must never be wedged by junk.
+    val existing: Option[(Set[String], StructType)] =
+      try latest match {
+        case Some(l) => Some((keysAt(spark, dir, l),
+          entrySchemaAt(spark, dir, l)))
+        case None => legacyParts(fsys, mDir).map { parts =>
+          val lp = spark.read
+            .parquet(parts.map(_.toString).toIndexedSeq: _*)
+          (lp.select("file").collect().map(_.getString(0)).toSet, lp.schema)
+        }
+      } catch { case _: Exception => None }
+    if (existing.isEmpty) {
       write(spark, dir, statsCols, bloomCols, bloomBits)
       return UpdateResult(0L, dataFiles.length.toLong, 0L)
     }
-    val existing = spark.read.parquet(
-      existingParts.get.map(_.toString).toIndexedSeq: _*)
+    val (coveredAll, entrySchema) = existing.get
     val sidecar = schemaLatest(spark, dir)
     val df = sidecar match {
       case Some(s) => spark.read.schema(s).parquet(dir)
       case None => spark.read.parquet(dir)
     }
-    if (existing.schema.fieldNames.toSet !=
+    if (entrySchema.fieldNames.toSet !=
         expectedCols(df.schema, statsCols, bloomCols)) {
       // column set changed → the old entries can't be reused
       write(spark, dir, statsCols, bloomCols, bloomBits)
       return UpdateResult(0L, dataFiles.length.toLong, 0L)
     }
     val liveKeys = dataFiles.map(fileKey).toSet
-    // driver-side carry-over: the manifest is O(files × cols) — a few MB
-    // at 100k files — and an `isin` of 100k keys would be a plan-size
-    // blowup for no gain when the merge materializes on the driver anyway
-    val fileIdx = existing.schema.fieldIndex("file")
-    val existingRows = existing.collect()
-    // invalidated entries are treated as never-covered: carried drops
-    // them, the scan below recomputes them from the rewritten bytes
-    val coveredKeys = existingRows.map(_.getString(fileIdx)).toSet -- invalidate
-    val carriedRows = existingRows.filter { r =>
-      val k = r.getString(fileIdx)
-      liveKeys.contains(k) && !invalidate.contains(k)
-    }
+    // invalidated entries are treated as never-covered: the delta
+    // deletes them, the scan below recomputes them from the rewritten
+    // bytes (an add with the same key replaces within one version)
+    val coveredKeys = coveredAll -- invalidate
     val newPaths = dataFiles.filter(p => !coveredKeys.contains(fileKey(p)))
-    val freshOpt =
-      if (newPaths.isEmpty) None
+    // the DELTA: entries whose file vanished (or was invalidated)
+    // leave; fresh stats for uncovered files enter — O(delta), never a
+    // rewrite of the carried set (the checkpoint cadence amortizes the
+    // fold; a per-micro-batch streaming sink commits flat forever)
+    val deletes = (coveredAll -- liveKeys) ++ (invalidate intersect coveredAll)
+    val fresh =
+      if (newPaths.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else {
         // basePath keeps Hive-partition columns derivable from the paths
         // even though only the NEW files are listed explicitly
         val nd = spark.read.option("basePath", dir).schema(df.schema)
           .parquet(newPaths.map(_.toString).toIndexedSeq: _*)
         val aggs = statsAggs(df.schema, statsCols, bloomCols, bloomBits)
-        Some(nd.groupBy(fileKeyCol)
-          .agg(aggs.head, aggs.tail: _*))
+        // align fresh columns to the stored order (a caller may pass
+        // statsCols in a different order than the original write)
+        nd.groupBy(fileKeyCol).agg(aggs.head, aggs.tail: _*)
+          .select(entrySchema.fieldNames.map(col).toIndexedSeq: _*)
+          .collect()
       }
-    // fresh stats materialize BEFORE overwriting (their plan reads new
-    // data files only, but collecting first keeps the overwrite atomic
-    // w.r.t. this computation); carried rows are already on the driver
-    // align fresh columns to the stored order (a caller may pass
-    // statsCols in a different order than the original write)
-    val rows = carriedRows ++ freshOpt
-      .map(_.select(existing.schema.fieldNames.map(col).toIndexedSeq: _*)
-        .collect())
-      .getOrElse(Array.empty)
-    val mergedDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), existing.schema)
-    commitVersion(spark, dir, mergedDf, removedTrim, sidecar)
+    commitDelta(spark, dir, fresh.toIndexedSeq, entrySchema, deletes,
+      removedTrim, sidecar, expected = None)
     UpdateResult(
       reused = (coveredKeys intersect liveKeys).size.toLong,
       scanned = newPaths.length.toLong,
@@ -779,11 +1310,11 @@ object StatsManifest {
       * or abort. Returns unit; every non-disjoint shape throws. */
     def checkDisjoint(analyzedV: Long, latestV: Long): Unit = {
       val filesAtAnalyzed =
-        try readAt(spark, dir, analyzedV).keySet
+        try keysAt(spark, dir, analyzedV)
         catch { case _: Exception => conflict(
           s"analyzed version $analyzedV is no longer retained " +
             "(vacuumed during the op)") }
-      val filesAtLatest = readAt(spark, dir, latestV).keySet
+      val filesAtLatest = keysAt(spark, dir, latestV)
       val removedInterim =
         removedAt(spark, dir, latestV) -- removedAt(spark, dir, analyzedV)
       val hit = removeKeys intersect removedInterim
@@ -805,17 +1336,17 @@ object StatsManifest {
         conflict("a concurrent commit changed the table schema")
     }
 
-    val parts = resolveParts(fsys, mDir).getOrElse(throw
+    val latest0 = latestVersion(spark, dir).getOrElse(throw
       new IllegalStateException(
         s"commitFileOps: $dir is not a manifested table"))
-    val existing = spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+    val entrySchema = entrySchemaAt(spark, dir, latest0)
     val sidecar = schemaLatest(spark, dir)
     val schema = sidecar.getOrElse(spark.read.parquet(dir).schema)
-    require(existing.schema.fieldNames.toSet ==
+    require(entrySchema.fieldNames.toSet ==
       expectedCols(schema, statsCols, bloomCols),
       "commitFileOps: statsCols/bloomCols don't match the existing " +
         "manifest's column set — rebuild with write() first")
-    val fileIdx = existing.schema.fieldIndex("file")
+    val fileIdx = entrySchema.fieldIndex("file")
     val (freshRows, addedRows) =
       if (adds.isEmpty) (Array.empty[org.apache.spark.sql.Row], 0L)
       else {
@@ -825,11 +1356,11 @@ object StatsManifest {
           .parquet(adds.map(_._1.toString).toIndexedSeq: _*)
         val aggs = statsAggs(schema, statsCols, bloomCols, bloomBits)
         val fresh = staged.groupBy(fileKeyCol).agg(aggs.head, aggs.tail: _*)
-          .select(existing.schema.fieldNames.map(col).toIndexedSeq: _*)
+          .select(entrySchema.fieldNames.map(col).toIndexedSeq: _*)
           .collect()
         // re-key staged paths to the final keys the caller will rename to
         val finalKey = adds.map { case (p, k) => fileKey(p) -> k }.toMap
-        val rowsIdx = existing.schema.fieldIndex("rows")
+        val rowsIdx = entrySchema.fieldIndex("rows")
         val rekeyed = fresh.map { r =>
           val vals = r.toSeq.toArray
           vals(fileIdx) = finalKey.getOrElse(r.getString(fileIdx),
@@ -840,30 +1371,21 @@ object StatsManifest {
         }
         (rekeyed, fresh.map(_.getLong(rowsIdx)).sum)
       }
-    // rebase loop: carried entries and the removed set are rebuilt from
-    // the CURRENT latest each attempt (a disjoint racer's adds and
-    // tombstones carry straight through); the fresh stats derive from
-    // the staged bytes only and never change across rebases
+    // rebase loop: the commit is a pure DELTA (fresh adds + tombstoned
+    // keys), so a disjoint racer's adds and tombstones carry through BY
+    // CONSTRUCTION — nothing is re-materialized per attempt; the fresh
+    // stats derive from the staged bytes only and never change
     var attempts = 0
     while (true) {
-      val latestV = versions(spark, dir).lastOption
+      val latestV = latestVersion(spark, dir)
       (expectedVersion, latestV) match {
         case (Some(a), Some(l)) if a != l => checkDisjoint(a, l)
         case _ => ()
       }
-      val curParts = resolveParts(fsys, mDir).getOrElse(throw
-        new IllegalStateException(
-          s"commitFileOps: $dir is not a manifested table"))
-      val cur = spark.read.parquet(curParts.map(_.toString).toIndexedSeq: _*)
-      val carried = cur.collect()
-        .filterNot(r => removeKeys.contains(r.getString(fileIdx)))
       val removed = removedLatest(spark, dir) ++ removeKeys
-      val mergedDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          (carried ++ freshRows).toIndexedSeq, 1),
-        existing.schema)
       try {
-        return (commitVersion(spark, dir, mergedDf, removed, sidecar,
+        return (commitDelta(spark, dir, freshRows.toIndexedSeq,
+          entrySchema, removeKeys, removed, sidecar,
           if (expectedVersion.isDefined) latestV else None), addedRows)
       } catch {
         case cme: java.util.ConcurrentModificationException =>
@@ -878,27 +1400,50 @@ object StatsManifest {
 
   /** Reconstruct the (statsCols, bloomCols) a manifest was built with —
     * lets SQL DML commands run against any manifested table without the
-    * caller restating the stats configuration. */
+    * caller restating the stats configuration. Schema-only (parquet
+    * footer of the base checkpoint): the column NAMES encode the
+    * configuration — `?min__c` ⟹ stats column, `bloom__c` ⟹ bloom
+    * column — so no manifest row ever reads. */
   def manifestColumns(spark: SparkSession,
       dir: String): (Seq[String], Seq[String]) = {
-    val cols = read(spark, dir).values.headOption
-      .map(_.cols).getOrElse(Map.empty)
-    (cols.collect { case (c, s) if s.dom != 'B' => c }.toSeq.sorted,
-      cols.collect { case (c, s) if s.bloom != null || s.dom == 'B' => c }
-        .toSeq.sorted)
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = latestVersion(spark, dir) match {
+      case Some(l) => entrySchemaAt(spark, dir, l)
+      case None => legacyParts(fsys, mDir) match {
+        case Some(parts) => spark.read
+          .parquet(parts.map(_.toString).toIndexedSeq: _*).schema
+        case None => throw new IllegalStateException(
+          s"StatsManifest.manifestColumns: no manifest under $mDir")
+      }
+    }
+    val names = schema.fieldNames
+    val stats = names.collect {
+      case n if n.startsWith("lmin__") => n.stripPrefix("lmin__")
+      case n if n.startsWith("dmin__") => n.stripPrefix("dmin__")
+      case n if n.startsWith("smin__") => n.stripPrefix("smin__")
+    }
+    val blooms = names.collect {
+      case n if n.startsWith("bloom__") => n.stripPrefix("bloom__")
+    }
+    (stats.toSeq.sorted, blooms.toSeq.sorted)
   }
 
-  /** Driver-side manifest read: file name → stats. The part files are
-    * listed explicitly (a directory path starting with `_` trips
-    * DataSource's advisory "all paths were ignored" warning on every
-    * read even though explicit paths are still served). */
+  /** Driver-side manifest read: file name → stats, at the LATEST
+    * version (fold of its base checkpoint + delta chain) or the legacy
+    * unversioned layout. */
   def read(spark: SparkSession, dir: String): Map[String, FileStats] = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = resolveParts(fsys, mDir).getOrElse(
-      throw new IllegalStateException(
-        s"StatsManifest.read: no manifest under $mDir"))
-    readParts(spark, parts)
+    latestVersion(spark, dir) match {
+      case Some(l) => readAt(spark, dir, l)
+      case None =>
+        val parts = legacyParts(fsys, mDir).getOrElse(
+          throw new IllegalStateException(
+            s"StatsManifest.read: no manifest under $mDir"))
+        val m = spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+        decodeRows(m.schema, m.collect())
+    }
   }
 
   /** The manifest exactly as version `v` committed it — the stats (and
@@ -909,18 +1454,16 @@ object StatsManifest {
     val fsys = vDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fsys.exists(vDir),
       s"StatsManifest.readAt: version $version does not exist (expired?)")
-    readParts(spark, fsys.listStatus(vDir).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).toSeq)
+    val df = entriesAt(spark, dir, version)
+    decodeRows(df.schema, df.collect())
   }
 
-  private def readParts(spark: SparkSession,
-      parts: Seq[Path]): Map[String, FileStats] = {
-    require(parts.nonEmpty, "StatsManifest: empty manifest version")
-    val m = spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
-    val fields = m.schema.fieldNames.toSet
+  private def decodeRows(schema: StructType,
+      rows: Array[org.apache.spark.sql.Row]): Map[String, FileStats] = {
+    val fields = schema.fieldNames.toSet
     // every stats/bloom column carries a cnt__; the domain is whichever
     // range pair exists for it ('B' = bloom-only, no range kept)
-    val statCols = m.schema.fieldNames.collect {
+    val statCols = schema.fieldNames.collect {
       case f if f.startsWith("cnt__") =>
         val c = f.stripPrefix("cnt__")
         val dom =
@@ -930,9 +1473,13 @@ object StatsManifest {
           else 'B'
         (c, dom)
     }
-    m.collect().map { r =>
+    rows.map { r =>
       val file = r.getAs[String]("file")
-      val rows = r.getAs[Long]("rows")
+      val nRows = r.getAs[Long]("rows")
+      val flen =
+        if (fields("flen") && !r.isNullAt(r.fieldIndex("flen")))
+          r.getAs[Long]("flen")
+        else -1L
       val cols = statCols.map { case (c, dom) =>
         val nn = r.getAs[Long](s"cnt__$c")
         val bloom =
@@ -966,7 +1513,7 @@ object StatsManifest {
           }
         c -> st
       }.toMap
-      file -> FileStats(rows, cols)
+      file -> FileStats(nRows, cols, flen)
     }.toMap
   }
 
@@ -1106,6 +1653,113 @@ object StatsManifest {
 
   private def isAscii(s: String): Boolean =
     s != null && s.forall(_ < 0x80)
+
+  /** A Catalyst comparison as the v1 `sources.Filter` a parquet reader
+    * takes for row-group skipping — the inverse of [[filterToCatalyst]],
+    * restricted to the same shape set (None = not translatable = no
+    * row-group skip; the caller's residual evaluation stays exact).
+    * Literals convert back to EXTERNAL values (UTF8String → String,
+    * epoch days → java.sql.Date …), the v1 contract. */
+  private[graft] def catalystToFilter(
+      e: Expression): Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.{sources => s}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+    def ext(l: Literal): Any = convertToScala(l.value, l.dataType)
+    e match {
+      case EqualTo(a: Attribute, l: Literal) =>
+        Some(s.EqualTo(a.name, ext(l)))
+      case EqualTo(l: Literal, a: Attribute) =>
+        Some(s.EqualTo(a.name, ext(l)))
+      case GreaterThan(a: Attribute, l: Literal) =>
+        Some(s.GreaterThan(a.name, ext(l)))
+      case GreaterThan(l: Literal, a: Attribute) =>
+        Some(s.LessThan(a.name, ext(l)))
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        Some(s.GreaterThanOrEqual(a.name, ext(l)))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        Some(s.LessThanOrEqual(a.name, ext(l)))
+      case LessThan(a: Attribute, l: Literal) =>
+        Some(s.LessThan(a.name, ext(l)))
+      case LessThan(l: Literal, a: Attribute) =>
+        Some(s.GreaterThan(a.name, ext(l)))
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        Some(s.LessThanOrEqual(a.name, ext(l)))
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        Some(s.GreaterThanOrEqual(a.name, ext(l)))
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(s.In(a.name,
+          vs.map(v => ext(v.asInstanceOf[Literal])).toArray))
+      case IsNull(a: Attribute) => Some(s.IsNull(a.name))
+      case IsNotNull(a: Attribute) => Some(s.IsNotNull(a.name))
+      case StartsWith(a: Attribute, l: Literal) =>
+        Some(s.StringStartsWith(a.name, ext(l).asInstanceOf[String]))
+      case And(l, r) => for {
+        a <- catalystToFilter(l)
+        b <- catalystToFilter(r)
+      } yield s.And(a, b)
+      case Or(l, r) => for {
+        a <- catalystToFilter(l)
+        b <- catalystToFilter(r)
+      } yield s.Or(a, b)
+      case Not(inner) => catalystToFilter(inner).map(s.Not)
+      case _ => None
+    }
+  }
+
+  /** A DSv2 `sources.Filter` as the Catalyst expression [[mayMatch]]
+    * evaluates — attribute types from `schema`, literals through
+    * `Literal.create` (the same external→internal conversion Catalyst
+    * applies, so dates become epoch days, timestamps micros, strings
+    * UTF8 — exactly the domains the manifest stores). None = shape or
+    * type we can't see through → no pruning, never a wrong skip. */
+  private[graft] def filterToCatalyst(f: org.apache.spark.sql.sources.Filter,
+      schema: StructType): Option[Expression] = {
+    import org.apache.spark.sql.{sources => s}
+    def attr(n: String): Option[AttributeReference] =
+      schema.find(_.name == n).map(sf =>
+        AttributeReference(sf.name, sf.dataType, sf.nullable)())
+    def pair(n: String, v: Any): Option[(AttributeReference, Literal)] =
+      if (v == null) None
+      else attr(n).flatMap(a =>
+        try Some((a, Literal.create(v, a.dataType)))
+        catch { case _: Exception => None })
+    f match {
+      case s.EqualTo(n, v) => pair(n, v).map { case (a, l) => EqualTo(a, l) }
+      case s.EqualNullSafe(n, v) if v != null =>
+        pair(n, v).map { case (a, l) => EqualNullSafe(a, l) }
+      case s.GreaterThan(n, v) =>
+        pair(n, v).map { case (a, l) => GreaterThan(a, l) }
+      case s.GreaterThanOrEqual(n, v) =>
+        pair(n, v).map { case (a, l) => GreaterThanOrEqual(a, l) }
+      case s.LessThan(n, v) =>
+        pair(n, v).map { case (a, l) => LessThan(a, l) }
+      case s.LessThanOrEqual(n, v) =>
+        pair(n, v).map { case (a, l) => LessThanOrEqual(a, l) }
+      case s.In(n, vs) if vs.forall(_ != null) =>
+        attr(n).flatMap { a =>
+          try Some(In(a, vs.toIndexedSeq
+            .map(v => Literal.create(v, a.dataType))))
+          catch { case _: Exception => None }
+        }
+      case s.IsNull(n) => attr(n).map(IsNull)
+      case s.IsNotNull(n) => attr(n).map(IsNotNull)
+      case s.StringStartsWith(n, p) =>
+        attr(n).map(a => StartsWith(a, Literal.create(p, StringType)))
+      case s.And(l, r) => for {
+        a <- filterToCatalyst(l, schema)
+        b <- filterToCatalyst(r, schema)
+      } yield And(a, b)
+      // Or prunes only when BOTH sides convert (a lost side would
+      // narrow an Or, which over-prunes)
+      case s.Or(l, r) => for {
+        a <- filterToCatalyst(l, schema)
+        b <- filterToCatalyst(r, schema)
+      } yield Or(a, b)
+      case s.Not(s.EqualTo(n, v)) =>
+        pair(n, v).map { case (a, l) => Not(EqualTo(a, l)) }
+      case _ => None
+    }
+  }
 
   // ---------------------------------------------------------------- //
   //  The pruning FileIndex + scan relation                            //

@@ -1365,7 +1365,7 @@ object Streams {
         // bootstrap: the first non-empty batch CREATES the manifested
         // table (idempotent under replay — overwrite mode)
         val exists =
-          graft.sources.StatsManifest.versions(spk, dir).nonEmpty
+          graft.sources.StatsManifest.latestVersion(spk, dir).isDefined
         if (!exists && !ups.isEmpty) {
           ups.write.mode("overwrite").parquet(dir)
           graft.sources.StatsManifest.write(spk, dir, statsCols)
@@ -1373,11 +1373,14 @@ object Streams {
           graft.sources.RowOps.upsert(spk, dir, ups, keys, statsCols,
             validate = false) // keep-last above guarantees uniqueness
         if (dels != null && !dels.isEmpty &&
-            graft.sources.StatsManifest.versions(spk, dir).nonEmpty)
+            graft.sources.StatsManifest.latestVersion(spk, dir).isDefined)
           graft.sources.RowOps.deleteKeys(spk, dir,
             dels.select(keys.map(col).toIndexedSeq: _*), keys, statsCols)
+        // lazy retention: per-batch cost stays O(delta) — the manifest
+        // log's own checkpoint cadence bounds the window at
+        // keep..keep+interval−1 versions without a per-batch fold
         graft.sources.StatsManifest.expire(spk, dir,
-          manifestVersionsToKeep, cdcVersionsToKeep)
+          manifestVersionsToKeep, cdcVersionsToKeep, exact = false)
         ()
       }
     checkpointDir.foreach(writer.option("checkpointLocation", _))
@@ -1405,8 +1408,10 @@ object Streams {
               .map(graft.sources.StatsManifest.fileKey).toSet)
           // each batch commits one manifest version; keep a bounded
           // time-travel window rather than a version per batch forever
+          // (lazy: no per-batch fold — overshoot bounded by the
+          // manifest log's checkpoint interval)
           graft.sources.StatsManifest.expire(batch.sparkSession, dir,
-            manifestVersionsToKeep)
+            manifestVersionsToKeep, exact = false)
         }
         ()
       }

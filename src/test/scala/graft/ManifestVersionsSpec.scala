@@ -89,6 +89,13 @@ class ManifestVersionsSpec extends AnyFunSuite {
       StatsManifest.update(spark, dir, Seq("k"))
     }
     assert(StatsManifest.versions(spark, dir) === Seq(1L, 2L, 3L, 4L))
+    // LAZY mode: v2..v4 are deltas folding onto the v1 checkpoint, so
+    // nothing below their base may drop — zero-cost refusal
+    assert(StatsManifest.expire(spark, dir, keep = 2, exact = false) === 0)
+    assert(StatsManifest.versions(spark, dir) === Seq(1L, 2L, 3L, 4L))
+    assert(StatsManifest.readAt(spark, dir, 3L).size === 6)
+    // EXACT mode (default): the boundary delta retro-materializes into
+    // a checkpoint, then exactly versions−keep drop
     assert(StatsManifest.expire(spark, dir, keep = 2) === 2)
     assert(StatsManifest.versions(spark, dir) === Seq(3L, 4L))
     intercept[IllegalArgumentException] {
