@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -64,9 +65,26 @@ final class ManifestStreamSource extends TableProvider
       new IllegalArgumentException(
         "graft-manifest-stream: 'path' option required"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StatsManifest.scanWithIndex(SparkSession.active,
+  /** The stream's OUTPUT schema: the table's columns, narrowed to
+    * `pushColumns` when set (projection pushdown via reader option —
+    * see [[ManifestStreamScanBuilder]] for why an option, not just the
+    * DSv2 ability). */
+  private def outSchema(options: CaseInsensitiveStringMap): StructType = {
+    val full = StatsManifest.scanWithIndex(SparkSession.active,
       path(options))._1.schema
+    Option(options.get("pushColumns")) match {
+      case Some(cs) =>
+        val names = cs.split(",").map(_.trim).filter(_.nonEmpty)
+        val missing = names.filterNot(full.fieldNames.contains)
+        require(missing.isEmpty, "graft-manifest-stream: pushColumns " +
+          s"not in the table schema: ${missing.mkString(", ")}")
+        StructType(full.filter(f => names.contains(f.name)))
+      case None => full
+    }
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    outSchema(options)
 
   override def getTable(schema: StructType,
       partitioning: Array[Transform],
@@ -74,28 +92,150 @@ final class ManifestStreamSource extends TableProvider
     val opts = new CaseInsensitiveStringMap(properties)
     new ManifestStreamTable(schema, path(opts),
       Option(opts.get("startingVersion")).map(_.toLong).getOrElse(0L),
-      opts.getBoolean("ignoreChanges", false))
+      opts.getBoolean("ignoreChanges", false),
+      Option(opts.get("pushFilter")))
   }
 }
 
-private final class ManifestStreamTable(schema: StructType, dir: String,
-    startingVersion: Long, ignoreChanges: Boolean)
+private final class ManifestStreamTable(outSchema: StructType,
+    dir: String, startingVersion: Long, ignoreChanges: Boolean,
+    pushFilterSql: Option[String])
     extends Table with SupportsRead {
   override def name(): String = s"graft-manifest-stream($dir)"
-  override def schema(): StructType = schema
+  override def schema(): StructType = outSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema
-        override def toMicroBatchStream(
-            checkpointLocation: String): MicroBatchStream =
-          new ManifestMicroBatchStream(schema, dir, startingVersion,
-            ignoreChanges)
+    new ManifestStreamScanBuilder(outSchema, dir, startingVersion,
+      ignoreChanges, pushFilterSql)
+}
+
+/** Pushdown on the STREAM scan — the batch path prunes by manifest
+  * stats and reads only required columns; a streaming reader of the
+  * same table deserves the same. Spark 4.1's micro-batch planner calls
+  * `newScanBuilder(options).build()` DIRECTLY (no V2ScanRelationPushDown
+  * for streaming relations — verified against MicroBatchExecution), so
+  * the DSv2 abilities alone never fire on this path. Hence two layers:
+  *
+  *  - reader OPTIONS, the connector-idiomatic route (how Kafka sources
+  *    take their pruning hints): `pushFilter` = a SQL boolean
+  *    expression applied EXACTLY at the source — per batch each ADDED
+  *    file's manifest stats refute whole files before a task launches
+  *    ([[StatsManifest.mayMatch]]), surviving files push the filter
+  *    into parquet for row-group skipping, and a residual per-row
+  *    evaluation guarantees exact semantics; `pushColumns` = the
+  *    source's output projection, so a stream wanting 2 of 40 columns
+  *    reads 2 columns.
+  *  - the DSv2 abilities (`SupportsPushDownFilters` /
+  *    `SupportsPushDownRequiredColumns`) stay wired: zero cost today,
+  *    automatic the day Spark pushes through streaming scans.
+  *
+  * Reference analogue: the scan-ability contracts
+  * (`flink-table-common/…/source/abilities/SupportsFilterPushDown.java`,
+  * `SupportsProjectionPushDown.java`) applied to the version-offset
+  * stream. */
+private final class ManifestStreamScanBuilder(outSchema: StructType,
+    dir: String, startingVersion: Long, ignoreChanges: Boolean,
+    pushFilterSql: Option[String])
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read
+      .SupportsPushDownRequiredColumns {
+  private var required: StructType = outSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters // ALL residual: skipping is best-effort refutation
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val (fullDf, idx) = StatsManifest.scanWithIndex(spark, dir)
+    val fullSchema = fullDf.schema
+    val partSchema = idx.partitionSchema
+    // ONE attribute set for the whole scan: the filter resolves against
+    // it, the reader's row layout indexes into it — exprIds line up by
+    // construction
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(fullSchema)
+    def attrsOf(st: StructType) = st.fieldNames.toSeq
+      .map(n => attrs(fullSchema.fieldIndex(n)))
+    val filterExpr: Option[Expression] = pushFilterSql.map { sql =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val plan = org.apache.spark.sql.catalyst.plans.logical.Filter(
+        parsed,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs))
+      val resolved = spark.sessionState.analyzer
+        .executeAndCheck(plan,
+          new org.apache.spark.sql.catalyst.QueryPlanningTracker)
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-manifest-stream: cannot resolve pushFilter '$sql'"))
+      // fold constant subtrees (the analyzer leaves type-coercion casts
+      // like `cast(5050 as bigint)` unfolded — only the optimizer folds
+      // them, and we run just the analyzer): the manifest pruner and
+      // the parquet translator both match bare Literals
+      resolved.transformUp {
+        case e if e.foldable &&
+            !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+              .Literal] =>
+          org.apache.spark.sql.catalyst.expressions
+            .Literal.create(e.eval(), e.dataType)
       }
     }
+    // output = engine-pruned required (defaults to the option-projected
+    // table schema), split data/partition; read = output data columns
+    // plus whatever data columns the filter needs (projected away after
+    // the residual evaluation)
+    val outputData = StructType(required.filterNot(f =>
+      partSchema.fieldNames.contains(f.name)))
+    val filterRefs = filterExpr.toSeq
+      .flatMap(_.references.toSeq.map(_.name)).toSet
+    val readData = StructType(fullSchema
+      .filterNot(f => partSchema.fieldNames.contains(f.name))
+      .filter(f => outputData.fieldNames.contains(f.name) ||
+        filterRefs.contains(f.name)))
+    val out = StructType(outputData ++ partSchema)
+    new Scan {
+      override def readSchema(): StructType = out
+      override def toMicroBatchStream(
+          checkpointLocation: String): MicroBatchStream =
+        new ManifestMicroBatchStream(fullSchema, readData, outputData,
+          partSchema, attrsOf(readData) ++ attrsOf(partSchema),
+          attrsOf(outputData) ++ attrsOf(partSchema),
+          filterExpr, pushed, dir, startingVersion, ignoreChanges)
+    }
+  }
+}
+
+private[graft] object ManifestStreamSource {
+  /** Last planInputPartitions pruning evidence (files kept / files
+    * added in the range) — a test hook, same spirit as
+    * `ManifestFileIndex.selected/total`. */
+  val lastPlanSelected = new java.util.concurrent.atomic.AtomicLong(-1L)
+  val lastPlanTotal = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** The stream ScanBuilder for OTHER front doors (the graft
+    * TableCatalog's `readStream.table("graft.db.t")`) — same options
+    * (`startingVersion`, `ignoreChanges`, `pushFilter`), same stream. */
+  def streamScanBuilder(schema: StructType, dir: String,
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestStreamScanBuilder(schema, dir,
+      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      options.getBoolean("ignoreChanges", false),
+      Option(options.get("pushFilter")))
 }
 
 /** Offset = the last fully-ingested manifest version. */
@@ -103,18 +243,46 @@ private final case class VersionOffset(version: Long) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
 
-private final class ManifestMicroBatchStream(schema: StructType,
+private final class ManifestMicroBatchStream(tableSchema: StructType,
+    readData: StructType, outputData: StructType, partSchema: StructType,
+    readAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+    outAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+    filterExpr: Option[
+      org.apache.spark.sql.catalyst.expressions.Expression],
+    pushed: Array[org.apache.spark.sql.sources.Filter],
     dir: String, startingVersion: Long, ignoreChanges: Boolean)
     extends MicroBatchStream {
   private val spark = SparkSession.active
 
+  // file-refutation shapes for the manifest pruner: the resolved
+  // pushFilter expression plus any engine-pushed v1 filters;
+  // unconvertible shapes drop out (keep-the-file default)
+  private val pushedExprs = filterExpr.toSeq ++ pushed.flatMap(
+    StatsManifest.filterToCatalyst(_, tableSchema)).toSeq
+
+  // the pushFilter's conjuncts as v1 filters for parquet row-group
+  // skipping inside surviving files (non-translatable conjuncts just
+  // don't skip; the residual evaluation stays exact)
+  private val parquetFilters: Seq[org.apache.spark.sql.sources.Filter] = {
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+    pushed.toSeq ++ filterExpr.toSeq.flatMap(conjuncts)
+      .flatMap(StatsManifest.catalystToFilter)
+  }
+
   override def initialOffset(): Offset =
     VersionOffset(math.max(0L, startingVersion - 1L))
 
-  override def latestOffset(): Offset = {
-    val vs = StatsManifest.versions(spark, dir)
-    VersionOffset(vs.lastOption.getOrElse(0L))
-  }
+  override def latestOffset(): Offset =
+    // hint-probed O(log) resolution — this runs per trigger, and a
+    // full directory listing per trigger is the O(versions) curve the
+    // manifest log checkpointing removed
+    VersionOffset(StatsManifest.latestVersion(spark, dir).getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset = {
     val m = """"version"\s*:\s*(\d+)""".r
@@ -153,23 +321,41 @@ private final class ManifestMicroBatchStream(schema: StructType,
           "or ignoreChanges=true to stream just the added files " +
           "(rewritten rows will re-emit).")
     }
-    val idx = StatsManifest.scanWithIndex(spark, dir)._2
-    val partSchema = idx.partitionSchema
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val rootKey = StatsManifest.fileKey(fs.makeQualified(new Path(dir)))
-    (after.keySet -- before.keySet).toArray.sorted.map { key =>
-      val p = new Path(key)
-      // a vanished added file means retention (vacuum / physical
-      // rewrite) outran the stream — emitting zero rows here would
-      // silently break exactly-once, so fail loudly like filesAt()
-      val len =
-        if (fs.exists(p)) fs.getFileStatus(p).getLen
-        else throw new IllegalStateException(
-          s"graft-manifest-stream: added file $key of versions " +
-            s"($s, $e] no longer exists — the table was vacuumed or " +
-            "physically rewritten past the stream's position; re-seed " +
-            "from a fresh startingVersion")
+    val added = (after.keySet -- before.keySet).toArray.sorted
+    // file-level pruning, the streaming twin of the batch
+    // ManifestFileIndex: an added file whose stats refute every pushed
+    // filter never becomes a partition (refutation-only — missing
+    // stats or unknown shapes keep the file)
+    val kept =
+      if (pushedExprs.isEmpty) added
+      else added.filter { key =>
+        val st = after(key)
+        pushedExprs.forall(StatsManifest.mayMatch(_, st))
+      }
+    ManifestStreamSource.lastPlanTotal.set(added.length.toLong)
+    ManifestStreamSource.lastPlanSelected.set(kept.length.toLong)
+    kept.map { key =>
+      // file length comes from the manifest entry itself (carried at
+      // write time) — offset→partitions is then a pure metadata read,
+      // no per-added-file getFileStatus RPC per batch; pre-`flen`
+      // manifests fall back to a live stat, which doubles as the
+      // fail-loudly retention check (a vanished added file means
+      // vacuum / physical rewrite outran the stream — emitting zero
+      // rows would silently break exactly-once)
+      val len = after(key).len match {
+        case l if l >= 0L => l
+        case _ =>
+          val p = new Path(key)
+          if (fs.exists(p)) fs.getFileStatus(p).getLen
+          else throw new IllegalStateException(
+            s"graft-manifest-stream: added file $key of versions " +
+              s"($s, $e] no longer exists — the table was vacuumed or " +
+              "physically rewritten past the stream's position; re-seed " +
+              "from a fresh startingVersion")
+      }
       // Hive-partition values synthesize from the file's path, exactly
       // like the batch scan
       val rel = key.stripPrefix(rootKey).stripPrefix("/")
@@ -206,9 +392,7 @@ private final class ManifestMicroBatchStream(schema: StructType,
   // built ONCE per stream (the schema is pinned at start): a fresh
   // SessionState per micro-batch would be needless driver work
   private lazy val readerFactory: PartitionReaderFactory = {
-    val idx = StatsManifest.scanWithIndex(spark, dir)._2
-    val partSchema = idx.partitionSchema
-    val dataSchema = StructType(schema.filterNot(f =>
+    val dataSchema = StructType(tableSchema.filterNot(f =>
       partSchema.fieldNames.contains(f.name)))
     // row-based reader: the DSv2 row contract is per-record, and the
     // vectorized path's batches-as-rows cast is FileSourceScanExec-only
@@ -217,11 +401,19 @@ private final class ManifestMicroBatchStream(schema: StructType,
       .newSession()
     rowSession.conf.set("spark.sql.parquet.enableVectorizedReader",
       "false")
+    // readData (not dataSchema): projection pushdown — the parquet
+    // reader materializes only the needed columns; translated filters
+    // ride in for row-group skipping inside surviving files
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      rowSession, dataSchema, partSchema, dataSchema, Seq.empty,
-      Map.empty, rowSession.sessionState
+      rowSession, dataSchema, partSchema, readData,
+      parquetFilters, Map.empty, rowSession.sessionState
         .newHadoopConfWithOptions(Map.empty))
-    new ManifestStreamReaderFactory(readFunc)
+    // residual filter + final projection run per row on the executor;
+    // skip the wrapper entirely when neither applies
+    val identity = filterExpr.isEmpty &&
+      readAttrs.map(_.exprId) == outAttrs.map(_.exprId)
+    new ManifestStreamReaderFactory(readFunc,
+      if (identity) None else Some((filterExpr, readAttrs, outAttrs)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -235,15 +427,36 @@ private final case class ManifestFilePartition(file: PartitionedFile)
     extends InputPartition
 
 private final class ManifestStreamReaderFactory(
-    readFunc: PartitionedFile => Iterator[InternalRow])
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    /** (residual filter, reader row attrs, output attrs) — evaluated
+      * per row ON THE EXECUTOR; the codegen'd predicate/projection are
+      * built per partition from the serializable expressions. */
+    residual: Option[(
+      Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      Seq[org.apache.spark.sql.catalyst.expressions.Attribute])])
     extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
-    val it = readFunc(p.asInstanceOf[ManifestFilePartition].file)
+    val raw = readFunc(p.asInstanceOf[ManifestFilePartition].file)
+    val it = residual match {
+      case None => raw
+      case Some((fe, readAttrs, outAttrs)) =>
+        val filtered = fe match {
+          case Some(e) =>
+            val pred = org.apache.spark.sql.catalyst.expressions
+              .Predicate.create(e, readAttrs)
+            raw.filter(pred.eval)
+          case None => raw
+        }
+        val proj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(outAttrs, readAttrs)
+        filtered.map(proj)
+    }
     new PartitionReader[InternalRow] {
       override def next(): Boolean = it.hasNext
       override def get(): InternalRow = it.next()
-      override def close(): Unit = it match {
+      override def close(): Unit = raw match {
         case c: AutoCloseable => c.close()
         case _ => ()
       }

@@ -149,4 +149,68 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
         Array((0, 100L), (1, 100L), (2, 100L)))
     } finally { q.stop(); q.awaitTermination() }
   }
+
+  test("filter pushdown prunes whole ADDED files per batch by manifest " +
+      "stats; projection pushdown narrows the parquet read") {
+    val dir = mk() // v1: k ∈ [0,100) in 2 files
+    append(dir, 1000L, 1100L) // v2: one file, k ∈ [1000,1100)
+    append(dir, 5000L, 5100L) // v3: one file, k ∈ [5000,5100)
+    n += 1
+    val sink = s"mstream_sink_$n"
+    // filter refutable by stats for 3 of the 4 files; project k only.
+    // Reader options, not .where/.select: Spark's micro-batch planner
+    // builds the scan without pushdown rules, so the option IS the
+    // pushdown surface (and is applied exactly, not just for skipping)
+    val q = spark.readStream.format("graft-manifest-stream")
+      .option("pushFilter", "k >= 5050").option("pushColumns", "k")
+      .load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // correctness: exactly the matching rows
+      assert(spark.table(sink).count() === 50L)
+      assert(spark.table(sink).agg(min("k"), max("k"))
+        .as[(Long, Long)].head() === ((5050L, 5099L)))
+      // file-level pruning evidence: the initial batch spans v1..v3
+      // (4 added files), and only the k∈[5000,5100) file survives
+      assert(graft.sources.ManifestStreamSource.lastPlanTotal.get() === 4L)
+      assert(graft.sources.ManifestStreamSource.lastPlanSelected.get() === 1L)
+      // projection: the stream's scan schema carries only k
+      assert(spark.table(sink).schema.fieldNames === Array("k"))
+      // late appends prune per batch too
+      append(dir, 9000L, 9010L) // v4: refuted (k < 5050 is false... kept)
+      append(dir, 10L, 20L) // v5: refuted by stats
+      q.processAllAvailable()
+      assert(graft.sources.ManifestStreamSource.lastPlanSelected.get()
+        < graft.sources.ManifestStreamSource.lastPlanTotal.get())
+      assert(spark.table(sink).count() === 60L) // + the 10 v4 rows
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("pushdown stays refutation-only: residual filters re-apply, " +
+      "unknown shapes keep files, results match the batch scan") {
+    val dir = mk()
+    append(dir, 200L, 300L)
+    n += 1
+    val sink = s"mstream_sink_$n"
+    // m is NOT a stats column and k % 2 is not a refutable shape → no
+    // file may prune; the pushFilter must still apply EXACTLY via the
+    // per-row residual evaluation
+    val q = spark.readStream.format("graft-manifest-stream")
+      .option("pushFilter", "m = -1 AND k % 2 = 0")
+      .load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val expect = StatsManifest.scan(spark, dir)
+        .where(col("m") === -1L && col("k") % 2 === 0).count()
+      assert(spark.table(sink).count() === expect)
+      assert(expect === 50L)
+      // no file pruned: refutation-only means unknown shapes keep files
+      assert(graft.sources.ManifestStreamSource.lastPlanSelected.get() ===
+        graft.sources.ManifestStreamSource.lastPlanTotal.get())
+    } finally { q.stop(); q.awaitTermination() }
+  }
 }
