@@ -165,7 +165,12 @@ object GraftDml {
   private def refreshRelation(spark: SparkSession, dir: String,
       table: Option[String]): Unit = {
     spark.catalog.refreshByPath(dir)
-    table.foreach(spark.catalog.refreshTable)
+    // best-effort: graft-catalog idents resolve to a FRESH scan on
+    // every query (the swap rule reads the manifest per resolution),
+    // so a refreshTable miss on a v2 ident costs nothing
+    table.foreach(t =>
+      try spark.catalog.refreshTable(t)
+      catch { case _: Exception => () })
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -307,8 +312,9 @@ object GraftDml {
             .select(schema.map(f =>
               col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
         }
-      val partCols = StatsManifest.scanWithIndex(spark, dir)
-        ._2.partitionSchema.fieldNames.toSeq
+      // create-time props first: an EMPTY table (CREATE then INSERT)
+      // has no directory layout to infer partition columns from
+      val partCols = StatsManifest.tablePartitionCols(spark, dir)
       val writer0 = aligned.write.mode(
         if (overwrite) "overwrite" else "append")
       val writer = if (partCols.isEmpty) writer0

@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DML (DELETE/UPDATE/MERGE) over manifested tables → RowOps
     // commands; fires during resolution, before the v1-relation check
     ext.injectResolutionRule(spark => GraftDmlRule(spark))
+    // graft TableCatalog seam: swap resolved graft.db.t relations onto
+    // the pruned V1 scan (same attr ids), route catalog INSERT/CTAS
+    // through the manifest-committing commands
+    ext.injectResolutionRule(spark => GraftCatalogRule(spark))
     // VERSION AS OF / TIMESTAMP AS OF on manifested tables — must run
     // BEFORE the Resolution batch (ResolveRelations throws for v1 time
     // travel instead of leaving the node), hence the hint batch

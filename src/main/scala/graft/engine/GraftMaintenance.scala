@@ -42,6 +42,17 @@ object GraftMaintenance {
 
   private def ident(s: String): String = s.replace("`", "")
 
+  /** refreshByPath invalidates the scan state; refreshTable is
+    * best-effort — graft-catalog (v2) idents resolve to a FRESH scan
+    * per query anyway, and Spark's classic Catalog.refreshTable cannot
+    * walk every v2 ident shape. */
+  private def refreshTarget(spark: SparkSession, dir: String,
+      table: String): Unit = {
+    spark.catalog.refreshByPath(dir)
+    try spark.catalog.refreshTable(table)
+    catch { case _: Exception => () }
+  }
+
   /** The manifested dir behind a catalog table name (resolved through
     * the session's analyzer — same path a query takes). */
   private def dirOf(spark: SparkSession, table: String): String =
@@ -67,8 +78,7 @@ object GraftMaintenance {
           Layout.compactSmall(spark, dir, sc, bloomCols = bc,
             deferDelete = true)
         }
-      spark.catalog.refreshByPath(dir)
-      spark.catalog.refreshTable(table)
+      refreshTarget(spark, dir, table)
       Seq(Row(before, after))
     }
   }
@@ -82,8 +92,7 @@ object GraftMaintenance {
     override def run(spark: SparkSession): Seq[Row] = {
       val dir = dirOf(spark, table)
       val n = StatsManifest.expire(spark, dir, keep)
-      spark.catalog.refreshByPath(dir)
-      spark.catalog.refreshTable(table)
+      refreshTarget(spark, dir, table)
       Seq(Row(n, StatsManifest.versions(spark, dir).length.toLong))
     }
   }

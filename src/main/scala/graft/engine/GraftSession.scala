@@ -31,6 +31,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft_warehouse")
+      // the graft TableCatalog: CREATE/DROP/ALTER/DML/time travel on
+      // graft.db.t names, backed by manifested table dirs under the
+      // warehouse (override per-deployment via
+      // spark.sql.catalog.graft.warehouse)
+      .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
       .config("spark.ui.enabled", "false")
     master.fold(b)(m => b.master(m))
   }

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.StatsManifest
+
+/** The graft `TableCatalog` (round 11): `graft.db.t` names resolve
+  * catalog-natively — DDL (CREATE/CTAS/ALTER/DROP/RENAME), the whole
+  * DML matrix, time travel, maintenance statements and streaming reads
+  * all run with ZERO `OPTIONS (path …)` plumbing, against the same
+  * manifested-table layout and the same pruned V1 scan as every other
+  * front door (the swap in `GraftCatalogRule` preserves output
+  * attribute ids, so one engine path serves all names). */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private var n = 0
+  private def tbl(): String = {
+    n += 1
+    val t = s"graft.default.cat_t$n"
+    // the warehouse outlives JVMs (fixed tmp dir): stay idempotent
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_renamed")
+    t
+  }
+
+  test("CREATE TABLE + INSERT INTO: empty table commits v1, inserts " +
+      "reconcile incrementally, reads prune by the manifest") {
+    val t = tbl()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, m BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    assert(spark.table(t).count() === 0L)
+    spark.sql(s"INSERT INTO $t SELECT id, id % 7 FROM range(1000)")
+    spark.sql(s"INSERT INTO $t SELECT id + 100000, 0L FROM range(1000)")
+    assert(spark.table(t).count() === 2000L)
+    assert(spark.sql(s"SELECT sum(m) FROM $t WHERE k < 1000")
+      .as[Long].head() === (0L until 1000L).map(_ % 7).sum)
+    // the scan is the pruned V1 relation (manifest file index)
+    val analyzed = spark.table(t).queryExecution.analyzed
+    val pruned = analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+            lr.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.isInstanceOf[StatsManifest.ManifestFileIndex] => lr
+    }
+    assert(pruned.isDefined,
+      "catalog reads must resolve to the manifest-pruned scan")
+    // INSERT OVERWRITE replaces contents
+    spark.sql(s"INSERT OVERWRITE $t SELECT id, -1L FROM range(10)")
+    assert(spark.table(t).count() === 10L)
+    spark.sql(s"DROP TABLE $t")
+    assert(!spark.catalog.tableExists(t))
+  }
+
+  test("CTAS, partitioned CTAS with zorder props: partition pruning " +
+      "and manifest pruning compose on a catalog name") {
+    val t = tbl()
+    spark.sql(s"CREATE TABLE $t PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('statsCols' = 'k', 'zorder' = 'k', " +
+      "'numFiles' = '4') " +
+      "AS SELECT id AS k, id % 3 AS p FROM range(3000)")
+    assert(spark.table(t).count() === 3000L)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE p = 1")
+      .as[Long].head() === 1000L)
+    // partition column synthesized from the Hive layout
+    val sc = spark.table(t).where(col("p") === 2 && col("k") < 10)
+    assert(sc.count() === 3L) // k < 10 ∧ k % 3 == 2 → {2, 5, 8}
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("DML matrix on catalog names: DELETE, UPDATE, MERGE, and the " +
+      "changefeed TVF — zero OPTIONS") {
+    val t = tbl()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, m BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql(s"INSERT INTO $t SELECT id, id % 7 FROM range(2000)")
+    spark.sql(s"DELETE FROM $t WHERE k < 100")
+    assert(spark.table(t).count() === 1900L)
+    spark.sql(s"UPDATE $t SET m = -5 WHERE k BETWEEN 100 AND 199")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE m = -5")
+      .as[Long].head() === 100L)
+    spark.range(1950, 2050).selectExpr("id AS k", "99L AS m")
+      .createOrReplaceTempView("cat_dml_src")
+    spark.sql(s"MERGE INTO $t USING cat_dml_src s ON $t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    // 1950..1999 matched (replaced), 2000..2049 inserted
+    assert(spark.table(t).count() === 1950L)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE m = 99")
+      .as[Long].head() === 100L)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE m = -5")
+      .as[Long].head() === 100L)
+    // the CDC TVF accepts the catalog name
+    val changes = spark.sql(
+      s"SELECT * FROM graft_changes('$t', 1)")
+    assert(changes.where(col("_change_type") === "delete")
+      .count() >= 100L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("time travel on catalog names: VERSION AS OF and TIMESTAMP AS " +
+      "OF resolve snapshots") {
+    val t = tbl()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, m BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql(s"INSERT INTO $t SELECT id, 0L FROM range(100)") // v2
+    spark.sql(s"DELETE FROM $t WHERE k < 50") // v3
+    assert(spark.table(t).count() === 50L)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 2")
+      .as[Long].head() === 100L)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1")
+      .as[Long].head() === 0L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $t TIMESTAMP AS OF '2099-01-01'")
+      .as[Long].head() === 50L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("ALTER TABLE ADD/DROP COLUMNS is metadata-only; RENAME and SHOW " +
+      "TABLES work; maintenance statements accept catalog names") {
+    val t = tbl()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, m BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql(s"INSERT INTO $t SELECT id, 1L FROM range(100)")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING)")
+    assert(spark.table(t).schema.fieldNames === Array("k", "m", "note"))
+    assert(spark.table(t).where(col("note").isNull).count() === 100L)
+    spark.sql(s"ALTER TABLE $t DROP COLUMN note")
+    assert(spark.table(t).schema.fieldNames === Array("k", "m"))
+    // maintenance: OPTIMIZE + VACUUM + DESCRIBE HISTORY on the name
+    spark.sql(s"INSERT INTO $t SELECT id + 1000, 2L FROM range(100)")
+    val opt = spark.sql(s"OPTIMIZE $t ZORDER BY (k)").collect().head
+    assert(opt.getInt(1) >= 1)
+    val hist = spark.sql(s"DESCRIBE HISTORY $t")
+    assert(hist.count() >= 5L)
+    val vac = spark.sql(s"VACUUM $t RETAIN 1 VERSIONS").collect().head
+    assert(vac.getLong(1) === 1L)
+    assert(spark.table(t).count() === 200L)
+    // rename: data + manifest move with the name
+    val t2 = s"${t}_renamed"
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t2.split("\\.").last}")
+    assert(!spark.catalog.tableExists(t))
+    assert(spark.table(s"graft.default.${t2.split("\\.").last}")
+      .count() === 200L)
+    val shown = spark.sql("SHOW TABLES IN graft.default")
+      .select("tableName").as[String].collect()
+    assert(shown.contains(t2.split("\\.").last))
+    spark.sql(s"DROP TABLE graft.default.${t2.split("\\.").last}")
+  }
+
+  test("streaming read of a catalog table: version-offset micro-batches " +
+      "via readStream.table") {
+    val t = tbl()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, m BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql(s"INSERT INTO $t SELECT id, 0L FROM range(100)")
+    val sink = s"cat_stream_sink_$n"
+    val q = spark.readStream.table(t)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 100L)
+      spark.sql(s"INSERT INTO $t SELECT id + 1000, 1L FROM range(50)")
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 150L)
+    } finally { q.stop(); q.awaitTermination() }
+    spark.sql(s"DROP TABLE $t")
+  }
+}
