@@ -70,17 +70,31 @@ object GraftTimeTravel {
       .option("version", version.toString).load()
       .queryExecution.analyzed
 
-  private def evalLong(e: Expression, what: String): Long = e match {
+  /** A changefeed bound: a literal version number, or a literal
+    * timestamp STRING resolved to the newest version committed at or
+    * before it — the same commit-wall-time rule as `TIMESTAMP AS OF`,
+    * so `graft_changes(t, '<ts1>', '<ts2>')` reads "what changed
+    * between these two instants". */
+  private def evalBound(spark: SparkSession, dir: String, e: Expression,
+      what: String): Long = e match {
+    // a pure-integer string ('3') reads as a version, anything else as
+    // a timestamp — mirrors VERSION AS OF vs TIMESTAMP AS OF
+    case Literal(s, StringType) if s != null &&
+        !s.toString.forall(_.isDigit) =>
+      StatsManifest.versionAtMillis(spark, dir,
+        StatsManifest.parseTsMillis(spark, s.toString), s.toString)
     case Literal(v, _) if v != null => v.toString.toLong
     case other => throw new IllegalArgumentException(
-      s"graft_changes: $what must be a literal version, got ${other.sql}")
+      s"graft_changes: $what must be a literal version or timestamp " +
+        s"string, got ${other.sql}")
   }
 
   /** Builder for `injectTableFunction`:
-    * graft_changes(table, fromVersion[, toVersion]). */
+    * graft_changes(table, from[, to]) — bounds are versions or
+    * timestamp strings (mixable). */
   def changesTvf(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 2 || args.length == 3,
-      "graft_changes(table, fromVersion[, toVersion]): wrong arity")
+      "graft_changes(table, from[, to]): wrong arity")
     val spark = SparkSession.active
     val tbl = args.head match {
       case Literal(s, StringType) if s != null => s.toString
@@ -90,9 +104,11 @@ object GraftTimeTravel {
     val dir = manifestedDirOfName(spark, tbl).getOrElse(
       throw new IllegalArgumentException(
         s"graft_changes: $tbl is not a graft-manifest table"))
-    val from = evalLong(args(1), "fromVersion")
-    val to = args.lift(2).map(evalLong(_, "toVersion")).getOrElse(
-      StatsManifest.versions(spark, dir).last)
+    val from = evalBound(spark, dir, args(1), "from")
+    val to = args.lift(2).map(evalBound(spark, dir, _, "to")).getOrElse(
+      StatsManifest.latestVersion(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"graft_changes: $tbl has no committed versions")))
     RowOps.changes(spark, dir, from, to).queryExecution.analyzed
   }
 }

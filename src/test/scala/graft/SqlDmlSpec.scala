@@ -278,6 +278,20 @@ class SqlDmlSpec extends AnyFunSuite {
       "SELECT COUNT(*) FROM graft_changes('dml_cdc', 2)")
       .as[Long].head() === 2L)
     assert(RowOps.changes(spark, dir, 1L, 3L).count() === 52L)
+    // TIMESTAMP bounds: resolve to the newest version committed at or
+    // before the instant (same rule as TIMESTAMP AS OF); mixable with
+    // version bounds, and '3' (pure digits) still reads as a version
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_changes('dml_cdc', 1, '2099-01-01')")
+      .as[Long].head() === 52L)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_changes('dml_cdc', 1, '3')")
+      .as[Long].head() === 52L)
+    val e0 = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_changes('dml_cdc', '1901-01-01', 3)")
+    }
+    assert(e0.getMessage.contains("no retained version"))
     // non-graft target fails loudly
     Seq((1L, 1L)).toDF("k", "m").createOrReplaceTempView("dml_cdc_plain")
     val e = intercept[Exception] {
