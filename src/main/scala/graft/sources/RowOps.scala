@@ -58,6 +58,25 @@ object RowOps {
       candidateFiles: Long, touchedFiles: Long, matchedRows: Long,
       rewrittenRows: Long, insertedRows: Long = 0L)
 
+  /** Per-phase wall times (ms) of the LAST row-level op on this
+    * driver — the DupFilterProbe-style attribution channel for the
+    * streaming CDC-apply path. `open` = snapshot resolution, `find` =
+    * touch detection (+ insert determination for merges), `stage` =
+    * the replacement write, `commit` = stats scan + manifest commit +
+    * renames, `cdc` = netting + change-file write. */
+  object PhaseStats {
+    val open = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val find = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val stage = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val commit = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val cdc = new java.util.concurrent.atomic.AtomicLong(-1L)
+  }
+  private def phase[T](into: java.util.concurrent.atomic.AtomicLong)(
+      body: => T): T = {
+    val t = System.nanoTime()
+    try body finally into.set((System.nanoTime() - t) / 1000000L)
+  }
+
   /** DELETE FROM dir WHERE cond. Null-safe: rows where `cond` is null
     * are kept (SQL DELETE semantics). */
   def delete(spark: SparkSession, dir: String, cond: Column,
@@ -189,7 +208,11 @@ object RowOps {
       matched: Seq[MergeClause] = Nil,
       notMatched: Seq[MergeInsert] = Nil,
       notMatchedBySource: Seq[MergeClause] = Nil,
-      validate: Boolean = true, cdf: Boolean = true): OpResult = {
+      validate: Boolean = true, cdf: Boolean = true,
+      /** false skips the insert-count job (OpResult.insertedRows reads
+        * −1) — a per-batch streaming caller that never reads the count
+        * should not pay an action for it. */
+      countInserts: Boolean = true): OpResult = {
     val ctx = open(spark, dir)
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "merge: no WHEN clauses")
@@ -235,9 +258,30 @@ object RowOps {
       col(k).cast(ctx.schema(k).dataType).as(k)).toIndexedSeq: _*)
 
     // ---- touch detection (find phase) ----
+    val tFind = System.nanoTime()
+    // ONE envelope-pruned scan of the target serves BOTH halves of the
+    // find phase: per-file match counts (touch detection) and the
+    // matched key set (insert determination) — scanning the table once,
+    // not twice, for the matched+notMatched merge shape the streaming
+    // CDC-apply runs every batch
+    val hits: Option[DataFrame] =
+      if (matched.isEmpty && notMatched.isEmpty) None
+      else keyEnvelope(srcKeys, keys).map { range =>
+        ctx.snap.where(range)
+          .select((StatsManifest.fileKeyCol +:
+            keys.map(col)).toIndexedSeq: _*)
+          .join(srcKeys.select(keys.map(col).toIndexedSeq: _*), keys,
+            "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     val matchedTouched =
       if (matched.isEmpty) Map.empty[String, Long]
-      else touchedByKeys(ctx, srcKeys, keys)
+      else hits match {
+        case None => Map.empty[String, Long]
+        case Some(h) => h.groupBy(col("file"))
+          .agg(count(lit(1)).as("m")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
     val bsTouched =
       if (notMatchedBySource.isEmpty) Map.empty[String, Long]
       else {
@@ -252,14 +296,13 @@ object RowOps {
       bsTouched.view.filterKeys(k => !matchedTouched.contains(k)).toMap
 
     // ---- inserts (source rows with no target key match) ----
-    val insRows =
+    val insRows0 =
       if (notMatched.isEmpty) emptyOf(ctx)
       else {
-        val tKeys = keyEnvelope(srcKeys, keys) match {
+        val tKeys = hits match {
           case None => srcKeys.limit(0)
-          case Some(range) => ctx.snap.where(range)
-            .select(keys.map(col).toIndexedSeq: _*)
-            .join(srcKeys, keys, "left_semi").distinct()
+          case Some(h) =>
+            h.select(keys.map(col).toIndexedSeq: _*).distinct()
         }
         val un = srcP.join(tKeys,
           keys.map(k => srcP(SrcPrefix + k) === tKeys(k)).reduce(_ && _),
@@ -310,19 +353,36 @@ object RowOps {
           valueChain(upd, col(f.name)).cast(f.dataType).as(f.name)
         }.toIndexedSeq: _*)
       }
-    val replacement = rewritten.unionByName(insRows)
-    val inserted = if (notMatched.isEmpty) 0L else insRows.count()
-    // CDC over (everything old in touched files, everything new incl.
-    // inserts): exceptAll netting reduces that to exactly the row-level
-    // changes each clause made
-    val res = rewriteWith(ctx, touched, statsCols, bloomCols, replacement,
-      extraFiles = if (notMatched.nonEmpty) 1 else 0,
-      cdc = if (cdf) Some((touchedDf, replacement)) else None,
-      // insert clauses make the write set key-dependent; matched and
-      // by-source clauses alone tolerate concurrent blind appends
-      conflictIfInterimAdds = notMatched.nonEmpty)
-    res.copy(matchedRows = matchedTouched.valuesIterator.sum,
-      insertedRows = inserted)
+    // counted separately AND unioned into the replacement: persist so
+    // the count pre-populates the cache the rewrite reuses
+    val insRows =
+      if (notMatched.isEmpty || !countInserts) insRows0
+      else insRows0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val inserted =
+        if (notMatched.isEmpty) 0L
+        else if (countInserts) insRows.count()
+        else -1L
+      PhaseStats.find.set((System.nanoTime() - tFind) / 1000000L)
+      val replacement = rewritten.unionByName(insRows)
+      // CDC over (everything old in touched files, everything new incl.
+      // inserts): exceptAll netting reduces that to exactly the
+      // row-level changes each clause made
+      val res = rewriteWith(ctx, touched, statsCols, bloomCols,
+        replacement,
+        extraFiles = if (notMatched.nonEmpty) 1 else 0,
+        cdc = if (cdf) Some((touchedDf, replacement)) else None,
+        // insert clauses make the write set key-dependent; matched and
+        // by-source clauses alone tolerate concurrent blind appends
+        conflictIfInterimAdds = notMatched.nonEmpty)
+      res.copy(matchedRows = matchedTouched.valuesIterator.sum,
+        insertedRows = inserted)
+    } finally {
+      if (notMatched.nonEmpty) insRows.unpersist(false)
+      hits.foreach(_.unpersist(false))
+      ()
+    }
   }
 
   /** Index of the first true condition (−1 if none) — the clause
@@ -515,14 +575,19 @@ object RowOps {
         * on the replacement files. */
       partCols: Seq[String])
 
-  private def open(spark: SparkSession, dir: String): Ctx = {
+  private def open(spark: SparkSession, dir: String): Ctx =
+    phase(PhaseStats.open)(open0(spark, dir))
+
+  private def open0(spark: SparkSession, dir: String): Ctx = {
     val v = StatsManifest.latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"RowOps: $dir is not a manifested table " +
           "(StatsManifest.write it first)"))
-    val (snap, idx) = StatsManifest.scanAtVersion(spark, dir, v)
-    Ctx(spark, dir, v, snap, idx, snap.schema,
-      StatsManifest.readAt(spark, dir, v),
+    // ONE manifest fold serves both the stats map and the snapshot scan
+    val stats = StatsManifest.readAt(spark, dir, v)
+    val (snap, idx) =
+      StatsManifest.scanAtVersionWithStats(spark, dir, v, stats)
+    Ctx(spark, dir, v, snap, idx, snap.schema, stats,
       idx.partitionSchema.fieldNames.toSeq)
   }
 
@@ -592,12 +657,39 @@ object RowOps {
     * for that version. */
   private def rewriteWith(ctx: Ctx, touched: Map[String, Long],
       statsCols: Seq[String], bloomCols: Seq[String],
-      replacement: DataFrame, extraFiles: Int = 0,
+      replacement0: DataFrame, extraFiles: Int = 0,
       cdc: Option[(DataFrame, DataFrame)] = None,
       /** ops whose write set depends on which KEYS exist (insert
         * determination) conflict with concurrent appends; predicate
         * ops tolerate them (serialize before — see commitFileOps). */
       conflictIfInterimAdds: Boolean = false): OpResult = {
+    // the replacement and CDC frames are consumed by SEVERAL actions
+    // (staged write, exceptAll netting twice per side, CDC write) and
+    // each un-cached action re-executes the whole op plan from the
+    // source scans up — at a streaming CDC-apply cadence that fixed
+    // re-computation dominated batch latency (r10 verdict: cdc_apply
+    // p50 3x its siblings). Persist once, unpersist on the way out;
+    // MEMORY_AND_DISK so a huge rewrite spills instead of evicting.
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    def cache(df: DataFrame): DataFrame = {
+      val c = df.persist(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK)
+      cached += c
+      c
+    }
+    try rewriteCached(ctx, touched, statsCols, bloomCols,
+      cache(replacement0),
+      cdc.map { case (d, i) =>
+        (if (d eq replacement0) cached.head else cache(d),
+          if (i eq replacement0) cached.head else cache(i))
+      }, extraFiles, conflictIfInterimAdds)
+    finally cached.foreach(_.unpersist(false))
+  }
+
+  private def rewriteCached(ctx: Ctx, touched: Map[String, Long],
+      statsCols: Seq[String], bloomCols: Seq[String],
+      replacement: DataFrame, cdc: Option[(DataFrame, DataFrame)],
+      extraFiles: Int, conflictIfInterimAdds: Boolean): OpResult = {
     val totalFiles = ctx.stats.size.toLong
     val candidates = ctx.idx.selected.get()
     if (touched.isEmpty && extraFiles == 0)
@@ -608,14 +700,39 @@ object RowOps {
     val dirPath = new Path(ctx.dir)
     val fs = dirPath.getFileSystem(
       ctx.spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(ctx.dir + ".rowops")
-    val n = math.max(1, touched.size + extraFiles)
+    // staging is PER-OP unique: concurrent writers (a streaming sink
+    // racing batch DML — the rebase machinery exists exactly for this)
+    // must never clobber each other's staged bytes; a shared
+    // mode-overwrite dir did (found by ConcurrentWriterPropSpec)
+    val staging = new Path(
+      ctx.dir + s".rowops-${java.util.UUID.randomUUID()}")
+    // output file count: one-per-touched-input (preserves a healthy
+    // layout's file-size distribution), BYTES-BOUNDED below — a table
+    // fragmented by scattered streaming upserts would otherwise
+    // perpetuate its tiny files forever, and every later op pays a
+    // task per file. The manifest carries each file's length (flen),
+    // so the bound is a pure metadata read; unknown lengths (pre-flen
+    // manifests) keep the old rule. Only PATHOLOGICAL layouts collapse
+    // (sum-of-touched-bytes / target), healthy 100MB files pass
+    // through 1:1 — the copy-on-write rewrite doubles as incremental
+    // compaction exactly when compaction is needed.
+    val targetBytes = ctx.spark.conf
+      .get("spark.graft.rowops.targetFileBytes", (1L << 26).toString)
+      .toLong
+    val touchedBytes = touched.keysIterator
+      .map(k => ctx.stats.get(k).map(_.len).getOrElse(-1L)).toSeq
+    val n =
+      if (touchedBytes.isEmpty || touchedBytes.contains(-1L))
+        math.max(1, touched.size + extraFiles)
+      else math.max(1, math.min(touched.size + extraFiles,
+        math.ceil(touchedBytes.sum.toDouble / targetBytes).toInt))
     val writer =
       if (ctx.partCols.isEmpty) replacement.repartition(n).write
       else replacement // co-locate partition values to bound file count
         .repartition(n, ctx.partCols.map(col).toIndexedSeq: _*)
         .write.partitionBy(ctx.partCols: _*)
-    writer.mode("overwrite").parquet(staging.toString)
+    phase(PhaseStats.stage)(writer.mode("overwrite")
+      .parquet(staging.toString))
     // recursive: a partitioned rewrite stages under p=… subdirs; the
     // move preserves the relative path so directory pruning still works
     val stagingKey = StatsManifest.fileKey(fs.makeQualified(staging))
@@ -643,33 +760,49 @@ object RowOps {
     val adds = staged.map { p =>
       p -> StatsManifest.fileKey(fs.makeQualified(finalPath(p)))
     }
-    val (ver, addedRows) = StatsManifest.commitFileOps(ctx.spark, ctx.dir,
-      adds, touched.keySet, statsCols, bloomCols,
-      expectedVersion = Some(ctx.version),
-      addsBasePath = if (ctx.partCols.isEmpty) None
-        else Some(staging.toString),
-      conflictIfInterimAdds = conflictIfInterimAdds)
-    staged.foreach { src =>
-      val dst = finalPath(src)
-      fs.mkdirs(dst.getParent)
-      require(fs.rename(src, dst),
-        s"RowOps: rename $src -> $dst failed; staged copy intact and the " +
-          "committed manifest names the final keys — finish the renames")
+    val (ver, addedRows) = phase(PhaseStats.commit) {
+      val r = StatsManifest.commitFileOps(ctx.spark, ctx.dir,
+        adds, touched.keySet, statsCols, bloomCols,
+        expectedVersion = Some(ctx.version),
+        addsBasePath = if (ctx.partCols.isEmpty) None
+          else Some(staging.toString),
+        conflictIfInterimAdds = conflictIfInterimAdds)
+      staged.foreach { src =>
+        val dst = finalPath(src)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(src, dst),
+          s"RowOps: rename $src -> $dst failed; staged copy intact and " +
+            "the committed manifest names the final keys — finish the " +
+            "renames")
+      }
+      fs.delete(staging, true)
+      r
     }
-    fs.delete(staging, true)
-    cdc.foreach { case (del0, ins0) =>
-      // exceptAll is POSITIONAL: align both sides to the table's column
-      // order first (a using-columns join moves its keys to the front,
-      // which would mis-pair columns, widen types, and break netting)
+    phase(PhaseStats.cdc)(cdc.foreach { case (del0, ins0) =>
+      // columns aligned POSITIONALLY to the table's order first (a
+      // using-columns join moves its keys to the front, which would
+      // mis-pair columns, widen types, and break netting)
       val cols = ctx.schema.fieldNames.map(col).toIndexedSeq
       val del = del0.select(cols: _*)
       val ins = ins0.select(cols: _*)
-      val net = ins.exceptAll(del)
-        .withColumn("_change_type", lit("insert"))
-        .unionByName(del.exceptAll(ins)
-          .withColumn("_change_type", lit("delete")))
+      // multiset netting in ONE pass: ±1 weights summed per row value
+      // (the same multiset difference two exceptAlls compute, at half
+      // the shuffles — this lands on every CDC-apply batch). Grouping
+      // and exceptAll share row-equality semantics (NaN/-0.0
+      // normalization; neither supports map columns).
+      val net = ins.withColumn("__w", lit(1L))
+        .unionByName(del.withColumn("__w", lit(-1L)))
+        .groupBy(cols: _*).agg(sum(col("__w")).as("__n"))
+        .where(col("__n") =!= 0L)
+        .withColumn("_change_type",
+          when(col("__n") > 0L, lit("insert")).otherwise(lit("delete")))
+        // a duplicated row nets with multiplicity |n| — replicate
+        .withColumn("__i",
+          explode(sequence(lit(1L), abs(col("__n")))))
+        .drop("__n", "__i")
         .withColumn("_commit_version", lit(ver))
-      val cdcStage = new Path(ctx.dir + ".cdcstage")
+      val cdcStage = new Path(
+        ctx.dir + s".cdcstage-${java.util.UUID.randomUUID()}")
       net.coalesce(1).write.mode("overwrite").parquet(cdcStage.toString)
       val cdcDir = new Path(dirPath, CdcDir)
       fs.mkdirs(cdcDir)
@@ -682,7 +815,7 @@ object RowOps {
               "fall back to file-diff netting for this version")
         }
       fs.delete(cdcStage, true)
-    }
+    })
     OpResult(ver, totalFiles, candidates, touched.size.toLong, matched,
       addedRows)
   }

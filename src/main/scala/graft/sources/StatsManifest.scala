@@ -611,6 +611,20 @@ object StatsManifest {
       fsys.create(new Path(stage, marker), true).close()
       if (claimSlot(fsys, stage, vDirPath(mDir, slot), marker)) {
         writeHint(fsys, mDir, slot)
+        // the committer KNOWS the new state: predecessor's cached
+        // snapshot ± this delta — populate the cache so the next
+        // reader (a per-batch writer re-opening its own table) pays a
+        // map lookup, not a fold job
+        for {
+          prevT <- vDirMtime(fsys, vDirPath(mDir, prev))
+          prevM <- cacheGet(dir, prev, prevT)
+          slotT <- vDirMtime(fsys, vDirPath(mDir, slot))
+        } {
+          val added =
+            if (addRows.isEmpty) Map.empty[String, FileStats]
+            else decodeRows(entrySchema, addRows.toArray)
+          cachePut(dir, slot, slotT, prevM -- deleteKeys ++ added)
+        }
         Some(slot)
       } else {
         fsys.delete(stage, true)
@@ -822,6 +836,13 @@ object StatsManifest {
     * pull blooms and ranges to the driver. */
   private[graft] def keysAt(spark: SparkSession, dir: String,
       v: Long): Set[String] = {
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    vDirMtime(fsys, vDirPath(mDir, v))
+      .flatMap(cacheGet(dir, v, _)) match {
+      case Some(m) => return m.keySet
+      case None => ()
+    }
     val (baseParts, deltas) = foldChain(spark, dir, v)
     if (deltas.isEmpty)
       return spark.read
@@ -1446,21 +1467,76 @@ object StatsManifest {
     }
   }
 
+  // ---------------------------------------------------------------- //
+  //  Snapshot cache: (dir, version) → decoded stats                    //
+  // ---------------------------------------------------------------- //
+
+  /** Version dirs are IMMUTABLE once claimed, so caching a decoded
+    * snapshot is always sound; a committer even knows the NEXT state
+    * without reading (previous cached state ± its own delta — see
+    * [[commitDelta]]), which makes a per-micro-batch writer's re-open
+    * a pure memory hit instead of a fold job per batch. Existence is
+    * still checked per read (one RPC), so an EXPIRED version errors
+    * exactly as before instead of serving stale cache. Bounded LRU —
+    * a handful of recent snapshots per driver. */
+  private val snapshotCache =
+    new java.util.LinkedHashMap[(String, Long),
+      (Long, Map[String, FileStats])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long),
+            (Long, Map[String, FileStats])]): Boolean = size() > 8
+    }
+
+  /** The version dir's mtime IS its incarnation id: the atomic rename
+    * sets it once and the dir never mutates — but a table DESTROYED and
+    * recreated at the same path (df.write.overwrite wipes the manifest
+    * too) mints a brand-new v000001 whose cached ancestor would be a
+    * different table. Every cache read validates against the live
+    * mtime; the same getFileStatus doubles as the expired-version
+    * check, so this costs no extra RPC. */
+  private def vDirMtime(fsys: org.apache.hadoop.fs.FileSystem,
+      vDir: Path): Option[Long] =
+    try Some(fsys.getFileStatus(vDir).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
+
+  private def cacheGet(dir: String, v: Long,
+      mtime: Long): Option[Map[String, FileStats]] =
+    snapshotCache.synchronized(
+      Option(snapshotCache.get((dir, v))).collect {
+        case (t, m) if t == mtime => m
+      })
+  private[sources] def cachePut(dir: String, v: Long, mtime: Long,
+      m: Map[String, FileStats]): Unit =
+    snapshotCache.synchronized {
+      snapshotCache.put((dir, v), (mtime, m))
+      ()
+    }
+
   /** The manifest exactly as version `v` committed it — the stats (and
     * file set) of a historical snapshot. */
   def readAt(spark: SparkSession, dir: String,
       version: Long): Map[String, FileStats] = {
     val vDir = new Path(new Path(dir, ManifestDir), f"v$version%06d")
     val fsys = vDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fsys.exists(vDir),
-      s"StatsManifest.readAt: version $version does not exist (expired?)")
-    val df = entriesAt(spark, dir, version)
-    decodeRows(df.schema, df.collect())
+    val mtime = vDirMtime(fsys, vDir).getOrElse(throw
+      new IllegalArgumentException(
+        s"StatsManifest.readAt: version $version does not exist " +
+          "(expired?)"))
+    cacheGet(dir, version, mtime).getOrElse {
+      val df = entriesAt(spark, dir, version)
+      val m = decodeRows(df.schema, df.collect())
+      cachePut(dir, version, mtime, m)
+      m
+    }
   }
 
+  /** Manifest rows → stats map. Field access is by SCHEMA index, not
+    * row-attached schema — callers also decode bare `Row.fromSeq` rows
+    * (the committer's derived-state path). */
   private def decodeRows(schema: StructType,
       rows: Array[org.apache.spark.sql.Row]): Map[String, FileStats] = {
     val fields = schema.fieldNames.toSet
+    def ix(n: String): Int = schema.fieldIndex(n)
     // every stats/bloom column carries a cnt__; the domain is whichever
     // range pair exists for it ('B' = bloom-only, no range kept)
     val statCols = schema.fieldNames.collect {
@@ -1474,26 +1550,26 @@ object StatsManifest {
         (c, dom)
     }
     rows.map { r =>
-      val file = r.getAs[String]("file")
-      val nRows = r.getAs[Long]("rows")
+      val file = r.getString(ix("file"))
+      val nRows = r.getLong(ix("rows"))
       val flen =
-        if (fields("flen") && !r.isNullAt(r.fieldIndex("flen")))
-          r.getAs[Long]("flen")
+        if (fields("flen") && !r.isNullAt(ix("flen")))
+          r.getLong(ix("flen"))
         else -1L
       val cols = statCols.map { case (c, dom) =>
-        val nn = r.getAs[Long](s"cnt__$c")
+        val nn = r.getLong(ix(s"cnt__$c"))
         val bloom =
-          if (fields(s"bloom__$c") && !r.isNullAt(r.fieldIndex(s"bloom__$c")))
-            r.getAs[Array[Byte]](s"bloom__$c")
+          if (fields(s"bloom__$c") && !r.isNullAt(ix(s"bloom__$c")))
+            r.getAs[Array[Byte]](ix(s"bloom__$c"))
           else null
         val hasSum = fields(s"sum__$c") &&
-          !r.isNullAt(r.fieldIndex(s"sum__$c"))
-        val lSum = if (hasSum) r.getAs[Long](s"sum__$c") else 0L
+          !r.isNullAt(ix(s"sum__$c"))
+        val lSum = if (hasSum) r.getLong(ix(s"sum__$c")) else 0L
         val st =
           if (dom == 'B') ColStats('B', nonNull = nn, bloom = bloom)
           else {
-            val (loI, hiI) = (r.fieldIndex(s"${dom.toLower}min__$c"),
-              r.fieldIndex(s"${dom.toLower}max__$c"))
+            val (loI, hiI) = (ix(s"${dom.toLower}min__$c"),
+              ix(s"${dom.toLower}max__$c"))
             val has = !r.isNullAt(loI)
             dom match {
               case 'L' => ColStats('L',
@@ -1851,8 +1927,16 @@ object StatsManifest {
     * file (`Layout.optimize` replaces files; [[expire]] bounds how far
     * back snapshots reach — the VACUUM/time-travel trade). */
   def scanAtVersion(spark: SparkSession, dir: String,
-      version: Long): (DataFrame, ManifestFileIndex) = {
-    val stats = readAt(spark, dir, version)
+      version: Long): (DataFrame, ManifestFileIndex) =
+    scanAtVersionWithStats(spark, dir, version,
+      readAt(spark, dir, version))
+
+  /** [[scanAtVersion]] with the version's stats already in hand — a
+    * caller that needs BOTH the map and the scan (RowOps opens every
+    * op this way) folds the manifest once, not twice. */
+  private[graft] def scanAtVersionWithStats(spark: SparkSession,
+      dir: String, version: Long, stats: Map[String, FileStats])
+      : (DataFrame, ManifestFileIndex) = {
     // the schema AS OF that version: the version's sidecar, or — for
     // versions committed before evolution support — inference over the
     // version's OWN files (basePath keeps Hive-partition columns), so

@@ -1351,36 +1351,89 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.spark.sql.expressions.Window
         val spk = batch.sparkSession
-        // keep-last per key within the batch (ties broken by seqCol)
+        // keep-last per key within the batch (ties broken by seqCol);
+        // persisted: the merge consumes it through several actions and
+        // an uncached plan would re-read the micro-batch source and
+        // re-run this window shuffle for each
         val w = Window.partitionBy(keys.map(col): _*)
           .orderBy(col(seqCol).desc)
         val last = batch.withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn", seqCol)
-        val (dels, ups) = deleteCol match {
-          case Some(dc) =>
-            (last.where(coalesce(col(dc), lit(false))).drop(dc),
-              last.where(!coalesce(col(dc), lit(false))).drop(dc))
-          case None => (null, last)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+        val ups = deleteCol match {
+          case Some(dc) => last.where(!coalesce(col(dc), lit(false)))
+            .drop(dc)
+          case None => last
         }
         // bootstrap: the first non-empty batch CREATES the manifested
         // table (idempotent under replay — overwrite mode)
         val exists =
           graft.sources.StatsManifest.latestVersion(spk, dir).isDefined
-        if (!exists && !ups.isEmpty) {
-          ups.write.mode("overwrite").parquet(dir)
-          graft.sources.StatsManifest.write(spk, dir, statsCols)
-        } else if (!ups.isEmpty)
-          graft.sources.RowOps.upsert(spk, dir, ups, keys, statsCols,
-            validate = false) // keep-last above guarantees uniqueness
-        if (dels != null && !dels.isEmpty &&
-            graft.sources.StatsManifest.latestVersion(spk, dir).isDefined)
-          graft.sources.RowOps.deleteKeys(spk, dir,
-            dels.select(keys.map(col).toIndexedSeq: _*), keys, statsCols)
+        if (!exists) {
+          if (!ups.isEmpty) {
+            ups.write.mode("overwrite").parquet(dir)
+            graft.sources.StatsManifest.write(spk, dir, statsCols)
+          }
+        } else {
+          // a CONCURRENT writer (batch DML, maintenance) can win the
+          // version race mid-batch; the op's own rebase absorbs
+          // disjoint interims, but a key-dependent conflict aborts with
+          // ConcurrentModificationException — re-running the whole op
+          // re-analyzes against the new latest, and keep-last keys make
+          // the retry semantically identical. Bounded: a genuinely
+          // contended table should fail the query loudly, not livelock.
+          def retrying(body: => Unit): Unit = {
+            var attempts = 0
+            while (true) {
+              try { body; return }
+              catch {
+                case e: java.util.ConcurrentModificationException =>
+                  attempts += 1
+                  if (attempts > 8) throw e
+                  Thread.sleep(50L * attempts)
+              }
+            }
+          }
+          deleteCol match {
+            // upserts AND deletes in ONE merge: one find phase, one
+            // copy-on-write rewrite, one manifest commit, one CDC feed
+            // per batch — the previous upsert-then-deleteKeys pair paid
+            // every fixed cost twice, which dominated batch latency at
+            // modest rates (r10 verdict: cdc_apply p50 3x its
+            // siblings). keep-last above collapsed each key to one
+            // row, so a key is EITHER an upsert or a delete here —
+            // clause order only settles the del-flag dispatch, not
+            // cross-row races.
+            case Some(dc) if !last.isEmpty =>
+              import graft.sources.RowOps
+              val isDel = coalesce(RowOps.srcCol(dc), lit(false))
+              // the target columns ARE the stream's columns minus the
+              // delete flag (the bootstrap write defined the table from
+              // this very shape) — deriving them from the stream schema
+              // skips a per-batch parquet footer inference
+              val cols = last.columns.toSeq.filterNot(_ == dc)
+              retrying(RowOps.merge(spk, dir, last, keys, statsCols,
+                matched = Seq(
+                  RowOps.MergeDelete(Some(isDel)),
+                  RowOps.MergeUpdate(None,
+                    cols.map(c => c -> RowOps.srcCol(c)))),
+                notMatched = Seq(RowOps.MergeInsert(Some(!isDel),
+                  cols.map(c => c -> RowOps.srcCol(c)))),
+                validate = false, // keep-last guarantees unique keys
+                countInserts = false)) // per-batch: skip the count
+            case _ =>
+              if (!ups.isEmpty)
+                retrying(graft.sources.RowOps.upsert(spk, dir, ups, keys,
+                  statsCols, validate = false))
+          }
+        }
         // lazy retention: per-batch cost stays O(delta) — the manifest
         // log's own checkpoint cadence bounds the window at
         // keep..keep+interval−1 versions without a per-batch fold
         graft.sources.StatsManifest.expire(spk, dir,
           manifestVersionsToKeep, cdcVersionsToKeep, exact = false)
+        } finally { last.unpersist(false); () }
         ()
       }
     checkpointDir.foreach(writer.option("checkpointLocation", _))

@@ -22,6 +22,11 @@ class UpsertStreamSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_cdcapply_").toString + "/t"
+    // keep one-output-per-touched-input: this tiny table would
+    // otherwise (correctly) collapse to a single file under the
+    // bytes-bounded rewrite, leaving the pruning assertion below
+    // nothing to prune
+    spark.conf.set("spark.graft.rowops.targetFileBytes", "1")
     val mem = MemoryStream[(Long, Long, Long, Boolean)]
     val q = Streams.upsertToManifestedTable(spark,
       mem.toDF().toDF("k", "v", "seq", "del"), dir,
@@ -46,7 +51,10 @@ class UpsertStreamSpec extends AnyFunSuite {
           Seq((200L, -3L, 1L, false),
             (300L, 11L, 1L, false), (300L, 0L, 2L, true))): _*)
       q.processAllAvailable()
-    } finally { q.stop(); q.awaitTermination() }
+    } finally {
+      q.stop(); q.awaitTermination()
+      spark.conf.unset("spark.graft.rowops.targetFileBytes")
+    }
 
     val t = StatsManifest.scan(spark, dir)
     assert(t.count() === 1000L + 5L - 5L - 1L)
