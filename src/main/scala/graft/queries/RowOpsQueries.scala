@@ -384,5 +384,51 @@ object RowOpsQueries {
              |SELECT l_orderkey, l_partkey, CAST(-1 AS DOUBLE),
              |  'insert', CAST(3 AS BIGINT) FROM upd
              |ORDER BY _commit_version, _change_type,
-             |  l_orderkey, l_partkey, l_quantity""".stripMargin)))
+             |  l_orderkey, l_partkey, l_quantity""".stripMargin)),
+
+    Query(
+      // Catalog-native CRUD (r11): the whole life-cycle through the
+      // graft TableCatalog — partitioned CTAS, manifest-committing
+      // INSERT, DELETE and UPDATE — against a `graft.db.t` NAME with
+      // zero OPTIONS plumbing (names are first-class; the resolution
+      // rule swaps the v2 relation onto the pruned V1 scan, so the
+      // read path is the same manifest-pruned machinery every other
+      // front door uses). Oracle = DuckDB replaying CTAS + insert +
+      // delete + update as a pure query over the fixture.
+      "q_catalog_crud",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(10)
+        val tbl = s"graft.default.cat_q_$h"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        li.createOrReplaceTempView(s"cat_src_$h")
+        s.sql(s"""CREATE TABLE $tbl PARTITIONED BY (p)
+                 |TBLPROPERTIES ('statsCols' = 'l_orderkey')
+                 |AS SELECT l_orderkey, l_partkey, l_quantity,
+                 |  CAST(l_orderkey % 4 AS INT) AS p
+                 |FROM cat_src_$h""".stripMargin)
+        s.sql(s"""INSERT INTO $tbl
+                 |SELECT l_orderkey + 100000000, l_partkey,
+                 |  l_quantity + 1, CAST(0 AS INT)
+                 |FROM cat_src_$h WHERE l_orderkey % 300 = 0""".stripMargin)
+        s.sql(s"DELETE FROM $tbl WHERE l_quantity > 47")
+        s.sql(s"UPDATE $tbl SET l_quantity = -5 WHERE l_partkey % 700 = 0")
+        s.table(tbl).orderBy(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity"), col("p"))
+      },
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, l_partkey, l_quantity,
+             |    CAST(l_orderkey % 4 AS INT) AS p FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey + 100000000, l_partkey, l_quantity + 1,
+             |    CAST(0 AS INT) FROM lineitem WHERE l_orderkey % 300 = 0),
+             |kept AS (SELECT * FROM base WHERE NOT (l_quantity > 47))
+             |SELECT l_orderkey, l_partkey,
+             |  CASE WHEN l_partkey % 700 = 0 THEN CAST(-5 AS DOUBLE)
+             |       ELSE l_quantity END AS l_quantity, p
+             |FROM kept
+             |ORDER BY 1, 2, 3, 4""".stripMargin)))
 }
