@@ -140,6 +140,8 @@ object GraftMaintenance {
       extends LeafRunnableCommand {
     override val output: Seq[AttributeReference] = Seq(
       AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("operation",
+        org.apache.spark.sql.types.StringType, nullable = false)(),
       AttributeReference("files", LongType, nullable = false)(),
       AttributeReference("rows", LongType, nullable = false)(),
       AttributeReference("committed_at",
@@ -147,7 +149,7 @@ object GraftMaintenance {
     override def run(spark: SparkSession): Seq[Row] = {
       val dir = dirOf(spark, table)
       StatsManifest.history(spark, dir).map(v =>
-        Row(v.version, v.files, v.rows,
+        Row(v.version, v.op, v.files, v.rows,
           new java.sql.Timestamp(v.committedAtMs)))
     }
   }

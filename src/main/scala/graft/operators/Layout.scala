@@ -207,7 +207,7 @@ object Layout {
       val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
       StatsManifest.commitFileOps(spark, dir, adds,
         old.map(st => StatsManifest.fileKey(st.getPath)).toSet, sc, bc,
-        expectedVersion = analyzedVersion)
+        expectedVersion = analyzedVersion, op = Some("optimize"))
       staged.zipWithIndex.foreach { case (src, i) =>
         val dst = new Path(dirPath, f"opt-$i%05d-${src.getName}")
         require(fs.rename(src, dst),
@@ -303,7 +303,7 @@ object Layout {
       val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
       StatsManifest.commitFileOps(spark, dir, adds,
         small.map(st => StatsManifest.fileKey(st.getPath)).toSet,
-        sc, bc, expectedVersion = analyzedVersion)
+        sc, bc, expectedVersion = analyzedVersion, op = Some("optimize"))
       staged.zipWithIndex.foreach { case (src, i) =>
         val dst = new Path(dirPath, f"cmp-$i%05d-${src.getName}")
         require(fs.rename(src, dst),
@@ -330,7 +330,7 @@ object Layout {
     fs.delete(trash, true)
     fs.delete(staging, true)
     graft.sources.StatsManifest.update(spark, dir, statsCols,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, op = "optimize")
     (small.length, staged.length)
   }
 }

@@ -88,7 +88,8 @@ object RowOps {
     rewriteWith(ctx, touched, statsCols, bloomCols,
       old.where(!coalesce(cond, lit(false))),
       cdc = if (cdf) Some((old.where(coalesce(cond, lit(false))),
-        emptyOf(ctx))) else None)
+        emptyOf(ctx))) else None,
+      op = "delete")
   }
 
   /** UPDATE dir SET set... WHERE cond. Each `set` entry is
@@ -113,7 +114,8 @@ object RowOps {
       }.toIndexedSeq: _*)
     val oldM = old.where(coalesce(cond, lit(false)))
     rewriteWith(ctx, touched, statsCols, bloomCols, applySet(old),
-      cdc = if (cdf) Some((oldM, applySet(oldM))) else None)
+      cdc = if (cdf) Some((oldM, applySet(oldM))) else None,
+      op = "update")
   }
 
   /** MERGE INTO dir USING source ON keys — upsert semantics: a target
@@ -152,7 +154,8 @@ object RowOps {
         .unionByName(src),
       extraFiles = 1,
       cdc = if (cdf) Some((replacedOld, src)) else None,
-      conflictIfInterimAdds = true) // inserts depend on the key set
+      conflictIfInterimAdds = true, // inserts depend on the key set
+      op = "upsert")
     res.copy(insertedRows = inserted)
   }
 
@@ -375,7 +378,8 @@ object RowOps {
         cdc = if (cdf) Some((touchedDf, replacement)) else None,
         // insert clauses make the write set key-dependent; matched and
         // by-source clauses alone tolerate concurrent blind appends
-        conflictIfInterimAdds = notMatched.nonEmpty)
+        conflictIfInterimAdds = notMatched.nonEmpty,
+        op = "merge")
       res.copy(matchedRows = matchedTouched.valuesIterator.sum,
         insertedRows = inserted)
     } finally {
@@ -416,7 +420,8 @@ object RowOps {
     rewriteWith(ctx, touched, statsCols, bloomCols,
       old.join(src, keys, "left_anti"),
       cdc = if (cdf) Some((old.join(src, keys, "left_semi"),
-        emptyOf(ctx))) else None)
+        emptyOf(ctx))) else None,
+      op = "delete")
   }
 
   // ---------------------------------------------------------------- //
@@ -553,7 +558,7 @@ object RowOps {
     * Underscore prefix: invisible to data listings and reconciliation. */
   private[graft] val CdcDir = "_graft_cdc"
 
-  private def cdcSchema(schema: StructType): StructType =
+  private[graft] def cdcSchema(schema: StructType): StructType =
     StructType(schema.fields).add("_change_type", "string")
       .add("_commit_version", "long")
 
@@ -662,7 +667,9 @@ object RowOps {
       /** ops whose write set depends on which KEYS exist (insert
         * determination) conflict with concurrent appends; predicate
         * ops tolerate them (serialize before — see commitFileOps). */
-      conflictIfInterimAdds: Boolean = false): OpResult = {
+      conflictIfInterimAdds: Boolean = false,
+      /** operation kind for the version's `_op.txt` sidecar. */
+      op: String = ""): OpResult = {
     // the replacement and CDC frames are consumed by SEVERAL actions
     // (staged write, exceptAll netting twice per side, CDC write) and
     // each un-cached action re-executes the whole op plan from the
@@ -682,14 +689,15 @@ object RowOps {
       cdc.map { case (d, i) =>
         (if (d eq replacement0) cached.head else cache(d),
           if (i eq replacement0) cached.head else cache(i))
-      }, extraFiles, conflictIfInterimAdds)
+      }, extraFiles, conflictIfInterimAdds, op)
     finally cached.foreach(_.unpersist(false))
   }
 
   private def rewriteCached(ctx: Ctx, touched: Map[String, Long],
       statsCols: Seq[String], bloomCols: Seq[String],
       replacement: DataFrame, cdc: Option[(DataFrame, DataFrame)],
-      extraFiles: Int, conflictIfInterimAdds: Boolean): OpResult = {
+      extraFiles: Int, conflictIfInterimAdds: Boolean,
+      op: String): OpResult = {
     val totalFiles = ctx.stats.size.toLong
     val candidates = ctx.idx.selected.get()
     if (touched.isEmpty && extraFiles == 0)
@@ -766,7 +774,14 @@ object RowOps {
         expectedVersion = Some(ctx.version),
         addsBasePath = if (ctx.partCols.isEmpty) None
           else Some(staging.toString),
-        conflictIfInterimAdds = conflictIfInterimAdds)
+        conflictIfInterimAdds = conflictIfInterimAdds,
+        // the sidecar DECLARES whether precomputed change files follow
+        // this commit: the CDC write lands moments AFTER the rename (a
+        // crash in between falls back to changes() netting), so a live
+        // CDC stream that sees the version first must know whether to
+        // wait for the files or fail toward the backfill
+        op = if (op.isEmpty) None
+          else Some(if (cdc.isDefined) op else s"$op-nocdf"))
       staged.foreach { src =>
         val dst = finalPath(src)
         fs.mkdirs(dst.getParent)

@@ -56,6 +56,13 @@ object StatsManifest {
   private val ManifestDir = "_graft_manifest"
   private val RemovedFile = "_removed.txt"
   private val SchemaFile = "_schema.json"
+  /** The committing OPERATION's kind, one word (`append`, `delete`,
+    * `update`, `merge`, `upsert`, `overwrite`, `optimize`, `schema`,
+    * `checkpoint`, `create`) — what DESCRIBE HISTORY shows and what
+    * lets a CDC stream tell a net-zero maintenance commit (optimize /
+    * checkpoint: skip) from a data change. Absent on pre-r11 versions
+    * (readers treat unknown as unknown, never as safe-to-skip). */
+  private val OpFile = "_op.txt"
   /** Marks a DELTA version (content = newly-deleted entry keys, one per
     * line, possibly empty): the version carries only its own added
     * entries (`part-*`), inheriting everything else from its
@@ -394,6 +401,22 @@ object StatsManifest {
     }
   }
 
+  /** The operation KIND version `version` committed (`delete`,
+    * `append`, `optimize`, …) — None for pre-op-sidecar versions. */
+  def opAt(spark: SparkSession, dir: String,
+      version: Long): Option[String] = {
+    val vDir = new Path(new Path(dir, ManifestDir), f"v$version%06d")
+    val fsys = vDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new Path(vDir, OpFile)
+    if (!fsys.exists(f)) None
+    else {
+      val in = fsys.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim)
+      finally in.close()
+    }
+  }
+
   /** The cumulative tombstone set as of manifest version `version`. */
   def removedAt(spark: SparkSession, dir: String,
       version: Long): Set[String] = {
@@ -465,7 +488,8 @@ object StatsManifest {
         // is O(1) — but it inherits from l, so the only sound slot is
         // l+1 (a racer in between means lost updates)
         commitDelta(spark, dir, Nil, new StructType(), Set.empty,
-          removedLatest(spark, dir), Some(newSchema), Some(l))
+          removedLatest(spark, dir), Some(newSchema), Some(l),
+          op = Some("schema"))
       case None =>
         // legacy unversioned manifest: first versioned commit is full
         val parts = legacyParts(fsys, mDir).getOrElse(throw
@@ -474,7 +498,7 @@ object StatsManifest {
         val existing =
           spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
         commitVersion(spark, dir, existing, removedLatest(spark, dir),
-          Some(newSchema), None)
+          Some(newSchema), None, op = Some("schema"))
     }
   }
 
@@ -491,7 +515,8 @@ object StatsManifest {
   private[graft] def commitVersion(spark: SparkSession, dir: String,
       manifest: DataFrame, removed: Set[String] = Set.empty,
       schema: Option[StructType] = None,
-      expected: Option[Long] = None): Long = {
+      expected: Option[Long] = None,
+      op: Option[String] = None): Long = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new Path(mDir, s".stage-${java.util.UUID.randomUUID()}")
@@ -505,6 +530,10 @@ object StatsManifest {
       val out = fsys.create(new Path(stage, SchemaFile), true)
       try out.write(s.json.getBytes("UTF-8"))
       finally out.close()
+    }
+    op.foreach { o =>
+      val out = fsys.create(new Path(stage, OpFile), true)
+      try out.write(o.getBytes("UTF-8")) finally out.close()
     }
     // verified-atomic slot claim: a marker file with this commit's UUID
     // distinguishes "our stage now lives AT dst" from every way a rename
@@ -552,7 +581,8 @@ object StatsManifest {
       addRows: Seq[org.apache.spark.sql.Row], entrySchema: StructType,
       deleteKeys: Set[String], removed: Set[String],
       schema: Option[StructType], expected: Option[Long],
-      forceCheckpoint: Boolean = false): Long = {
+      forceCheckpoint: Boolean = false,
+      op: Option[String] = None): Long = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val interval = checkpointInterval(spark)
@@ -608,6 +638,7 @@ object StatsManifest {
         writeText(stage, RemovedFile,
           removed.toSeq.sorted.mkString("\n"))
       schema.foreach(s => writeText(stage, SchemaFile, s.json))
+      op.foreach(writeText(stage, OpFile, _))
       fsys.create(new Path(stage, marker), true).close()
       if (claimSlot(fsys, stage, vDirPath(mDir, slot), marker)) {
         writeHint(fsys, mDir, slot)
@@ -743,7 +774,7 @@ object StatsManifest {
         s"StatsManifest.checkpoint: $dir is not a manifested table"))
     commitDelta(spark, dir, Nil, new StructType(), Set.empty,
       removedLatest(spark, dir), schemaLatest(spark, dir), Some(l),
-      forceCheckpoint = true)
+      forceCheckpoint = true, op = Some("checkpoint"))
   }
 
   private def readDeltaDeletes(fsys: org.apache.hadoop.fs.FileSystem,
@@ -880,7 +911,10 @@ object StatsManifest {
 
   /** One manifest version's summary line for [[history]]. */
   final case class VersionInfo(version: Long, files: Long, rows: Long,
-      committedAtMs: Long)
+      committedAtMs: Long,
+      /** operation kind from the `_op.txt` sidecar; "" on versions
+        * committed before the sidecar existed. */
+      op: String = "")
 
   /** (version, commit wall-time ms) per retained version, ascending —
     * the version directory's FS modification time (the rename
@@ -933,7 +967,8 @@ object StatsManifest {
       val stats = readAt(spark, dir, v)
       VersionInfo(v, stats.size.toLong, stats.valuesIterator.map(_.rows).sum,
         fsys.getFileStatus(new Path(mDir, f"v$v%06d"))
-          .getModificationTime)
+          .getModificationTime,
+        opAt(spark, dir, v).getOrElse(""))
     }
   }
 
@@ -1137,7 +1172,8 @@ object StatsManifest {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       emptyEntrySchema(schema, statsCols, bloomCols)).repartition(1)
-    commitVersion(spark, dir, empty, Set.empty, Some(schema), None)
+    commitVersion(spark, dir, empty, Set.empty, Some(schema), None,
+      op = Some("create"))
   }
 
   def write(spark: SparkSession, dir: String, statsCols: Seq[String],
@@ -1167,7 +1203,7 @@ object StatsManifest {
     val aggs = statsAggs(df.schema, statsCols, bloomCols, bloomBits)
     commitVersion(spark, dir,
       df.groupBy(fileKeyCol).agg(aggs.head, aggs.tail: _*), removedTrim,
-      sidecar)
+      sidecar, op = Some("overwrite"))
     ()
   }
 
@@ -1197,7 +1233,11 @@ object StatsManifest {
     * conservative pruner goes wrong, so replacement is forced here. */
   def update(spark: SparkSession, dir: String, statsCols: Seq[String],
       invalidate: Set[String] = Set.empty, bloomCols: Seq[String] = Nil,
-      bloomBits: Int = 1 << 16): UpdateResult = {
+      bloomBits: Int = 1 << 16,
+      /** operation kind for the version sidecar — reconciliation
+        * commits are appends unless the caller says otherwise (e.g.
+        * a physical compaction's final reconcile). */
+      op: String = "append"): UpdateResult = {
     val dirPath = new Path(dir)
     val fsys = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // tombstoned files are dead rows physically retained for snapshots:
@@ -1266,7 +1306,7 @@ object StatsManifest {
           .collect()
       }
     commitDelta(spark, dir, fresh.toIndexedSeq, entrySchema, deletes,
-      removedTrim, sidecar, expected = None)
+      removedTrim, sidecar, expected = None, op = Some(op))
     UpdateResult(
       reused = (coveredKeys intersect liveKeys).size.toLong,
       scanned = newPaths.length.toLong,
@@ -1318,7 +1358,10 @@ object StatsManifest {
         * tolerate blind appends — the op serializes BEFORE the append
         * (write-serializable semantics, the lakehouse convention). */
       conflictIfInterimAdds: Boolean = false,
-      maxRebase: Int = 3): (Long, Long) = {
+      maxRebase: Int = 3,
+      /** operation kind recorded in the version's `_op.txt` sidecar
+        * (DESCRIBE HISTORY; CDC-stream maintenance detection). */
+      op: Option[String] = None): (Long, Long) = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -1407,7 +1450,8 @@ object StatsManifest {
       try {
         return (commitDelta(spark, dir, freshRows.toIndexedSeq,
           entrySchema, removeKeys, removed, sidecar,
-          if (expectedVersion.isDefined) latestV else None), addedRows)
+          if (expectedVersion.isDefined) latestV else None,
+          op = op), addedRows)
       } catch {
         case cme: java.util.ConcurrentModificationException =>
           attempts += 1
