@@ -81,6 +81,20 @@ final case class GraftCatalogRule(spark: SparkSession)
           case _ => ctas
         }
 
+      // streaming CDC read by NAME: the relation's output was fixed
+      // from the table schema at resolution, but a readChangeFeed scan
+      // emits the CDC envelope — widen the relation's output so the
+      // plan and the stream agree (the scan itself comes from
+      // GraftTable.newScanBuilder, which routes on the same option)
+      case r: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if r.table.isInstanceOf[GraftTable] &&
+            r.extraOptions.getBoolean("readChangeFeed", false) &&
+            !r.output.exists(_.name == "_change_type") =>
+        val cdc = graft.sources.RowOps.cdcSchema(
+          r.table.asInstanceOf[GraftTable].schema)
+        r.copy(output = org.apache.spark.sql.catalyst.types.DataTypeUtils
+          .toAttributes(cdc).map(_.asInstanceOf[AttributeReference]))
+
       // read path: swap to the manifest-pruned V1 scan, keeping the
       // exact output attribute ids
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>

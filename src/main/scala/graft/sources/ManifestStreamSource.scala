@@ -13,8 +13,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
-  Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
+  MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles,
+  ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -26,6 +27,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * {{{
   *   spark.readStream.format("graft-manifest-stream")
   *     .option("startingVersion", "3")   // default 0 = full history
+  *     .option("maxFilesPerTrigger", "64")   // rate-limit catch-up
+  *     .option("maxBytesPerTrigger", "128m") // (soft; >=1 file/batch)
+  *     .option("maxRowsPerTrigger", "1000000")
   *     .load(dir)
   * }}}
   *
@@ -68,10 +72,19 @@ final class ManifestStreamSource extends TableProvider
   /** The stream's OUTPUT schema: the table's columns, narrowed to
     * `pushColumns` when set (projection pushdown via reader option —
     * see [[ManifestStreamScanBuilder]] for why an option, not just the
-    * DSv2 ability). */
+    * DSv2 ability); with `readChangeFeed`, the CDC envelope (table
+    * columns + `_change_type` + `_commit_version`). */
   private def outSchema(options: CaseInsensitiveStringMap): StructType = {
     val full = StatsManifest.scanWithIndex(SparkSession.active,
       path(options))._1.schema
+    if (options.getBoolean("readChangeFeed", false)) {
+      require(options.get("pushColumns") == null &&
+        options.get("pushFilter") == null &&
+        !options.getBoolean("ignoreChanges", false),
+        "graft-manifest-stream: readChangeFeed cannot combine with " +
+          "pushColumns/pushFilter/ignoreChanges")
+      return RowOps.cdcSchema(full)
+    }
     Option(options.get("pushColumns")) match {
       case Some(cs) =>
         val names = cs.split(",").map(_.trim).filter(_.nonEmpty)
@@ -93,13 +106,58 @@ final class ManifestStreamSource extends TableProvider
     new ManifestStreamTable(schema, path(opts),
       Option(opts.get("startingVersion")).map(_.toLong).getOrElse(0L),
       opts.getBoolean("ignoreChanges", false),
-      Option(opts.get("pushFilter")))
+      Option(opts.get("pushFilter")), TriggerLimits.from(opts),
+      opts.getBoolean("readChangeFeed", false))
+  }
+}
+
+/** Per-trigger admission limits (rate limiting for catch-up reads):
+  * `maxFilesPerTrigger`, `maxBytesPerTrigger` (accepts byte-suffix
+  * forms like `128m`), `maxRowsPerTrigger` (honored exactly at file
+  * granularity — the manifest carries per-file row counts). Without
+  * them, a stream starting at version 0 of a huge table would plan its
+  * entire history as ONE batch; with them, catch-up proceeds in
+  * bounded batches whose offsets may land MID-version (the offset's
+  * `index` field). Bytes/rows are soft caps: a batch always admits at
+  * least one file, so progress is guaranteed. */
+private[graft] final case class TriggerLimits(maxFiles: Option[Int],
+    maxBytes: Option[Long], maxRows: Option[Long]) {
+  def isUnlimited: Boolean =
+    maxFiles.isEmpty && maxBytes.isEmpty && maxRows.isEmpty
+  def toReadLimit: ReadLimit = {
+    val ls: Seq[ReadLimit] = maxFiles.map(ReadLimit.maxFiles(_)).toSeq ++
+      maxBytes.map(ReadLimit.maxBytes(_)) ++
+      maxRows.map(ReadLimit.maxRows(_))
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+}
+
+private[graft] object TriggerLimits {
+  val none: TriggerLimits = TriggerLimits(None, None, None)
+  def from(options: CaseInsensitiveStringMap): TriggerLimits = {
+    def pos(name: String, v: Long): Long = {
+      require(v > 0, s"graft-manifest-stream: $name must be > 0, got $v")
+      v
+    }
+    TriggerLimits(
+      Option(options.get("maxFilesPerTrigger"))
+        .map(s => pos("maxFilesPerTrigger", s.toLong).toInt),
+      Option(options.get("maxBytesPerTrigger")).map(s =>
+        pos("maxBytesPerTrigger", org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(s))),
+      Option(options.get("maxRowsPerTrigger"))
+        .map(s => pos("maxRowsPerTrigger", s.toLong)))
   }
 }
 
 private final class ManifestStreamTable(outSchema: StructType,
     dir: String, startingVersion: Long, ignoreChanges: Boolean,
-    pushFilterSql: Option[String])
+    pushFilterSql: Option[String], limits: TriggerLimits,
+    readChangeFeed: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"graft-manifest-stream($dir)"
   override def schema(): StructType = outSchema
@@ -107,8 +165,11 @@ private final class ManifestStreamTable(outSchema: StructType,
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestStreamScanBuilder(outSchema, dir, startingVersion,
-      ignoreChanges, pushFilterSql)
+    if (readChangeFeed)
+      ManifestCdcStream.scanBuilder(dir, startingVersion, limits)
+    else
+      new ManifestStreamScanBuilder(outSchema, dir, startingVersion,
+        ignoreChanges, pushFilterSql, limits)
 }
 
 /** Pushdown on the STREAM scan — the batch path prunes by manifest
@@ -137,7 +198,7 @@ private final class ManifestStreamTable(outSchema: StructType,
   * stream. */
 private final class ManifestStreamScanBuilder(outSchema: StructType,
     dir: String, startingVersion: Long, ignoreChanges: Boolean,
-    pushFilterSql: Option[String])
+    pushFilterSql: Option[String], limits: TriggerLimits)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read
@@ -215,7 +276,8 @@ private final class ManifestStreamScanBuilder(outSchema: StructType,
         new ManifestMicroBatchStream(fullSchema, readData, outputData,
           partSchema, attrsOf(readData) ++ attrsOf(partSchema),
           attrsOf(outputData) ++ attrsOf(partSchema),
-          filterExpr, pushed, dir, startingVersion, ignoreChanges)
+          filterExpr, pushed, dir, startingVersion, ignoreChanges,
+          limits)
     }
   }
 }
@@ -229,18 +291,254 @@ private[graft] object ManifestStreamSource {
 
   /** The stream ScanBuilder for OTHER front doors (the graft
     * TableCatalog's `readStream.table("graft.db.t")`) — same options
-    * (`startingVersion`, `ignoreChanges`, `pushFilter`), same stream. */
+    * (`startingVersion`, `ignoreChanges`, `pushFilter`, the trigger
+    * limits, `readChangeFeed`), same streams. */
   def streamScanBuilder(schema: StructType, dir: String,
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestStreamScanBuilder(schema, dir,
-      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
-      options.getBoolean("ignoreChanges", false),
-      Option(options.get("pushFilter")))
+    if (options.getBoolean("readChangeFeed", false))
+      ManifestCdcStream.scanBuilder(dir,
+        Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+        TriggerLimits.from(options))
+    else
+      new ManifestStreamScanBuilder(schema, dir,
+        Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+        options.getBoolean("ignoreChanges", false),
+        Option(options.get("pushFilter")), TriggerLimits.from(options))
+
+  /** Hive-partition values synthesized from a file key's `p=…` path
+    * segments — exactly like the batch scan (typed via a session-zone
+    * Cast). */
+  private[sources] def partitionValues(
+      spark: org.apache.spark.sql.SparkSession, rootKey: String,
+      key: String, partSchema: StructType): InternalRow = {
+    if (partSchema.isEmpty) return InternalRow.empty
+    val rel = key.stripPrefix(rootKey).stripPrefix("/")
+    val kv = rel.split("/").dropRight(1).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+    InternalRow.fromSeq(partSchema.map { f =>
+      val raw = kv.getOrElse(f.name,
+        throw new IllegalStateException(
+          s"graft-manifest-stream: no ${f.name}= segment in $key"))
+      val unescaped = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(raw)
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(unescaped),
+          org.apache.spark.sql.types.StringType),
+        f.dataType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+    })
+  }
 }
 
-/** Offset = the last fully-ingested manifest version. */
-private final case class VersionOffset(version: Long) extends Offset {
-  override def json(): String = s"""{"version":$version}"""
+/** Offset = (last fully-ingested manifest version, number of added
+  * files of version+1 already ingested). `index = 0` is exactly the
+  * pre-admission-control semantics, and old checkpoints (`{"version":
+  * N}`) deserialize to it — a stream written before rate limiting
+  * existed resumes unchanged. `index > 0` means a trigger limit cut a
+  * batch MID-version: the version's added files, in their stable
+  * sorted order, are split across batches (the sort makes replay
+  * deterministic — a recomputed batch re-reads the identical slice). */
+private final case class VersionOffset(version: Long, index: Long = 0L)
+    extends Offset {
+  override def json(): String =
+    if (index == 0L) s"""{"version":$version}"""
+    else s"""{"version":$version,"index":$index}"""
+  /** Strictly-after in stream order. */
+  def >(o: VersionOffset): Boolean =
+    version > o.version || (version == o.version && index > o.index)
+}
+
+/** Shared machinery for micro-batch streams whose offsets are manifest
+  * versions (with sub-version file indexes): offset arithmetic and
+  * (de)serialization, the hint-probed latest resolution, and the
+  * rate-limited admission walk. Subclasses define what one version's
+  * emittable UNITS are — added data files for the table stream, change
+  * files for the CDC stream. */
+private abstract class VersionOffsetStream[U: scala.reflect.ClassTag](
+    dir: String,
+    startingVersion: Long, limits: TriggerLimits)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  protected val spark = SparkSession.active
+
+  /** Trigger.AvailableNow pins the stream's end at prepare time: the
+    * run drains up to exactly this version in rate-limited batches,
+    * then stops — later commits wait for the next run. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(
+      StatsManifest.latestVersion(spark, dir).getOrElse(0L))
+  private def latestCapped: Long = {
+    val l = StatsManifest.latestVersion(spark, dir).getOrElse(0L)
+    availableNowCap.fold(l)(math.min(l, _))
+  }
+
+  /** The units version `v` emits, in the STABLE order sub-version
+    * offsets index into (replay determinism). */
+  protected def computeUnits(v: Long): Array[U]
+  /** (bytes, rows) of a unit for the byte/row budgets; 0 when
+    * unknown. */
+  protected def unitSize(u: U): (Long, Long)
+
+  /** Memoized [[computeUnits]] — the admission walk and the subsequent
+    * planInputPartitions for the same trigger hit the memo; entries at
+    * or below the committed offset are dropped in [[commit]]. */
+  private val unitsMemo =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[U]]()
+  protected final def unitsOfVersion(v: Long): Array[U] =
+    unitsMemo.computeIfAbsent(v, computeUnits(_))
+
+  protected final def filesAt(
+      v: Long): Map[String, StatsManifest.FileStats] =
+    if (v <= 0L) Map.empty
+    else
+      try StatsManifest.readAt(spark, dir, v)
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"graft-manifest-stream: version $v is no longer retained — " +
+            "the stream was down longer than the table's retention " +
+            "window; re-seed from a fresh startingVersion", e)
+      }
+
+  /** Schema-drift guard: a stream PINS its schema when it starts, so
+    * an ALTER COLUMN committed while it runs would silently mis-read
+    * every later file (an added column invisibly dropped, a removed
+    * one null-filled). [[guardSchemaDrift]] fails LOUDLY when a range
+    * reaches PAST the pin version into a different sidecar schema.
+    * Ranges at or before the pin version are exempt: after a restart
+    * the new pin reads historical files under the CURRENT schema
+    * (added columns null-fill, dropped ones project away — the batch
+    * time-travel convention, adopted explicitly at restart, never
+    * silently mid-stream). */
+  private val pinnedAtVersion: Long =
+    StatsManifest.latestVersion(spark, dir).getOrElse(0L)
+  private val pinnedSchemaSidecar: Option[StructType] =
+    if (pinnedAtVersion <= 0L) None
+    else StatsManifest.schemaAt(spark, dir, pinnedAtVersion)
+  protected final def guardSchemaDrift(maxV: Long): Unit = {
+    if (maxV <= pinnedAtVersion) return
+    val now = StatsManifest.schemaAt(spark, dir, maxV)
+    if (now != pinnedSchemaSidecar)
+      throw new IllegalStateException(
+        s"graft-manifest-stream: the table schema changed between " +
+          s"version $pinnedAtVersion and version $maxV (ALTER " +
+          "ADD/DROP COLUMN) while this stream was running — restart " +
+          "the stream to adopt the new schema (a pinned schema would " +
+          "silently mis-read the new files)")
+  }
+
+  override def initialOffset(): Offset =
+    VersionOffset(math.max(0L, startingVersion - 1L))
+
+  override def latestOffset(): Offset =
+    // hint-probed O(log) resolution — this runs per trigger, and a
+    // full directory listing per trigger is the O(versions) curve the
+    // manifest log checkpointing removed
+    VersionOffset(latestCapped)
+
+  override def getDefaultReadLimit: ReadLimit = limits.toReadLimit
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  /** Rate-limited offset resolution: walk versions forward from
+    * `start`, admitting units (in each version's stable order) until
+    * the limit is hit — possibly MID-version, which is what the
+    * offset's `index` field encodes. Cost is O(versions actually
+    * admitted), not O(backlog): a stream catching up on a year-old
+    * table pays only for the batch it is about to run. Limits count
+    * units BEFORE any pushFilter pruning — the cap bounds planning
+    * work too, and stats-refuted files still never become read
+    * tasks. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset]
+    val latest = latestCapped
+    if (latest <= s.version) return s
+    def bounds(l: ReadLimit): (Long, Long, Long) = l match {
+      case f: ReadMaxFiles => (f.maxFiles().toLong, Long.MaxValue,
+        Long.MaxValue)
+      case b: ReadMaxBytes => (Long.MaxValue, b.maxBytes(),
+        Long.MaxValue)
+      case r: ReadMaxRows => (Long.MaxValue, Long.MaxValue, r.maxRows())
+      case c: CompositeReadLimit => c.getReadLimits.map(bounds)
+        .reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2),
+          math.min(a._3, b._3)))
+      case _ => (Long.MaxValue, Long.MaxValue, Long.MaxValue)
+    }
+    val (maxF, maxB, maxR) = bounds(limit)
+    if (maxF == Long.MaxValue && maxB == Long.MaxValue &&
+        maxR == Long.MaxValue)
+      return VersionOffset(latest)
+    var files = 0L
+    var bytes = 0L
+    var rows = 0L
+    var v = s.version
+    var idx = s.index
+    while (v < latest) {
+      val adds = unitsOfVersion(v + 1)
+      var i = idx
+      while (i < adds.length) {
+        val (len0, rows0) = unitSize(adds(i.toInt))
+        val len = math.max(0L, len0)
+        // hard cap on files; soft caps on bytes/rows (always admit at
+        // least one file so the stream can make progress)
+        if (files + 1 > maxF ||
+            (files > 0 && (bytes + len > maxB || rows + rows0 > maxR)))
+          return VersionOffset(v, i)
+        files += 1; bytes += len; rows += rows0; i += 1
+      }
+      v += 1
+      idx = 0L
+    }
+    VersionOffset(latest)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val vm = """"version"\s*:\s*(\d+)""".r
+    val im = """"index"\s*:\s*(\d+)""".r
+    VersionOffset(
+      vm.findFirstMatchIn(json).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-manifest-stream: bad offset $json")),
+      im.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L))
+  }
+
+  /** Units of the range (start, end], honoring sub-version indexes on
+    * both bounds; also returns the highest version the range touches
+    * (for the tombstone guard). */
+  protected final def unitsInRange(s: VersionOffset,
+      e: VersionOffset): (Long, Array[U]) = {
+    // e.index > 0 means the range extends e.index units INTO version
+    // e.version + 1
+    val maxV = if (e.index > 0L) e.version + 1L else e.version
+    val buf = scala.collection.mutable.ArrayBuffer.empty[U]
+    var v = s.version + 1L
+    while (v <= maxV) {
+      var adds: Array[U] = unitsOfVersion(v)
+      if (v == s.version + 1L && s.index > 0L)
+        adds = adds.drop(s.index.toInt)
+      if (v == e.version + 1L) {
+        val already = if (v == s.version + 1L) s.index else 0L
+        adds = adds.take((e.index - already).toInt)
+      }
+      buf ++= adds
+      v += 1L
+    }
+    (maxV, buf.toArray)
+  }
+
+  override def commit(end: Offset): Unit = {
+    // the memo only serves the catch-up window — drop everything the
+    // committed offset has fully passed
+    val v = end.asInstanceOf[VersionOffset].version
+    unitsMemo.keySet.removeIf(k => k <= v)
+  }
+  override def stop(): Unit = ()
 }
 
 private final class ManifestMicroBatchStream(tableSchema: StructType,
@@ -250,9 +548,10 @@ private final class ManifestMicroBatchStream(tableSchema: StructType,
     filterExpr: Option[
       org.apache.spark.sql.catalyst.expressions.Expression],
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    dir: String, startingVersion: Long, ignoreChanges: Boolean)
-    extends MicroBatchStream {
-  private val spark = SparkSession.active
+    dir: String, startingVersion: Long, ignoreChanges: Boolean,
+    limits: TriggerLimits)
+    extends VersionOffsetStream[(String, StatsManifest.FileStats)](
+      dir, startingVersion, limits) {
 
   // file-refutation shapes for the manifest pruner: the resolved
   // pushFilter expression plus any engine-pushed v1 filters;
@@ -275,69 +574,54 @@ private final class ManifestMicroBatchStream(tableSchema: StructType,
       .flatMap(StatsManifest.catalystToFilter)
   }
 
-  override def initialOffset(): Offset =
-    VersionOffset(math.max(0L, startingVersion - 1L))
-
-  override def latestOffset(): Offset =
-    // hint-probed O(log) resolution — this runs per trigger, and a
-    // full directory listing per trigger is the O(versions) curve the
-    // manifest log checkpointing removed
-    VersionOffset(StatsManifest.latestVersion(spark, dir).getOrElse(0L))
-
-  override def deserializeOffset(json: String): Offset = {
-    val m = """"version"\s*:\s*(\d+)""".r
-    VersionOffset(m.findFirstMatchIn(json).map(_.group(1).toLong)
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft-manifest-stream: bad offset $json")))
+  /** The files ADDED by version `v` with their manifest stats, sorted
+    * by key. The underlying snapshots come from
+    * [[StatsManifest.readAt]]'s global cache, so a memo miss costs one
+    * key-set diff, not a log read. */
+  override protected def computeUnits(
+      v: Long): Array[(String, StatsManifest.FileStats)] = {
+    val prev = filesAt(v - 1).keySet
+    filesAt(v).iterator.filterNot(kv => prev.contains(kv._1))
+      .toArray.sortBy(_._1)
   }
-
-  private def filesAt(v: Long): Map[String, StatsManifest.FileStats] =
-    if (v <= 0L) Map.empty
-    else
-      try StatsManifest.readAt(spark, dir, v)
-      catch {
-        case e: Exception => throw new IllegalStateException(
-          s"graft-manifest-stream: version $v is no longer retained — " +
-            "the stream was down longer than the table's retention " +
-            "window; re-seed from a fresh startingVersion", e)
-      }
+  override protected def unitSize(
+      u: (String, StatsManifest.FileStats)): (Long, Long) =
+    (u._2.len, u._2.rows)
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[VersionOffset].version
-    val e = end.asInstanceOf[VersionOffset].version
-    if (e <= s) return Array.empty
-    val before = filesAt(s)
-    val after = filesAt(e)
+    val s = start.asInstanceOf[VersionOffset]
+    val e = end.asInstanceOf[VersionOffset]
+    if (!(e > s)) return Array.empty
+    val (maxV, added) = unitsInRange(s, e)
+    guardSchemaDrift(maxV)
     if (!ignoreChanges) {
       val removedDelta =
-        StatsManifest.removedAt(spark, dir, e) --
-          (if (s <= 0L) Set.empty[String]
-           else StatsManifest.removedAt(spark, dir, s))
+        StatsManifest.removedAt(spark, dir, maxV) --
+          (if (s.version <= 0L) Set.empty[String]
+           else StatsManifest.removedAt(spark, dir, s.version))
       require(removedDelta.isEmpty,
-        s"graft-manifest-stream: versions ($s, $e] tombstoned " +
-          s"${removedDelta.size} file(s) — the table is not append-only " +
-          "over this range. Use RowOps.changesStream for CDC semantics, " +
-          "or ignoreChanges=true to stream just the added files " +
-          "(rewritten rows will re-emit).")
+        s"graft-manifest-stream: versions (${s.version}, $maxV] " +
+          s"tombstoned ${removedDelta.size} file(s) — the table is " +
+          "not append-only over this range. Use RowOps.changesStream " +
+          "for CDC semantics, or ignoreChanges=true to stream just " +
+          "the added files (rewritten rows will re-emit).")
     }
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val rootKey = StatsManifest.fileKey(fs.makeQualified(new Path(dir)))
-    val added = (after.keySet -- before.keySet).toArray.sorted
     // file-level pruning, the streaming twin of the batch
     // ManifestFileIndex: an added file whose stats refute every pushed
     // filter never becomes a partition (refutation-only — missing
     // stats or unknown shapes keep the file)
     val kept =
       if (pushedExprs.isEmpty) added
-      else added.filter { key =>
-        val st = after(key)
+      else added.filter { case (_, st) =>
         pushedExprs.forall(StatsManifest.mayMatch(_, st))
       }
     ManifestStreamSource.lastPlanTotal.set(added.length.toLong)
     ManifestStreamSource.lastPlanSelected.set(kept.length.toLong)
-    kept.map { key =>
+    kept.map { case (key, st) =>
       // file length comes from the manifest entry itself (carried at
       // write time) — offset→partitions is then a pure metadata read,
       // no per-added-file getFileStatus RPC per batch; pre-`flen`
@@ -345,44 +629,22 @@ private final class ManifestMicroBatchStream(tableSchema: StructType,
       // fail-loudly retention check (a vanished added file means
       // vacuum / physical rewrite outran the stream — emitting zero
       // rows would silently break exactly-once)
-      val len = after(key).len match {
+      val len = st.len match {
         case l if l >= 0L => l
         case _ =>
           val p = new Path(key)
           if (fs.exists(p)) fs.getFileStatus(p).getLen
           else throw new IllegalStateException(
             s"graft-manifest-stream: added file $key of versions " +
-              s"($s, $e] no longer exists — the table was vacuumed or " +
+              s"(${s.version}, $maxV] no longer exists — the table " +
+              "was vacuumed or " +
               "physically rewritten past the stream's position; re-seed " +
               "from a fresh startingVersion")
       }
       // Hive-partition values synthesize from the file's path, exactly
       // like the batch scan
-      val rel = key.stripPrefix(rootKey).stripPrefix("/")
-      val partVals: InternalRow =
-        if (partSchema.isEmpty) InternalRow.empty
-        else {
-          val kv = rel.split("/").dropRight(1).flatMap { seg =>
-            seg.split("=", 2) match {
-              case Array(k, v) => Some(k -> v)
-              case _ => None
-            }
-          }.toMap
-          InternalRow.fromSeq(partSchema.map { f =>
-            val raw = kv.getOrElse(f.name,
-              throw new IllegalStateException(
-                s"graft-manifest-stream: no ${f.name}= segment in $key"))
-            val unescaped = org.apache.spark.sql.catalyst.catalog
-              .ExternalCatalogUtils.unescapePathName(raw)
-            org.apache.spark.sql.catalyst.expressions.Cast(
-              org.apache.spark.sql.catalyst.expressions.Literal(
-                org.apache.spark.unsafe.types.UTF8String
-                  .fromString(unescaped),
-                org.apache.spark.sql.types.StringType),
-              f.dataType,
-              Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
-          })
-        }
+      val partVals = ManifestStreamSource.partitionValues(spark,
+        rootKey, key, partSchema)
       ManifestFilePartition(PartitionedFile(partVals,
         org.apache.spark.paths.SparkPath.fromPathString(key), 0L, len,
         Array.empty, 0L, len, Map.empty)): InputPartition
@@ -419,8 +681,6 @@ private final class ManifestMicroBatchStream(tableSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     readerFactory
 
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }
 
 private final case class ManifestFilePartition(file: PartitionedFile)
@@ -459,6 +719,227 @@ private final class ManifestStreamReaderFactory(
       override def close(): Unit = raw match {
         case c: AutoCloseable => c.close()
         case _ => ()
+      }
+    }
+  }
+}
+
+/** One emittable unit of the CDC stream: a file to read, tagged.
+  * `kind` 0 = a precomputed change file (already in the CDC envelope
+  * schema); 1 = a data file an append-only version added, emitted as
+  * `insert` rows with the envelope synthesized. */
+private final case class CdcUnit(path: String, len: Long, rows: Long,
+    kind: Byte, version: Long)
+
+private final case class CdcFilePartition(file: PartitionedFile,
+    kind: Byte, version: Long) extends InputPartition
+
+/** STREAMING changefeed with VERSION offsets (`readChangeFeed=true`):
+  * the DSv2 twin of [[RowOps.changesStream]]. Each micro-batch emits
+  * exactly the row-level changes of a version range — precomputed
+  * change files where a row op landed them, added files as `insert`
+  * rows for append-only versions (including version 1, so a fresh
+  * stream starts with the table's initial snapshot as inserts), and
+  * NOTHING for net-zero maintenance commits (`optimize`/`checkpoint`/
+  * `schema`, told apart by the commit's `_op.txt` sidecar). A version
+  * that dropped rows without leaving change files (a `cdf = false` op,
+  * an `INSERT OVERWRITE`) fails LOUDLY — emitting a wrong or partial
+  * feed silently is the one unacceptable outcome. Offsets, restart
+  * semantics and the trigger limits are shared with the table stream
+  * ([[VersionOffsetStream]]); `maxRowsPerTrigger` budgets only the
+  * append-version units (change-file row counts aren't known without
+  * opening them — documented).
+  *
+  * Reference analogue: the changelog-emitting table sources
+  * (`flink-table-common/…/connector/ChangelogMode.java`) — here the
+  * changelog IS the version log's recorded deltas. */
+private final class ManifestCdcStream(tableSchema: StructType,
+    partSchema: StructType, dir: String, startingVersion: Long,
+    limits: TriggerLimits)
+    extends VersionOffsetStream[CdcUnit](dir, startingVersion, limits) {
+
+  private val fs = new Path(dir).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+  private val rootKey =
+    StatsManifest.fileKey(fs.makeQualified(new Path(dir)))
+
+  /** Row-op kinds whose `cdf = true` commits are FOLLOWED by change
+    * files (the CDC write lands moments after the manifest rename): a
+    * live stream racing that window waits for the sidecar instead of
+    * mis-reading the version. */
+  private val CdfOps = Set("delete", "update", "merge", "upsert")
+
+  override protected def computeUnits(v: Long): Array[CdcUnit] = {
+    def cdcUnits(): Array[CdcUnit] =
+      RowOps.cdcFiles(fs, dir, v).map { p =>
+        val q = fs.makeQualified(p)
+        CdcUnit(q.toString, fs.getFileStatus(q).getLen, 0L, 0, v)
+      }.sortBy(_.path).toArray
+    val cdc = cdcUnits()
+    if (cdc.nonEmpty) return cdc
+    val op = StatsManifest.opAt(spark, dir, v)
+    if (op.exists(CdfOps.contains)) {
+      // the commit DECLARED change files (no -nocdf marker) but they
+      // have not landed yet — this trigger raced the op's CDC write.
+      // Wait briefly (typically milliseconds); a persistent absence
+      // means a crash lost the files — fail toward the backfill.
+      val deadline = System.nanoTime() + spark.conf
+        .get("spark.graft.cdc.sidecarWaitMs", "30000").toLong * 1000000L
+      while (System.nanoTime() < deadline) {
+        Thread.sleep(100L)
+        val retry = cdcUnits()
+        if (retry.nonEmpty) return retry
+      }
+      throw new IllegalStateException(
+        "graft-manifest-stream(readChangeFeed): version " +
+          s"$v (operation '${op.get}') declared change files that " +
+          "never landed (a crash between the commit and the CDC " +
+          "write?) — backfill this range with RowOps.changes and " +
+          "restart from a later startingVersion")
+    }
+    val prev = filesAt(v - 1)
+    val cur = filesAt(v)
+    val adds = cur.iterator
+      .filterNot(kv => prev.contains(kv._1)).toArray.sortBy(_._1)
+    val dropped = prev.keySet.exists(k => !cur.contains(k))
+    if (!dropped && adds.isEmpty) Array.empty[CdcUnit]
+    else op match {
+      // net-zero maintenance: files moved, rows didn't change
+      case Some("optimize") | Some("checkpoint") =>
+        Array.empty[CdcUnit]
+      case _ if !dropped =>
+        // append-only version (including a cdf=false op that only
+        // added files): the added rows ARE the change set
+        adds.map { case (k, st) =>
+          val len =
+            if (st.len >= 0L) st.len
+            else {
+              val p = new Path(k)
+              if (fs.exists(p)) fs.getFileStatus(p).getLen
+              else throw new IllegalStateException(
+                s"graft-manifest-stream(readChangeFeed): added file " +
+                  s"$k of version $v no longer exists — vacuumed " +
+                  "past the stream's position; re-seed from a fresh " +
+                  "startingVersion")
+            }
+          CdcUnit(k, len, st.rows, 1, v)
+        }
+      case other => throw new IllegalStateException(
+        "graft-manifest-stream(readChangeFeed): version " +
+          s"$v (operation '${other.getOrElse("unknown")}') dropped " +
+          "rows without precomputed change files — run row ops with " +
+          "cdf = true, or backfill this range with RowOps.changes " +
+          "and restart from a later startingVersion")
+    }
+  }
+
+  override protected def unitSize(u: CdcUnit): (Long, Long) =
+    (u.len, u.rows)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset]
+    val e = end.asInstanceOf[VersionOffset]
+    if (!(e > s)) return Array.empty
+    val (maxV, units) = unitsInRange(s, e)
+    guardSchemaDrift(maxV)
+    units.map { u =>
+      val partVals =
+        if (u.kind == 0) InternalRow.empty
+        else ManifestStreamSource.partitionValues(spark, rootKey,
+          u.path, partSchema)
+      CdcFilePartition(PartitionedFile(partVals,
+        org.apache.spark.paths.SparkPath.fromPathString(u.path), 0L,
+        u.len, Array.empty, 0L, u.len, Map.empty),
+        u.kind, u.version): InputPartition
+    }
+  }
+
+  // built ONCE per stream: two row-based parquet read functions — the
+  // CDC envelope files (flat, partition columns materialized as data)
+  // and the table's data files (envelope synthesized per row)
+  private lazy val readerFactory: PartitionReaderFactory = {
+    val rowSession = spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .newSession()
+    rowSession.conf.set("spark.sql.parquet.enableVectorizedReader",
+      "false")
+    // one hadoopConf PER reader: buildReaderWithPartitionValues writes
+    // its requested schema into the conf it is given, so sharing one
+    // conf would make the second build's schema clobber the first's
+    val cdcFull = RowOps.cdcSchema(tableSchema)
+    val cdcRead = new ParquetFileFormat().buildReaderWithPartitionValues(
+      rowSession, cdcFull, new StructType(), cdcFull, Nil, Map.empty,
+      rowSession.sessionState.newHadoopConfWithOptions(Map.empty))
+    val dataSchema = StructType(tableSchema.filterNot(f =>
+      partSchema.fieldNames.contains(f.name)))
+    val insRead = new ParquetFileFormat().buildReaderWithPartitionValues(
+      rowSession, dataSchema, partSchema, dataSchema, Nil, Map.empty,
+      rowSession.sessionState.newHadoopConfWithOptions(Map.empty))
+    new CdcReaderFactory(cdcRead, insRead,
+      org.apache.spark.sql.catalyst.types.DataTypeUtils
+        .toAttributes(tableSchema))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    readerFactory
+}
+
+private final class CdcReaderFactory(
+    cdcRead: PartitionedFile => Iterator[InternalRow],
+    insRead: PartitionedFile => Iterator[InternalRow],
+    /** the table's attributes in output order (data then partition
+      * columns) — the insert-synthesis projection's input. */
+    tableAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+    extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal,
+      UnsafeProjection}
+    val cp = p.asInstanceOf[CdcFilePartition]
+    val raw = if (cp.kind == 0) cdcRead(cp.file) else insRead(cp.file)
+    val it =
+      if (cp.kind == 0) raw
+      else {
+        // append the envelope: _change_type = 'insert',
+        // _commit_version = the version that added this file
+        val proj = UnsafeProjection.create(
+          tableAttrs ++ Seq(
+            Literal(org.apache.spark.unsafe.types.UTF8String
+              .fromString("insert"),
+              org.apache.spark.sql.types.StringType),
+            Literal(cp.version,
+              org.apache.spark.sql.types.LongType)),
+          tableAttrs)
+        raw.map(proj)
+      }
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = it.hasNext
+      override def get(): InternalRow = it.next()
+      override def close(): Unit = raw match {
+        case c: AutoCloseable => c.close()
+        case _ => ()
+      }
+    }
+  }
+}
+
+private object ManifestCdcStream {
+  /** The `readChangeFeed=true` ScanBuilder (shared by the data-source
+    * and catalog front doors). */
+  def scanBuilder(dir: String, startingVersion: Long,
+      limits: TriggerLimits): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = {
+      val spark = SparkSession.active
+      val (fullDf, idx) = StatsManifest.scanWithIndex(spark, dir)
+      val tableSchema = fullDf.schema
+      val partSchema = idx.partitionSchema
+      val out = RowOps.cdcSchema(tableSchema)
+      new Scan {
+        override def readSchema(): StructType = out
+        override def toMicroBatchStream(
+            checkpointLocation: String): MicroBatchStream =
+          new ManifestCdcStream(tableSchema, partSchema, dir,
+            startingVersion, limits)
       }
     }
   }

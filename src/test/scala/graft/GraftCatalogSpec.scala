@@ -172,4 +172,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("CDC stream of a catalog table: readChangeFeed + rate limit " +
+      "via readStream.table options") {
+    val t = tbl()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, m BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql(s"INSERT INTO $t SELECT id, 0L FROM range(100)")
+    spark.sql(s"DELETE FROM $t WHERE k < 10")
+    val sink = s"cat_cdc_sink_$n"
+    val q = spark.readStream
+      .option("readChangeFeed", "true")
+      .option("maxFilesPerTrigger", "1")
+      .table(t)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(sink)
+      assert(got.schema.fieldNames.takeRight(2).toSeq ===
+        Seq("_change_type", "_commit_version"))
+      assert(got.where(org.apache.spark.sql.functions
+        .col("_change_type") === "insert").count() === 100L)
+      assert(got.where(org.apache.spark.sql.functions
+        .col("_change_type") === "delete").count() === 10L)
+    } finally { q.stop(); q.awaitTermination() }
+    spark.sql(s"DROP TABLE $t")
+  }
 }

@@ -188,6 +188,246 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  // ---- per-trigger admission control (rate-limited catch-up) ---- //
+
+  /** 4 files across 3 versions: v1 = 2×50 rows, v2 = 1×100, v3 = 1×50.
+    * Returns the dir. */
+  private def mkBacklog(): String = {
+    val dir = mk()
+    append(dir, 1000L, 1100L) // v2
+    append(dir, 2000L, 2050L) // v3
+    dir
+  }
+
+  private def runLimited(dir: String, opts: Map[String, String])
+      : Seq[Long] = {
+    val batchSizes =
+      new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    var r = spark.readStream.format("graft-manifest-stream")
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load(dir).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(df.count()); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    batchSizes.asScala.toSeq.filter(_ > 0L)
+  }
+
+  test("maxFilesPerTrigger paces catch-up one file per batch — " +
+      "including MID-version splits — and totals stay exactly-once") {
+    val dir = mkBacklog()
+    val sizes = runLimited(dir, Map("maxFilesPerTrigger" -> "1"))
+    // v1's two 50-row files arrive in SEPARATE batches (a sub-version
+    // offset split them), then v2's 100, then v3's 50
+    assert(sizes === Seq(50L, 50L, 100L, 50L))
+  }
+
+  test("maxBytesPerTrigger is a soft cap: at least one file per batch, " +
+      "never two once the cap is exceeded") {
+    val dir = mkBacklog()
+    // 1 byte < any file ⇒ exactly one file per batch
+    val sizes = runLimited(dir, Map("maxBytesPerTrigger" -> "1"))
+    assert(sizes === Seq(50L, 50L, 100L, 50L))
+    // a generous cap admits everything in one batch
+    val all = runLimited(dir, Map("maxBytesPerTrigger" -> "1g"))
+    assert(all === Seq(250L))
+  }
+
+  test("maxRowsPerTrigger packs whole files up to the row budget " +
+      "(manifest row counts, no file opened to decide)") {
+    val dir = mkBacklog()
+    val sizes = runLimited(dir, Map("maxRowsPerTrigger" -> "100"))
+    // [50+50], [100] (first file always admits), [50]
+    assert(sizes === Seq(100L, 100L, 50L))
+  }
+
+  test("mid-version offset appears in the progress log and a restart " +
+      "resumes FROM it exactly-once") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mstream_mid").toString + "/t"
+    (0 until 100).map(i => (i.toLong, 0L)).toDF("k", "m")
+      .repartition(4).write.parquet(dir) // ONE version, 4 files
+    StatsManifest.write(spark, dir, Seq("k"))
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_mstream_midcp").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    @volatile var failOnSecondBatch = true
+    def start() = spark.readStream.format("graft-manifest-stream")
+      .option("maxFilesPerTrigger", "3").load(dir).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id >= 1 && failOnSecondBatch)
+          throw new RuntimeException("boom: fail after batch 0")
+        df.select("k").collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", cp).start()
+    // run 1: batch 0 = 3 of v1's 4 files commits offset {v:0, idx:3},
+    // batch 1 fails before the sink sees it
+    val q1 = start()
+    SparkFixture.quietExpectedStreamFailures {
+      intercept[Exception] { q1.awaitTermination() }
+    }
+    q1.stop()
+    val run1 = got.size
+    assert(run1 === 75, "3 of 4 equal files = 75 rows in batch 0")
+    // run 2: resumes from the checkpointed MID-version offset
+    failOnSecondBatch = false
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.size === 100, "the remaining file delivers, once")
+      assert(got.asScala.toSet.size === 100, "no duplicates")
+    } finally { q2.stop(); q2.awaitTermination() }
+  }
+
+  test("schema drift mid-stream fails loudly; a restart adopts the " +
+      "new schema (old files null-fill the added column)") {
+    val dir = mk()
+    val (sink, q) = startInto(dir)
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 100L)
+      // ALTER ADD COLUMN while the stream runs, then land data that
+      // carries it — a pinned schema would silently drop the column
+      RowOps.addColumn(spark, dir, "extra",
+        org.apache.spark.sql.types.LongType) // v2 (schema)
+      (0 until 10).map(i => (5000L + i, -1L, 7L)).toDF("k", "m", "extra")
+        .coalesce(1).write.mode("append").parquet(dir)
+      StatsManifest.update(spark, dir, Seq("k")) // v3
+      val e = intercept[Exception] {
+        SparkFixture.quietExpectedStreamFailures {
+          q.processAllAvailable()
+        }
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("schema changed")),
+        msgs(e).mkString)
+    } finally {
+      q.stop()
+      // the query terminated WITH the expected exception —
+      // awaitTermination would rethrow it
+      try q.awaitTermination() catch { case _: Exception => () }
+    }
+    // a FRESH stream pins the evolved schema: new files carry the
+    // column, historical files read as null — never a silent drop
+    val (sink2, q2) = startInto(dir)
+    try {
+      q2.processAllAvailable()
+      val t = spark.table(sink2)
+      assert(t.schema.fieldNames.contains("extra"))
+      assert(t.count() === 110L)
+      assert(t.where(col("extra") === 7L).count() === 10L)
+      assert(t.where(col("extra").isNull).count() === 100L)
+    } finally { q2.stop(); q2.awaitTermination() }
+  }
+
+  // ---- readChangeFeed: the DSv2 CDC stream ---- //
+
+  test("readChangeFeed: initial snapshot as inserts, row-op changes " +
+      "from the precomputed files, appends as inserts, maintenance " +
+      "commits emit nothing") {
+    val dir = mk() // v1: 100 rows (k 0..99)
+    RowOps.delete(spark, dir, col("k") < 10, Seq("k")) // v2: 10 deletes
+    append(dir, 1000L, 1020L) // v3: 20 inserts, no change files
+    StatsManifest.checkpoint(spark, dir) // v4: net-zero maintenance
+    n += 1
+    val sink = s"mstream_sink_$n"
+    val q = spark.readStream.format("graft-manifest-stream")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table(sink)
+      assert(t.schema.fieldNames.toSeq ===
+        Seq("k", "m", "_change_type", "_commit_version"))
+      val byVer = t.groupBy("_commit_version", "_change_type").count()
+        .as[(Long, String, Long)].collect().toSet
+      assert(byVer === Set((1L, "insert", 100L), (2L, "delete", 10L),
+        (3L, "insert", 20L)))
+      // a row-level UPDATE while the stream runs: delete+insert pairs
+      RowOps.update(spark, dir, col("k") === 50L,
+        Seq("m" -> lit(-5L)), Seq("k")) // v5
+      // an OPTIMIZE rewrite is net-zero: the op sidecar tells the
+      // stream to skip it rather than re-emit carried rows
+      graft.operators.Layout.optimize(spark, dir, Seq("k"),
+        deferDelete = true) // v6
+      q.processAllAvailable()
+      val t2 = spark.table(sink).where(col("_commit_version") >= 5L)
+      assert(t2.groupBy("_change_type").count()
+        .as[(String, Long)].collect().toSet ===
+        Set(("delete", 1L), ("insert", 1L)))
+      assert(t2.where(col("_change_type") === "insert")
+        .select("m").as[Long].head() === -5L)
+      assert(spark.table(sink)
+        .where(col("_commit_version") === 6L).count() === 0L,
+        "optimize must not re-emit carried rows")
+    } finally { q.stop(); q.awaitTermination() }
+    // rate-limited CDC catch-up delivers the same multiset
+    val unlimited = spark.table(sink).count()
+    val paced = runLimited(dir, Map("readChangeFeed" -> "true",
+      "maxFilesPerTrigger" -> "1"))
+    assert(paced.sum === unlimited)
+    assert(paced.length >= 4, "one change/data file per batch")
+  }
+
+  test("readChangeFeed on a Hive-partitioned table synthesizes " +
+      "partition columns for append versions") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mstream_cdcp").toString + "/t"
+    (0 until 90).map(i => (i % 3, i.toLong, 0L)).toDF("p", "k", "m")
+      .repartitionByRange(3, col("p"))
+      .write.partitionBy("p").parquet(dir)
+    StatsManifest.write(spark, dir, Seq("k"))
+    (3 to 3).flatMap(p => (100 until 110).map(i =>
+      (p, i.toLong, 1L))).toDF("p", "k", "m")
+      .coalesce(1).write.partitionBy("p").mode("append").parquet(dir)
+    StatsManifest.update(spark, dir, Seq("k")) // v2: new partition
+    n += 1
+    val sink = s"mstream_sink_$n"
+    val q = spark.readStream.format("graft-manifest-stream")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table(sink)
+      assert(t.count() === 100L)
+      assert(t.where(col("_commit_version") === 2L)
+        .agg(min("p"), max("p"), count(lit(1)))
+        .as[(Int, Int, Long)].head() === ((3, 3, 10L)))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("readChangeFeed fails loudly on a mutation without change " +
+      "files (cdf = false) instead of emitting a wrong feed") {
+    val dir = mk()
+    RowOps.delete(spark, dir, col("k") < 10, Seq("k"), cdf = false)
+    val (_, q) = startInto(dir, Map("readChangeFeed" -> "true"))
+    val e = intercept[Exception] {
+      SparkFixture.quietExpectedStreamFailures {
+        try q.processAllAvailable()
+        finally { q.stop(); q.awaitTermination() }
+      }
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("change files")), msgs(e).mkString)
+    // option conflicts are rejected up front
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-manifest-stream")
+        .option("readChangeFeed", "true")
+        .option("pushColumns", "k").load(dir)
+    }
+    assert(e2.getMessage.contains("readChangeFeed"))
+  }
+
   test("pushdown stays refutation-only: residual filters re-apply, " +
       "unknown shapes keep files, results match the batch scan") {
     val dir = mk()
