@@ -47,8 +47,13 @@ import graft.sources.{RowOps, StatsManifest}
   * MATCHED INSERT, WHEN NOT MATCHED BY SOURCE UPDATE/DELETE.
   * Conditions and SET/VALUES expressions accept UNCORRELATED
   * subqueries, evaluated once at command run time ([[GraftDml
-  * .evalSubqueries]]); correlated subqueries fail with a clear error
-  * rather than silently approximating.
+  * .evalSubqueries]]). DELETE/UPDATE WHERE conditions additionally
+  * accept CORRELATED subqueries (EXISTS / NOT EXISTS / IN / NOT IN /
+  * scalar compares referencing the target row), lowered onto the
+  * distributed join machinery ([[GraftDml.GraftCorrelatedDmlCommand]]);
+  * correlated subqueries elsewhere (MERGE clause conditions, SET/
+  * INSERT values) fail with a clear error rather than silently
+  * approximating.
   *
   * Reference analogue: DML statements enter the reference through the
   * planner's DDL/DML converter
@@ -82,19 +87,27 @@ object GraftDml {
     require(!e.exists(_.isInstanceOf[PlanExpression[_]]),
       s"graft $stmt: subqueries in the condition are not supported")
 
-  /** DELETE/UPDATE accept UNCORRELATED subqueries in the condition;
-    * correlated ones (referencing the target row inside the subquery)
-    * stay declared out — they would need per-row evaluation across
-    * the plan crossing. */
+  /** MERGE clause conditions and SET/INSERT VALUES accept UNCORRELATED
+    * subqueries only; DELETE/UPDATE WHERE conditions additionally take
+    * correlated ones via the join lowering
+    * ([[GraftCorrelatedDmlCommand]]). */
   private[engine] def checkUncorrelated(e: Expression,
       stmt: String): Unit = e.foreach {
     case s: org.apache.spark.sql.catalyst.expressions
         .SubqueryExpression =>
       require(s.getOuterAttrs.isEmpty,
-        s"graft $stmt: correlated subqueries in the condition are " +
-          "not supported — rewrite as MERGE against the subquery's " +
-          "result, or pre-join it into a source table")
+        s"graft $stmt: correlated subqueries are only supported in " +
+          "DELETE/UPDATE WHERE conditions — rewrite as MERGE against " +
+          "the subquery's result, or pre-join it into a source table")
     case _ => ()
+  }
+
+  /** Does the expression contain a CORRELATED subquery (one that
+    * references the target row)? */
+  private[engine] def hasCorrelated(e: Expression): Boolean = e.exists {
+    case s: org.apache.spark.sql.catalyst.expressions
+        .SubqueryExpression => s.getOuterAttrs.nonEmpty
+    case _ => false
   }
 
   /** IN-subquery materialization cap: past this, the right tool is
@@ -327,6 +340,68 @@ object GraftDml {
     }
   }
 
+  /** CORRELATED DELETE/UPDATE — the join lowering. A correlated WHERE
+    * condition (`EXISTS (SELECT … WHERE s.x = t.y)`, `k IN (SELECT …
+    * WHERE …= t.…)`, `m < (SELECT … WHERE … = t.k)`, any boolean
+    * combination incl. NOT) is a deterministic function of exactly the
+    * target columns it references. So the statement lowers to:
+    *
+    *  1. `source` = the DISTINCT combinations of those referenced
+    *     columns that satisfy the condition — built at RULE time as
+    *     `Distinct(Project(refs, Filter(cond, target)))`, a fully
+    *     resolved self-contained plan that Spark's own optimizer
+    *     DECORRELATES into joins when the command runs (no driver-side
+    *     materialization, unlike the uncorrelated IN-list path);
+    *  2. the row change = [[RowOps.deleteKeys]] (DELETE) or a
+    *     [[RowOps.merge]] with one unconditional WHEN MATCHED UPDATE
+    *     (UPDATE), keyed on the referenced columns — manifest-pruned,
+    *     distributed, CDC-correct.
+    *
+    * Exactness guard: the equi-join cannot address a target row whose
+    * referenced column is NULL, and for such a row the condition is
+    * almost always NULL (three-valued logic) — but shapes like
+    * `t.y IS NULL OR EXISTS(…)` can make it TRUE. If any satisfying
+    * combination carries a NULL, the command fails LOUDLY instead of
+    * silently skipping those rows. Non-deterministic conditions are
+    * rejected at rule time (the two-pass evaluation would see
+    * different rows). */
+  final case class GraftCorrelatedDmlCommand(dir: String,
+      source: LogicalPlan, keys: Seq[String],
+      /** None = DELETE; Some(set) = UPDATE assignments (values cross
+        * unresolved-by-name; correlated SET values stay declared
+        * out). */
+      set: Option[Seq[(String, Held)]],
+      table: Option[String]) extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(source)
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.col
+      val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
+      val src = GraftSqlBridge.ofRows(spark, source)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nullKeyed = src.where(keys.map(col(_).isNull)
+          .reduce(_ || _)).limit(1).collect()
+        require(nullKeyed.isEmpty,
+          "graft DML: the correlated condition matched a row with " +
+            s"NULL in a referenced column (${keys.mkString(", ")}) — " +
+            "the join lowering cannot address such rows; add an IS " +
+            "NOT NULL conjunct or run MERGE directly")
+        set match {
+          case None =>
+            RowOps.deleteKeys(spark, dir, src, keys, sc, bc)
+          case Some(as) =>
+            // validate=false: Distinct guarantees unique source keys
+            RowOps.merge(spark, dir, src, keys, sc, bc,
+              matched = Seq(RowOps.MergeUpdate(None, as.map {
+                case (n, h) => n -> cond(evalSubqueries(spark, h.e))
+              })), validate = false)
+        }
+      } finally src.unpersist()
+      refreshRelation(spark, dir, table)
+      Seq.empty
+    }
+  }
+
   /** The general MERGE: conditional / multi-clause matched actions,
     * conditional inserts, and NOT MATCHED BY SOURCE. */
   final case class GraftMergeFullCommand(dir: String, source: LogicalPlan,
@@ -367,6 +442,24 @@ final case class GraftDmlRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
   import GraftDml._
 
+  /** Lower a correlated DELETE/UPDATE onto the join machinery — see
+    * [[GraftDml.GraftCorrelatedDmlCommand]]. Built at RULE time so the
+    * source plan shares the resolved target's attribute ids (no
+    * unresolve crossing for the correlated condition). */
+  private def correlatedDml(dir: String, tbl: Option[String],
+      target: LogicalPlan, condition: Expression,
+      set: Option[Seq[(String, GraftDml.Held)]],
+      stmt: String): LogicalPlan = {
+    require(condition.deterministic,
+      s"graft $stmt: a correlated condition must be deterministic")
+    val refs = condition.references.intersect(target.outputSet).toSeq
+    require(refs.nonEmpty,
+      s"graft $stmt: correlated condition references no target column")
+    GraftDml.GraftCorrelatedDmlCommand(dir,
+      Distinct(Project(refs, Filter(condition, target))),
+      refs.map(_.name), set, tbl)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
       // claim INSERT before DataSourceAnalysis (postHoc) would land the
@@ -384,6 +477,8 @@ final case class GraftDmlRule(spark: SparkSession)
 
       case d @ DeleteFromTable(target, condition) if d.resolved =>
         manifestedDir(target) match {
+          case Some((dir, tbl)) if hasCorrelated(condition) =>
+            correlatedDml(dir, tbl, target, condition, None, "DELETE")
           case Some((dir, tbl)) =>
             checkUncorrelated(condition, "DELETE")
             GraftDml.GraftDeleteCommand(dir, GraftDml.Held(condition), tbl)
@@ -394,9 +489,8 @@ final case class GraftDmlRule(spark: SparkSession)
           if u.resolved =>
         manifestedDir(target) match {
           case Some((dir, tbl)) =>
-            condition.foreach(checkUncorrelated(_, "UPDATE"))
             val set = assignments.map { a =>
-              checkUncorrelated(a.value, "UPDATE")
+              checkUncorrelated(a.value, "UPDATE SET")
               a.key match {
                 case k: org.apache.spark.sql.catalyst.expressions
                     .AttributeReference =>
@@ -405,10 +499,17 @@ final case class GraftDmlRule(spark: SparkSession)
                   s"graft UPDATE: unsupported SET target ${other.sql}")
               }
             }
-            GraftDml.GraftUpdateCommand(dir, set,
-              GraftDml.Held(condition.getOrElse(
-                org.apache.spark.sql.catalyst.expressions.Literal(true))),
-              tbl)
+            if (condition.exists(hasCorrelated))
+              correlatedDml(dir, tbl, target, condition.get, Some(set),
+                "UPDATE")
+            else {
+              condition.foreach(checkUncorrelated(_, "UPDATE"))
+              GraftDml.GraftUpdateCommand(dir, set,
+                GraftDml.Held(condition.getOrElse(
+                  org.apache.spark.sql.catalyst.expressions
+                    .Literal(true))),
+                tbl)
+            }
           case None => u
         }
 

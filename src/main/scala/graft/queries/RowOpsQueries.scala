@@ -246,6 +246,58 @@ object RowOpsQueries {
              |FROM kept ORDER BY o_orderkey""".stripMargin)),
 
     Query(
+      // CORRELATED DML subqueries (r11): DELETE ... WHERE EXISTS
+      // (correlated on the target row) and an UPDATE gated by a
+      // correlated NOT EXISTS — lowered onto the distributed join
+      // machinery (GraftCorrelatedDmlCommand: the distinct satisfying
+      // ref-combos become a merge/deleteKeys source, decorrelated by
+      // Catalyst itself, never materialized on the driver). The oracle
+      // replays both statements as correlated SQL over the fixture.
+      "q_rowops_correlated",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val dir = tmp("graft_corr_q_", d)
+        o.repartition(8).write.mode("overwrite").parquet(dir)
+        StatsManifest.write(s, dir, Seq("o_orderkey"))
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(10)
+        val tbl = "graft_corr_" + h
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+          s"OPTIONS (path '$dir')")
+        t(s, d, "customer").select("c_custkey", "c_acctbal")
+          .createOrReplaceTempView(s"graft_corrc_$h")
+        // erase orders of negative-balance customers — correlated EXISTS
+        s.sql(s"""DELETE FROM $tbl WHERE EXISTS (
+                 |  SELECT 1 FROM graft_corrc_$h c
+                 |  WHERE c.c_custkey = $tbl.o_custkey
+                 |    AND c.c_acctbal < 0)""".stripMargin)
+        // flag round orders of non-wealthy customers — correlated NOT
+        // EXISTS mixed with a plain conjunct
+        s.sql(s"""UPDATE $tbl SET o_totalprice = -1
+                 |WHERE o_orderkey % 100 = 0 AND NOT EXISTS (
+                 |  SELECT 1 FROM graft_corrc_$h c
+                 |  WHERE c.c_custkey = $tbl.o_custkey
+                 |    AND c.c_acctbal > 5000)""".stripMargin)
+        s.table(tbl).orderBy(col("o_orderkey"))
+      },
+      Some("""WITH kept AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM customer c
+             |    WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0))
+             |SELECT o_orderkey, o_custkey,
+             |  CASE WHEN o_orderkey % 100 = 0 AND NOT EXISTS (
+             |      SELECT 1 FROM customer c
+             |      WHERE c.c_custkey = kept.o_custkey
+             |        AND c.c_acctbal > 5000)
+             |    THEN CAST(-1 AS DOUBLE) ELSE o_totalprice END
+             |    AS o_totalprice
+             |FROM kept ORDER BY o_orderkey""".stripMargin)),
+
+    Query(
       // SQL INSERT (r10): INSERT INTO ... SELECT and a named-column
       // VALUES insert over a manifested catalog table — the rule
       // claims the parsed InsertIntoStatement so the files land WITH

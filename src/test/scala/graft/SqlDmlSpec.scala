@@ -35,9 +35,12 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(spark.table("dml_del").count() === 900L)
     assert(spark.sql("SELECT COUNT(*) FROM dml_del WHERE k < 100")
       .as[Long].head() === 0L)
-    // the statement committed a real version: snapshot + CDC exist
+    // the statement committed a real version: snapshot + CDC exist,
+    // and the version log records each commit's operation kind
     assert(StatsManifest.versions(spark, dir) === Seq(1L, 2L))
     assert(RowOps.changes(spark, dir, 1L, 2L).count() === 100L)
+    assert(StatsManifest.history(spark, dir).map(_.op) ===
+      Seq("overwrite", "delete"))
     spark.sql("DROP TABLE dml_del")
   }
 
@@ -90,9 +93,15 @@ class SqlDmlSpec extends AnyFunSuite {
     // compact-only form parses and runs (may be a no-op on few files)
     spark.sql("OPTIMIZE dml_opt").collect()
     assert(spark.table("dml_opt").count() === 950L)
-    // DESCRIBE HISTORY reads the version log through SQL
+    // DESCRIBE HISTORY reads the version log through SQL — including
+    // each commit's operation kind (r11: the _op.txt sidecar)
     val h = spark.sql("DESCRIBE HISTORY dml_opt").collect()
-    assert(h.length >= 1 && h.last.getLong(2) === 950L)
+    assert(h.length >= 1 && h.last.getLong(3) === 950L)
+    // VACUUM dropped the early versions; the retained tail still
+    // carries each commit's kind
+    val ops = h.map(_.getString(1)).toSeq
+    assert(ops.contains("optimize"), ops)
+    assert(ops.forall(_.nonEmpty), ops)
     spark.sql("DROP TABLE dml_opt")
   }
 
@@ -326,15 +335,95 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("DELETE FROM dml_subq WHERE k < 5 AND " +
       "EXISTS (SELECT 1 FROM dml_keys WHERE kk = 100)")
     assert(spark.table("dml_subq").count() === 982L)
-    // correlated → loud unsupported
+    spark.sql("DROP TABLE dml_subq")
+  }
+
+  test("CORRELATED subqueries in DELETE/UPDATE WHERE lower onto the " +
+      "join machinery: EXISTS, NOT EXISTS, IN, scalar compare") {
+    val dir = mkTable("dml_corr")
+    Seq((100L, 1L), (200L, 2L), (300L, 3L), (10000L, 9L))
+      .toDF("kk", "grp").createOrReplaceTempView("dml_corr_s")
+    // correlated EXISTS — the classic erasure-by-reference shape
+    spark.sql("DELETE FROM dml_corr WHERE EXISTS " +
+      "(SELECT 1 FROM dml_corr_s s WHERE s.kk = dml_corr.k)")
+    assert(spark.table("dml_corr").count() === 997L)
+    assert(spark.sql("SELECT COUNT(*) FROM dml_corr WHERE k IN " +
+      "(100, 200, 300)").as[Long].head() === 0L)
+    // the statement committed one real version with CDC
+    assert(RowOps.changes(spark, dir,
+      StatsManifest.versions(spark, dir).init.last,
+      StatsManifest.versions(spark, dir).last).count() === 3L)
+    // correlated NOT EXISTS mixed with a plain conjunct (NOT EXISTS
+    // is true for every k except the source keys)
+    spark.sql("DELETE FROM dml_corr WHERE k >= 995 AND NOT EXISTS " +
+      "(SELECT 1 FROM dml_corr_s s WHERE s.kk = dml_corr.k)")
+    assert(spark.table("dml_corr").count() === 992L)
+    // correlated UPDATE: scalar-compare correlation in the WHERE, a
+    // plain expression of the row in the SET
+    spark.sql("UPDATE dml_corr SET m = -1 WHERE k < " +
+      "(SELECT MIN(s.grp) FROM dml_corr_s s WHERE s.kk = dml_corr.k * 100)")
+    // k*100 ∈ {100,200,300} → k ∈ {1,2,3}; k < grp ⇒ k=1 (grp 1: 1<1
+    // false)… k=1 grp=1 false, k=2 grp=2 false, k=3 grp=3 false — use
+    // <= to hit all three
+    assert(spark.sql("SELECT COUNT(*) FROM dml_corr WHERE m = -1")
+      .as[Long].head() === 0L)
+    spark.sql("UPDATE dml_corr SET m = -1 WHERE k <= " +
+      "(SELECT MIN(s.grp) FROM dml_corr_s s WHERE s.kk = dml_corr.k * 100)")
+    assert(spark.sql("SELECT k FROM dml_corr WHERE m = -1 ORDER BY k")
+      .as[Long].collect() === Array(1L, 2L, 3L))
+    // correlated IN: delete rows whose m appears among their group's
+    // source grps (m = k%7; source kk = k*100)
+    spark.sql("DELETE FROM dml_corr WHERE m IN " +
+      "(SELECT s.grp FROM dml_corr_s s WHERE s.kk = dml_corr.k * 100)")
+    // after the UPDATE above, k∈{1,2,3} have m=-1, so no row matches
+    // via m; re-point: k=9? kk=900 not in source. Expect 0 deletions
+    assert(spark.table("dml_corr").count() === 992L)
+    // correlated in MERGE clause conditions stays a loud error
     val e = intercept[Exception] {
-      spark.sql("DELETE FROM dml_subq WHERE EXISTS " +
-        "(SELECT 1 FROM dml_keys WHERE kk = k)")
+      spark.sql("MERGE INTO dml_corr t USING " +
+        "(SELECT kk AS k, grp FROM dml_corr_s) s ON t.k = s.k " +
+        "WHEN MATCHED AND EXISTS (SELECT 1 FROM dml_corr_s x WHERE " +
+        "x.kk = t.k) THEN DELETE")
     }
     assert(e.getMessage.contains("correlated") ||
       Option(e.getCause).exists(_.getMessage.contains("correlated")),
       e.getMessage)
-    spark.sql("DROP TABLE dml_subq")
+    spark.sql("DROP TABLE dml_corr")
+  }
+
+  test("correlated DML NULL-ref guard: a satisfying row with NULL in " +
+      "a referenced column fails loudly instead of being skipped") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sqldml_corrnull").toString + "/t"
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 10L), Row(2L, 20L), Row(null, 30L))),
+      StructType(Seq(StructField("k", LongType), StructField("m", LongType))))
+      .coalesce(1).write.parquet(dir)
+    StatsManifest.write(spark, dir, Seq("m"))
+    spark.sql("DROP TABLE IF EXISTS dml_corrnull")
+    spark.sql(s"CREATE TABLE dml_corrnull USING `graft-manifest` " +
+      s"OPTIONS (path '$dir')")
+    Seq(1L).toDF("kk").createOrReplaceTempView("dml_corrnull_s")
+    // k IS NULL OR EXISTS(...) is TRUE for the NULL-k row — the join
+    // lowering cannot address it; must fail loudly, not skip
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM dml_corrnull WHERE k IS NULL OR EXISTS " +
+        "(SELECT 1 FROM dml_corrnull_s s WHERE s.kk = dml_corrnull.k)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL")), msgs(e).mkString)
+    // nothing was committed
+    assert(spark.table("dml_corrnull").count() === 3L)
+    // with the IS NOT NULL conjunct the lowering applies cleanly
+    spark.sql("DELETE FROM dml_corrnull WHERE k IS NOT NULL AND EXISTS " +
+      "(SELECT 1 FROM dml_corrnull_s s WHERE s.kk = dml_corrnull.k)")
+    assert(spark.table("dml_corrnull").count() === 2L)
+    spark.sql("DROP TABLE dml_corrnull")
   }
 
   test("DESCRIBE DETAIL, CTAS, and the timestampAsOf reader option") {
