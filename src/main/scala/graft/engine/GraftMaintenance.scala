@@ -34,7 +34,7 @@ object GraftMaintenance {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS|DAYS)\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
   private val DetailRe =
@@ -83,15 +83,32 @@ object GraftMaintenance {
     }
   }
 
+  /** `RETAIN n VERSIONS` keeps a version count; `RETAIN n HOURS|DAYS`
+    * keeps the time-travel WINDOW (every version committed within the
+    * last n hours/days, the latest always) — the retention contract a
+    * deployment actually states ("7 days of time travel", Delta's own
+    * VACUUM convention) as opposed to a count that drifts with commit
+    * cadence. */
   final case class GraftVacuumCommand(table: String,
-      keep: Int) extends LeafRunnableCommand {
+      keep: Int, unit: String = "VERSIONS") extends LeafRunnableCommand {
     override val output: Seq[AttributeReference] = Seq(
       AttributeReference("versions_expired", IntegerType,
         nullable = false)(),
       AttributeReference("versions_kept", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] = {
       val dir = dirOf(spark, table)
-      val n = StatsManifest.expire(spark, dir, keep)
+      val keepVersions = unit match {
+        case "VERSIONS" => keep
+        case hd =>
+          val ms = keep.toLong * (if (hd == "HOURS") 3600000L
+            else 86400000L)
+          val cutoff = System.currentTimeMillis() - ms
+          // versions committed inside the window stay; the latest
+          // always survives (expire requires keep >= 1)
+          math.max(1,
+            StatsManifest.commitTimes(spark, dir).count(_._2 >= cutoff))
+      }
+      val n = StatsManifest.expire(spark, dir, keepVersions)
       refreshTarget(spark, dir, table)
       Seq(Row(n, StatsManifest.versions(spark, dir).length.toLong))
     }
@@ -176,8 +193,9 @@ object GraftMaintenance {
       val zs = Option(cols).map(_.split(",").map(c => ident(c.trim))
         .filter(_.nonEmpty).toSeq).getOrElse(Nil)
       Some(GraftOptimizeCommand(ident(tbl), zs))
-    case VacuumRe(tbl, n) if targetIsManifested(ident(tbl)) =>
-      Some(GraftVacuumCommand(ident(tbl), n.toInt))
+    case VacuumRe(tbl, n, unit) if targetIsManifested(ident(tbl)) =>
+      Some(GraftVacuumCommand(ident(tbl), n.toInt,
+        unit.toUpperCase(java.util.Locale.ROOT)))
     case HistoryRe(tbl) if targetIsManifested(ident(tbl)) =>
       Some(GraftHistoryCommand(ident(tbl)))
     case DetailRe(tbl) if targetIsManifested(ident(tbl)) =>

@@ -122,8 +122,6 @@ final class ManifestStreamSource extends TableProvider
   * least one file, so progress is guaranteed. */
 private[graft] final case class TriggerLimits(maxFiles: Option[Int],
     maxBytes: Option[Long], maxRows: Option[Long]) {
-  def isUnlimited: Boolean =
-    maxFiles.isEmpty && maxBytes.isEmpty && maxRows.isEmpty
   def toReadLimit: ReadLimit = {
     val ls: Seq[ReadLimit] = maxFiles.map(ReadLimit.maxFiles(_)).toSeq ++
       maxBytes.map(ReadLimit.maxBytes(_)) ++
@@ -137,7 +135,6 @@ private[graft] final case class TriggerLimits(maxFiles: Option[Int],
 }
 
 private[graft] object TriggerLimits {
-  val none: TriggerLimits = TriggerLimits(None, None, None)
   def from(options: CaseInsensitiveStringMap): TriggerLimits = {
     def pos(name: String, v: Long): Long = {
       require(v > 0, s"graft-manifest-stream: $name must be > 0, got $v")

@@ -1915,7 +1915,26 @@ object StatsManifest {
       else base.filterNot(f => deny.contains(fileKey(new Path(f))))
     }
     override def refresh(): Unit = inner.refresh()
-    override def sizeInBytes: Long = inner.sizeInBytes
+    /** The LIVE byte size, from manifest-carried file lengths, when
+      * this scan denies tombstoned files or reads a snapshot — the
+      * directory total (`inner`) counts replaced-but-retained bytes
+      * and post-snapshot appends, so a mostly-deleted table would
+      * never qualify for a broadcast join it should get. Falls back
+      * to the directory total when any length is unknown (pre-flen
+      * manifests) or when nothing is filtered (directory == live). */
+    override def sizeInBytes: Long = {
+      if (allow.isEmpty && deny.isEmpty) return inner.sizeInBytes
+      var sum = 0L
+      val it = stats.iterator
+      while (it.hasNext) {
+        val (k, st) = it.next()
+        if (allow.forall(_.contains(k)) && !deny.contains(k)) {
+          if (st.len < 0L) return inner.sizeInBytes
+          sum += st.len
+        }
+      }
+      sum
+    }
     override def partitionSchema: StructType = inner.partitionSchema
 
     override def listFiles(partitionFilters: Seq[Expression],

@@ -73,6 +73,38 @@ class RowOpsSpec extends AnyFunSuite {
     assert(StatsManifest.scan(spark, dir).count() === 1750L)
   }
 
+  test("sizeInBytes reports LIVE bytes after row ops — broadcast " +
+      "decisions see the table as it reads, not the pre-vacuum dir") {
+    val dir = mk("size")
+    val (_, idx0) = StatsManifest.scanWithIndex(spark, dir)
+    val full = idx0.sizeInBytes
+    // delete ~87% of the rows: tombstoned bytes stay on disk for
+    // snapshots, but the live scan must size itself by the live files
+    RowOps.delete(spark, dir, col("k") < 1750, Seq("k"))
+    val (_, idx1) = StatsManifest.scanWithIndex(spark, dir)
+    assert(idx1.sizeInBytes < full / 2,
+      s"live=${idx1.sizeInBytes} full=$full — tombstoned bytes must " +
+        "not count")
+    // and the live size equals the manifest's own flen sum
+    val liveSum = idx1.stats.collect {
+      case (k, st) if !idx1.deny.contains(k) => st.len
+    }.sum
+    assert(idx1.sizeInBytes === liveSum)
+    // end-to-end: with a broadcast threshold between live and dir
+    // size, the mostly-deleted table earns the broadcast join the dir
+    // total would have denied it
+    val thr = (idx1.sizeInBytes + full) / 2
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+    try {
+      val other = spark.range(0L, 500000L).toDF("k")
+      val plan = other.join(StatsManifest.scan(spark, dir), "k")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally spark.conf
+      .set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("snapshot reads survive a delete: the table AS OF v1 is intact") {
     val dir = mk("snap")
     RowOps.delete(spark, dir, col("k") >= 1000L, Seq("k"))

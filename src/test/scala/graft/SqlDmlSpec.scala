@@ -93,6 +93,14 @@ class SqlDmlSpec extends AnyFunSuite {
     // compact-only form parses and runs (may be a no-op on few files)
     spark.sql("OPTIMIZE dml_opt").collect()
     assert(spark.table("dml_opt").count() === 950L)
+    // time-based retention: the window contract a deployment states.
+    // Everything committed seconds ago sits inside a 1-hour window...
+    val vh = spark.sql("VACUUM dml_opt RETAIN 1 HOURS").collect()
+    assert(vh.head.getInt(0) === 0, "fresh commits stay retained")
+    // ...and a zero-day window keeps only the latest version
+    spark.sql("VACUUM dml_opt RETAIN 0 DAYS").collect()
+    assert(StatsManifest.versions(spark, dir).length === 1)
+    assert(spark.table("dml_opt").count() === 950L)
     // DESCRIBE HISTORY reads the version log through SQL — including
     // each commit's operation kind (r11: the _op.txt sidecar)
     val h = spark.sql("DESCRIBE HISTORY dml_opt").collect()
