@@ -572,14 +572,32 @@ private final class ManifestMicroBatchStream(tableSchema: StructType,
   }
 
   /** The files ADDED by version `v` with their manifest stats, sorted
-    * by key. The underlying snapshots come from
-    * [[StatsManifest.readAt]]'s global cache, so a memo miss costs one
-    * key-set diff, not a log read. */
+    * by key. A DELTA version answers from its OWN delta content — one
+    * small parquet read, no fold — so a catch-up over a long backlog
+    * plans at O(delta) per version; checkpoint slots (every Nth) fall
+    * back to a snapshot diff served by [[StatsManifest.readAt]]'s
+    * cache. */
   override protected def computeUnits(
       v: Long): Array[(String, StatsManifest.FileStats)] = {
-    val prev = filesAt(v - 1).keySet
-    filesAt(v).iterator.filterNot(kv => prev.contains(kv._1))
-      .toArray.sortBy(_._1)
+    val delta =
+      try StatsManifest.deltaOf(spark, dir, v)
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"graft-manifest-stream: version $v is no longer retained — " +
+            "the stream was down longer than the table's retention " +
+            "window; re-seed from a fresh startingVersion", e)
+      }
+    delta match {
+      case Some((adds, dels)) =>
+        // adds -- deletes == the snapshot diff (invalidate-replace
+        // entries appear in both halves — see deltaOf)
+        adds.iterator.filterNot(kv => dels.contains(kv._1))
+          .toArray.sortBy(_._1)
+      case None =>
+        val prev = filesAt(v - 1).keySet
+        filesAt(v).iterator.filterNot(kv => prev.contains(kv._1))
+          .toArray.sortBy(_._1)
+    }
   }
   override protected def unitSize(
       u: (String, StatsManifest.FileStats)): (Long, Long) =
@@ -794,11 +812,28 @@ private final class ManifestCdcStream(tableSchema: StructType,
           "write?) — backfill this range with RowOps.changes and " +
           "restart from a later startingVersion")
     }
-    val prev = filesAt(v - 1)
-    val cur = filesAt(v)
-    val adds = cur.iterator
-      .filterNot(kv => prev.contains(kv._1)).toArray.sortBy(_._1)
-    val dropped = prev.keySet.exists(k => !cur.contains(k))
+    // adds/dropped from the version's OWN delta content when it has
+    // one (O(delta), no fold — see deltaOf); checkpoint slots diff
+    // cached snapshots
+    val (adds, dropped) =
+      (try StatsManifest.deltaOf(spark, dir, v)
+       catch {
+         case e: Exception => throw new IllegalStateException(
+           s"graft-manifest-stream: version $v is no longer retained " +
+             "— the stream was down longer than the table's retention " +
+             "window; re-seed from a fresh startingVersion", e)
+       }) match {
+        case Some((da, dels)) =>
+          (da.iterator.filterNot(kv => dels.contains(kv._1))
+            .toArray.sortBy(_._1),
+            dels.exists(k => !da.contains(k)))
+        case None =>
+          val prev = filesAt(v - 1)
+          val cur = filesAt(v)
+          (cur.iterator.filterNot(kv => prev.contains(kv._1))
+            .toArray.sortBy(_._1),
+            prev.keySet.exists(k => !cur.contains(k)))
+      }
     if (!dropped && adds.isEmpty) Array.empty[CdcUnit]
     else op match {
       // net-zero maintenance: files moved, rows didn't change

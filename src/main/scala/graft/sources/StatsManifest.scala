@@ -786,6 +786,39 @@ object StatsManifest {
     finally in.close()
   }
 
+  /** The DELTA content of version `v`, when `v` committed as a delta:
+    * (entries ADDED by v, entry keys DELETED by v). None for
+    * checkpoint slots (callers fall back to a snapshot diff). Reading
+    * it costs one parquet read of v's OWN part files — never a fold —
+    * which is what lets a version-offset stream catch up over a long
+    * backlog at O(delta) planning per version. Note the
+    * invalidate-replace shape: an entry re-statted in place appears in
+    * BOTH halves (its key in the deletes, its fresh entry in the
+    * adds), so `adds -- deletes` equals the snapshot diff
+    * `keysAt(v) -- keysAt(v-1)` for every committer in this file.
+    * Valid for retro-materialized deltas too (the `cp-*` fold lands
+    * BESIDE the delta content, which stays the truth of what v
+    * changed). Loud when the version is gone (expired). */
+  private[graft] def deltaOf(spark: SparkSession, dir: String,
+      v: Long): Option[(Map[String, FileStats], Set[String])] = {
+    val mDir = new Path(dir, ManifestDir)
+    val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vDir = vDirPath(mDir, v)
+    if (!fsys.exists(vDir))
+      throw new IllegalArgumentException(
+        s"StatsManifest.deltaOf: version $v does not exist (expired?)")
+    if (!fsys.exists(new Path(vDir, DeltaFile))) return None
+    val parts = fsys.listStatus(vDir).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).toSeq
+    val adds =
+      if (parts.isEmpty) Map.empty[String, FileStats]
+      else {
+        val df = spark.read.parquet(parts.map(_.toString): _*)
+        decodeRows(df.schema, df.collect())
+      }
+    Some((adds, readDeltaDeletes(fsys, vDir)))
+  }
+
   /** Resolve the fold chain for version `v`: the nearest checkpoint at
     * or below it plus the delta versions above, ascending. Walk length
     * is bounded by the checkpoint interval (every interval-th version
