@@ -100,6 +100,33 @@ class ManifestLogSpec extends AnyFunSuite {
     }
   }
 
+  test("deltaOf serves a delta version's adds/deletes without a fold; " +
+      "adds-minus-deletes equals the snapshot diff; checkpoints None") {
+    withInterval(8) {
+      val dir = mk() // v1: checkpoint (first versioned commit)
+      import spark.implicits._
+      (1000 until 1050).map(i => (i.toLong, i % 7)).toDF("k", "m")
+        .coalesce(1).write.mode("append").parquet(dir)
+      StatsManifest.update(spark, dir, Seq("k")) // v2: delta, 1 add
+      RowOps.delete(spark, dir, col("k") < 100, Seq("k")) // v3: delta
+      assert(StatsManifest.deltaOf(spark, dir, 1L).isEmpty,
+        "a checkpoint slot answers None (fold fallback)")
+      val Some((a2, d2)) = StatsManifest.deltaOf(spark, dir, 2L)
+      assert(a2.size === 1 && d2.isEmpty)
+      val Some((a3, d3)) = StatsManifest.deltaOf(spark, dir, 3L)
+      // the rewrite added replacement file(s) and deleted the touched
+      // originals; adds -- deletes must equal the snapshot key diff
+      val k2 = StatsManifest.readAt(spark, dir, 2L).keySet
+      val k3 = StatsManifest.readAt(spark, dir, 3L).keySet
+      assert(a3.keySet -- d3 === k3 -- k2)
+      assert(d3.nonEmpty, "the delete tombstoned at least one entry")
+      // expired version → loud
+      intercept[IllegalArgumentException] {
+        StatsManifest.deltaOf(spark, dir, 99L)
+      }
+    }
+  }
+
   test("latestVersion gallops from the hint; stale, torn and foreign " +
       "hints all degrade safely") {
     val dir = mk()
