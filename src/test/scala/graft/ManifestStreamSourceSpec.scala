@@ -404,6 +404,43 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("the CDC stream and RowOps.changes agree over a mixed op " +
+      "sequence: full feed == initial snapshot + per-version netting") {
+    val dir = mk() // v1: k 0..99
+    append(dir, 1000L, 1050L) // v2
+    RowOps.delete(spark, dir, col("k") < 20, Seq("k")) // v3
+    RowOps.update(spark, dir, col("k") % 10 === 5L,
+      Seq("m" -> lit(-9L)), Seq("k")) // v4
+    graft.operators.Layout.optimize(spark, dir, Seq("k"),
+      deferDelete = true) // v5: net-zero
+    RowOps.upsert(spark, dir,
+      Seq((25L, -1L), (9000L, -2L)).toDF("k", "m"),
+      Seq("k"), Seq("k")) // v6
+    append(dir, 2000L, 2010L) // v7
+    val latest = StatsManifest.versions(spark, dir).last
+    n += 1
+    val sink = s"mstream_sink_$n"
+    val q = spark.readStream.format("graft-manifest-stream")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally {
+      q.stop(); q.awaitTermination()
+    }
+    val cols = Seq("k", "m", "_change_type", "_commit_version")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+    val got = canon(spark.table(sink))
+    val snapshot = StatsManifest.scanAtVersion(spark, dir, 1L)._1
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(1L))
+    val expected = canon(snapshot.unionByName(
+      RowOps.changes(spark, dir, 1L, latest)))
+    assert(got === expected,
+      s"stream=${got.length} rows, changes-replay=${expected.length}")
+  }
+
   test("readChangeFeed fails loudly on a mutation without change " +
       "files (cdf = false) instead of emitting a wrong feed") {
     val dir = mk()
