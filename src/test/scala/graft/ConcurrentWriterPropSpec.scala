@@ -104,6 +104,24 @@ class ConcurrentWriterPropSpec extends AnyFunSuite {
       deleteCol = Some("del"), triggerMs = 150L,
       manifestVersionsToKeep = 200)
 
+    // r11b: a LIVE CDC-stream consumer runs through the whole fuzz —
+    // every commit it races exercises the declared-change-files wait
+    // (the sidecar lands moments after the version rename); at the
+    // end its feed must equal RowOps.changes' replay row for row
+    val cdcStartV = StatsManifest.latestVersion(spark, dir).get
+    val cdcGot = new java.util.concurrent
+      .ConcurrentLinkedQueue[(Long, Long, String, Long)]
+    val cdcQ = spark.readStream.format("graft-manifest-stream")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", (cdcStartV + 1).toString).load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("k", "m", "_change_type", "_commit_version")
+          .collect().foreach(r => cdcGot.add(
+            (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))))
+        ()
+      }.start()
+
     try {
       for (step <- 0 until 100) {
         if (rnd.nextInt(3) == 0) feed(rnd.nextInt(40) + 5)
@@ -166,6 +184,31 @@ class ConcurrentWriterPropSpec extends AnyFunSuite {
       }
       q.processAllAvailable()
     } finally { q.stop(); q.awaitTermination() }
+
+    // drain the CDC consumer to the final version, then compare its
+    // feed (the retained tail — early versions may have expired under
+    // it, which only trims the comparable window) against the batch
+    // replay
+    try {
+      cdcQ.processAllAvailable()
+    } finally { cdcQ.stop(); cdcQ.awaitTermination() }
+    val cdcLatest = StatsManifest.latestVersion(spark, dir).get
+    val cdcFrom = math.max(cdcStartV,
+      StatsManifest.versions(spark, dir).head)
+    if (cdcLatest > cdcFrom) {
+      import scala.jdk.CollectionConverters._
+      val feed = cdcGot.asScala.toSeq
+        .filter(r => r._4 > cdcFrom && r._4 <= cdcLatest)
+        .map(r => s"${r._1}|${r._2}|${r._3}|${r._4}").sorted
+      val replay = RowOps.changes(spark, dir, cdcFrom, cdcLatest)
+        .select("k", "m", "_change_type", "_commit_version").collect()
+        .map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.getString(2)}|" +
+          s"${r.getLong(3)}").sorted.toSeq
+      assert(feed === replay,
+        s"seed=$seed: live CDC feed (${feed.length} rows over " +
+          s"($cdcFrom, $cdcLatest]) diverged from changes() replay " +
+          s"(${replay.length} rows)")
+    }
 
     // final content: both slices exact
     assert(dmlSlice(StatsManifest.scan(spark, dir)) === sortedSeq(model))
