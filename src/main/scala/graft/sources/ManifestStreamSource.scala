@@ -141,8 +141,12 @@ private[graft] object TriggerLimits {
       v
     }
     TriggerLimits(
-      Option(options.get("maxFilesPerTrigger"))
-        .map(s => pos("maxFilesPerTrigger", s.toLong).toInt),
+      Option(options.get("maxFilesPerTrigger")).map { s =>
+        val v = pos("maxFilesPerTrigger", s.toLong)
+        require(v <= Int.MaxValue,
+          s"graft-manifest-stream: maxFilesPerTrigger $v out of range")
+        v.toInt
+      },
       Option(options.get("maxBytesPerTrigger")).map(s =>
         pos("maxBytesPerTrigger", org.apache.spark.network.util.JavaUtils
           .byteStringAsBytes(s))),
