@@ -27,6 +27,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * {{{
   *   spark.readStream.format("graft-manifest-stream")
   *     .option("startingVersion", "3")   // default 0 = full history
+  *     .option("startingTimestamp", "2026-08-01 00:00:00") // or by time
   *     .option("maxFilesPerTrigger", "64")   // rate-limit catch-up
   *     .option("maxBytesPerTrigger", "128m") // (soft; >=1 file/batch)
   *     .option("maxRowsPerTrigger", "1000000")
@@ -104,7 +105,8 @@ final class ManifestStreamSource extends TableProvider
       properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new ManifestStreamTable(schema, path(opts),
-      Option(opts.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      ManifestStreamSource.resolveStartVersion(SparkSession.active,
+        path(opts), opts),
       opts.getBoolean("ignoreChanges", false),
       Option(opts.get("pushFilter")), TriggerLimits.from(opts),
       opts.getBoolean("readChangeFeed", false))
@@ -295,16 +297,41 @@ private[graft] object ManifestStreamSource {
     * (`startingVersion`, `ignoreChanges`, `pushFilter`, the trigger
     * limits, `readChangeFeed`), same streams. */
   def streamScanBuilder(schema: StructType, dir: String,
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val start = resolveStartVersion(
+      org.apache.spark.sql.SparkSession.active, dir, options)
     if (options.getBoolean("readChangeFeed", false))
-      ManifestCdcStream.scanBuilder(dir,
-        Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      ManifestCdcStream.scanBuilder(dir, start,
         TriggerLimits.from(options))
     else
-      new ManifestStreamScanBuilder(schema, dir,
-        Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      new ManifestStreamScanBuilder(schema, dir, start,
         options.getBoolean("ignoreChanges", false),
         Option(options.get("pushFilter")), TriggerLimits.from(options))
+  }
+
+  /** `startingVersion` / `startingTimestamp` → the first version the
+    * stream emits. The timestamp form resolves to the FIRST version
+    * committed at or after it (session-zone parse, the exact
+    * semantics `TIMESTAMP AS OF` uses), so "start from last Tuesday"
+    * needs no version arithmetic; a future timestamp starts an empty
+    * stream that waits for commits past it. One O(versions)
+    * commit-time listing at stream construction, never per trigger. */
+  private[graft] def resolveStartVersion(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      options: CaseInsensitiveStringMap): Long = {
+    val sv = Option(options.get("startingVersion")).map(_.toLong)
+    val st = Option(options.get("startingTimestamp"))
+    require(sv.isEmpty || st.isEmpty, "graft-manifest-stream: set " +
+      "startingVersion OR startingTimestamp, not both")
+    st match {
+      case Some(ts) =>
+        val ms = StatsManifest.parseTsMillis(spark, ts)
+        val times = StatsManifest.commitTimes(spark, dir)
+        times.find(_._2 >= ms).map(_._1)
+          .getOrElse(times.lastOption.map(_._1 + 1L).getOrElse(0L))
+      case None => sv.getOrElse(0L)
+    }
+  }
 
   /** Hive-partition values synthesized from a file key's `p=…` path
     * segments — exactly like the batch scan (typed via a session-zone

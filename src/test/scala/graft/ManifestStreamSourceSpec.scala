@@ -283,6 +283,42 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     } finally { q2.stop(); q2.awaitTermination() }
   }
 
+  test("startingTimestamp seeds from the first commit at or after it " +
+      "(session-zone parse shared with TIMESTAMP AS OF)") {
+    val dir = mk() // v1
+    Thread.sleep(1100L)
+    val between =
+      new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(1100L)
+    append(dir, 1000L, 1100L) // v2
+    val (sink, q) = startInto(dir,
+      Map("startingTimestamp" -> between))
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 100L,
+        "only v2 (the first commit at/after the timestamp) delivers")
+      assert(spark.table(sink).agg(min("k")).as[Long].head() === 1000L)
+    } finally { q.stop(); q.awaitTermination() }
+    // a pre-history timestamp means the full history
+    val (sink2, q2) = startInto(dir,
+      Map("startingTimestamp" -> "1999-01-01 00:00:00"))
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(sink2).count() === 200L)
+    } finally { q2.stop(); q2.awaitTermination() }
+    // both seed options at once is a loud error
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-manifest-stream")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", between).load(dir)
+        .writeStream.format("noop").start()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not both")), msgs(e).mkString)
+  }
+
   test("schema drift mid-stream fails loudly; a restart adopts the " +
       "new schema (old files null-fill the added column)") {
     val dir = mk()
