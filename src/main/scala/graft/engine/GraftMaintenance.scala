@@ -104,9 +104,15 @@ object GraftMaintenance {
             else 86400000L)
           val cutoff = System.currentTimeMillis() - ms
           // versions committed inside the window stay; the latest
-          // always survives (expire requires keep >= 1)
-          math.max(1,
-            StatsManifest.commitTimes(spark, dir).count(_._2 >= cutoff))
+          // always survives (expire requires keep >= 1). Count only
+          // the TRAILING run at or past the cutoff: commit times are
+          // monotone for sidecar-stamped versions, but a pre-sidecar
+          // version's mtime can be perturbed by retro-materialization
+          // — a non-trailing "recent" version must not inflate the
+          // kept count (expire drops oldest-first, so the kept set is
+          // always the trailing run).
+          math.max(1, StatsManifest.commitTimes(spark, dir).reverse
+            .takeWhile(_._2 >= cutoff).length)
       }
       val n = StatsManifest.expire(spark, dir, keepVersions)
       refreshTarget(spark, dir, table)

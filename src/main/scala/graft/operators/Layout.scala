@@ -205,17 +205,21 @@ object Layout {
       // reproduce the existing column set regardless of which columns
       // the caller clusters by
       val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
-      StatsManifest.commitFileOps(spark, dir, adds,
+      val r = StatsManifest.commitFileOps(spark, dir, adds,
         old.map(st => StatsManifest.fileKey(st.getPath)).toSet, sc, bc,
         expectedVersion = analyzedVersion, op = Some("optimize"))
-      staged.zipWithIndex.foreach { case (src, i) =>
-        val dst = new Path(dirPath, f"opt-$i%05d-${src.getName}")
-        require(fs.rename(src, dst),
-          s"optimize: rename $src -> $dst failed; staged copy intact and " +
-            "the committed manifest names the final keys — finish the renames")
+      // only committed files move in (an empty staged slot — a sparse
+      // z-range partition — has no manifest entry; see FileOpsCommit)
+      adds.zipWithIndex.foreach { case ((src, key), i) =>
+        if (r.addKeys.contains(key)) {
+          val dst = new Path(dirPath, f"opt-$i%05d-${src.getName}")
+          require(fs.rename(src, dst),
+            s"optimize: rename $src -> $dst failed; staged copy intact and " +
+              "the committed manifest names the final keys — finish the renames")
+        }
       }
       fs.delete(staging, true)
-      return (old.length, staged.length)
+      return (old.length, r.addKeys.size)
     }
     val trash = new Path(dirPath, ".graft_trash")
     fs.mkdirs(trash)
@@ -236,6 +240,119 @@ object Layout {
     fs.delete(staging, true)
     graft.sources.StatsManifest.write(spark, dir, cols)
     (old.length, staged.length)
+  }
+
+  /** COMMIT-TIME auto-compaction: the policy a per-micro-batch append
+    * sink folds into its own writer loop so a long-lived streaming
+    * table stays bounded WITHOUT anyone remembering to run OPTIMIZE.
+    * A streaming sink lands one small file per (batch × partition)
+    * forever — 10⁵ commits later every scan schedules 10⁵ tasks. This
+    * pass is MANIFEST-DRIVEN (no directory listing at all — the policy
+    * check is a driver-side fold of the snapshot the committer just
+    * derived): group the LIVE sub-`smallBytes` files by parent
+    * directory (partition dir, or the root for flat layouts), and when
+    * any group holds at least `minFiles` of them, bin-pack those
+    * groups into ~`targetBytes` files under ONE deferDelete-style
+    * manifest commit (tombstone + adopt — snapshots stay readable, CDC
+    * nets the churn to zero, `expire` reclaims bytes on the retention
+    * cadence, and the version-offset streams skip the net-zero
+    * 'optimize' commit via its op sidecar).
+    *
+    * `exclude`: file keys that must NOT compact this round — the
+    * ingest sink passes the files its CURRENT batch just wrote, because
+    * a crash between this compaction and the batch's WAL commit would
+    * replay the batch, whose deterministic-name rewrite would then
+    * RE-ADD rows the compaction already carried into packed files
+    * (duplicates). Older batches' files are fair game: their WAL
+    * entries are committed and they never replay.
+    *
+    * Optimistic: `expectedVersion` (default: the latest at analysis)
+    * rides [[graft.sources.StatsManifest.commitFileOps]]'s rebase —
+    * disjoint concurrent commits carry through; a true conflict throws
+    * ConcurrentModificationException and the caller simply retries at
+    * a later commit (the policy is idempotent). Returns
+    * (filesCompacted, filesWritten). */
+  def autoCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      minFiles: Int, targetBytes: Long = 1L << 26,
+      smallBytes: Long = -1L, exclude: Set[String] = Set.empty,
+      expectedVersion: Option[Long] = None): (Int, Int) = {
+    require(minFiles >= 2, s"autoCompact: minFiles=$minFiles")
+    require(targetBytes >= 1L, s"autoCompact: targetBytes=$targetBytes")
+    val small0 = if (smallBytes < 0L) targetBytes else smallBytes
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    import graft.sources.StatsManifest
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val analyzed =
+      expectedVersion.orElse(StatsManifest.versions(spark, dir).lastOption)
+    // the policy check: pure manifest metadata (keys + flen), O(files)
+    // driver-side; pre-flen entries (len<0) are left alone
+    val stats = StatsManifest.read(spark, dir)
+    def parentOf(k: String): String = k.substring(0, k.lastIndexOf('/'))
+    val chosen = stats.iterator
+      .filter { case (k, st) =>
+        st.len >= 0L && st.len < small0 && !exclude.contains(k)
+      }
+      .toSeq.groupBy(kv => parentOf(kv._1))
+      .filter(_._2.size >= minFiles)
+    if (chosen.isEmpty) return (0, 0)
+    val keys = chosen.valuesIterator.flatMap(_.map(_._1)).toSeq.sorted
+    val schema = StatsManifest.tableSchema(spark, dir)
+    val partCols = StatsManifest.tablePartitionCols(spark, dir)
+    val df = spark.read.option("basePath", dir).schema(schema)
+      .parquet(keys: _*)
+    val bytes = chosen.valuesIterator.flatMap(_.map(_._2.len)).sum
+    // flat: bytes-bound the output; partitioned: one task per chosen
+    // partition dir (partitionBy splits per value, so each partition
+    // packs to one file — its small tail is < minFiles × smallBytes)
+    val n =
+      if (partCols.isEmpty)
+        math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      else chosen.size
+    val staging = new Path(
+      dir + s".autocompact-${java.util.UUID.randomUUID()}")
+    val writer =
+      if (partCols.isEmpty) df.repartition(n).write
+      else df.repartition(n, partCols.map(col): _*)
+        .write.partitionBy(partCols: _*)
+    writer.mode("overwrite").parquet(staging.toString)
+    val staged = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+      def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.startsWith("part-")) out += st.getPath
+      }
+      walk(staging)
+      out.toSeq
+    }
+    val stagingKey = StatsManifest.fileKey(fs.makeQualified(staging))
+    def finalPath(src: Path): Path = {
+      val rel = StatsManifest.fileKey(src).stripPrefix(stagingKey)
+        .stripPrefix("/")
+      val parent = rel.split("/").dropRight(1)
+      val base = new Path(rel).getName
+      new Path(parent.foldLeft(dirPath)(new Path(_, _)), s"ac-$base")
+    }
+    val adds = staged.map(p =>
+      p -> StatsManifest.fileKey(fs.makeQualified(finalPath(p))))
+    val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
+    val r = StatsManifest.commitFileOps(spark, dir, adds, keys.toSet,
+      sc, bc, expectedVersion = analyzed,
+      addsBasePath = if (partCols.isEmpty) None else Some(staging.toString),
+      op = Some("optimize"))
+    adds.foreach { case (src, key) =>
+      if (r.addKeys.contains(key)) {
+        val dst = finalPath(src)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(src, dst),
+          s"autoCompact: rename $src -> $dst failed; staged copy intact " +
+            "and the committed manifest names the final keys — finish " +
+            "the renames")
+      }
+    }
+    fs.delete(staging, true)
+    (keys.size, r.addKeys.size)
   }
 
   /** INCREMENTAL compaction: bin-pack only the UNDER-SIZED files
@@ -301,18 +418,20 @@ object Layout {
           new Path(dirPath, f"cmp-$i%05d-${src.getName}")))
       }.toSeq
       val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
-      StatsManifest.commitFileOps(spark, dir, adds,
+      val r = StatsManifest.commitFileOps(spark, dir, adds,
         small.map(st => StatsManifest.fileKey(st.getPath)).toSet,
         sc, bc, expectedVersion = analyzedVersion, op = Some("optimize"))
-      staged.zipWithIndex.foreach { case (src, i) =>
-        val dst = new Path(dirPath, f"cmp-$i%05d-${src.getName}")
-        require(fs.rename(src, dst),
-          s"compactSmall: rename $src -> $dst failed; staged copy intact " +
-            "and the committed manifest names the final keys — finish the " +
-            "renames")
+      adds.zipWithIndex.foreach { case ((src, key), i) =>
+        if (r.addKeys.contains(key)) {
+          val dst = new Path(dirPath, f"cmp-$i%05d-${src.getName}")
+          require(fs.rename(src, dst),
+            s"compactSmall: rename $src -> $dst failed; staged copy intact " +
+              "and the committed manifest names the final keys — finish the " +
+              "renames")
+        }
       }
       fs.delete(staging, true)
-      return (small.length, staged.length)
+      return (small.length, r.addKeys.size)
     }
     val trash = new Path(dirPath, ".graft_trash")
     fs.mkdirs(trash)

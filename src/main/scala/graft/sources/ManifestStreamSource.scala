@@ -73,20 +73,14 @@ final class ManifestStreamSource extends TableProvider
   /** The stream's OUTPUT schema: the table's columns, narrowed to
     * `pushColumns` when set (projection pushdown via reader option —
     * see [[ManifestStreamScanBuilder]] for why an option, not just the
-    * DSv2 ability); with `readChangeFeed`, the CDC envelope (table
-    * columns + `_change_type` + `_commit_version`). */
+    * DSv2 ability); with `readChangeFeed`, the (possibly projected)
+    * table columns + the CDC envelope (`_change_type` +
+    * `_commit_version` — always kept: a feed without its envelope is
+    * not a feed). */
   private def outSchema(options: CaseInsensitiveStringMap): StructType = {
     val full = StatsManifest.scanWithIndex(SparkSession.active,
       path(options))._1.schema
-    if (options.getBoolean("readChangeFeed", false)) {
-      require(options.get("pushColumns") == null &&
-        options.get("pushFilter") == null &&
-        !options.getBoolean("ignoreChanges", false),
-        "graft-manifest-stream: readChangeFeed cannot combine with " +
-          "pushColumns/pushFilter/ignoreChanges")
-      return RowOps.cdcSchema(full)
-    }
-    Option(options.get("pushColumns")) match {
+    def projected: StructType = Option(options.get("pushColumns")) match {
       case Some(cs) =>
         val names = cs.split(",").map(_.trim).filter(_.nonEmpty)
         val missing = names.filterNot(full.fieldNames.contains)
@@ -95,6 +89,13 @@ final class ManifestStreamSource extends TableProvider
         StructType(full.filter(f => names.contains(f.name)))
       case None => full
     }
+    if (options.getBoolean("readChangeFeed", false)) {
+      require(!options.getBoolean("ignoreChanges", false),
+        "graft-manifest-stream: readChangeFeed cannot combine with " +
+          "ignoreChanges")
+      return RowOps.cdcSchema(projected)
+    }
+    projected
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -109,7 +110,8 @@ final class ManifestStreamSource extends TableProvider
         path(opts), opts),
       opts.getBoolean("ignoreChanges", false),
       Option(opts.get("pushFilter")), TriggerLimits.from(opts),
-      opts.getBoolean("readChangeFeed", false))
+      opts.getBoolean("readChangeFeed", false),
+      Option(opts.get("pushColumns")))
   }
 }
 
@@ -160,7 +162,7 @@ private[graft] object TriggerLimits {
 private final class ManifestStreamTable(outSchema: StructType,
     dir: String, startingVersion: Long, ignoreChanges: Boolean,
     pushFilterSql: Option[String], limits: TriggerLimits,
-    readChangeFeed: Boolean)
+    readChangeFeed: Boolean, pushColumnsOpt: Option[String])
     extends Table with SupportsRead {
   override def name(): String = s"graft-manifest-stream($dir)"
   override def schema(): StructType = outSchema
@@ -169,7 +171,8 @@ private final class ManifestStreamTable(outSchema: StructType,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     if (readChangeFeed)
-      ManifestCdcStream.scanBuilder(dir, startingVersion, limits)
+      ManifestCdcStream.scanBuilder(dir, startingVersion, limits,
+        pushColumnsOpt, pushFilterSql)
     else
       new ManifestStreamScanBuilder(outSchema, dir, startingVersion,
         ignoreChanges, pushFilterSql, limits)
@@ -233,32 +236,8 @@ private final class ManifestStreamScanBuilder(outSchema: StructType,
       .toAttributes(fullSchema)
     def attrsOf(st: StructType) = st.fieldNames.toSeq
       .map(n => attrs(fullSchema.fieldIndex(n)))
-    val filterExpr: Option[Expression] = pushFilterSql.map { sql =>
-      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
-      val plan = org.apache.spark.sql.catalyst.plans.logical.Filter(
-        parsed,
-        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs))
-      val resolved = spark.sessionState.analyzer
-        .executeAndCheck(plan,
-          new org.apache.spark.sql.catalyst.QueryPlanningTracker)
-        .collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            f.condition
-        }
-        .getOrElse(throw new IllegalArgumentException(
-          s"graft-manifest-stream: cannot resolve pushFilter '$sql'"))
-      // fold constant subtrees (the analyzer leaves type-coercion casts
-      // like `cast(5050 as bigint)` unfolded — only the optimizer folds
-      // them, and we run just the analyzer): the manifest pruner and
-      // the parquet translator both match bare Literals
-      resolved.transformUp {
-        case e if e.foldable &&
-            !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions
-              .Literal] =>
-          org.apache.spark.sql.catalyst.expressions
-            .Literal.create(e.eval(), e.dataType)
-      }
-    }
+    val filterExpr: Option[Expression] = pushFilterSql.map(
+      ManifestStreamSource.resolvePushFilter(spark, _, attrs))
     // output = engine-pruned required (defaults to the option-projected
     // table schema), split data/partition; read = output data columns
     // plus whatever data columns the filter needs (projected away after
@@ -294,19 +273,53 @@ private[graft] object ManifestStreamSource {
 
   /** The stream ScanBuilder for OTHER front doors (the graft
     * TableCatalog's `readStream.table("graft.db.t")`) — same options
-    * (`startingVersion`, `ignoreChanges`, `pushFilter`, the trigger
-    * limits, `readChangeFeed`), same streams. */
+    * (`startingVersion`, `ignoreChanges`, `pushFilter`, `pushColumns`,
+    * the trigger limits, `readChangeFeed`), same streams. */
   def streamScanBuilder(schema: StructType, dir: String,
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val start = resolveStartVersion(
       org.apache.spark.sql.SparkSession.active, dir, options)
     if (options.getBoolean("readChangeFeed", false))
       ManifestCdcStream.scanBuilder(dir, start,
-        TriggerLimits.from(options))
+        TriggerLimits.from(options),
+        Option(options.get("pushColumns")),
+        Option(options.get("pushFilter")))
     else
       new ManifestStreamScanBuilder(schema, dir, start,
         options.getBoolean("ignoreChanges", false),
         Option(options.get("pushFilter")), TriggerLimits.from(options))
+  }
+
+  /** Resolve a `pushFilter` SQL boolean against `attrs` through the
+    * session's own parser + analyzer, then constant-fold (the analyzer
+    * leaves type-coercion casts like `cast(5050 as bigint)` unfolded —
+    * only the optimizer folds them, and we run just the analyzer; the
+    * manifest pruner and the parquet translator both match bare
+    * Literals). */
+  private[sources] def resolvePushFilter(
+      spark: org.apache.spark.sql.SparkSession, sql: String,
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+      : Expression = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    val plan = org.apache.spark.sql.catalyst.plans.logical.Filter(
+      parsed,
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs))
+    val resolved = spark.sessionState.analyzer
+      .executeAndCheck(plan,
+        new org.apache.spark.sql.catalyst.QueryPlanningTracker)
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-manifest-stream: cannot resolve pushFilter '$sql'"))
+    resolved.transformUp {
+      case e if e.foldable &&
+          !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .Literal] =>
+        org.apache.spark.sql.catalyst.expressions
+          .Literal.create(e.eval(), e.dataType)
+    }
   }
 
   /** `startingVersion` / `startingTimestamp` → the first version the
@@ -364,6 +377,17 @@ private[graft] object ManifestStreamSource {
   }
 }
 
+/** A version's units are not READABLE yet — a live stream raced a
+  * committing op's CDC write (the change files land moments after the
+  * manifest rename). Thrown by [[ManifestCdcStream.computeUnits]]
+  * within the wait window; offset resolution treats it as "no new
+  * data at this version yet" and truncates the batch BEFORE the racy
+  * version (the next trigger retries), so the driver's trigger thread
+  * never sleeps through the race. Past the window, [[ManifestCdcStream]]
+  * escalates to the loud lost-files error instead. */
+private final class CdcPendingException(msg: String)
+    extends RuntimeException(msg)
+
 /** Offset = (last fully-ingested manifest version, number of added
   * files of version+1 already ingested). `index = 0` is exactly the
   * pre-admission-control semantics, and old checkpoints (`{"version":
@@ -392,7 +416,8 @@ private abstract class VersionOffsetStream[U: scala.reflect.ClassTag](
     dir: String,
     startingVersion: Long, limits: TriggerLimits)
     extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow {
+    with SupportsTriggerAvailableNow
+    with org.apache.spark.internal.Logging {
   protected val spark = SparkSession.active
 
   /** Trigger.AvailableNow pins the stream's end at prepare time: the
@@ -474,6 +499,14 @@ private abstract class VersionOffsetStream[U: scala.reflect.ClassTag](
 
   override def reportLatestOffset(): Offset = latestOffset()
 
+  /** Subclasses whose [[computeUnits]] can transiently fail with
+    * [[CdcPendingException]] (the CDC stream racing a commit's sidecar
+    * write) return true: offset resolution then walks units even with
+    * no admission limits, so a racy version truncates the batch
+    * instead of blocking or failing it. The table stream keeps the
+    * O(1) unbounded shortcut. */
+  protected def probeUnitsAtLatest: Boolean = false
+
   /** Rate-limited offset resolution: walk versions forward from
     * `start`, admitting units (in each version's stable order) until
     * the limit is hit — possibly MID-version, which is what the
@@ -482,7 +515,9 @@ private abstract class VersionOffsetStream[U: scala.reflect.ClassTag](
     * table pays only for the batch it is about to run. Limits count
     * units BEFORE any pushFilter pruning — the cap bounds planning
     * work too, and stats-refuted files still never become read
-    * tasks. */
+    * tasks. A version whose units are PENDING ([[CdcPendingException]])
+    * ends the batch just before it — "no new data there yet", retried
+    * next trigger, never a sleep on the trigger thread. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[VersionOffset]
     val latest = latestCapped
@@ -500,7 +535,7 @@ private abstract class VersionOffsetStream[U: scala.reflect.ClassTag](
     }
     val (maxF, maxB, maxR) = bounds(limit)
     if (maxF == Long.MaxValue && maxB == Long.MaxValue &&
-        maxR == Long.MaxValue)
+        maxR == Long.MaxValue && !probeUnitsAtLatest)
       return VersionOffset(latest)
     var files = 0L
     var bytes = 0L
@@ -508,7 +543,15 @@ private abstract class VersionOffsetStream[U: scala.reflect.ClassTag](
     var v = s.version
     var idx = s.index
     while (v < latest) {
-      val adds = unitsOfVersion(v + 1)
+      val adds =
+        try unitsOfVersion(v + 1)
+        catch {
+          case _: CdcPendingException =>
+            // at loop top (v, idx) is the last fully-resolved
+            // position: idx can exceed 0 only on the first iteration
+            // (the start offset's own mid-version cut)
+            return if (v == s.version) s else VersionOffset(v)
+        }
       var i = idx
       while (i < adds.length) {
         val (len0, rows0) = unitSize(adds(i.toInt))
@@ -607,9 +650,16 @@ private final class ManifestMicroBatchStream(tableSchema: StructType,
     * small parquet read, no fold — so a catch-up over a long backlog
     * plans at O(delta) per version; checkpoint slots (every Nth) fall
     * back to a snapshot diff served by [[StatsManifest.readAt]]'s
-    * cache. */
+    * cache. A net-zero MAINTENANCE commit (`optimize` — a compaction
+    * or z-order rewrite, including the append sink's auto-compaction)
+    * emits NOTHING: its added files carry only rows the stream already
+    * delivered from the originals, so re-emitting them would break
+    * exactly-once; the tombstone guard in [[planInputPartitions]]
+    * exempts those versions the same way. */
   override protected def computeUnits(
       v: Long): Array[(String, StatsManifest.FileStats)] = {
+    if (StatsManifest.opAt(spark, dir, v).contains("optimize"))
+      return Array.empty
     val delta =
       try StatsManifest.deltaOf(spark, dir, v)
       catch {
@@ -642,16 +692,26 @@ private final class ManifestMicroBatchStream(tableSchema: StructType,
     val (maxV, added) = unitsInRange(s, e)
     guardSchemaDrift(maxV)
     if (!ignoreChanges) {
-      val removedDelta =
-        StatsManifest.removedAt(spark, dir, maxV) --
-          (if (s.version <= 0L) Set.empty[String]
-           else StatsManifest.removedAt(spark, dir, s.version))
-      require(removedDelta.isEmpty,
-        s"graft-manifest-stream: versions (${s.version}, $maxV] " +
-          s"tombstoned ${removedDelta.size} file(s) — the table is " +
-          "not append-only over this range. Use RowOps.changesStream " +
-          "for CDC semantics, or ignoreChanges=true to stream just " +
-          "the added files (rewritten rows will re-emit).")
+      // per-version tombstone attribution: a net-zero 'optimize'
+      // commit (compaction / z-order, incl. auto-compaction) moves
+      // rows between files without changing them — its tombstones are
+      // exempt (and its adds are skipped in computeUnits); any OTHER
+      // version that tombstoned files makes the range non-append-only
+      var v = math.max(1L, s.version + 1L)
+      while (v <= maxV) {
+        val newlyRemoved =
+          StatsManifest.removedAt(spark, dir, v) --
+            (if (v <= 1L) Set.empty[String]
+             else StatsManifest.removedAt(spark, dir, v - 1L))
+        require(newlyRemoved.isEmpty ||
+          StatsManifest.opAt(spark, dir, v).contains("optimize"),
+          s"graft-manifest-stream: version $v tombstoned " +
+            s"${newlyRemoved.size} file(s) — the table is " +
+            "not append-only over this range. Use RowOps.changesStream " +
+            "for CDC semantics, or ignoreChanges=true to stream just " +
+            "the added files (rewritten rows will re-emit).")
+        v += 1L
+      }
     }
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -792,16 +852,26 @@ private final case class CdcFilePartition(file: PartitionedFile,
   * an `INSERT OVERWRITE`) fails LOUDLY — emitting a wrong or partial
   * feed silently is the one unacceptable outcome. Offsets, restart
   * semantics and the trigger limits are shared with the table stream
-  * ([[VersionOffsetStream]]); `maxRowsPerTrigger` budgets only the
-  * append-version units (change-file row counts aren't known without
-  * opening them — documented).
+  * ([[VersionOffsetStream]]); `maxRowsPerTrigger` budgets BOTH unit
+  * kinds — append versions from the manifest's per-file row counts,
+  * change files from the count recorded in their NAME at CDC write
+  * time (`…-r<rows>.parquet`; pre-r12 names read as unknown and are
+  * bounded only by the files/bytes caps, warned once).
   *
   * Reference analogue: the changelog-emitting table sources
   * (`flink-table-common/…/connector/ChangelogMode.java`) — here the
   * changelog IS the version log's recorded deltas. */
 private final class ManifestCdcStream(tableSchema: StructType,
     partSchema: StructType, dir: String, startingVersion: Long,
-    limits: TriggerLimits)
+    limits: TriggerLimits,
+    /** pushdown (r12): output table columns (projection — the envelope
+      * always rides), the resolved residual filter over the full CDC
+      * row, the shared attribute set it resolved against, and the
+      * projected output schema. */
+    selected: Seq[String],
+    filterExpr: Option[Expression],
+    cdcAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+    outSchema: StructType)
     extends VersionOffsetStream[CdcUnit](dir, startingVersion, limits) {
 
   private val fs = new Path(dir).getFileSystem(
@@ -809,33 +879,93 @@ private final class ManifestCdcStream(tableSchema: StructType,
   private val rootKey =
     StatsManifest.fileKey(fs.makeQualified(new Path(dir)))
 
+  private val fullCdc = RowOps.cdcSchema(tableSchema)
+  private def attrOf(n: String) = cdcAttrs(fullCdc.fieldIndex(n))
+  private val envelope = Seq("_change_type", "_commit_version")
+
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+  /** filter conjuncts over TABLE columns only — the shapes the
+    * manifest can refute per added file of an append version (kind-1
+    * units; change files carry no manifest stats). Envelope-referencing
+    * conjuncts stay residual-only. */
+  private val tableExprs: Seq[Expression] = filterExpr.toSeq
+    .flatMap(conjunctsOf)
+    .filter(_.references.forall(a =>
+      tableSchema.fieldNames.contains(a.name)))
+
   /** Row-op kinds whose `cdf = true` commits are FOLLOWED by change
     * files (the CDC write lands moments after the manifest rename): a
-    * live stream racing that window waits for the sidecar instead of
-    * mis-reading the version. */
-  private val CdfOps = Set("delete", "update", "merge", "upsert")
+    * live stream racing that window treats the version as pending
+    * ([[CdcPendingException]] → retried next trigger) instead of
+    * blocking the trigger thread or mis-reading the version. */
+  private val CdfOps = Set("delete", "update", "merge", "upsert",
+    "replace")
+
+  /** probe units even for unbounded triggers: a racy version must
+    * truncate the batch at offset time, not stall planInputPartitions. */
+  override protected def probeUnitsAtLatest: Boolean = true
+
+  /** version → first time its declared change files were found absent
+    * (nanos) — the escalation clock from pending to lost. */
+  private val pendingSince =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+
+  private def sidecarWaitMs: Long = {
+    val raw = spark.conf.get("spark.graft.cdc.sidecarWaitMs", "30000")
+    try {
+      val v = raw.toLong
+      require(v >= 0L)
+      v
+    } catch {
+      case _: Exception => throw new IllegalArgumentException(
+        "spark.graft.cdc.sidecarWaitMs must be a non-negative " +
+          s"integer (millis), got '$raw'")
+    }
+  }
+
+  /** warn once when maxRowsPerTrigger meets a change file whose name
+    * predates the recorded row count (the budget under-enforces for
+    * that unit — files/bytes caps still bound it). */
+  @volatile private var warnedUnknownRows = false
 
   override protected def computeUnits(v: Long): Array[CdcUnit] = {
     def cdcUnits(): Array[CdcUnit] =
       RowOps.cdcFiles(fs, dir, v).map { p =>
         val q = fs.makeQualified(p)
-        CdcUnit(q.toString, fs.getFileStatus(q).getLen, 0L, 0, v)
+        // row count from the file NAME (recorded at CDC write time) —
+        // unitSize stays a pure metadata read; pre-r12 names read as
+        // unknown (0: the rows budget can't see them)
+        val rows = RowOps.cdcFileNameRows(q.getName).getOrElse {
+          if (limits.maxRows.isDefined && !warnedUnknownRows) {
+            warnedUnknownRows = true
+            logWarning(s"graft-manifest-stream(readChangeFeed): $dir " +
+              "has change files without a recorded row count " +
+              "(written before r12) — maxRowsPerTrigger cannot bound " +
+              "them; maxFiles/maxBytesPerTrigger still apply")
+          }
+          0L
+        }
+        CdcUnit(q.toString, fs.getFileStatus(q).getLen, rows, 0, v)
       }.sortBy(_.path).toArray
     val cdc = cdcUnits()
-    if (cdc.nonEmpty) return cdc
+    if (cdc.nonEmpty) { pendingSince.remove(v); return cdc }
     val op = StatsManifest.opAt(spark, dir, v)
     if (op.exists(CdfOps.contains)) {
       // the commit DECLARED change files (no -nocdf marker) but they
       // have not landed yet — this trigger raced the op's CDC write.
-      // Wait briefly (typically milliseconds); a persistent absence
-      // means a crash lost the files — fail toward the backfill.
-      val deadline = System.nanoTime() + spark.conf
-        .get("spark.graft.cdc.sidecarWaitMs", "30000").toLong * 1000000L
-      while (System.nanoTime() < deadline) {
-        Thread.sleep(100L)
-        val retry = cdcUnits()
-        if (retry.nonEmpty) return retry
-      }
+      // Pending (not a sleep): offset resolution ends the batch before
+      // this version and the next trigger retries; a persistent
+      // absence past the wait window means a crash lost the files —
+      // fail toward the backfill.
+      val first = pendingSince.computeIfAbsent(v,
+        _ => java.lang.Long.valueOf(System.nanoTime()))
+      if (System.nanoTime() - first < sidecarWaitMs * 1000000L)
+        throw new CdcPendingException(
+          s"change files of version $v not landed yet")
       throw new IllegalStateException(
         "graft-manifest-stream(readChangeFeed): version " +
           s"$v (operation '${op.get}') declared change files that " +
@@ -872,8 +1002,20 @@ private final class ManifestCdcStream(tableSchema: StructType,
         Array.empty[CdcUnit]
       case _ if !dropped =>
         // append-only version (including a cdf=false op that only
-        // added files): the added rows ARE the change set
-        adds.map { case (k, st) =>
+        // added files): the added rows ARE the change set. Pushed
+        // table-column filters refute whole added files by manifest
+        // stats BEFORE they become units (refutation-only — a dropped
+        // file provably holds no row the residual would keep).
+        val kept =
+          if (tableExprs.isEmpty) adds
+          else adds.filter { case (_, st) =>
+            tableExprs.forall(StatsManifest.mayMatch(_, st))
+          }
+        if (tableExprs.nonEmpty) {
+          ManifestStreamSource.lastPlanTotal.set(adds.length.toLong)
+          ManifestStreamSource.lastPlanSelected.set(kept.length.toLong)
+        }
+        kept.map { case (k, st) =>
           val len =
             if (st.len >= 0L) st.len
             else {
@@ -899,12 +1041,30 @@ private final class ManifestCdcStream(tableSchema: StructType,
   override protected def unitSize(u: CdcUnit): (Long, Long) =
     (u.len, u.rows)
 
+  override def commit(end: Offset): Unit = {
+    super.commit(end)
+    val v = end.asInstanceOf[VersionOffset].version
+    pendingSince.keySet.removeIf(k => k <= v)
+  }
+
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VersionOffset]
     val e = end.asInstanceOf[VersionOffset]
     if (!(e > s)) return Array.empty
-    val (maxV, units) = unitsInRange(s, e)
+    // the offset range is already fixed (WAL) — a batch being REPLANNED
+    // (recovery replay) may transiently race a CDC write it originally
+    // saw complete; retry briefly here, where waiting is semantically
+    // required. computeUnits escalates to the loud lost-files error
+    // past the wait window, so the loop terminates.
+    val (maxV, units) = {
+      var out: (Long, Array[CdcUnit]) = null
+      while (out == null) {
+        try out = unitsInRange(s, e)
+        catch { case _: CdcPendingException => Thread.sleep(100L) }
+      }
+      out
+    }
     guardSchemaDrift(maxV)
     units.map { u =>
       val partVals =
@@ -920,28 +1080,54 @@ private final class ManifestCdcStream(tableSchema: StructType,
 
   // built ONCE per stream: two row-based parquet read functions — the
   // CDC envelope files (flat, partition columns materialized as data)
-  // and the table's data files (envelope synthesized per row)
+  // and the table's data files (envelope synthesized per row). Both
+  // read ONLY the needed columns (output projection + residual refs)
+  // and take the translatable filter conjuncts for parquet row-group
+  // skipping; the residual evaluates exactly per row on the executor.
   private lazy val readerFactory: PartitionReaderFactory = {
     val rowSession = spark
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .newSession()
     rowSession.conf.set("spark.sql.parquet.enableVectorizedReader",
       "false")
+    val refs = filterExpr.toSeq
+      .flatMap(_.references.toSeq.map(_.name)).toSet
+    val needed = (selected ++ refs ++ envelope).toSet
+    // change files: flat CDC rows (partition cols materialized) — read
+    // the needed subset in fullCdc order
+    val cdcReadSchema = StructType(fullCdc.filter(f =>
+      needed.contains(f.name)))
+    val cdcParquetFilters = filterExpr.toSeq.flatMap(conjunctsOf)
+      .flatMap(StatsManifest.catalystToFilter)
     // one hadoopConf PER reader: buildReaderWithPartitionValues writes
     // its requested schema into the conf it is given, so sharing one
     // conf would make the second build's schema clobber the first's
-    val cdcFull = RowOps.cdcSchema(tableSchema)
     val cdcRead = new ParquetFileFormat().buildReaderWithPartitionValues(
-      rowSession, cdcFull, new StructType(), cdcFull, Nil, Map.empty,
+      rowSession, fullCdc, new StructType(), cdcReadSchema,
+      cdcParquetFilters, Map.empty,
       rowSession.sessionState.newHadoopConfWithOptions(Map.empty))
     val dataSchema = StructType(tableSchema.filterNot(f =>
       partSchema.fieldNames.contains(f.name)))
+    val insReadSchema = StructType(dataSchema.filter(f =>
+      needed.contains(f.name)))
+    val insParquetFilters = tableExprs
+      .filter(_.references.forall(a =>
+        dataSchema.fieldNames.contains(a.name)))
+      .flatMap(StatsManifest.catalystToFilter)
     val insRead = new ParquetFileFormat().buildReaderWithPartitionValues(
-      rowSession, dataSchema, partSchema, dataSchema, Nil, Map.empty,
+      rowSession, dataSchema, partSchema, insReadSchema,
+      insParquetFilters, Map.empty,
       rowSession.sessionState.newHadoopConfWithOptions(Map.empty))
-    new CdcReaderFactory(cdcRead, insRead,
-      org.apache.spark.sql.catalyst.types.DataTypeUtils
-        .toAttributes(tableSchema))
+    // per-kind row layouts (attribute instances shared with filterExpr
+    // by construction — same cdcAttrs), and the common output
+    val in0 = cdcReadSchema.fieldNames.toSeq.map(attrOf)
+    val in1 = insReadSchema.fieldNames.toSeq.map(attrOf) ++
+      partSchema.fieldNames.toSeq.map(attrOf) ++ envelope.map(attrOf)
+    val outAttrs = outSchema.fieldNames.toSeq.map(attrOf)
+    val identity = filterExpr.isEmpty &&
+      in0.map(_.exprId) == outAttrs.map(_.exprId)
+    new CdcReaderFactory(cdcRead, insRead, filterExpr, in0, in1,
+      outAttrs, identity)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     readerFactory
@@ -950,30 +1136,55 @@ private final class ManifestCdcStream(tableSchema: StructType,
 private final class CdcReaderFactory(
     cdcRead: PartitionedFile => Iterator[InternalRow],
     insRead: PartitionedFile => Iterator[InternalRow],
-    /** the table's attributes in output order (data then partition
-      * columns) — the insert-synthesis projection's input. */
-    tableAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+    /** residual filter over the full CDC row — exact semantics after
+      * file refutation and row-group skipping (both best-effort). */
+    filterExpr: Option[
+      org.apache.spark.sql.catalyst.expressions.Expression],
+    /** row layout of a change-file read (needed columns, fullCdc
+      * order). */
+    in0: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+    /** row layout of an insert read AFTER envelope synthesis: needed
+      * data columns ++ partition columns ++ envelope. */
+    in1: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+    outAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+    /** no filter, no projection — kind 0 passes through raw, kind 1
+      * only synthesizes the envelope (the pre-pushdown fast path). */
+    identity: Boolean)
     extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal,
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Predicate,
       UnsafeProjection}
     val cp = p.asInstanceOf[CdcFilePartition]
     val raw = if (cp.kind == 0) cdcRead(cp.file) else insRead(cp.file)
-    val it =
+    // kind 1 first synthesizes the envelope: _change_type = 'insert',
+    // _commit_version = the version that added this file
+    val withEnvelope =
       if (cp.kind == 0) raw
       else {
-        // append the envelope: _change_type = 'insert',
-        // _commit_version = the version that added this file
+        val dataPart = in1.dropRight(2)
         val proj = UnsafeProjection.create(
-          tableAttrs ++ Seq(
+          dataPart ++ Seq(
             Literal(org.apache.spark.unsafe.types.UTF8String
               .fromString("insert"),
               org.apache.spark.sql.types.StringType),
             Literal(cp.version,
               org.apache.spark.sql.types.LongType)),
-          tableAttrs)
+          dataPart)
         raw.map(proj)
+      }
+    val it =
+      if (identity) withEnvelope
+      else {
+        val inAttrs = if (cp.kind == 0) in0 else in1
+        val filtered = filterExpr match {
+          case Some(e) =>
+            val pred = Predicate.create(e, inAttrs)
+            withEnvelope.filter(pred.eval)
+          case None => withEnvelope
+        }
+        val proj = UnsafeProjection.create(outAttrs, inAttrs)
+        filtered.map(proj)
       }
     new PartitionReader[InternalRow] {
       override def next(): Boolean = it.hasNext
@@ -988,22 +1199,48 @@ private final class CdcReaderFactory(
 
 private object ManifestCdcStream {
   /** The `readChangeFeed=true` ScanBuilder (shared by the data-source
-    * and catalog front doors). */
+    * and catalog front doors), with the same option-borne pushdown as
+    * the table stream: `pushColumns` projects the table columns (the
+    * envelope always rides), `pushFilter` refutes whole added files of
+    * append versions by manifest stats, row-group-skips inside change
+    * AND data files via the translatable conjuncts, and re-applies
+    * exactly per row as a residual — so `_change_type = 'delete'`
+    * works too (envelope-referencing conjuncts are residual-only). */
   def scanBuilder(dir: String, startingVersion: Long,
-      limits: TriggerLimits): ScanBuilder = new ScanBuilder {
-    override def build(): Scan = {
-      val spark = SparkSession.active
-      val (fullDf, idx) = StatsManifest.scanWithIndex(spark, dir)
-      val tableSchema = fullDf.schema
-      val partSchema = idx.partitionSchema
-      val out = RowOps.cdcSchema(tableSchema)
-      new Scan {
-        override def readSchema(): StructType = out
-        override def toMicroBatchStream(
-            checkpointLocation: String): MicroBatchStream =
-          new ManifestCdcStream(tableSchema, partSchema, dir,
-            startingVersion, limits)
+      limits: TriggerLimits, pushColumnsOpt: Option[String] = None,
+      pushFilterSql: Option[String] = None): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = {
+        val spark = SparkSession.active
+        val (fullDf, idx) = StatsManifest.scanWithIndex(spark, dir)
+        val tableSchema = fullDf.schema
+        val partSchema = idx.partitionSchema
+        val fullCdc = RowOps.cdcSchema(tableSchema)
+        val cdcAttrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+          .toAttributes(fullCdc)
+        val selected: Seq[String] = pushColumnsOpt match {
+          case Some(cs) =>
+            val names = cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val missing = names.filterNot(tableSchema.fieldNames.contains)
+            require(missing.isEmpty,
+              "graft-manifest-stream: pushColumns not in the table " +
+                s"schema: ${missing.mkString(", ")}")
+            names
+          case None => tableSchema.fieldNames.toSeq
+        }
+        val filterExpr = pushFilterSql.map(
+          ManifestStreamSource.resolvePushFilter(spark, _, cdcAttrs))
+        val out = StructType(fullCdc.filter(f =>
+          selected.contains(f.name) ||
+            f.name == "_change_type" || f.name == "_commit_version"))
+        new Scan {
+          override def readSchema(): StructType = out
+          override def toMicroBatchStream(
+              checkpointLocation: String): MicroBatchStream =
+            new ManifestCdcStream(tableSchema, partSchema, dir,
+              startingVersion, limits, selected, filterExpr, cdcAttrs,
+              out)
+        }
       }
     }
-  }
 }

@@ -92,6 +92,37 @@ object RowOps {
       op = "delete")
   }
 
+  /** INSERT OVERWRITE … WHERE cond (the DSv2 `OverwriteByExpression`
+    * semantics, which is also what a static-partition `INSERT
+    * OVERWRITE t PARTITION (p = v)` lowers to): delete every row
+    * matching `cond` AND insert `data`, under ONE manifest commit —
+    * a reader sees the old state or the new state, never the gap a
+    * DELETE-then-INSERT pair would expose. Pruning is the DELETE
+    * path's (a pure partition predicate refutes every file outside
+    * the partition at plan time); `data` is appended as fresh files
+    * alongside the rewritten remainder; CDC records matched rows as
+    * deletes and `data`'s rows as inserts (carried rows net out). */
+  def overwriteWhere(spark: SparkSession, dir: String, cond: Column,
+      data: DataFrame, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, cdf: Boolean = true): OpResult = {
+    val ctx = open(spark, dir)
+    val aligned = data.select(ctx.schema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val touched = touchedByPredicate(ctx, ctx.snap.where(cond))
+    val old = readFiles(ctx, touched.keys)
+    val kept = old.where(!coalesce(cond, lit(false)))
+    rewriteWith(ctx, touched, statsCols, bloomCols,
+      kept.unionByName(aligned),
+      extraFiles = 1,
+      cdc = if (cdf) Some((old.where(coalesce(cond, lit(false))),
+        aligned)) else None,
+      // 'replace', not 'overwrite': the latter is the FULL-rebuild
+      // kind (no change files ever follow it), while this op lands a
+      // netted CDC feed — the streaming changefeed keys its
+      // wait-vs-fail decision on the kind
+      op = "replace")
+  }
+
   /** UPDATE dir SET set... WHERE cond. Each `set` entry is
     * (column name, new-value expression over the row's columns); the
     * new value is cast to the column's stored type. */
@@ -194,6 +225,20 @@ object RowOps {
   final case class MergeInsert(condition: Option[Column],
       values: Seq[(String, Column)]) extends MergeClause
 
+  /** A correlated-subquery LOOKUP a merge clause references: `df`
+    * carries uniquely-named join columns plus one output column
+    * `flag` — either a `true` hit flag (the lowering of a correlated
+    * CONDITION: the distinct ref-combinations where it held) or a
+    * computed value (a correlated scalar in a SET/INSERT value,
+    * evaluated per distinct ref-combination). [[merge]] left-joins it
+    * onto every frame that has the join columns — the (target × source)
+    * clause frame, the insert anti-join frame, the by-source touch
+    * frame — and clause Columns simply reference `flag` by name.
+    * `joinOn` maps each aux column to the joined-frame column it keys
+    * on (bare target names; [[SrcPrefix]]-prefixed source names). */
+  final case class MergeAux(flag: String, df: DataFrame,
+      joinOn: Seq[(String, String)])
+
   /** MERGE INTO dir USING source ON keys — the full ANSI clause
     * matrix: conditional and multiple WHEN MATCHED UPDATE/DELETE
     * clauses, conditional multi-clause WHEN NOT MATCHED INSERT, and
@@ -215,7 +260,10 @@ object RowOps {
       /** false skips the insert-count job (OpResult.insertedRows reads
         * −1) — a per-batch streaming caller that never reads the count
         * should not pay an action for it. */
-      countInserts: Boolean = true): OpResult = {
+      countInserts: Boolean = true,
+      /** correlated-subquery lookups the clauses reference — see
+        * [[MergeAux]]. */
+      aux: Seq[MergeAux] = Nil): OpResult = {
     val ctx = open(spark, dir)
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "merge: no WHEN clauses")
@@ -250,6 +298,18 @@ object RowOps {
     }
     def cnd(c: Option[Column]): Column =
       coalesce(c.getOrElse(lit(true)), lit(false))
+    // left-join every aux lookup whose join columns the frame carries:
+    // a hit-flag aux reads null (→ false via cnd) where no combination
+    // matched; a value aux reads null where the scalar was null/empty.
+    // Aux frames are distinct ref-combinations — small, AQE broadcasts.
+    def withAux(frame: DataFrame): DataFrame =
+      aux.filter(_.joinOn.forall { case (_, jc) =>
+        frame.columns.contains(jc)
+      }).foldLeft(frame) { (df, a) =>
+        val on = a.joinOn.map { case (ac, jc) => df(jc) === a.df(ac) }
+          .reduce(_ && _)
+        df.join(a.df, on, "left")
+      }
     // every source column under SrcPrefix; keys pre-cast to the target
     // key types so the equi-join and envelope compare exactly
     val srcP = source.select(source.columns.map { c =>
@@ -290,10 +350,16 @@ object RowOps {
       else {
         // conservative: a row satisfying a by-source condition marks its
         // file whether or not it is matched — carried-over rows are
-        // bit-exact and net out of CDC
+        // bit-exact and net out of CDC. The file key projects FIRST
+        // (it is a scan-relation column and would not resolve through
+        // the aux joins), then target-only aux lookups join in.
         val bsOr = notMatchedBySource.map(c => cnd(c.condition))
           .reduce(_ || _)
-        touchedByPredicate(ctx, ctx.snap.where(bsOr))
+        val snapF = ctx.snap.select((StatsManifest.fileKeyCol +:
+          ctx.schema.fieldNames.toSeq.map(col)): _*)
+        withAux(snapF).where(bsOr)
+          .groupBy(col("file")).agg(count(lit(1)).as("m")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
       }
     val touched = matchedTouched ++
       bsTouched.view.filterKeys(k => !matchedTouched.contains(k)).toMap
@@ -307,9 +373,9 @@ object RowOps {
           case Some(h) =>
             h.select(keys.map(col).toIndexedSeq: _*).distinct()
         }
-        val un = srcP.join(tKeys,
+        val un = withAux(srcP.join(tKeys,
           keys.map(k => srcP(SrcPrefix + k) === tKeys(k)).reduce(_ && _),
-          "left_anti")
+          "left_anti"))
         val conds = notMatched.map(i => cnd(i.condition))
         val withIdx = un.withColumn(ClauseIdx, firstTrueIdx(conds))
           .where(col(ClauseIdx) >= 0)
@@ -329,7 +395,7 @@ object RowOps {
       else {
         val joinCond = keys.map(k =>
           touchedDf(k) === srcP(SrcPrefix + k)).reduce(_ && _)
-        val joined = touchedDf.join(srcP, joinCond, "left")
+        val joined = withAux(touchedDf.join(srcP, joinCond, "left"))
         val isM = coalesce(col(MatchedFlag), lit(false))
         val branches: Seq[(Column, Option[Map[String, Column]])] =
           matched.map {
@@ -570,6 +636,24 @@ object RowOps {
       .map(_.getPath).toSeq
   }
 
+  /** Row count of a parquet change file: one driver-side footer read
+    * (no data pages, no Spark job). */
+  private def cdcFileRows(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, fs.getConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** The row count a change-file NAME carries (`…-r<rows>.parquet`),
+    * or None for pre-r12 names — the CDC stream budgets
+    * maxRowsPerTrigger from this without opening the file. */
+  private[graft] def cdcFileNameRows(name: String): Option[Long] = {
+    val m = "-r(\\d+)\\.parquet$".r.findFirstMatchIn(name)
+    m.map(_.group(1).toLong)
+  }
+
   private final case class Ctx(spark: SparkSession, dir: String,
       version: Long, snap: DataFrame,
       idx: StatsManifest.ManifestFileIndex, schema: StructType,
@@ -782,16 +866,22 @@ object RowOps {
         // wait for the files or fail toward the backfill
         op = if (op.isEmpty) None
           else Some(if (cdc.isDefined) op else s"$op-nocdf"))
-      staged.foreach { src =>
-        val dst = finalPath(src)
-        fs.mkdirs(dst.getParent)
-        require(fs.rename(src, dst),
-          s"RowOps: rename $src -> $dst failed; staged copy intact and " +
-            "the committed manifest names the final keys — finish the " +
-            "renames")
+      // rename in ONLY the committed files: an empty staged file (a
+      // replacement with no rows for that slot) has no manifest entry,
+      // and moving it in would orphan an unmanifested file in the
+      // table dir — it dies with the staging cleanup instead
+      adds.foreach { case (src, key) =>
+        if (r.addKeys.contains(key)) {
+          val dst = finalPath(src)
+          fs.mkdirs(dst.getParent)
+          require(fs.rename(src, dst),
+            s"RowOps: rename $src -> $dst failed; staged copy intact " +
+              "and the committed manifest names the final keys — " +
+              "finish the renames")
+        }
       }
       fs.delete(staging, true)
-      r
+      (r.version, r.addedRows)
     }
     phase(PhaseStats.cdc)(cdc.foreach { case (del0, ins0) =>
       // columns aligned POSITIONALLY to the table's order first (a
@@ -824,7 +914,13 @@ object RowOps {
       fs.listStatus(cdcStage).map(_.getPath)
         .filter(_.getName.startsWith("part-")).zipWithIndex
         .foreach { case (src, i) =>
-          val dst = new Path(cdcDir, f"v$ver%06d-$i%05d.parquet")
+          // the file's ROW COUNT rides in its name (read once from the
+          // staged footer — driver-side, O(1)): the CDC stream's
+          // maxRowsPerTrigger budget needs per-unit row counts without
+          // opening data, and change files have no manifest entry to
+          // carry them. Pre-r12 names (no -r suffix) read as unknown.
+          val rows = cdcFileRows(fs, src)
+          val dst = new Path(cdcDir, f"v$ver%06d-$i%05d-r$rows.parquet")
           require(fs.rename(src, dst),
             s"RowOps: CDC rename $src -> $dst failed — changes() will " +
               "fall back to file-diff netting for this version")

@@ -57,7 +57,8 @@ object StatsManifest {
   private val RemovedFile = "_removed.txt"
   private val SchemaFile = "_schema.json"
   /** The committing OPERATION's kind, one word (`append`, `delete`,
-    * `update`, `merge`, `upsert`, `overwrite`, `optimize`, `schema`,
+    * `update`, `merge`, `upsert`, `replace` (overwrite-where),
+    * `overwrite` (full rebuild), `optimize`, `schema`,
     * `checkpoint`, `create`) — what DESCRIBE HISTORY shows and what
     * lets a CDC stream tell a net-zero maintenance commit (optimize /
     * checkpoint: skip) from a data change. Absent on pre-r11 versions
@@ -88,6 +89,16 @@ object StatsManifest {
     * below the true latest gallops up to it, and anything unparseable
     * falls back to the full listing. */
   private val HintFile = "_latest_hint"
+  /** The commit's wall-clock time in epoch millis, staged WITH the
+    * version content (rides the atomic rename). The authoritative
+    * source for [[commitTimes]]: the version dir's FS mtime — the old
+    * source — is perturbed by [[expire]]'s retro-materialization
+    * (writing `cp-*` files into an old version dir bumps its mtime to
+    * vacuum time), which made post-VACUUM timestamps non-monotonic and
+    * broke `startingTimestamp` / time-window retention for any instant
+    * older than the vacuum. Versions committed before this sidecar
+    * existed fall back to the mtime (best-effort, documented). */
+  private val CommitTsFile = "_commit_ts"
 
   private def vDirPath(mDir: Path, v: Long): Path =
     new Path(mDir, f"v$v%06d")
@@ -535,6 +546,11 @@ object StatsManifest {
       val out = fsys.create(new Path(stage, OpFile), true)
       try out.write(o.getBytes("UTF-8")) finally out.close()
     }
+    locally {
+      val out = fsys.create(new Path(stage, CommitTsFile), true)
+      try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+      finally out.close()
+    }
     // verified-atomic slot claim: a marker file with this commit's UUID
     // distinguishes "our stage now lives AT dst" from every way a rename
     // can mislead — see claimSlot
@@ -639,6 +655,7 @@ object StatsManifest {
           removed.toSeq.sorted.mkString("\n"))
       schema.foreach(s => writeText(stage, SchemaFile, s.json))
       op.foreach(writeText(stage, OpFile, _))
+      writeText(stage, CommitTsFile, System.currentTimeMillis().toString)
       fsys.create(new Path(stage, marker), true).close()
       if (claimSlot(fsys, stage, vDirPath(mDir, slot), marker)) {
         writeHint(fsys, mDir, slot)
@@ -867,7 +884,8 @@ object StatsManifest {
   }
 
   private def foldEntries(spark: SparkSession, parts: DataFrame,
-      deltas: Seq[(Long, Seq[Path], Set[String])]): DataFrame = {
+      deltas: Seq[(Long, Seq[Path], Set[String])],
+      keepVersion: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val entryCols = parts.schema.fieldNames
     val adds = parts
@@ -888,11 +906,36 @@ object StatsManifest {
         allowMissingColumns = true)
     val w = Window.partitionBy(col("file"))
       .orderBy(col("__v").desc, col("__isAdd").desc)
-    events
+    val folded = events
       .withColumn("__rn",
         org.apache.spark.sql.functions.row_number().over(w))
       .where(col("__rn") === 1 && col("__isAdd"))
-      .select(entryCols.map(col).toIndexedSeq: _*)
+    val out =
+      if (keepVersion)
+        entryCols.map(col) :+ col("__v").as("version_entry")
+      else entryCols.map(col)
+    folded.select(out.toIndexedSeq: _*)
+  }
+
+  /** The folded entries at the LATEST version plus, per entry, the
+    * manifest version whose dir holds it — a delta-chain entry reads
+    * its actual commit slot; entries folded into a checkpoint read as
+    * the checkpoint's slot (finer history expired with the deltas, so
+    * the column is "added at or before"). The observability feed
+    * behind the `graft_files` TVF; one distributed fold, no driver
+    * row loop. */
+  def entriesWithVersion(spark: SparkSession, dir: String): DataFrame = {
+    val l = latestVersion(spark, dir).getOrElse(throw
+      new IllegalStateException(
+        s"entriesWithVersion: $dir is not a manifested table"))
+    val (baseParts, deltas) = foldChain(spark, dir, l)
+    val parts = spark.read.parquet(
+      (baseParts ++ deltas.flatMap(_._2)).map(_.toString).toIndexedSeq: _*)
+    if (deltas.isEmpty)
+      parts.withColumn("version_entry",
+        regexp_replace(col("_metadata.file_path"),
+          "^.*/v(\\d{6})/[^/]*$", "$1").cast("long"))
+    else foldEntries(spark, parts, deltas, keepVersion = true)
   }
 
   /** Just the folded entry KEYS at version `v` — a column-pruned fold
@@ -949,16 +992,36 @@ object StatsManifest {
         * committed before the sidecar existed. */
       op: String = "")
 
+  /** The wall time version dir `vDir` COMMITTED at: the `_commit_ts`
+    * sidecar (staged with the version — immutable, monotone by
+    * construction), falling back to the dir's FS mtime for versions
+    * committed before the sidecar existed. The fallback is the mtime's
+    * one weakness: retro-materialization bumps an old dir's mtime to
+    * vacuum time (see [[CommitTsFile]]). */
+  private def commitTimeOf(fsys: org.apache.hadoop.fs.FileSystem,
+      vDir: Path): Long = {
+    val f = new Path(vDir, CommitTsFile)
+    val sidecar =
+      try {
+        if (!fsys.exists(f)) None
+        else {
+          val in = fsys.open(f)
+          Some((try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()).toLong)
+        }
+      } catch { case _: Exception => None }
+    sidecar.getOrElse(fsys.getFileStatus(vDir).getModificationTime)
+  }
+
   /** (version, commit wall-time ms) per retained version, ascending —
-    * the version directory's FS modification time (the rename
-    * instant). Listing-only: no manifest parquet is read, so timestamp
-    * resolution stays O(versions) directory metadata, never O(files). */
+    * the persisted `_commit_ts` sidecar (mtime fallback for pre-sidecar
+    * versions). Metadata-only: no manifest parquet is read, so
+    * timestamp resolution stays O(versions), never O(files). */
   def commitTimes(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     versions(spark, dir).map { v =>
-      v -> fsys.getFileStatus(new Path(mDir, f"v$v%06d"))
-        .getModificationTime
+      v -> commitTimeOf(fsys, new Path(mDir, f"v$v%06d"))
     }
   }
 
@@ -991,16 +1054,15 @@ object StatsManifest {
 
   /** DESCRIBE-HISTORY-style view of the committed versions, ascending:
     * per version the file count, total rows, and the commit's wall
-    * time (the version directory's FS modification time — the rename
-    * instant). Driver-side O(versions) manifest reads. */
+    * time (persisted `_commit_ts`; mtime fallback for pre-sidecar
+    * versions). Driver-side O(versions) manifest reads. */
   def history(spark: SparkSession, dir: String): Seq[VersionInfo] = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     versions(spark, dir).map { v =>
       val stats = readAt(spark, dir, v)
       VersionInfo(v, stats.size.toLong, stats.valuesIterator.map(_.rows).sum,
-        fsys.getFileStatus(new Path(mDir, f"v$v%06d"))
-          .getModificationTime,
+        commitTimeOf(fsys, new Path(mDir, f"v$v%06d")),
         opAt(spark, dir, v).getOrElse(""))
     }
   }
@@ -1346,6 +1408,16 @@ object StatsManifest {
       dropped = (coveredKeys -- liveKeys).size.toLong)
   }
 
+  /** Result of [[commitFileOps]]: the committed version, total rows
+    * across the committed added files, and the final keys the commit
+    * actually RECORDED. An EMPTY staged file (a rewrite whose
+    * replacement had no rows for that output slot) produces no stats
+    * row and is NOT committed — callers must rename in exactly
+    * `addKeys`' files and discard the rest with the staging dir, or
+    * the table accumulates orphan unmanifested empty files. */
+  final case class FileOpsCommit(version: Long, addedRows: Long,
+      addKeys: Set[String])
+
   /** Commit a ROW-LEVEL file operation ([[RowOps]]): tombstone
     * `removeKeys` and add `adds` — each a (staged file, final file key)
     * pair, where the staged file holds the bytes that will live at the
@@ -1353,8 +1425,7 @@ object StatsManifest {
     * files are computed from the staged bytes in one pruned scan and
     * recorded under the FINAL keys, so the committed version is
     * consistent the instant the renames land; everything else carries
-    * over driver-side, O(files) like [[update]]. Returns
-    * (committed version, total rows across the added files).
+    * over driver-side, O(files) like [[update]].
     *
     * Called BEFORE the renames: a latest-reader between commit and
     * rename resolves the new version, whose added files aren't listed
@@ -1394,7 +1465,7 @@ object StatsManifest {
       maxRebase: Int = 3,
       /** operation kind recorded in the version's `_op.txt` sidecar
         * (DESCRIBE HISTORY; CDC-stream maintenance detection). */
-      op: Option[String] = None): (Long, Long) = {
+      op: Option[String] = None): FileOpsCommit = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -1447,6 +1518,9 @@ object StatsManifest {
     val (freshRows, addedRows) =
       if (adds.isEmpty) (Array.empty[org.apache.spark.sql.Row], 0L)
       else {
+        // an EMPTY staged file yields no group below → no stats row →
+        // not committed; FileOpsCommit.addKeys tells the caller to
+        // leave it in staging (renaming it in would orphan it)
         val reader0 = spark.read.schema(schema)
         val staged = addsBasePath.fold(reader0)(
           b => reader0.option("basePath", b))
@@ -1481,10 +1555,11 @@ object StatsManifest {
       }
       val removed = removedLatest(spark, dir) ++ removeKeys
       try {
-        return (commitDelta(spark, dir, freshRows.toIndexedSeq,
+        return FileOpsCommit(commitDelta(spark, dir, freshRows.toIndexedSeq,
           entrySchema, removeKeys, removed, sidecar,
           if (expectedVersion.isDefined) latestV else None,
-          op = op), addedRows)
+          op = op), addedRows,
+          freshRows.map(_.getString(fileIdx)).toSet)
       } catch {
         case cme: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -1954,17 +2029,26 @@ object StatsManifest {
       * and post-snapshot appends, so a mostly-deleted table would
       * never qualify for a broadcast join it should get. Falls back
       * to the directory total when any length is unknown (pre-flen
-      * manifests) or when nothing is filtered (directory == live). */
+      * manifests), when nothing is filtered (directory == live), or
+      * when the listing holds files the manifest doesn't cover (fresh
+      * external appends before reconciliation — [[listFiles]]
+      * conservatively KEEPS those, so summing only covered entries
+      * would under-report what the scan reads and could wrongly
+      * qualify a large relation for a broadcast join). */
     override def sizeInBytes: Long = {
       if (allow.isEmpty && deny.isEmpty) return inner.sizeInBytes
       var sum = 0L
-      val it = stats.iterator
-      while (it.hasNext) {
-        val (k, st) = it.next()
+      val files = inner.inputFiles
+      var i = 0
+      while (i < files.length) {
+        val k = fileKey(new Path(files(i)))
         if (allow.forall(_.contains(k)) && !deny.contains(k)) {
-          if (st.len < 0L) return inner.sizeInBytes
-          sum += st.len
+          stats.get(k) match {
+            case Some(st) if st.len >= 0L => sum += st.len
+            case _ => return inner.sizeInBytes
+          }
         }
+        i += 1
       }
       sum
     }

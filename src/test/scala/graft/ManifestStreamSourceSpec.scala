@@ -496,9 +496,149 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     val e2 = intercept[Exception] {
       spark.readStream.format("graft-manifest-stream")
         .option("readChangeFeed", "true")
-        .option("pushColumns", "k").load(dir)
+        .option("ignoreChanges", "true").load(dir)
     }
     assert(e2.getMessage.contains("readChangeFeed"))
+  }
+
+  test("CDC pushdown: pushColumns narrows the feed, pushFilter refutes " +
+      "whole added files and re-applies exactly — the feed equals the " +
+      "filtered changes replay") {
+    val dir = mk() // v1: k 0..99
+    RowOps.delete(spark, dir, col("k") < 10, Seq("k")) // v2: 10 deletes
+    append(dir, 1000L, 1100L) // v3: k 1000..1099
+    append(dir, 2000L, 2100L) // v4: k 2000..2099 — refutable
+    n += 1
+    val sink = s"mstream_sink_$n"
+    val q = spark.readStream.format("graft-manifest-stream")
+      .option("readChangeFeed", "true")
+      .option("pushColumns", "k")
+      .option("pushFilter", "k < 2000")
+      .load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table(sink)
+      // projection: only k + the envelope (m is gone)
+      assert(t.schema.fieldNames.toSeq ===
+        Seq("k", "_change_type", "_commit_version"))
+      // v4's single added file (k 2000..2099) was REFUTED by manifest
+      // stats — it never became a unit (the last computeUnits call)
+      assert(graft.sources.ManifestStreamSource.lastPlanTotal.get() === 1L)
+      assert(graft.sources.ManifestStreamSource.lastPlanSelected.get()
+        === 0L)
+      // exact content: the filtered replay (snapshot-as-inserts + the
+      // netted changes), projected the same way
+      val latest = StatsManifest.versions(spark, dir).last
+      val snapshot = StatsManifest.scanAtVersion(spark, dir, 1L)._1
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(1L))
+      val expected = snapshot
+        .unionByName(RowOps.changes(spark, dir, 1L, latest))
+        .where(col("k") < 2000L)
+        .select("k", "_change_type", "_commit_version")
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(canon(t) === canon(expected))
+    } finally { q.stop(); q.awaitTermination() }
+    // envelope-referencing filters are residual-only but exact: a
+    // deletes-only audit feed
+    n += 1
+    val sink2 = s"mstream_sink_$n"
+    val q2 = spark.readStream.format("graft-manifest-stream")
+      .option("readChangeFeed", "true")
+      .option("pushFilter", "_change_type = 'delete'")
+      .load(dir)
+      .writeStream.format("memory").queryName(sink2)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val t2 = spark.table(sink2)
+      assert(t2.schema.fieldNames.toSeq ===
+        Seq("k", "m", "_change_type", "_commit_version"))
+      assert(t2.groupBy("_change_type").count()
+        .as[(String, Long)].collect().toSeq === Seq(("delete", 10L)))
+    } finally { q2.stop(); q2.awaitTermination() }
+  }
+
+  test("startingTimestamp survives VACUUM: retro-materialization must " +
+      "not perturb commit times (persisted _commit_ts, not dir mtime)") {
+    val dir = mk() // v1 (checkpoint)
+    append(dir, 1000L, 1010L) // v2 (delta)
+    append(dir, 2000L, 2010L) // v3 (delta)
+    Thread.sleep(1100L)
+    val between =
+      new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(1100L)
+    append(dir, 3000L, 3010L) // v4 (delta)
+    // exact expire keep=3 drops v1 and retro-materializes boundary v2
+    // (writes cp-* INTO its dir, bumping the dir mtime to NOW). With
+    // mtime-sourced commit times, v2 would read as the newest commit
+    // and `between` (older than the vacuum) would map to it — replaying
+    // v2+v3. The persisted sidecar keeps v2 at its true commit time.
+    assert(StatsManifest.expire(spark, dir, keep = 3) === 1)
+    val (sink, q) = startInto(dir, Map("startingTimestamp" -> between))
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 10L,
+        "only v4 (the first commit at/after the timestamp) delivers")
+      assert(spark.table(sink).agg(min("k")).as[Long].head() === 3000L)
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("maxRowsPerTrigger bounds CDC catch-up too: change-file row " +
+      "counts ride in the file name, no file opened to budget") {
+    val dir = mk() // v1: 100 rows in 2 files
+    RowOps.delete(spark, dir, col("k") < 10, Seq("k")) // v2: 10 deletes
+    append(dir, 1000L, 1020L) // v3: 20 inserts
+    val sizes = runLimited(dir, Map("readChangeFeed" -> "true",
+      "maxRowsPerTrigger" -> "100"))
+    // v1's two 50-row files fill the budget; v2's change file (10 rows,
+    // from its -r10 name) + v3's 20 insert rows share the next batch
+    assert(sizes === Seq(100L, 30L))
+  }
+
+  test("a declared-but-lost change file fails loudly after the wait " +
+      "window — and the wait never blocks a healthy stream") {
+    val dir = mk()
+    RowOps.delete(spark, dir, col("k") < 5, Seq("k")) // v2 + change file
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate the crash-between-commit-and-CDC-write: v2 declares
+    // change files (op sidecar says 'delete') but they are gone
+    RowOps.cdcFiles(fs, dir, 2L).foreach(fs.delete(_, false))
+    spark.conf.set("spark.graft.cdc.sidecarWaitMs", "400")
+    try {
+      val (_, q) = startInto(dir, Map("readChangeFeed" -> "true"))
+      val e = intercept[Exception] {
+        SparkFixture.quietExpectedStreamFailures {
+          // within the wait window the racy version reads as "no new
+          // data yet" (the trigger thread never blocks), so the v1
+          // snapshot batch completes; past the window the next trigger
+          // escalates to the loud error
+          q.processAllAvailable()
+          Thread.sleep(1200L)
+          try q.processAllAvailable()
+          finally { q.stop(); q.awaitTermination() }
+        }
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("never landed")), msgs(e).mkString)
+      // defensive conf parse: garbage is a clear error, not a bare NFE
+      spark.conf.set("spark.graft.cdc.sidecarWaitMs", "soon")
+      val (_, q2) = startInto(dir, Map("readChangeFeed" -> "true"))
+      val e2 = intercept[Exception] {
+        SparkFixture.quietExpectedStreamFailures {
+          try q2.processAllAvailable()
+          finally { q2.stop(); q2.awaitTermination() }
+        }
+      }
+      assert(msgs(e2).exists(_.contains("sidecarWaitMs")),
+        msgs(e2).mkString)
+    } finally spark.conf.unset("spark.graft.cdc.sidecarWaitMs")
   }
 
   test("pushdown stays refutation-only: residual filters re-apply, " +

@@ -392,8 +392,8 @@ class RowOpsSpec extends AnyFunSuite {
     assert(StatsManifest.versions(spark, dir) === Seq(1L, 2L, 3L))
     // X commits against its stale analysis — interim commits touched
     // none of X's files → rebase onto v3 and land as v4, not abort
-    val (v, _) = StatsManifest.commitFileOps(spark, dir, Nil, Set(f),
-      Seq("k"), expectedVersion = Some(1L))
+    val v = StatsManifest.commitFileOps(spark, dir, Nil, Set(f),
+      Seq("k"), expectedVersion = Some(1L)).version
     assert(v === 4L)
     val t = StatsManifest.scan(spark, dir)
     assert(t.count() === 2000L - fRows + 2L,
