@@ -349,15 +349,25 @@ object StreamBench {
     * classpath; its result comes back as one machine-line on stdout.
     * A child that dies or prints nothing falls back to an in-process
     * run of just that op (never a silent hole in the artifact). */
+  /** Per-op window multiplier: cdc_apply's batch is a whole
+    * copy-on-write merge (~2-3 s), so a 10 s window holds 2-4 batches
+    * and the p50 is warmup-dominated (r11 verdict: the RocksDB figure
+    * was a two-sample artifact of the cold first batch). 3× gives it
+    * ~10 steady batches — the recorded p50 then reads the probe's
+    * steady state instead of the snapshot-build spike. */
+  private def opDurSec(op: String, durSec: Int): Int =
+    if (op == "cdc_apply") durSec * 3 else durSec
+
   def runOpsIsolated(spark: SparkSession, durSec: Int = 10,
       triggerMs: Long = 500L, provider: Option[String] = None)
       : Seq[OpResult] =
     OpNames.map { op =>
-      runIsolated(op, durSec, triggerMs, provider).getOrElse {
+      val d = opDurSec(op, durSec)
+      runIsolated(op, d, triggerMs, provider).getOrElse {
         System.err.println(
           s"[streambench] isolated $op produced no result — " +
             "falling back to in-process")
-        runOps(spark, durSec, triggerMs, provider, only = Some(op)).head
+        runOps(spark, d, triggerMs, provider, only = Some(op)).head
       }
     }
 

@@ -1440,6 +1440,66 @@ object Streams {
     writer.start()
   }
 
+  /** One append-sink micro-batch commit — the EXACT code
+    * [[appendToManifestedTable]]'s writer loop runs, extracted so the
+    * auto-compaction policy spec and probe can drive hundreds of
+    * commits through the real path without Structured Streaming
+    * trigger overhead. Stage-renames the batch's files (deterministic
+    * in batchId — replays replace), reconciles the manifest
+    * incrementally, expires lazily, then applies the commit-time
+    * auto-compaction policy:
+    *
+    *  - `spark.graft.autoCompact.minFiles` (default 16; `0` disables):
+    *    when any partition dir (or the root) holds at least this many
+    *    live sub-target files, [[graft.operators.Layout.autoCompact]]
+    *    bin-packs them under one deferDelete commit — so a stream that
+    *    appends tiny files forever keeps its live file count (and every
+    *    reader's task count) BOUNDED at ~minFiles per partition.
+    *  - `spark.graft.autoCompact.targetBytes` (default 64 MiB): packed
+    *    output size; files at or above it never compact.
+    *
+    * The current batch's own files are EXCLUDED from compaction (a
+    * replayed batch rewrites them by deterministic name — compacting
+    * them first would duplicate their rows on replay; they become
+    * eligible the moment the NEXT batch commits). A concurrent-writer
+    * conflict skips the compaction — the next commit retries. */
+  private[graft] def appendCommitToManifestedTable(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path,
+      stagingRoot: org.apache.hadoop.fs.Path, dir: String,
+      batchId: Long, batch: DataFrame, statsCols: Seq[String],
+      manifestVersionsToKeep: Int): Unit = {
+    val spk = batch.sparkSession
+    val written = IterativeStream.writeFeedback(
+      fs, dirPath, stagingRoot, batchId, batch, prefix = "tb")
+    if (written.isEmpty) return
+    graft.sources.StatsManifest.update(spk, dir, statsCols,
+      invalidate = written
+        .map(graft.sources.StatsManifest.fileKey).toSet)
+    // each batch commits one manifest version; keep a bounded
+    // time-travel window rather than a version per batch forever
+    // (lazy: no per-batch fold — overshoot bounded by the
+    // manifest log's checkpoint interval)
+    graft.sources.StatsManifest.expire(spk, dir,
+      manifestVersionsToKeep, exact = false)
+    val minFiles = spk.conf
+      .get("spark.graft.autoCompact.minFiles", "16").toInt
+    if (minFiles > 0) {
+      val target = spk.conf
+        .get("spark.graft.autoCompact.targetBytes", (1L << 26).toString)
+        .toLong
+      try graft.operators.Layout.autoCompact(spk, dir, minFiles,
+        targetBytes = target,
+        exclude = written.map(graft.sources.StatsManifest.fileKey).toSet)
+      catch {
+        // a conflicting concurrent writer won the slot — skip; the
+        // policy re-fires at the next commit
+        case _: java.util.ConcurrentModificationException => ()
+      }
+      ()
+    }
+  }
+
   def appendToManifestedTable(spark: SparkSession, stream: DataFrame,
       dir: String, statsCols: Seq[String], triggerMs: Long = 500L,
       checkpointDir: Option[String] = None,
@@ -1452,21 +1512,8 @@ object Streams {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val written = IterativeStream.writeFeedback(
-          fs, dirPath, stagingRoot, batchId, batch, prefix = "tb")
-        if (written.nonEmpty) {
-          graft.sources.StatsManifest.update(batch.sparkSession, dir,
-            statsCols,
-            invalidate = written
-              .map(graft.sources.StatsManifest.fileKey).toSet)
-          // each batch commits one manifest version; keep a bounded
-          // time-travel window rather than a version per batch forever
-          // (lazy: no per-batch fold — overshoot bounded by the
-          // manifest log's checkpoint interval)
-          graft.sources.StatsManifest.expire(batch.sparkSession, dir,
-            manifestVersionsToKeep, exact = false)
-        }
-        ()
+        appendCommitToManifestedTable(fs, dirPath, stagingRoot, dir,
+          batchId, batch, statsCols, manifestVersionsToKeep)
       }
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     writer.start()

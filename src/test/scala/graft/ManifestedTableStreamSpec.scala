@@ -85,4 +85,73 @@ class ManifestedTableStreamSpec extends AnyFunSuite {
     assert(scan.where(col("k") < 10L).count() === 10L)
     assert(idx.selected.get() === idx.total.get()) // conservative keep-all
   }
+
+  test("auto-compaction keeps a 500-commit append stream BOUNDED: live " +
+      "file count, scan task count and row totals stay flat forever") {
+    val dir = Files.createTempDirectory("graft_mtbl_ac_").toString + "/t"
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    val staging = new Path(dir + ".staging")
+    val commits = 500
+    val rowsPerBatch = 20
+    spark.conf.set("spark.graft.autoCompact.minFiles", "8")
+    var liveMax = 0
+    try {
+      (0 until commits).foreach { i =>
+        val batch = (0 until rowsPerBatch)
+          .map(j => (i.toLong * rowsPerBatch + j, j.toLong)).toDF("k", "v")
+          .coalesce(1) // one file per commit — the steady sink shape
+        // the EXACT sink code path (writer loop extracted for the spec)
+        Streams.appendCommitToManifestedTable(fs, dirPath, staging, dir,
+          i.toLong, batch, Seq("k"), manifestVersionsToKeep = 16)
+        if (i % 10 == 9)
+          liveMax = math.max(liveMax,
+            StatsManifest.read(spark, dir).size)
+      }
+    } finally spark.conf.unset("spark.graft.autoCompact.minFiles")
+    // bounded, not merely "small": the policy packs whenever 8+ live
+    // sub-target files accumulate, so the live set can never exceed
+    // minFiles + the packed tail + the excluded current batch
+    val live = StatsManifest.read(spark, dir).size
+    assert(liveMax <= 12, s"live file count grew to $liveMax")
+    assert(live <= 12, s"final live file count $live")
+    // a reader schedules tasks for exactly the live set
+    val (scan, idx) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan.where(col("v") >= 0L).count() ===
+      commits.toLong * rowsPerBatch)
+    assert(idx.total.get() <= 12,
+      s"scan listed ${idx.total.get()} files")
+    // every row exactly once across 60+ compactions
+    val (scan2, _) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan2.select("k").distinct().count() ===
+      commits.toLong * rowsPerBatch)
+    // a LIVE version-offset stream survives auto-compaction: the
+    // net-zero 'optimize' commits (tombstones + packed adds) are
+    // skipped — not a "table is not append-only" failure, and never a
+    // duplicate re-emit of carried rows
+    val sink = "mtbl_ac_sink"
+    val fromV = StatsManifest.latestVersion(spark, dir).get + 1L
+    val q = spark.readStream.format("graft-manifest-stream")
+      .option("startingVersion", fromV.toString)
+      .load(dir).writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      spark.conf.set("spark.graft.autoCompact.minFiles", "8")
+      try {
+        (commits until commits + 30).foreach { i =>
+          val batch = (0 until rowsPerBatch)
+            .map(j => (i.toLong * rowsPerBatch + j, j.toLong))
+            .toDF("k", "v")
+          Streams.appendCommitToManifestedTable(fs, dirPath, staging,
+            dir, i.toLong, batch, Seq("k"), manifestVersionsToKeep = 16)
+        }
+      } finally spark.conf.unset("spark.graft.autoCompact.minFiles")
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 30L * rowsPerBatch,
+        "each appended row exactly once — compaction rewrites skipped")
+      assert(spark.table(sink).select("k").distinct().count() ===
+        30L * rowsPerBatch)
+    } finally { q.stop(); q.awaitTermination() }
+  }
 }
