@@ -60,13 +60,15 @@ final case class GraftCatalogRule(spark: SparkSession)
           if graftTable(o.table).isDefined && o.resolved =>
         val t = graftTable(o.table).get
         o.deleteExpr match {
-          case Literal(true, _) => ()
-          case other => throw new UnsupportedOperationException(
-            "graft catalog: INSERT OVERWRITE with a partition filter " +
-              s"is not supported (got ${other.sql}) — use DELETE + INSERT")
+          case Literal(true, _) =>
+            GraftDml.GraftInsertCommand(t.dir, o.query, overwrite = true,
+              userCols = Nil, byName = false, table = Some(t.tableName))
+          case expr =>
+            // r12: a static PARTITION spec (or any delete expression)
+            // lowers to delete-matching + append under ONE commit
+            GraftDml.GraftOverwriteWhereCommand(t.dir, o.query,
+              GraftDml.Held(expr), Some(t.tableName))
         }
-        GraftDml.GraftInsertCommand(t.dir, o.query, overwrite = true,
-          userCols = Nil, byName = false, table = Some(t.tableName))
 
       case ctas: CreateTableAsSelect if ctas.query.resolved =>
         ctas.name match {
@@ -90,8 +92,17 @@ final case class GraftCatalogRule(spark: SparkSession)
           if r.table.isInstanceOf[GraftTable] &&
             r.extraOptions.getBoolean("readChangeFeed", false) &&
             !r.output.exists(_.name == "_change_type") =>
-        val cdc = graft.sources.RowOps.cdcSchema(
-          r.table.asInstanceOf[GraftTable].schema)
+        val full = r.table.asInstanceOf[GraftTable].schema
+        // pushColumns projects the table columns (envelope always
+        // rides) — mirror the scan's own output or the plan disagrees
+        val proj = Option(r.extraOptions.get("pushColumns")) match {
+          case Some(cs) =>
+            val names = cs.split(",").map(_.trim).filter(_.nonEmpty)
+            org.apache.spark.sql.types.StructType(
+              full.filter(f => names.contains(f.name)))
+          case None => full
+        }
+        val cdc = graft.sources.RowOps.cdcSchema(proj)
         r.copy(output = org.apache.spark.sql.catalyst.types.DataTypeUtils
           .toAttributes(cdc).map(_.asInstanceOf[AttributeReference]))
 

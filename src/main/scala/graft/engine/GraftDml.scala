@@ -278,6 +278,21 @@ object GraftDml {
   final case class MergeClauseSpec(cond: Option[Expression],
       set: Option[Seq[(String, Expression)]])
 
+  /** A correlated-subquery LOOKUP lowered out of a MERGE clause at
+    * rule time (the r11 DELETE/UPDATE join lowering extended to the
+    * clause matrix): `plan` computes, per DISTINCT combination of the
+    * referenced target/source columns, either a `true` hit flag (a
+    * correlated CONDITION — the combinations where it held) or a
+    * scalar value (a correlated scalar in a SET/INSERT value). Built
+    * from the RESOLVED statement so it shares attribute ids and
+    * Catalyst DECORRELATES it into joins when the command runs; the
+    * clause expression references the result by the marker attribute
+    * `flag`, which [[RowOps.merge]] left-joins onto its frames
+    * ([[RowOps.MergeAux]]). `joinOn` maps the lookup's renamed ref
+    * columns to the merge-frame columns they key on. */
+  final case class MergeAuxSpec(plan: LogicalPlan, flag: String,
+      joinOn: Seq[(String, String)])
+
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a manifested table —
     * the write statement the read/DML surfaces were missing. Without
     * this, Spark's own InsertIntoHadoopFsRelationCommand would land
@@ -335,6 +350,86 @@ object GraftDml {
       writer.parquet(dir)
       if (overwrite) StatsManifest.write(spark, dir, sc, bc)
       else StatsManifest.update(spark, dir, sc, bloomCols = bc)
+      refreshRelation(spark, dir, table)
+      Seq.empty
+    }
+  }
+
+  /** Static-partition INSERT (r12): `INSERT INTO|OVERWRITE t PARTITION
+    * (p = v[, …]) SELECT …`. The spec'd columns inject as literals cast
+    * to their stored types; OVERWRITE lowers to
+    * [[RowOps.overwriteWhere]] — delete-the-partition + append under
+    * ONE manifest commit, so a reader sees the old partition or the
+    * new one, never the gap — and INTO to the ordinary
+    * manifest-committing append. Dynamic specs (`PARTITION (p)`) stay
+    * declared out (write the values in the query). */
+  final case class GraftInsertPartitionCommand(dir: String,
+      query: LogicalPlan, overwrite: Boolean,
+      spec: Seq[(String, String)], table: Option[String])
+      extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(query)
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{col, lit}
+      val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
+      val schema = StatsManifest.tableSchema(spark, dir)
+      val specMap = spec.map { case (n, v) => n.toLowerCase -> v }.toMap
+      val bad = spec.map(_._1).filterNot(n =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(bad.isEmpty, "graft INSERT: PARTITION columns not in " +
+        s"the table: ${bad.mkString(", ")}")
+      val rest = schema.filterNot(f =>
+        specMap.contains(f.name.toLowerCase))
+      val src = GraftSqlBridge.ofRows(spark, query)
+      require(src.columns.length == rest.length,
+        s"graft INSERT: expected ${rest.length} query columns (the " +
+          s"table minus the static PARTITION columns), got " +
+          s"${src.columns.length}")
+      val named = src.toDF(rest.map(_.name).toIndexedSeq: _*)
+      val aligned = named.select(schema.map { f =>
+        specMap.get(f.name.toLowerCase) match {
+          case Some(v) => lit(v).cast(f.dataType).as(f.name)
+          case None => col(f.name).cast(f.dataType).as(f.name)
+        }
+      }.toIndexedSeq: _*)
+      if (overwrite) {
+        val cond = spec.map { case (n, v) =>
+          val f = schema.find(_.name.equalsIgnoreCase(n)).get
+          col(f.name) === lit(v).cast(f.dataType)
+        }.reduce(_ && _)
+        RowOps.overwriteWhere(spark, dir, cond, aligned, sc, bc)
+      } else {
+        val partCols = StatsManifest.tablePartitionCols(spark, dir)
+        val writer0 = aligned.write.mode("append")
+        val writer = if (partCols.isEmpty) writer0
+          else writer0.partitionBy(partCols: _*)
+        writer.parquet(dir)
+        StatsManifest.update(spark, dir, sc, bloomCols = bc)
+      }
+      refreshRelation(spark, dir, table)
+      Seq.empty
+    }
+  }
+
+  /** DSv2 `INSERT OVERWRITE … WHERE`-shaped overwrite (r12): the
+    * catalog's `OverwriteByExpression` with a non-trivial delete
+    * expression — e.g. a static PARTITION spec on a `graft.db.t` name —
+    * lowered to [[RowOps.overwriteWhere]]'s single-commit
+    * delete-matching + append. */
+  final case class GraftOverwriteWhereCommand(dir: String,
+      query: LogicalPlan, condition: Held, table: Option[String])
+      extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(query)
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.col
+      val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
+      val schema = StatsManifest.tableSchema(spark, dir)
+      // ResolveOutputRelation aligned the query positionally
+      val src = GraftSqlBridge.ofRows(spark, query)
+        .toDF(schema.fieldNames.toIndexedSeq: _*)
+      val aligned = src.select(schema.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      RowOps.overwriteWhere(spark, dir,
+        cond(evalSubqueries(spark, condition.e)), aligned, sc, bc)
       refreshRelation(spark, dir, table)
       Seq.empty
     }
@@ -403,13 +498,18 @@ object GraftDml {
   }
 
   /** The general MERGE: conditional / multi-clause matched actions,
-    * conditional inserts, and NOT MATCHED BY SOURCE. */
+    * conditional inserts, NOT MATCHED BY SOURCE, and (r12) correlated
+    * subqueries in clause conditions / SET / INSERT values via the
+    * [[MergeAuxSpec]] lookups. */
   final case class GraftMergeFullCommand(dir: String, source: LogicalPlan,
       keys: Seq[String], matched: Seq[MergeClauseSpec],
       notMatched: Seq[MergeClauseSpec], bySource: Seq[MergeClauseSpec],
-      table: Option[String]) extends LeafRunnableCommand {
-    override def innerChildren: Seq[LogicalPlan] = Seq(source)
+      table: Option[String],
+      aux: Seq[MergeAuxSpec] = Nil) extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] =
+      source +: aux.map(_.plan)
     override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.col
       val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
       val src = GraftSqlBridge.ofRows(spark, source)
       def xc(e: Expression): org.apache.spark.sql.Column =
@@ -419,13 +519,32 @@ object GraftDml {
         case Some(as) => RowOps.MergeUpdate(s.cond.map(xc),
           as.map { case (n, e) => n -> xc(e) })
       }
-      RowOps.merge(spark, dir, src, keys, sc, bc,
+      // materialize the correlated lookups ONCE (Catalyst decorrelates
+      // each plan into joins here); same NULL-ref exactness guard as
+      // the correlated DELETE/UPDATE lowering
+      val auxDfs = aux.map { a =>
+        val df = GraftSqlBridge.ofRows(spark, a.plan)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val refCols = a.joinOn.map(_._1)
+        if (refCols.nonEmpty) {
+          val nullKeyed = df.where(refCols.map(col(_).isNull)
+            .reduce(_ || _)).limit(1).collect()
+          require(nullKeyed.isEmpty,
+            "graft MERGE: a correlated clause expression matched a row " +
+              "with NULL in a referenced column — the join lowering " +
+              "cannot address such rows; add an IS NOT NULL conjunct")
+        }
+        RowOps.MergeAux(a.flag, df, a.joinOn)
+      }
+      try RowOps.merge(spark, dir, src, keys, sc, bc,
         matched = matched.map(clause),
         notMatched = notMatched.map { s =>
           RowOps.MergeInsert(s.cond.map(xc),
             s.set.getOrElse(Nil).map { case (n, e) => n -> xc(e) })
         },
-        notMatchedBySource = bySource.map(clause))
+        notMatchedBySource = bySource.map(clause),
+        aux = auxDfs)
+      finally auxDfs.foreach(_.df.unpersist(false))
       refreshRelation(spark, dir, table)
       Seq.empty
     }
@@ -466,10 +585,20 @@ final case class GraftDmlRule(spark: SparkSession)
       // files WITHOUT the manifest commit — silently invisible rows
       case i: InsertIntoStatement if i.query.resolved =>
         manifestedDir(i.table) match {
+          case Some((dir, tbl)) if i.partitionSpec.nonEmpty =>
+            val dyn = i.partitionSpec.collect { case (k, None) => k }
+            require(dyn.isEmpty,
+              "graft INSERT: dynamic PARTITION specs are not " +
+                s"supported (${dyn.mkString(", ")}) — write the " +
+                "partition column values in the query")
+            require(i.userSpecifiedCols.isEmpty && !i.byName,
+              "graft INSERT: a PARTITION spec cannot combine with a " +
+                "column list")
+            GraftDml.GraftInsertPartitionCommand(dir, i.query,
+              i.overwrite,
+              i.partitionSpec.toSeq.map { case (k, v) => k -> v.get },
+              tbl)
           case Some((dir, tbl)) =>
-            require(i.partitionSpec.isEmpty,
-              "graft INSERT: static PARTITION specs are not supported " +
-                "— write the partition column values in the query")
             GraftDml.GraftInsertCommand(dir, i.query, i.overwrite,
               i.userSpecifiedCols, i.byName, tbl)
           case None => i
@@ -520,6 +649,7 @@ final case class GraftDmlRule(spark: SparkSession)
             val targetCols = m.targetTable.output.map(_.name)
             val arity = targetCols.length
             val srcOut = m.sourceTable.outputSet
+            val tgtOut = m.targetTable.outputSet
             // source attrs cross under RowOps.SrcPrefix — the joined
             // frame RowOps.merge builds carries them by that name
             def un(e: Expression): Expression = e.transform {
@@ -527,31 +657,118 @@ final case class GraftDmlRule(spark: SparkSession)
                 UnresolvedAttribute.quoted(RowOps.SrcPrefix + a.name)
               case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
             }
-            def assigns(as: Seq[Assignment],
+            // ---- correlated clause lowering (r12): see MergeAuxSpec.
+            // group: 'm' matched (sees target × source via the merge
+            // ON), 'i' not-matched insert (source only), 'b' by-source
+            // (target only) — the base plan the lookup evaluates over.
+            val auxBuf = scala.collection.mutable
+              .ArrayBuffer.empty[GraftDml.MergeAuxSpec]
+            def basePlan(group: Char): LogicalPlan = group match {
+              case 'm' => Join(m.targetTable, m.sourceTable,
+                org.apache.spark.sql.catalyst.plans.Inner,
+                Some(m.mergeCondition), JoinHint.NONE)
+              case 'i' => m.sourceTable
+              case 'b' => m.targetTable
+            }
+            def refsOf(e: Expression, group: Char,
+                what: String): Seq[AttributeReference] = {
+              require(e.deterministic,
+                s"graft MERGE: a correlated $what must be deterministic")
+              val rs = e.references.toSeq.collect {
+                case a: AttributeReference
+                    if tgtOut.contains(a) || srcOut.contains(a) => a
+              }
+              if (group == 'i') require(rs.forall(srcOut.contains),
+                "graft MERGE: a NOT MATCHED clause's correlated " +
+                  s"$what may reference source columns only")
+              if (group == 'b') require(rs.forall(tgtOut.contains),
+                "graft MERGE: a NOT MATCHED BY SOURCE clause's " +
+                  s"correlated $what may reference target columns only")
+              rs
+            }
+            def auxJoin(flag: String, refs: Seq[AttributeReference])
+                : (Seq[org.apache.spark.sql.catalyst.expressions
+                  .NamedExpression], Seq[(String, String)]) = {
+              val aliases = refs.zipWithIndex.map { case (r, i) =>
+                org.apache.spark.sql.catalyst.expressions
+                  .Alias(r, s"${flag}_r$i")()
+              }
+              val joinOn = refs.zipWithIndex.map { case (r, i) =>
+                s"${flag}_r$i" -> (if (srcOut.contains(r))
+                  RowOps.SrcPrefix + r.name else r.name)
+              }
+              (aliases, joinOn)
+            }
+            /** correlated CONDITION → hit-flag lookup: the distinct
+              * ref-combinations where it held. */
+            def lowerCond(e: Expression, group: Char): Expression = {
+              val refs = refsOf(e, group, "condition")
+              require(refs.nonEmpty, "graft MERGE: correlated " +
+                "condition references no target/source column")
+              val flag = s"__graft_aux${auxBuf.size}"
+              val (aliases, joinOn) = auxJoin(flag, refs)
+              auxBuf += GraftDml.MergeAuxSpec(
+                Project(aliases :+ org.apache.spark.sql.catalyst
+                  .expressions.Alias(org.apache.spark.sql.catalyst
+                    .expressions.Literal(true), flag)(),
+                  Distinct(Project(refs, Filter(e, basePlan(group))))),
+                flag, joinOn)
+              UnresolvedAttribute.quoted(flag)
+            }
+            /** correlated scalars inside a SET/INSERT VALUE → value
+              * lookups per distinct ref-combination; the surrounding
+              * computation keeps running in the clause. */
+            def lowerValue(e: Expression, group: Char): Expression =
+              e.transformUp {
+                case s: org.apache.spark.sql.catalyst.expressions
+                    .ScalarSubquery if s.getOuterAttrs.nonEmpty =>
+                  val refs = refsOf(s, group, "SET/INSERT value")
+                  val flag = s"__graft_aux${auxBuf.size}"
+                  val (aliases, joinOn) = auxJoin(flag, refs)
+                  auxBuf += GraftDml.MergeAuxSpec(
+                    Project(aliases :+ org.apache.spark.sql.catalyst
+                      .expressions.Alias(s, flag)(),
+                      Distinct(Project(refs, basePlan(group)))),
+                    flag, joinOn)
+                  UnresolvedAttribute.quoted(flag)
+                case s: org.apache.spark.sql.catalyst.expressions
+                    .SubqueryExpression if s.getOuterAttrs.nonEmpty =>
+                  throw new IllegalArgumentException(
+                    "graft MERGE: only correlated SCALAR subqueries " +
+                      "are supported in SET/INSERT values (EXISTS/IN " +
+                      "belong in the clause condition)")
+              }
+            def assigns(as: Seq[Assignment], group: Char,
                 what: String): Seq[(String, Expression)] = as.map { x =>
-              checkUncorrelated(x.value, "MERGE")
+              val v =
+                if (hasCorrelated(x.value)) lowerValue(x.value, group)
+                else { checkUncorrelated(x.value, "MERGE"); x.value }
               x.key match {
-                case k: AttributeReference => k.name -> un(x.value)
+                case k: AttributeReference => k.name -> un(v)
                 case other => throw new IllegalArgumentException(
                   s"graft MERGE: unsupported $what target ${other.sql}")
               }
             }
-            def spec(a: MergeAction): GraftDml.MergeClauseSpec = {
-              a.condition.foreach(checkUncorrelated(_, "MERGE"))
+            def spec(a: MergeAction,
+                group: Char): GraftDml.MergeClauseSpec = {
+              val c = a.condition.map { c0 =>
+                if (hasCorrelated(c0)) lowerCond(c0, group)
+                else { checkUncorrelated(c0, "MERGE"); c0 }
+              }
               a match {
-                case UpdateAction(c, as, _) =>
+                case UpdateAction(_, as, _) =>
                   GraftDml.MergeClauseSpec(c.map(un),
-                    Some(assigns(as, "SET")))
-                case UpdateStarAction(c) =>
+                    Some(assigns(as, group, "SET")))
+                case UpdateStarAction(_) =>
                   GraftDml.MergeClauseSpec(c.map(un), Some(targetCols.map(
                     n => n -> (UnresolvedAttribute.quoted(
                       RowOps.SrcPrefix + n): Expression))))
-                case DeleteAction(c) =>
+                case DeleteAction(_) =>
                   GraftDml.MergeClauseSpec(c.map(un), None)
-                case InsertAction(c, as) =>
+                case InsertAction(_, as) =>
                   GraftDml.MergeClauseSpec(c.map(un),
-                    Some(assigns(as, "INSERT")))
-                case InsertStarAction(c) =>
+                    Some(assigns(as, group, "INSERT")))
+                case InsertStarAction(_) =>
                   GraftDml.MergeClauseSpec(c.map(un), Some(targetCols.map(
                     n => n -> (UnresolvedAttribute.quoted(
                       RowOps.SrcPrefix + n): Expression))))
@@ -581,10 +798,14 @@ final case class GraftDmlRule(spark: SparkSession)
                   deleteMatched = true, tbl)
               // the general clause matrix: conditional / multi-clause
               // matched actions, conditional inserts, NOT MATCHED BY
-              // SOURCE — first-true-wins per group (ANSI)
+              // SOURCE — first-true-wins per group (ANSI); correlated
+              // clause subqueries lower to MergeAuxSpec lookups
               case (ma, na, ba) =>
+                val mm = ma.map(spec(_, 'm'))
+                val nn = na.map(spec(_, 'i'))
+                val bb = ba.map(spec(_, 'b'))
                 GraftDml.GraftMergeFullCommand(dir, m.sourceTable, keys,
-                  ma.map(spec), na.map(spec), ba.map(spec), tbl)
+                  mm, nn, bb, tbl, auxBuf.toSeq)
             }
           case None => m
         }

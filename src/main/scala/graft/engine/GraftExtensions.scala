@@ -49,6 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(GraftTimeTravel.getClass.getName,
         "graft_changes"),
       (args: Seq[Expression]) => GraftTimeTravel.changesTvf(args)))
+    // file-level observability TVF: SELECT * FROM graft_files('t')
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_files"),
+      new ExpressionInfo(GraftTimeTravel.getClass.getName,
+        "graft_files"),
+      (args: Seq[Expression]) => GraftTimeTravel.filesTvf(args)))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,

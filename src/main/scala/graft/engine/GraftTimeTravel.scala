@@ -111,6 +111,49 @@ object GraftTimeTravel {
           s"graft_changes: $tbl has no committed versions")))
     RowOps.changes(spark, dir, from, to).queryExecution.analyzed
   }
+
+  /** Builder for `injectTableFunction`: `graft_files('t')` — the
+    * file-level observability feed every lakehouse audit starts from,
+    * straight off the manifest (no data file opens): per LIVE file its
+    * key, Hive-partition subpath ('' for flat layouts), row count,
+    * byte length (−1 for pre-flen manifests), the manifest version
+    * whose dir holds its entry (exact for delta-chain entries; a
+    * checkpoint-folded entry reads the checkpoint's slot — "added at
+    * or before"), and the per-column min/max/count stats as a JSON
+    * string (blooms omitted: binary). */
+  def filesTvf(args: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.functions.{col, regexp_extract,
+      regexp_replace, struct, to_json}
+    require(args.length == 1,
+      "graft_files(table): wrong arity")
+    val spark = SparkSession.active
+    val tbl = args.head match {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_files: table must be a string literal, got ${other.sql}")
+    }
+    val dir = manifestedDirOfName(spark, tbl).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_files: $tbl is not a graft-manifest table"))
+    val entries = StatsManifest.entriesWithVersion(spark, dir)
+    val statCols = entries.schema.fieldNames.filterNot(n =>
+      n == "file" || n == "rows" || n == "flen" ||
+        n == "version_entry" || n.startsWith("bloom__"))
+    val rootKey = StatsManifest.fileKey(
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .makeQualified(new org.apache.hadoop.fs.Path(dir)))
+    val rel = regexp_replace(col("file"),
+      "^" + java.util.regex.Pattern.quote(rootKey + "/"), "")
+    entries.select(
+      col("file"),
+      regexp_extract(rel, "^(.*)/[^/]*$", 1).as("partition"),
+      col("rows"),
+      col("flen").as("bytes"),
+      col("version_entry").as("version_added"),
+      to_json(struct(statCols.map(col).toIndexedSeq: _*)).as("stats"))
+      .queryExecution.analyzed
+  }
 }
 
 /** Hint-batch rule claiming `VERSION AS OF` / `TIMESTAMP AS OF` on

@@ -298,6 +298,115 @@ object RowOpsQueries {
              |FROM kept ORDER BY o_orderkey""".stripMargin)),
 
     Query(
+      // CORRELATED MERGE clause subqueries (r12): a correlated EXISTS
+      // in a DELETE clause condition AND a correlated scalar in a SET
+      // value, plus a source-correlated insert condition — each lowers
+      // to a per-distinct-refs lookup joined onto the merge frames
+      // (GraftDml.MergeAuxSpec; Catalyst decorrelates the lookup).
+      // The oracle replays the whole clause matrix as correlated SQL.
+      "q_rowops_merge_corr",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val dir = tmp("graft_mcorr_q_", d)
+        o.repartition(8).write.mode("overwrite").parquet(dir)
+        StatsManifest.write(s, dir, Seq("o_orderkey"))
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(10)
+        val tbl = "graft_mcorr_" + h
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+          s"OPTIONS (path '$dir')")
+        t(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_acctbal")).createOrReplaceTempView(s"graft_mcs_$h")
+        t(s, d, "lineitem").select("l_orderkey", "l_partkey",
+          "l_quantity").createOrReplaceTempView(s"graft_mcl_$h")
+        s.sql(s"""MERGE INTO $tbl t USING graft_mcs_$h s
+          |ON t.o_custkey = s.o_custkey
+          |WHEN MATCHED AND EXISTS (
+          |    SELECT 1 FROM graft_mcl_$h l
+          |    WHERE l.l_orderkey = t.o_orderkey AND l.l_quantity > 49)
+          |  THEN DELETE
+          |WHEN MATCHED AND s.c_acctbal < 0
+          |  THEN UPDATE SET o_totalprice = (
+          |    SELECT MAX(l.l_quantity) FROM graft_mcl_$h l
+          |    WHERE l.l_orderkey = t.o_orderkey)
+          |WHEN NOT MATCHED AND EXISTS (
+          |    SELECT 1 FROM graft_mcl_$h l
+          |    WHERE l.l_partkey = s.o_custkey)
+          |  THEN INSERT (o_orderkey, o_custkey, o_totalprice)
+          |       VALUES (s.o_custkey + 500000000, s.o_custkey, 0)
+          |""".stripMargin)
+        s.table(tbl).orderBy(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+      },
+      Some("""WITH tgt AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+             |src AS (
+             |  SELECT c_custkey AS o_custkey, c_acctbal FROM customer),
+             |m AS (
+             |  SELECT t.o_orderkey, t.o_custkey, t.o_totalprice,
+             |    s.o_custkey IS NOT NULL AS matched, s.c_acctbal
+             |  FROM tgt t LEFT JOIN src s ON t.o_custkey = s.o_custkey)
+             |SELECT o_orderkey, o_custkey,
+             |  CASE WHEN matched AND c_acctbal < 0
+             |       THEN (SELECT MAX(l.l_quantity) FROM lineitem l
+             |             WHERE l.l_orderkey = m.o_orderkey)
+             |       ELSE o_totalprice END AS o_totalprice
+             |FROM m
+             |WHERE NOT (matched AND EXISTS (
+             |  SELECT 1 FROM lineitem l
+             |  WHERE l.l_orderkey = m.o_orderkey AND l.l_quantity > 49))
+             |UNION ALL
+             |SELECT s.o_custkey + 500000000, s.o_custkey,
+             |  CAST(0 AS DOUBLE)
+             |FROM src s
+             |WHERE s.o_custkey NOT IN (SELECT o_custkey FROM tgt)
+             |  AND EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_partkey = s.o_custkey)
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Query(
+      // Static-partition INSERT OVERWRITE (r12): replace exactly one
+      // Hive partition under ONE manifest commit (delete-matching +
+      // append — RowOps.overwriteWhere); the oracle replays it as a
+      // WHERE-swap over the fixture.
+      "q_rowops_overwrite_part",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+          .withColumn("p", (col("l_orderkey") % 4).cast("int"))
+        val dir = tmp("graft_iop_q_", d)
+        li.repartition(4, col("p")).write.mode("overwrite")
+          .partitionBy("p").parquet(dir)
+        StatsManifest.write(s, dir, Seq("l_orderkey"))
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(10)
+        val tbl = "graft_iop_" + h
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+          s"OPTIONS (path '$dir')")
+        li.createOrReplaceTempView(s"graft_iop_src_$h")
+        s.sql(s"""INSERT OVERWRITE $tbl PARTITION (p = 1)
+          |SELECT l_orderkey + 100000000, l_partkey, l_quantity + 0.5
+          |FROM graft_iop_src_$h WHERE p = 1 AND l_quantity <= 10
+          |""".stripMargin)
+        s.table(tbl).orderBy(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity"), col("p"))
+      },
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, l_partkey, l_quantity,
+             |    CAST(l_orderkey % 4 AS INT) AS p FROM lineitem)
+             |SELECT * FROM base WHERE p <> 1
+             |UNION ALL
+             |SELECT l_orderkey + 100000000, l_partkey, l_quantity + 0.5,
+             |  CAST(1 AS INT) AS p
+             |FROM base WHERE p = 1 AND l_quantity <= 10
+             |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    Query(
       // SQL INSERT (r10): INSERT INTO ... SELECT and a named-column
       // VALUES insert over a manifested catalog table — the rule
       // claims the parsed InsertIntoStatement so the files land WITH

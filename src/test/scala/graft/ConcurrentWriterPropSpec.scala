@@ -129,7 +129,7 @@ class ConcurrentWriterPropSpec extends AnyFunSuite {
         // writer's commits land conflict-free (constant max-rate DML
         // on one table would just ping-pong conflicts)
         Thread.sleep(rnd.nextInt(250).toLong)
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 =>
             val a = rnd.nextInt(400).toLong
             val b = a + rnd.nextInt(60) + 1
@@ -162,6 +162,17 @@ class ConcurrentWriterPropSpec extends AnyFunSuite {
               keys.toDF("k"), Seq("k"), Seq("k")))
             val ks = keys.toSet
             model = model.filterNot(r => ks.contains(r._1))
+          case 5 => // r12: single-commit overwrite-where (the static-
+            // partition INSERT OVERWRITE lowering) racing the stream
+            val a = rnd.nextInt(400).toLong
+            val b = a + rnd.nextInt(40) + 1
+            val rows = (a until math.min(b, a + rnd.nextInt(8) + 1))
+              .map(k => (k, 1000L * step + k % 5, "d"))
+            retrying("overwrite")(RowOps.overwriteWhere(spark, dir,
+              col("k") >= a && col("k") < b && col("k") < 1000L,
+              rows.toDF("k", "m", "p"), Seq("k")))
+            model = model.filterNot { case (k, _) => k >= a && k < b } ++
+              rows.map(r => (r._1, r._2))
           case 4 => // maintenance under fire
             rnd.nextInt(2) match {
               case 0 => retrying("compact")(

@@ -73,6 +73,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("static-partition INSERT OVERWRITE on a catalog name: the v2 " +
+      "OverwriteByExpression lowers to one delete+append commit") {
+    val t = tbl()
+    spark.sql(s"CREATE TABLE $t PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('statsCols' = 'k') " +
+      "AS SELECT id AS k, CAST(id % 3 AS INT) AS p FROM range(300)")
+    spark.sql(s"INSERT OVERWRITE $t PARTITION (p = 1) " +
+      "SELECT id AS k FROM range(7000, 7010)")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE p = 1")
+      .as[Long].head() === 10L)
+    assert(spark.sql(s"SELECT min(k) FROM $t WHERE p = 1")
+      .as[Long].head() === 7000L)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE p <> 1")
+      .as[Long].head() === 200L)
+    // a general filtered overwrite works too (the v2 semantics)
+    spark.sql(s"INSERT OVERWRITE $t PARTITION (p = 1) " +
+      "SELECT id AS k FROM range(8000, 8003)")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE p = 1")
+      .as[Long].head() === 3L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("DML matrix on catalog names: DELETE, UPDATE, MERGE, and the " +
       "changefeed TVF — zero OPTIONS") {
     val t = tbl()

@@ -127,6 +127,82 @@ class SqlDmlSpec extends AnyFunSuite {
     dir
   }
 
+  test("static-partition INSERT OVERWRITE replaces exactly the " +
+      "partition under ONE commit; INTO appends into it; dynamic " +
+      "specs stay a loud error") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sqldml_iop").toString + "/t"
+    (0 until 300).map(i => (i.toLong, (i % 3))).toDF("k", "p")
+      .repartition(3, col("p")).write.partitionBy("p").parquet(dir)
+    StatsManifest.write(spark, dir, Seq("k"))
+    spark.sql("DROP TABLE IF EXISTS dml_iop")
+    spark.sql(s"CREATE TABLE dml_iop USING `graft-manifest` " +
+      s"OPTIONS (path '$dir')")
+    val vBefore = StatsManifest.versions(spark, dir).last
+    spark.sql("INSERT OVERWRITE dml_iop PARTITION (p = 1) " +
+      "SELECT id AS k FROM range(5000, 5010)")
+    // p=1's 100 rows replaced by the 10 fresh ones; other partitions
+    // untouched; the whole swap is ONE manifest version
+    assert(spark.sql("SELECT count(*) FROM dml_iop WHERE p = 1")
+      .as[Long].head() === 10L)
+    assert(spark.sql("SELECT min(k) FROM dml_iop WHERE p = 1")
+      .as[Long].head() === 5000L)
+    assert(spark.sql("SELECT count(*) FROM dml_iop WHERE p <> 1")
+      .as[Long].head() === 200L)
+    assert(StatsManifest.versions(spark, dir).last === vBefore + 1,
+      "delete-partition + insert must be ONE commit")
+    assert(StatsManifest.opAt(spark, dir, vBefore + 1)
+      .contains("replace"))
+    // static-partition INSERT INTO appends into the partition
+    spark.sql("INSERT INTO dml_iop PARTITION (p = 2) " +
+      "SELECT id AS k FROM range(9000, 9005)")
+    assert(spark.sql("SELECT count(*) FROM dml_iop WHERE p = 2")
+      .as[Long].head() === 105L)
+    // CDC for the overwrite version: 100 deletes + 10 inserts
+    val ch = RowOps.changes(spark, dir, vBefore, vBefore + 1)
+    assert(ch.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toSet ===
+      Set(("delete", 100L), ("insert", 10L)))
+    // dynamic partition specs stay declared out, loudly
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE dml_iop PARTITION (p) " +
+        "SELECT id AS k, 1 AS p FROM range(3)")
+    }
+    assert(e.getMessage.contains("dynamic"), e.getMessage)
+    spark.sql("DROP TABLE dml_iop")
+  }
+
+  test("graft_files('t'): file-level observability straight off the " +
+      "manifest — live files, partitions, rows, bytes, versions, stats") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sqldml_files").toString + "/t"
+    (0 until 300).map(i => (i.toLong, (i % 3))).toDF("k", "p")
+      .repartition(3, col("p")).write.partitionBy("p").parquet(dir)
+    StatsManifest.write(spark, dir, Seq("k"))
+    spark.sql("DROP TABLE IF EXISTS dml_files")
+    spark.sql(s"CREATE TABLE dml_files USING `graft-manifest` " +
+      s"OPTIONS (path '$dir')")
+    // v2: rewrites p=1's file (keeps its k >= 150 half)
+    spark.sql("DELETE FROM dml_files WHERE k % 3 = 1 AND k < 150")
+    val f = spark.sql("SELECT * FROM graft_files('dml_files')")
+    assert(f.schema.fieldNames.toSeq === Seq("file", "partition",
+      "rows", "bytes", "version_added", "stats"))
+    val live = StatsManifest.read(spark, dir)
+    assert(f.count() === live.size.toLong, "one row per LIVE file")
+    assert(f.agg(sum("rows")).as[Long].head() ===
+      spark.table("dml_files").count())
+    assert(f.where(col("bytes") <= 0L).count() === 0L)
+    // partitions surface as their Hive subpath; the rewrite's file
+    // carries the DELETE's version
+    assert(f.select("partition").distinct().as[String].collect()
+      .toSet === Set("p=0", "p=1", "p=2"))
+    assert(f.where(col("version_added") === 2L).count() >= 1L,
+      "the delete's replacement file must read version 2")
+    // stats ride as JSON (min/max/count per stats column)
+    assert(f.select("stats").as[String].head().contains("lmin__k"))
+    spark.sql("DROP TABLE dml_files")
+  }
+
   test("MERGE partial SET updates ONLY the assigned columns — a " +
       "name-identical partial list is a partial update, not a replace") {
     mkTable3("dml_part")
@@ -386,16 +462,27 @@ class SqlDmlSpec extends AnyFunSuite {
     // after the UPDATE above, k∈{1,2,3} have m=-1, so no row matches
     // via m; re-point: k=9? kk=900 not in source. Expect 0 deletions
     assert(spark.table("dml_corr").count() === 992L)
-    // correlated in MERGE clause conditions stays a loud error
-    val e = intercept[Exception] {
-      spark.sql("MERGE INTO dml_corr t USING " +
-        "(SELECT kk AS k, grp FROM dml_corr_s) s ON t.k = s.k " +
-        "WHEN MATCHED AND EXISTS (SELECT 1 FROM dml_corr_s x WHERE " +
-        "x.kk = t.k) THEN DELETE")
-    }
-    assert(e.getMessage.contains("correlated") ||
-      Option(e.getCause).exists(_.getMessage.contains("correlated")),
-      e.getMessage)
+    // correlated subqueries in MERGE clause conditions AND SET values
+    // (r12: the lookup lowering — Catalyst decorrelates per distinct
+    // referenced combination)
+    spark.sql("MERGE INTO dml_corr t USING " +
+      "(SELECT grp AS k, kk FROM dml_corr_s) s ON t.k = s.k " +
+      "WHEN MATCHED AND EXISTS (SELECT 1 FROM dml_corr_s x WHERE " +
+      "x.kk = t.k * 100) THEN UPDATE SET m = " +
+      "(SELECT MAX(x.grp) + 100 FROM dml_corr_s x WHERE x.kk = t.k * 100)")
+    // matched t.k ∈ {1,2,3,9}; the condition holds for k ∈ {1,2,3}
+    // (kk = k·100 exists); each SET reads its own correlated scalar
+    assert(spark.sql("SELECT k, m FROM dml_corr WHERE m > 100 ORDER BY k")
+      .as[(Long, Long)].collect() ===
+      Array((1L, 101L), (2L, 102L), (3L, 103L)))
+    // correlated condition on a MERGE DELETE clause
+    spark.sql("MERGE INTO dml_corr t USING " +
+      "(SELECT grp AS k, kk FROM dml_corr_s) s ON t.k = s.k " +
+      "WHEN MATCHED AND EXISTS (SELECT 1 FROM dml_corr_s x WHERE " +
+      "x.kk = t.k * 100) THEN DELETE")
+    assert(spark.table("dml_corr").count() === 989L)
+    assert(spark.sql("SELECT COUNT(*) FROM dml_corr WHERE k IN (1,2,3)")
+      .as[Long].head() === 0L)
     spark.sql("DROP TABLE dml_corr")
   }
 
@@ -556,8 +643,9 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dml_coex")
   }
 
-  test("unsupported MERGE conditions and plain-parquet targets fail " +
-      "loudly; uncorrelated MERGE subqueries work") {
+  test("MERGE subqueries in clause conditions: uncorrelated evaluate " +
+      "once, correlated lower to lookups; plain-parquet targets fail " +
+      "loudly") {
     mkTable("dml_bad")
     Seq((1L, 5L)).toDF("k", "m").createOrReplaceTempView("dml_src2")
     // UNCORRELATED subqueries in clause conditions evaluate once
@@ -566,16 +654,15 @@ class SqlDmlSpec extends AnyFunSuite {
                 |THEN UPDATE SET m = -5""".stripMargin)
     assert(spark.sql("SELECT m FROM dml_bad WHERE k = 1")
       .as[Long].head() === -5L)
-    // CORRELATED subqueries stay declared out
-    val e = intercept[Exception] {
-      spark.sql("""MERGE INTO dml_bad t USING dml_src2 s ON t.k = s.k
-                  |WHEN MATCHED AND t.m <
-                  |  (SELECT MAX(m) FROM dml_src2 WHERE k = t.k)
-                  |THEN DELETE""".stripMargin)
-    }
-    assert(e.getMessage.contains("correlated") ||
-      Option(e.getCause).exists(_.getMessage.contains("correlated")),
-      e.getMessage)
+    // CORRELATED clause condition (r12): scalar-compare correlation
+    spark.sql("""MERGE INTO dml_bad t USING dml_src2 s ON t.k = s.k
+                |WHEN MATCHED AND t.m <
+                |  (SELECT MAX(m) FROM dml_src2 WHERE k = t.k)
+                |THEN DELETE""".stripMargin)
+    assert(spark.table("dml_bad").count() === 999L,
+      "k=1 (m=-5 < its correlated max 5) must delete")
+    assert(spark.sql("SELECT COUNT(*) FROM dml_bad WHERE k = 1")
+      .as[Long].head() === 0L)
     // a NON-manifested parquet table keeps Spark's own v2-only error
     val plainDir = java.nio.file.Files
       .createTempDirectory("graft_sqldml_plain").toString + "/t"
