@@ -209,9 +209,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(del.fieldNames.length == 1,
           "graft catalog: nested DROP COLUMN is not supported")
         graft.sources.RowOps.dropColumn(spark, dir, del.fieldNames.head)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "graft catalog: nested RENAME COLUMN is not supported")
+        // metadata-only via column mapping — see RowOps.renameColumn
+        graft.sources.RowOps.renameColumn(spark, dir,
+          rn.fieldNames.head, rn.newName)
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          "graft catalog: nested ALTER COLUMN TYPE is not supported")
+        // metadata-only widening (int-family up, float -> double)
+        graft.sources.RowOps.widenColumn(spark, dir,
+          ut.fieldNames.head, ut.newDataType)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other " +
-          "(ADD COLUMNS / DROP COLUMN are)")
+          "(ADD COLUMNS / DROP COLUMN / RENAME COLUMN / widening " +
+          "ALTER COLUMN TYPE are)")
     }
     spark.catalog.refreshByPath(dir)
     loadTable(ident)

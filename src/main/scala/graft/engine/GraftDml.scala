@@ -343,7 +343,14 @@ object GraftDml {
       // create-time props first: an EMPTY table (CREATE then INSERT)
       // has no directory layout to infer partition columns from
       val partCols = StatsManifest.tablePartitionCols(spark, dir)
-      val writer0 = aligned.write.mode(
+      // append writes carry the table's PHYSICAL names (rename
+      // mapping); a full overwrite REPLACES the table — the manifest
+      // (and any mapping) is wiped with the dir, so it writes the
+      // logical names and the rebuilt table starts with a clean map
+      val toWrite =
+        if (overwrite) aligned
+        else StatsManifest.writePhysical(aligned, schema)
+      val writer0 = toWrite.write.mode(
         if (overwrite) "overwrite" else "append")
       val writer = if (partCols.isEmpty) writer0
         else writer0.partitionBy(partCols: _*)
@@ -399,7 +406,8 @@ object GraftDml {
         RowOps.overwriteWhere(spark, dir, cond, aligned, sc, bc)
       } else {
         val partCols = StatsManifest.tablePartitionCols(spark, dir)
-        val writer0 = aligned.write.mode("append")
+        val writer0 = StatsManifest.writePhysical(aligned, schema)
+          .write.mode("append")
         val writer = if (partCols.isEmpty) writer0
           else writer0.partitionBy(partCols: _*)
         writer.parquet(dir)

@@ -181,11 +181,15 @@ object Layout {
     if (old.isEmpty) return (0, 0)
     val bytes = old.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val schema = spark.read.parquet(dir).schema
-    val df = spark.read.schema(schema)
+    // bytes carry PHYSICAL names (rename mapping): read and rewrite
+    // physical — a compaction moves rows, it never renames; the
+    // caller's cluster columns are logical and map here
+    val logical = StatsManifest.tableSchema(spark, dir)
+    val zcols = cols.map(c => StatsManifest.physicalName(logical, c))
+    val df = spark.read.schema(StatsManifest.toPhysical(logical))
       .parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
     val staging = new Path(dir + ".optimize")
-    zorder(df, cols, n, bits, quantileErr)
+    zorder(df, zcols, n, bits, quantileErr)
       .write.mode("overwrite").parquet(staging.toString)
     val staged = fs.listStatus(staging)
       .map(_.getPath).filter(_.getName.startsWith("part-"))
@@ -298,7 +302,10 @@ object Layout {
       .filter(_._2.size >= minFiles)
     if (chosen.isEmpty) return (0, 0)
     val keys = chosen.valuesIterator.flatMap(_.map(_._1)).toSeq.sorted
-    val schema = StatsManifest.tableSchema(spark, dir)
+    // bytes carry PHYSICAL names — read and rewrite physical (rows
+    // move, names don't)
+    val schema = StatsManifest.toPhysical(
+      StatsManifest.tableSchema(spark, dir))
     val partCols = StatsManifest.tablePartitionCols(spark, dir)
     val df = spark.read.option("basePath", dir).schema(schema)
       .parquet(keys: _*)
@@ -401,9 +408,12 @@ object Layout {
     if (small.length < 2) return (0, 0)
     val bytes = small.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    // schema from the whole table (a compaction must not narrow it);
-    // read ONLY the small files
-    val schema = spark.read.parquet(dir).schema
+    // schema from the table's authoritative sidecar (a compaction must
+    // not narrow it, and mixed-width files after a type widening must
+    // read upcast, not by one random footer); bytes carry PHYSICAL
+    // names — read and rewrite physical, rows move but never rename
+    val schema = StatsManifest.toPhysical(
+      StatsManifest.tableSchema(spark, dir))
     val df = spark.read.schema(schema)
       .parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
     val staging = new Path(dir + ".compact")

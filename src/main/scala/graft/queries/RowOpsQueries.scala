@@ -548,6 +548,51 @@ object RowOpsQueries {
              |  l_orderkey, l_partkey, l_quantity""".stripMargin)),
 
     Query(
+      // RENAME COLUMN + type widening (r12): both metadata-only — the
+      // rename maps logical→physical names at the parquet boundary
+      // (column mapping; zero data rewrites), the widening relies on
+      // the reader's native int→long upcast. DML then runs ON the
+      // renamed column, and the final state must equal DuckDB
+      // replaying the same mutations over aliased fixture columns.
+      "q_catalog_rename",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+          .withColumn("l_partkey", col("l_partkey").cast("int"))
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(10)
+        val tbl = s"graft.default.ren_q_$h"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        li.createOrReplaceTempView(s"ren_src_$h")
+        s.sql(s"""CREATE TABLE $tbl
+                 |TBLPROPERTIES ('statsCols' = 'l_orderkey,l_quantity')
+                 |AS SELECT * FROM ren_src_$h""".stripMargin)
+        s.sql(s"ALTER TABLE $tbl RENAME COLUMN l_quantity TO qty")
+        s.sql(s"ALTER TABLE $tbl ALTER COLUMN l_partkey TYPE BIGINT")
+        s.sql(s"DELETE FROM $tbl WHERE qty > 47")
+        s.sql(s"UPDATE $tbl SET qty = -1 WHERE l_orderkey % 500 = 0")
+        s.sql(s"""INSERT INTO $tbl
+                 |SELECT l_orderkey + 100000000, l_partkey, 99.0
+                 |FROM ren_src_$h WHERE l_orderkey % 1000 = 0""".stripMargin)
+        s.table(tbl).orderBy(col("l_orderkey"), col("l_partkey"),
+          col("qty"))
+      },
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, CAST(l_partkey AS BIGINT) AS l_partkey,
+             |    l_quantity AS qty FROM lineitem),
+             |kept AS (SELECT * FROM base WHERE NOT (qty > 47))
+             |SELECT l_orderkey, l_partkey,
+             |  CASE WHEN l_orderkey % 500 = 0 THEN CAST(-1 AS DOUBLE)
+             |       ELSE qty END AS qty
+             |FROM kept
+             |UNION ALL
+             |SELECT l_orderkey + 100000000, l_partkey,
+             |  CAST(99.0 AS DOUBLE) AS qty
+             |FROM base WHERE l_orderkey % 1000 = 0
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Query(
       // Catalog-native CRUD (r11): the whole life-cycle through the
       // graft TableCatalog — partitioned CTAS, manifest-committing
       // INSERT, DELETE and UPDATE — against a `graft.db.t` NAME with

@@ -477,13 +477,23 @@ private abstract class VersionOffsetStream[U: scala.reflect.ClassTag](
   protected final def guardSchemaDrift(maxV: Long): Unit = {
     if (maxV <= pinnedAtVersion) return
     val now = StatsManifest.schemaAt(spark, dir, maxV)
-    if (now != pinnedSchemaSidecar)
+    if (now != pinnedSchemaSidecar) {
+      // name the drift: a rename shows up as old-name-gone/new-name-in
+      val was = pinnedSchemaSidecar.map(_.fieldNames.toSet)
+        .getOrElse(Set.empty)
+      val is = now.map(_.fieldNames.toSet).getOrElse(Set.empty)
+      val gone = (was -- is).toSeq.sorted.mkString(", ")
+      val added = (is -- was).toSeq.sorted.mkString(", ")
       throw new IllegalStateException(
         s"graft-manifest-stream: the table schema changed between " +
-          s"version $pinnedAtVersion and version $maxV (ALTER " +
-          "ADD/DROP COLUMN) while this stream was running — restart " +
-          "the stream to adopt the new schema (a pinned schema would " +
-          "silently mis-read the new files)")
+          s"version $pinnedAtVersion and version $maxV (ALTER ADD/" +
+          "DROP/RENAME COLUMN or a type change" +
+          (if (gone.nonEmpty || added.nonEmpty)
+            s"; columns gone: [$gone], new: [$added]" else "") +
+          ") while this stream was running — restart the stream to " +
+          "adopt the new schema (a pinned schema would silently " +
+          "mis-read the new files)")
+    }
   }
 
   override def initialOffset(): Offset =
@@ -771,8 +781,14 @@ private final class ManifestMicroBatchStream(tableSchema: StructType,
       "false")
     // readData (not dataSchema): projection pushdown — the parquet
     // reader materializes only the needed columns; translated filters
-    // ride in for row-group skipping inside surviving files
-    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+    // ride in for row-group skipping inside surviving files. A renamed
+    // table reads through the name-mapping format (logical → physical
+    // at the parquet boundary, positional rows unchanged).
+    val nameMap = StatsManifest.nameMapOf(tableSchema)
+    val fmt =
+      if (nameMap.isEmpty) new ParquetFileFormat()
+      else new GraftParquetFileFormat(nameMap)
+    val readFunc = fmt.buildReaderWithPartitionValues(
       rowSession, dataSchema, partSchema, readData,
       parquetFilters, Map.empty, rowSession.sessionState
         .newHadoopConfWithOptions(Map.empty))
@@ -1101,8 +1117,14 @@ private final class ManifestCdcStream(tableSchema: StructType,
       .flatMap(StatsManifest.catalystToFilter)
     // one hadoopConf PER reader: buildReaderWithPartitionValues writes
     // its requested schema into the conf it is given, so sharing one
-    // conf would make the second build's schema clobber the first's
-    val cdcRead = new ParquetFileFormat().buildReaderWithPartitionValues(
+    // conf would make the second build's schema clobber the first's.
+    // Renamed tables read through the name-mapping format (change
+    // files carry physical data-column names like the data files).
+    val nameMap = StatsManifest.nameMapOf(tableSchema)
+    def fmt() =
+      if (nameMap.isEmpty) new ParquetFileFormat()
+      else new GraftParquetFileFormat(nameMap)
+    val cdcRead = fmt().buildReaderWithPartitionValues(
       rowSession, fullCdc, new StructType(), cdcReadSchema,
       cdcParquetFilters, Map.empty,
       rowSession.sessionState.newHadoopConfWithOptions(Map.empty))
@@ -1114,7 +1136,7 @@ private final class ManifestCdcStream(tableSchema: StructType,
       .filter(_.references.forall(a =>
         dataSchema.fieldNames.contains(a.name)))
       .flatMap(StatsManifest.catalystToFilter)
-    val insRead = new ParquetFileFormat().buildReaderWithPartitionValues(
+    val insRead = fmt().buildReaderWithPartitionValues(
       rowSession, dataSchema, partSchema, insReadSchema,
       insParquetFilters, Map.empty,
       rowSession.sessionState.newHadoopConfWithOptions(Map.empty))

@@ -526,6 +526,76 @@ object RowOps {
       StructType(schema.filterNot(_.name == name)))
   }
 
+  /** RENAME COLUMN — metadata-only, via column mapping: the parquet
+    * bytes keep the column's BIRTH ("physical") name forever; the
+    * authoritative schema carries the new LOGICAL name plus the
+    * physical name in the field's metadata
+    * ([[StatsManifest.PhysicalKey]]), and every reader/writer maps at
+    * the parquet boundary ([[GraftParquetFileFormat]] on reads,
+    * [[StatsManifest.writePhysical]] on writes). The manifest's stats
+    * columns rename to the new logical name in the SAME commit (one
+    * O(manifest) checkpoint rewrite — never a data rewrite), so
+    * pruning, metadata-only aggregates, blooms and the streaming
+    * pushdown keep working under the new name, and DML on the renamed
+    * column just works. Partition columns cannot rename (their name is
+    * baked into the directory layout). A running stream fails loudly
+    * on the schema change and re-pins at restart — the drift guard. */
+  def renameColumn(spark: SparkSession, dir: String, name: String,
+      newName: String): Long = {
+    val schema = StatsManifest.tableSchema(spark, dir)
+    require(schema.fieldNames.contains(name),
+      s"renameColumn: no column $name")
+    require(!schema.fieldNames.contains(newName),
+      s"renameColumn: column $newName already exists")
+    require(!StatsManifest.tablePartitionCols(spark, dir)
+      .exists(_.equalsIgnoreCase(name)),
+      s"renameColumn: $name is a partition column — its name is the " +
+        "directory layout; rewrite the table to rename it")
+    val physical = StatsManifest.physicalName(schema, name)
+    val newSchema = StructType(schema.map { f =>
+      if (f.name == name)
+        f.copy(name = newName, metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(StatsManifest.PhysicalKey, physical).build())
+      else f
+    })
+    // rename the manifest stat columns with the schema, in ONE commit:
+    // entriesAt(latest) re-keyed lmin__old → lmin__new etc. — the
+    // entries' file keys, rows, lengths and values are untouched
+    StatsManifest.renameStatsColumns(spark, dir, name, newName,
+      newSchema)
+  }
+
+  /** WIDEN a column's type — metadata-only: int-family → a wider
+    * integral, float → double. Spark's parquet reader upcasts the old
+    * files' narrower physical type natively, writers write the widened
+    * type going forward, and the manifest's stats are ALREADY stored
+    * in width-free domains (integrals as long, floats as double), so
+    * pruning is untouched. Anything outside the safe matrix is
+    * rejected (a lossy narrowing would corrupt silently). */
+  def widenColumn(spark: SparkSession, dir: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    val schema = StatsManifest.tableSchema(spark, dir)
+    require(schema.fieldNames.contains(name),
+      s"widenColumn: no column $name")
+    val cur = schema(name).dataType
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => -1
+    }
+    val ok = (rank(cur) > 0 && rank(newType) > rank(cur)) ||
+      (cur == FloatType && newType == DoubleType)
+    require(ok, s"widenColumn: $cur -> $newType is not a safe " +
+      "widening (integral -> wider integral, float -> double)")
+    StatsManifest.commitSchema(spark, dir, StructType(schema.map(f =>
+      if (f.name == name) f.copy(dataType = newType) else f)))
+  }
+
   // ---------------------------------------------------------------- //
   //  CDC: the row-level changefeed between two manifest versions       //
   // ---------------------------------------------------------------- //
@@ -569,16 +639,24 @@ object RowOps {
     def readKeys(ks: Iterable[String]): DataFrame =
       if (ks.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
-      // basePath: Hive-partition columns derive from the paths
-      else spark.read.option("basePath", dir).schema(schema)
-        .parquet(ks.toSeq.sorted: _*)
+      // basePath: Hive-partition columns derive from the paths; bytes
+      // carry PHYSICAL names, the frame exposes logical
+      else StatsManifest.readLogical(spark, dir, schema, ks.toSeq.sorted)
+    val nmap = StatsManifest.nameMapOf(schema)
+    def aliasCdc(df: DataFrame): DataFrame =
+      if (nmap.isEmpty) df
+      else df.select((schema.map(f =>
+        col(nmap.getOrElse(f.name, f.name)).as(f.name)) ++
+        Seq(col("_change_type"), col("_commit_version"))).toIndexedSeq: _*)
     val steps = vs.sliding(2).filter(_.size == 2).map { case Seq(a, b) =>
       // precomputed files describe ONE commit: only valid when the step
       // is a single commit (b = a+1; retention gaps fall back)
       val pre =
         if (rowLevel && b == a + 1) cdcFiles(fs, dir, b) else Seq.empty
       if (pre.nonEmpty)
-        spark.read.schema(cdcSchema(schema)).parquet(pre.map(_.toString): _*)
+        aliasCdc(spark.read
+          .schema(cdcSchema(StatsManifest.toPhysical(schema)))
+          .parquet(pre.map(_.toString): _*))
       else {
         val fa = StatsManifest.readAt(spark, dir, a).keySet
         val fb = StatsManifest.readAt(spark, dir, b).keySet
@@ -612,7 +690,14 @@ object RowOps {
     val fs = cdcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(cdcPath)
     val schema = StatsManifest.tableSchema(spark, dir)
-    spark.readStream.schema(cdcSchema(schema)).parquet(cdcPath.toString)
+    val nmap = StatsManifest.nameMapOf(schema)
+    val raw = spark.readStream
+      .schema(cdcSchema(StatsManifest.toPhysical(schema)))
+      .parquet(cdcPath.toString)
+    if (nmap.isEmpty) raw
+    else raw.select((schema.map(f =>
+      col(nmap.getOrElse(f.name, f.name)).as(f.name)) ++
+      Seq(col("_change_type"), col("_commit_version"))).toIndexedSeq: _*)
   }
 
   // ---------------------------------------------------------------- //
@@ -729,9 +814,10 @@ object RowOps {
 
   private def readFiles(ctx: Ctx, keys: Iterable[String]): DataFrame =
     if (keys.isEmpty) emptyOf(ctx)
-    // basePath keeps Hive-partition columns derivable from the paths
-    else ctx.spark.read.option("basePath", ctx.dir).schema(ctx.schema)
-      .parquet(keys.toSeq.sorted: _*)
+    // basePath keeps Hive-partition columns derivable from the paths;
+    // bytes carry PHYSICAL names, the frame exposes logical
+    else StatsManifest.readLogical(ctx.spark, ctx.dir, ctx.schema,
+      keys.toSeq.sorted)
 
   private def emptyOf(ctx: Ctx): DataFrame =
     ctx.spark.createDataFrame(
@@ -818,9 +904,12 @@ object RowOps {
         math.max(1, touched.size + extraFiles)
       else math.max(1, math.min(touched.size + extraFiles,
         math.ceil(touchedBytes.sum.toDouble / targetBytes).toInt))
+    // staged bytes carry PHYSICAL names (the read half aliases back)
+    val replacementPhys =
+      StatsManifest.writePhysical(replacement, ctx.schema)
     val writer =
-      if (ctx.partCols.isEmpty) replacement.repartition(n).write
-      else replacement // co-locate partition values to bound file count
+      if (ctx.partCols.isEmpty) replacementPhys.repartition(n).write
+      else replacementPhys // co-locate partition values: bounded files
         .repartition(n, ctx.partCols.map(col).toIndexedSeq: _*)
         .write.partitionBy(ctx.partCols: _*)
     phase(PhaseStats.stage)(writer.mode("overwrite")
@@ -908,7 +997,12 @@ object RowOps {
         .withColumn("_commit_version", lit(ver))
       val cdcStage = new Path(
         ctx.dir + s".cdcstage-${java.util.UUID.randomUUID()}")
-      net.coalesce(1).write.mode("overwrite").parquet(cdcStage.toString)
+      // change files carry PHYSICAL data-column names like the data
+      // files (readers alias back), so a feed spanning a rename stays
+      // uniformly readable
+      val netPhys = StatsManifest.writePhysical(net, ctx.schema)
+      netPhys.coalesce(1).write.mode("overwrite")
+        .parquet(cdcStage.toString)
       val cdcDir = new Path(dirPath, CdcDir)
       fs.mkdirs(cdcDir)
       fs.listStatus(cdcStage).map(_.getPath)

@@ -266,21 +266,25 @@ object StatsManifest {
 
   private def statsAggs(schema: StructType, statsCols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int): Seq[Column] = {
+    // stats columns are keyed by LOGICAL name; the scanned frame (raw
+    // parquet) carries PHYSICAL names — map on input, key on logical
+    val nm = nameMapOf(schema)
+    def in(c: String): Column = col(nm.getOrElse(c, c))
     val kept = statsCols.filter(c => domOf(schema(c).dataType).isDefined)
     val cntCols = (kept ++ bloomCols).distinct
     val ranges = kept.flatMap { c =>
       val dt = schema(c).dataType
-      val d = toDom(dt, col(c))
+      val d = toDom(dt, in(c))
       val tag = domOf(dt).get.toLower
       Seq(min(d).as(s"${tag}min__$c"), max(d).as(s"${tag}max__$c"))
     }
     val sums = kept.filter(c => sumable(schema(c).dataType))
-      .map(c => sum(col(c).cast("long")).as(s"sum__$c"))
-    val cnts = cntCols.map(c => count(col(c)).as(s"cnt__$c"))
+      .map(c => sum(in(c).cast("long")).as(s"sum__$c"))
+    val cnts = cntCols.map(c => count(in(c)).as(s"cnt__$c"))
     val blooms = bloomCols.map { c =>
       val agg = org.apache.spark.sql.functions.udaf(
         BloomAgg(bloomBits), org.apache.spark.sql.Encoders.scalaLong)
-      agg(org.apache.spark.sql.functions.xxhash64(col(c)))
+      agg(org.apache.spark.sql.functions.xxhash64(in(c)))
         .as(s"bloom__$c")
     }
     // file length (constant within the group = one file) rides along so
@@ -511,6 +515,31 @@ object StatsManifest {
         commitVersion(spark, dir, existing, removedLatest(spark, dir),
           Some(newSchema), None, op = Some("schema"))
     }
+  }
+
+  /** RENAME COLUMN's manifest half: commit a checkpoint whose entry
+    * columns are re-keyed from logical `from` to `to` (values, file
+    * keys, rows untouched) together with the new schema sidecar —
+    * ONE commit, O(manifest), never a data rewrite. The stat-column
+    * prefixes are closed ([[statsAggs]]), so the rename is exact. */
+  private[graft] def renameStatsColumns(spark: SparkSession,
+      dir: String, from: String, to: String,
+      newSchema: StructType): Long = {
+    val l = latestVersion(spark, dir).getOrElse(throw
+      new IllegalStateException(
+        s"renameStatsColumns: $dir is not a manifested table"))
+    val prefixes = Seq("lmin__", "lmax__", "dmin__", "dmax__",
+      "smin__", "smax__", "sum__", "cnt__", "bloom__")
+    val entries = entriesAt(spark, dir, l)
+    val renamed = entries.schema.fieldNames.foldLeft(entries) {
+      (df, n) =>
+        prefixes.find(p => n == p + from) match {
+          case Some(p) => df.withColumnRenamed(n, p + to)
+          case None => df
+        }
+    }
+    commitVersion(spark, dir, renamed, removedLatest(spark, dir),
+      Some(newSchema), Some(l), op = Some("schema"))
   }
 
   /** Stage `manifest` under a hidden dir, then commit it as the next
@@ -1164,6 +1193,75 @@ object StatsManifest {
     out.toArray
   }
 
+  // ---------------------------------------------------------------- //
+  //  Column mapping: logical → physical names (RENAME COLUMN)          //
+  // ---------------------------------------------------------------- //
+
+  /** RENAME COLUMN is metadata-only: the parquet bytes keep the
+    * column's BIRTH name forever (the "physical" name, recorded in the
+    * field's metadata under this key), the schema sidecar carries the
+    * current LOGICAL name, and every reader/writer maps at the
+    * parquet boundary — the Delta/Iceberg column-mapping idea on plain
+    * parquet. Manifest stats stay keyed by LOGICAL name (the rename
+    * commit rewrites the entry column names once, O(manifest)), so
+    * pruning, metadata-only aggregates and the streaming pushdown are
+    * rename-oblivious. */
+  private[graft] val PhysicalKey = "graft.physical"
+
+  /** logical → physical map of `schema` (only diverging fields). */
+  def nameMapOf(schema: StructType): Map[String, String] =
+    schema.fields.iterator.flatMap { f =>
+      if (f.metadata.contains(PhysicalKey)) {
+        val p = f.metadata.getString(PhysicalKey)
+        if (p != f.name) Some(f.name -> p) else None
+      } else None
+    }.toMap
+
+  /** The physical (on-disk) name of logical column `name`. */
+  def physicalName(schema: StructType, name: String): String =
+    nameMapOf(schema).getOrElse(name, name)
+
+  /** `schema` with every field renamed to its physical name — what the
+    * parquet bytes actually carry. */
+  def toPhysical(schema: StructType): StructType = {
+    val m = nameMapOf(schema)
+    if (m.isEmpty) schema
+    else StructType(schema.map(f =>
+      f.copy(name = m.getOrElse(f.name, f.name))))
+  }
+
+  /** Read parquet `paths` (physical names on disk) and expose LOGICAL
+    * names — the helper every internal raw read of a mapped table's
+    * data files goes through. Loses `_metadata` (the rename projection
+    * drops it); stats scans, which need the file key, use
+    * [[statsAggs]]' own name mapping instead. */
+  private[graft] def readLogical(spark: SparkSession, dir: String,
+      schema: StructType, paths: Seq[String]): DataFrame = {
+    val m = nameMapOf(schema)
+    val raw = spark.read.option("basePath", dir)
+      .schema(toPhysical(schema)).parquet(paths: _*)
+    if (m.isEmpty) raw
+    else raw.select(schema.map(f =>
+      col(m.getOrElse(f.name, f.name)).as(f.name)).toIndexedSeq: _*)
+  }
+
+  /** `df` (logical names) renamed to physical for a data-file write. */
+  private[graft] def writePhysical(df: DataFrame,
+      schema: StructType): DataFrame =
+    writePhysicalMap(df, nameMapOf(schema))
+
+  private[graft] def writePhysicalMap(df: DataFrame,
+      m: Map[String, String]): DataFrame =
+    if (m.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(c).as(m.getOrElse(c, c))): _*)
+
+  /** The logical→physical map of the table's CURRENT sidecar schema —
+    * empty for never-renamed tables (and for sidecar-less layouts, at
+    * zero inference cost). */
+  def tableNameMap(spark: SparkSession, dir: String): Map[String, String] =
+    schemaLatest(spark, dir).map(nameMapOf).getOrElse(Map.empty)
+
   /** Columns of `schema` with an order-exact stats domain — the default
     * stats configuration for a table created without one. */
   def statsEligible(schema: StructType): Seq[String] =
@@ -1275,12 +1373,12 @@ object StatsManifest {
       bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16): Unit = {
     val dirPath = new Path(dir)
     val fsys = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // an evolved schema (sidecar) is authoritative over footer inference
+    // an evolved schema (sidecar) is authoritative over footer
+    // inference; the scan itself reads the PHYSICAL names the bytes
+    // carry (statsAggs keys the output by logical name)
     val sidecar = schemaLatest(spark, dir)
-    val full = sidecar match {
-      case Some(s) => spark.read.schema(s).parquet(dir)
-      case None => spark.read.parquet(dir)
-    }
+    val logical = sidecar.getOrElse(spark.read.parquet(dir).schema)
+    val full = spark.read.schema(toPhysical(logical)).parquet(dir)
     // tombstoned files are dead rows: a full rebuild must not resurrect
     // them. Trim the carried set to files still physically present.
     val removed = removedLatest(spark, dir)
@@ -1295,7 +1393,7 @@ object StatsManifest {
     val removedTrim =
       if (removed.isEmpty) removed
       else removed intersect listed.map(fileKey).toSet
-    val aggs = statsAggs(df.schema, statsCols, bloomCols, bloomBits)
+    val aggs = statsAggs(logical, statsCols, bloomCols, bloomBits)
     commitVersion(spark, dir,
       df.groupBy(fileKeyCol).agg(aggs.head, aggs.tail: _*), removedTrim,
       sidecar, op = Some("overwrite"))
@@ -1365,12 +1463,9 @@ object StatsManifest {
     }
     val (coveredAll, entrySchema) = existing.get
     val sidecar = schemaLatest(spark, dir)
-    val df = sidecar match {
-      case Some(s) => spark.read.schema(s).parquet(dir)
-      case None => spark.read.parquet(dir)
-    }
+    val logical = sidecar.getOrElse(spark.read.parquet(dir).schema)
     if (entrySchema.fieldNames.toSet !=
-        expectedCols(df.schema, statsCols, bloomCols)) {
+        expectedCols(logical, statsCols, bloomCols)) {
       // column set changed → the old entries can't be reused
       write(spark, dir, statsCols, bloomCols, bloomBits)
       return UpdateResult(0L, dataFiles.length.toLong, 0L)
@@ -1390,10 +1485,12 @@ object StatsManifest {
       if (newPaths.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else {
         // basePath keeps Hive-partition columns derivable from the paths
-        // even though only the NEW files are listed explicitly
-        val nd = spark.read.option("basePath", dir).schema(df.schema)
+        // even though only the NEW files are listed explicitly; the
+        // read uses the bytes' PHYSICAL names, the aggs key logical
+        val nd = spark.read.option("basePath", dir)
+          .schema(toPhysical(logical))
           .parquet(newPaths.map(_.toString).toIndexedSeq: _*)
-        val aggs = statsAggs(df.schema, statsCols, bloomCols, bloomBits)
+        val aggs = statsAggs(logical, statsCols, bloomCols, bloomBits)
         // align fresh columns to the stored order (a caller may pass
         // statsCols in a different order than the original write)
         nd.groupBy(fileKeyCol).agg(aggs.head, aggs.tail: _*)
@@ -1521,7 +1618,9 @@ object StatsManifest {
         // an EMPTY staged file yields no group below → no stats row →
         // not committed; FileOpsCommit.addKeys tells the caller to
         // leave it in staging (renaming it in would orphan it)
-        val reader0 = spark.read.schema(schema)
+        // staged bytes carry PHYSICAL names (writers map before the
+        // stage write); the aggs key the stats by logical name
+        val reader0 = spark.read.schema(toPhysical(schema))
         val staged = addsBasePath.fold(reader0)(
           b => reader0.option("basePath", b))
           .parquet(adds.map(_._1.toString).toIndexedSeq: _*)
@@ -2157,8 +2256,13 @@ object StatsManifest {
     val dataSchema = StructType(
       fullSchema.filterNot(f => partSchema.fieldNames.contains(f.name)))
     val idx = new ManifestFileIndex(inner, stats, allow, deny)
+    // a renamed table reads through the name-mapping format; everything
+    // else keeps the stock parquet format (identical plan shape)
+    val fmt =
+      if (nameMapOf(fullSchema).isEmpty) new ParquetFileFormat()
+      else new GraftParquetFileFormat(nameMapOf(fullSchema))
     val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
-      new ParquetFileFormat(), Map.empty[String, String])(spark)
+      fmt, Map.empty[String, String])(spark)
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     (classic.baseRelationToDataFrame(rel), idx)
   }

@@ -1470,8 +1470,13 @@ object Streams {
       batchId: Long, batch: DataFrame, statsCols: Seq[String],
       manifestVersionsToKeep: Int): Unit = {
     val spk = batch.sparkSession
+    // a renamed table's data files carry PHYSICAL column names — map
+    // the batch at the write boundary (no-op for never-renamed tables,
+    // at zero inference cost: the map reads the sidecar only)
+    val batchPhys = graft.sources.StatsManifest.writePhysicalMap(batch,
+      graft.sources.StatsManifest.tableNameMap(spk, dir))
     val written = IterativeStream.writeFeedback(
-      fs, dirPath, stagingRoot, batchId, batch, prefix = "tb")
+      fs, dirPath, stagingRoot, batchId, batchPhys, prefix = "tb")
     if (written.isEmpty) return
     graft.sources.StatsManifest.update(spk, dir, statsCols,
       invalidate = written

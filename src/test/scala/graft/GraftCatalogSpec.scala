@@ -73,6 +73,82 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("RENAME COLUMN is metadata-only via column mapping: old files " +
+      "read under the new name, DML/pruning/CDC work on it, widening " +
+      "upcasts old files — zero data rewrites") {
+    val t = tbl()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, m INT) " +
+      "TBLPROPERTIES ('statsCols' = 'k,m')")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id % 7 AS INT) " +
+      "FROM range(2000)")
+    // resolve the table dir through the pruned scan (for file-count
+    // and manifest assertions)
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.asInstanceOf[StatsManifest.ManifestFileIndex]
+          .rootPaths.head.toString
+    }.get
+    val filesBefore = StatsManifest.read(spark, dir).keySet
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO key")
+    // metadata-only: not one data file moved or rewrote
+    assert(StatsManifest.read(spark, dir).keySet === filesBefore)
+    // reads serve the OLD files' values under the NEW name
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("key", "m"))
+    assert(spark.sql(s"SELECT sum(key) FROM $t").as[Long].head() ===
+      (0L until 2000L).sum)
+    // manifest pruning works on the renamed column (stats re-keyed)
+    val (scan, idx) = StatsManifest.scanWithIndex(spark, dir)
+    assert(scan.where(col("key") < 10L).count() === 10L)
+    assert(idx.selected.get() < idx.total.get(),
+      s"rename must keep pruning: ${idx.selected.get()}/${idx.total.get()}")
+    // DML on the renamed column, appends, and the changefeed
+    spark.sql(s"INSERT INTO $t SELECT id + 100000, CAST(-1 AS INT) " +
+      "FROM range(10)")
+    spark.sql(s"DELETE FROM $t WHERE key < 100")
+    spark.sql(s"UPDATE $t SET m = -9 WHERE key BETWEEN 100 AND 109")
+    assert(spark.table(t).count() === 1910L)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE m = -9")
+      .as[Long].head() === 10L)
+    val ch = spark.sql(s"SELECT * FROM graft_changes('$t', 2)")
+    assert(ch.schema.fieldNames.contains("key"))
+    assert(ch.where(col("_change_type") === "delete" &&
+      col("key") < 100L).count() === 100L)
+    // widening: INT -> BIGINT is one schema commit; old files upcast
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN m TYPE BIGINT")
+    assert(spark.table(t).schema("m").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql(s"SELECT sum(m) FROM $t WHERE key >= 110")
+      .as[Long].head() > 0L)
+    // an unsafe narrowing is a loud error — Spark's own analyzer
+    // rejects it before the catalog sees the change; an unsafe change
+    // it lets through (e.g. long -> string) hits our widening matrix
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN m TYPE INT")
+    }
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("widening"), e.getMessage)
+    val e1 = intercept[Exception] {
+      graft.sources.RowOps.widenColumn(spark, dir, "m",
+        org.apache.spark.sql.types.IntegerType)
+    }
+    assert(e1.getMessage.contains("widening"), e1.getMessage)
+    // partition columns cannot rename (their name IS the layout)
+    val t2 = tbl()
+    spark.sql(s"CREATE TABLE $t2 PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('statsCols' = 'k') " +
+      "AS SELECT id AS k, CAST(id % 2 AS INT) AS p FROM range(10)")
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t2 RENAME COLUMN p TO q")
+    }
+    assert(e2.getMessage.contains("partition") ||
+      Option(e2.getCause).exists(_.getMessage.contains("partition")),
+      e2.getMessage)
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"DROP TABLE $t2")
+  }
+
   test("static-partition INSERT OVERWRITE on a catalog name: the v2 " +
       "OverwriteByExpression lowers to one delete+append commit") {
     val t = tbl()
