@@ -19,6 +19,23 @@ class CatalogSpec extends AnyFunSuite {
       s"only $withOracle/${names.size} queries oracle-checked")
   }
 
+  test("documented counts cannot drift: catalog size, README, PLANS.md " +
+      "sections all agree") {
+    val n = Catalog.all.size
+    assert(n === 227,
+      "catalog size changed — update this pin, README's 'catalog " +
+        "queries' count, and regenerate PLANS.md")
+    def read(p: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      "UTF-8")
+    assert(read("README.md").contains(s"$n catalog queries"),
+      s"README.md must state the true catalog count ($n)")
+    val sections = "(?m)^## q_".r.findAllIn(read("PLANS.md")).size
+    assert(sections === n,
+      s"PLANS.md has $sections '## q_' sections for $n catalog " +
+        "queries — regenerate (sbt 'Test/runMain graft.tools.DumpPlans')")
+  }
+
   for (q <- Catalog.all) {
     test(s"${q.name} executes and returns rows") {
       val df = q.run(SparkFixture.spark, SparkFixture.sf)
