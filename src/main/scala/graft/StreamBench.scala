@@ -110,8 +110,13 @@ object StreamBench {
     }
 
   /** Same telemetry harvest for an operator that starts its OWN query
-    * (foreachBatch family — e.g. the dedup ingest filter). */
-  private def measureQuery(name: String, inputRate: Long, durSec: Int)(
+    * (foreachBatch family — e.g. the dedup ingest filter).
+    * `warmupBatches`: batches with id below this are discarded — 2 by
+    * default; ops whose first batches pay one-off costs that dwarf
+    * steady state (cdc_apply: table bootstrap + first manifest fold +
+    * cache warmup) cut deeper so the recorded p50 reads steady state. */
+  private def measureQuery(name: String, inputRate: Long, durSec: Int,
+      warmupBatches: Int = 2)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): OpResult = {
     val q = start
     Thread.sleep(durSec * 1000L)
@@ -121,7 +126,8 @@ object StreamBench {
     // so the artifact never reports a spurious 0 rows/s
     var extraMs = 0L
     while (extraMs < 2000L * durSec &&
-        !q.recentProgress.exists(p => p.batchId >= 2 && p.numInputRows > 0)) {
+        !q.recentProgress.exists(p =>
+          p.batchId >= warmupBatches && p.numInputRows > 0)) {
       Thread.sleep(1000L); extraMs += 1000L
     }
     // stop between triggers where possible: a mid-batch stop interrupts
@@ -133,7 +139,7 @@ object StreamBench {
       Thread.sleep(20)
     q.stop(); q.awaitTermination()
     val steady = q.recentProgress
-      .filter(p => p.batchId >= 2 && p.numInputRows > 0)
+      .filter(p => p.batchId >= warmupBatches && p.numInputRows > 0)
     if (steady.isEmpty) return OpResult(name, inputRate, 0, 0, 0, 0, 0, 0, 0)
     val rows = steady.map(_.numInputRows).sum
     val execMs = steady.map(_.durationMs.asScala
@@ -304,7 +310,7 @@ object StreamBench {
       // worst case (every file holds matches); ~1% are deletes. State
       // is the table itself (state_rows reads 0).
       "cdc_apply" -> (() =>
-      try measureQuery("cdc_apply", 20000, durSec) {
+      try measureQuery("cdc_apply", 20000, durSec, warmupBatches = 4) {
         val tblDir = {
           val p = Paths.get("target", "streambench", "cdctbl").toAbsolutePath
           def rm(f: java.io.File): Unit = {

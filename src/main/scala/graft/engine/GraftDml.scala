@@ -51,9 +51,11 @@ import graft.sources.{RowOps, StatsManifest}
   * accept CORRELATED subqueries (EXISTS / NOT EXISTS / IN / NOT IN /
   * scalar compares referencing the target row), lowered onto the
   * distributed join machinery ([[GraftDml.GraftCorrelatedDmlCommand]]);
-  * correlated subqueries elsewhere (MERGE clause conditions, SET/
-  * INSERT values) fail with a clear error rather than silently
-  * approximating.
+  * and (r12) MERGE clause conditions and SET/INSERT values accept
+  * them too, lowered to per-distinct-refs lookups ([[MergeAuxSpec]])
+  * the merge frames left-join. The one remaining refusal: a correlated
+  * EXISTS/IN inside a SET/INSERT VALUE position (a boolean there is
+  * exotic — move it into the clause condition), with a clear error.
   *
   * Reference analogue: DML statements enter the reference through the
   * planner's DDL/DML converter
@@ -87,18 +89,18 @@ object GraftDml {
     require(!e.exists(_.isInstanceOf[PlanExpression[_]]),
       s"graft $stmt: subqueries in the condition are not supported")
 
-  /** MERGE clause conditions and SET/INSERT VALUES accept UNCORRELATED
-    * subqueries only; DELETE/UPDATE WHERE conditions additionally take
-    * correlated ones via the join lowering
-    * ([[GraftCorrelatedDmlCommand]]). */
+  /** Defense-in-depth: positions whose correlated forms route through
+    * the join/lookup lowerings ([[GraftCorrelatedDmlCommand]],
+    * [[MergeAuxSpec]]) call this on the REMAINING expression — any
+    * correlated subquery still present here slipped past a lowering
+    * and would evaluate wrongly, so it fails loudly. */
   private[engine] def checkUncorrelated(e: Expression,
       stmt: String): Unit = e.foreach {
     case s: org.apache.spark.sql.catalyst.expressions
         .SubqueryExpression =>
       require(s.getOuterAttrs.isEmpty,
-        s"graft $stmt: correlated subqueries are only supported in " +
-          "DELETE/UPDATE WHERE conditions — rewrite as MERGE against " +
-          "the subquery's result, or pre-join it into a source table")
+        s"graft $stmt: a correlated subquery in this position is not " +
+          "supported — pre-join it into a source table")
     case _ => ()
   }
 
