@@ -94,7 +94,9 @@ object GraftMaintenance {
     override val output: Seq[AttributeReference] = Seq(
       AttributeReference("versions_expired", IntegerType,
         nullable = false)(),
-      AttributeReference("versions_kept", LongType, nullable = false)())
+      AttributeReference("versions_kept", LongType, nullable = false)(),
+      AttributeReference("orphans_deleted", IntegerType,
+        nullable = false)())
     override def run(spark: SparkSession): Seq[Row] = {
       val dir = dirOf(spark, table)
       val keepVersions = unit match {
@@ -115,8 +117,12 @@ object GraftMaintenance {
             .takeWhile(_._2 >= cutoff).length)
       }
       val n = StatsManifest.expire(spark, dir, keepVersions)
+      // crashed-compaction orphans (rename-first protocol) reclaim on
+      // the same cadence as superseded snapshot bytes
+      val orphans = StatsManifest.vacuumOrphans(spark, dir)
       refreshTarget(spark, dir, table)
-      Seq(Row(n, StatsManifest.versions(spark, dir).length.toLong))
+      Seq(Row(n, StatsManifest.versions(spark, dir).length.toLong,
+        orphans))
     }
   }
 

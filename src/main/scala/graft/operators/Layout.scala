@@ -341,22 +341,42 @@ object Layout {
       val base = new Path(rel).getName
       new Path(parent.foldLeft(dirPath)(new Path(_, _)), s"ac-$base")
     }
-    val adds = staged.map(p =>
-      p -> StatsManifest.fileKey(fs.makeQualified(finalPath(p))))
+    // RENAME FIRST, COMMIT AFTER: manifest-routed readers cannot see a
+    // data file the manifest doesn't name, so an `ac-*` file renamed
+    // into place before its commit is invisible — a crash anywhere in
+    // this window leaves the table fully readable at the old snapshot
+    // and at worst some unmanifested orphans (which reconciliation
+    // refuses to adopt and VACUUM reclaims — StatsManifest.update /
+    // vacuumOrphans). The inverse order (commit first) had a window
+    // where the live manifest named files absent from their final
+    // paths: any reader planning there hit the vanished-file error and
+    // a crash left the table unreadable until manual repair.
+    val adds = staged.map { src =>
+      val dst = fs.makeQualified(finalPath(src))
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(src, dst),
+        s"autoCompact: rename $src -> $dst failed; staged copy intact " +
+          "and nothing committed — clean the ac-* files or re-run")
+      dst -> StatsManifest.fileKey(dst)
+    }
     val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
-    val r = StatsManifest.commitFileOps(spark, dir, adds, keys.toSet,
-      sc, bc, expectedVersion = analyzed,
-      addsBasePath = if (partCols.isEmpty) None else Some(staging.toString),
-      op = Some("optimize"))
-    adds.foreach { case (src, key) =>
-      if (r.addKeys.contains(key)) {
-        val dst = finalPath(src)
-        fs.mkdirs(dst.getParent)
-        require(fs.rename(src, dst),
-          s"autoCompact: rename $src -> $dst failed; staged copy intact " +
-            "and the committed manifest names the final keys — finish " +
-            "the renames")
+    val r =
+      try StatsManifest.commitFileOps(spark, dir, adds, keys.toSet,
+        sc, bc, expectedVersion = analyzed,
+        addsBasePath = if (partCols.isEmpty) None else Some(dir),
+        op = Some("optimize"))
+      catch { case e: Throwable =>
+        // nothing committed: the renamed-in files are unmanifested —
+        // remove them so a lost race leaves zero residue (a hard crash
+        // here leaves orphans for VACUUM instead)
+        adds.foreach { case (p, _) => fs.delete(p, false) }
+        fs.delete(staging, true)
+        throw e
       }
+    // an EMPTY output slot produced no stats row and was not committed
+    // — its renamed file is an unmanifested orphan; remove it now
+    adds.foreach { case (p, key) =>
+      if (!r.addKeys.contains(key)) fs.delete(p, false)
     }
     fs.delete(staging, true)
     (keys.size, r.addKeys.size)

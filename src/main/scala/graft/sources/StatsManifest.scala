@@ -1163,6 +1163,40 @@ object StatsManifest {
     drop.length
   }
 
+  /** Reclaim crashed-compaction orphans: `ac-*` data files that NO
+    * retained manifest version names and no tombstone retains.
+    * [[graft.operators.Layout.autoCompact]] renames its packed files
+    * into place BEFORE committing (so a crash never leaves the live
+    * manifest naming absent files); the flip side is that a hard crash
+    * between the renames and the commit leaves unmanifested `ac-*`
+    * files in the table dir. They are invisible to manifest-routed
+    * readers and refused by [[update]]/[[write]] reconciliation, so the
+    * only cost is bytes — reclaimed here on the VACUUM cadence. Files
+    * younger than `minAgeMs` are spared: a LIVE concurrent compactor
+    * sits in exactly this state between its renames and its commit.
+    * Returns the number of files deleted. */
+  def vacuumOrphans(spark: SparkSession, dir: String,
+      minAgeMs: Long = 600000L): Int = {
+    val dirPath = new Path(dir)
+    val fsys = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return 0
+    val candidates = listDataFiles(fsys, dirPath)
+      .filter(_.getName.startsWith("ac-"))
+    if (candidates.isEmpty) return 0
+    val named = vs.iterator.flatMap { v =>
+      try keysAt(spark, dir, v).iterator
+      catch { case _: Exception => Iterator.empty } // expired mid-walk
+    }.toSet ++ removedLatest(spark, dir)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    candidates.iterator
+      .filter(p => !named.contains(fileKey(p)))
+      .filter(p =>
+        try fsys.getFileStatus(p).getModificationTime <= cutoff
+        catch { case _: Exception => false })
+      .count(p => fsys.delete(p, false))
+  }
+
   /** Every data file under `dir`, recursively (Hive-partitioned layouts
     * keep data under `p=…` dirs); anything under a hidden (`_`/`.`)
     * component is metadata, not data — and those subtrees are PRUNED
@@ -1383,10 +1417,24 @@ object StatsManifest {
     // them. Trim the carried set to files still physically present.
     val removed = removedLatest(spark, dir)
     lazy val listed = listDataFiles(fsys, dirPath)
+    // an `ac-*` file absent from the current manifest is a crashed
+    // auto-compaction's orphan (rename-first protocol) — its rows still
+    // live in the originals; a rebuild must not adopt it either
+    val orphans: Set[String] = {
+      val live =
+        try latestVersion(spark, dir)
+          .map(l => keysAt(spark, dir, l)).getOrElse(Set.empty[String])
+        catch { case _: Exception => Set.empty[String] }
+      if (live.isEmpty) Set.empty
+      else listed.iterator.map(fileKey).filter(k =>
+        new Path(k).getName.startsWith("ac-") && !live.contains(k) &&
+          !removed.contains(k)).toSet
+    }
     val df =
-      if (removed.isEmpty) full
+      if (removed.isEmpty && orphans.isEmpty) full
       else {
-        val live = listed.filterNot(p => removed.contains(fileKey(p)))
+        val dead = removed ++ orphans
+        val live = listed.filterNot(p => dead.contains(fileKey(p)))
         spark.read.option("basePath", dir).schema(full.schema)
           .parquet(live.map(_.toString).toIndexedSeq: _*)
       }
@@ -1475,7 +1523,14 @@ object StatsManifest {
     // deletes them, the scan below recomputes them from the rewritten
     // bytes (an add with the same key replaces within one version)
     val coveredKeys = coveredAll -- invalidate
-    val newPaths = dataFiles.filter(p => !coveredKeys.contains(fileKey(p)))
+    // an UNMANIFESTED `ac-*` file is a crashed auto-compaction's orphan
+    // (or a concurrent compactor mid-swap: it renames in BEFORE its
+    // commit — Layout.autoCompact). Its rows still live in the original
+    // small files, so adopting it would duplicate them; skip — VACUUM
+    // reclaims true orphans (vacuumOrphans)
+    val newPaths = dataFiles.filter(p =>
+      !coveredKeys.contains(fileKey(p)) &&
+        !(p.getName.startsWith("ac-") && !coveredAll.contains(fileKey(p))))
     // the DELTA: entries whose file vanished (or was invalidated)
     // leave; fresh stats for uncovered files enter — O(delta), never a
     // rewrite of the carried set (the checkpoint cadence amortizes the
@@ -2106,7 +2161,13 @@ object StatsManifest {
         * bytes physically retained for snapshot/CDC reads but dead to
         * the current table state. Disjoint from `allow`'s job: a file
         * neither allowed-out nor denied nor manifested (a fresh append)
-        * is still conservatively kept. */
+        * is still conservatively kept — EXCEPT the `ac-*` namespace,
+        * which is manifest-authoritative: auto-compaction renames its
+        * packed files in BEFORE committing (rename-first crash
+        * protocol, Layout.autoCompact), so an unmanifested `ac-*` file
+        * is either a compactor mid-swap or a crashed compactor's
+        * orphan; its rows still live in the originals and reading it
+        * would double-count. */
       val deny: Set[String] = Set.empty) extends FileIndex {
     val selected = new AtomicLong(-1L)
     val total = new AtomicLong(-1L)
@@ -2118,8 +2179,12 @@ object StatsManifest {
           inner.inputFiles.filter(f => keys.contains(fileKey(new Path(f))))
         case None => inner.inputFiles
       }
-      if (deny.isEmpty) base
-      else base.filterNot(f => deny.contains(fileKey(new Path(f))))
+      val live = if (deny.isEmpty) base
+        else base.filterNot(f => deny.contains(fileKey(new Path(f))))
+      live.filterNot { f =>
+        val p = new Path(f)
+        p.getName.startsWith("ac-") && !stats.contains(fileKey(p))
+      }
     }
     override def refresh(): Unit = inner.refresh()
     /** The LIVE byte size, from manifest-carried file lengths, when
@@ -2162,6 +2227,8 @@ object StatsManifest {
         val kept = pd.files.filter { f =>
           val k = fileKey(f.getPath)
           if (deny.contains(k) || !allow.forall(_.contains(k))) false
+          else if (f.getPath.getName.startsWith("ac-") &&
+            !stats.contains(k)) false // mid-swap / crashed-compactor
           else {
             tot += 1
             val keep = stats.get(k)
