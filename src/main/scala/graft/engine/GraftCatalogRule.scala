@@ -70,6 +70,15 @@ final case class GraftCatalogRule(spark: SparkSession)
               GraftDml.Held(expr), Some(t.tableName))
         }
 
+      // r13: dynamic-partition overwrite (partitionOverwriteMode=
+      // dynamic, or PARTITION (p) with no value) — replace exactly
+      // the partitions present in the query, one 'replace' commit
+      case o: OverwritePartitionsDynamic
+          if graftTable(o.table).isDefined && o.resolved =>
+        val t = graftTable(o.table).get
+        GraftDml.GraftDynamicOverwriteCommand(t.dir, o.query,
+          Some(t.tableName))
+
       case ctas: CreateTableAsSelect if ctas.query.resolved =>
         ctas.name match {
           case ResolvedIdentifier(catalog: GraftCatalog, ident) =>

@@ -364,28 +364,80 @@ object GraftDml {
     }
   }
 
-  /** Static-partition INSERT (r12): `INSERT INTO|OVERWRITE t PARTITION
-    * (p = v[, …]) SELECT …`. The spec'd columns inject as literals cast
-    * to their stored types; OVERWRITE lowers to
-    * [[RowOps.overwriteWhere]] — delete-the-partition + append under
-    * ONE manifest commit, so a reader sees the old partition or the
-    * new one, never the gap — and INTO to the ordinary
-    * manifest-committing append. Dynamic specs (`PARTITION (p)`) stay
-    * declared out (write the values in the query). */
+  /** DYNAMIC-partition overwrite core — the backfill workhorse:
+    * replace EXACTLY the partitions present in the incoming frame,
+    * leave every other partition untouched, all under ONE 'replace'
+    * commit (old partitions or new, never the gap; the version-offset
+    * streams skip it like any other replace). The replaced set derives
+    * from one `distinct()` over the dynamic partition columns —
+    * O(partitions touched) on the driver, the lakehouse convention
+    * (bounded by partition cardinality, never row-scale); the incoming
+    * frame is persisted for the op so a non-deterministic query can't
+    * disagree between the partition derivation and the written rows.
+    * Reference analogue: the partitioned FileSystem sink's dynamic
+    * partition commit
+    * (flink-table-runtime-blink/…/filesystem/PartitionLoader.java). */
+  private[engine] def dynamicOverwrite(spark: SparkSession, dir: String,
+      aligned: org.apache.spark.sql.DataFrame,
+      staticCond: Option[org.apache.spark.sql.Column],
+      dynCols: Seq[String], sc: Seq[String], bc: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val pinned = aligned.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vs = pinned.select(dynCols.map(col): _*).distinct().collect()
+      // Hive's own semantics: no rows → no partitions replaced, no-op
+      if (vs.isEmpty) return
+      require(vs.length <= 4096,
+        s"graft INSERT OVERWRITE: the query carries ${vs.length} " +
+          "distinct dynamic partitions (max 4096) — backfill in slices " +
+          "or overwrite with an explicit WHERE")
+      // null-safe per-tuple equality: a NULL partition value addresses
+      // the null partition dir, exactly like the write side lands it
+      val dynCond = vs.iterator.map(r =>
+        dynCols.zipWithIndex.map { case (c, i) =>
+          col(c) <=> lit(r.get(i))
+        }.reduce(_ && _)).reduce(_ || _)
+      val cond = staticCond.map(_ && dynCond).getOrElse(dynCond)
+      RowOps.overwriteWhere(spark, dir, cond, pinned, sc, bc)
+      ()
+    } finally { pinned.unpersist(false); () }
+  }
+
+  /** Partition-spec'd INSERT: `INSERT INTO|OVERWRITE t PARTITION
+    * (p = v[, q][, …]) SELECT …`. STATIC columns (`p = v`) inject as
+    * literals cast to their stored types and the query supplies the
+    * rest in table-schema order; DYNAMIC columns (`q`, no value — r13)
+    * stay query-supplied and must be table partition columns. OVERWRITE
+    * replaces under ONE manifest commit: the static form deletes the
+    * spec'd partition ([[RowOps.overwriteWhere]]); the dynamic form
+    * replaces exactly the partitions PRESENT IN THE DATA
+    * ([[dynamicOverwrite]] — always the dynamic semantics on a graft
+    * table, never static mode's silent delete-everything-matching).
+    * INTO is the ordinary manifest-committing append either way. */
   final case class GraftInsertPartitionCommand(dir: String,
       query: LogicalPlan, overwrite: Boolean,
-      spec: Seq[(String, String)], table: Option[String])
+      spec: Seq[(String, Option[String])], table: Option[String])
       extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(query)
     override def run(spark: SparkSession): Seq[Row] = {
       import org.apache.spark.sql.functions.{col, lit}
       val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
       val schema = StatsManifest.tableSchema(spark, dir)
-      val specMap = spec.map { case (n, v) => n.toLowerCase -> v }.toMap
+      val specMap = spec.collect {
+        case (n, Some(v)) => n.toLowerCase -> v }.toMap
+      val dynCols = spec.collect { case (n, None) => n }
       val bad = spec.map(_._1).filterNot(n =>
         schema.fieldNames.exists(_.equalsIgnoreCase(n)))
       require(bad.isEmpty, "graft INSERT: PARTITION columns not in " +
         s"the table: ${bad.mkString(", ")}")
+      val partCols = StatsManifest.tablePartitionCols(spark, dir)
+      val badDyn = dynCols.filterNot(n =>
+        partCols.exists(_.equalsIgnoreCase(n)))
+      require(badDyn.isEmpty, "graft INSERT: dynamic PARTITION " +
+        s"columns must be table partition columns; " +
+        s"${badDyn.mkString(", ")} is not (table partitions: " +
+        s"${partCols.mkString(", ")})")
       val rest = schema.filterNot(f =>
         specMap.contains(f.name.toLowerCase))
       val src = GraftSqlBridge.ofRows(spark, query)
@@ -400,21 +452,58 @@ object GraftDml {
           case None => col(f.name).cast(f.dataType).as(f.name)
         }
       }.toIndexedSeq: _*)
-      if (overwrite) {
-        val cond = spec.map { case (n, v) =>
+      if (overwrite && dynCols.nonEmpty) {
+        val staticCond = spec.collect { case (n, Some(v)) =>
           val f = schema.find(_.name.equalsIgnoreCase(n)).get
           col(f.name) === lit(v).cast(f.dataType)
+        }.reduceOption(_ && _)
+        val dynNames = dynCols.map(n =>
+          schema.find(_.name.equalsIgnoreCase(n)).get.name)
+        dynamicOverwrite(spark, dir, aligned, staticCond, dynNames,
+          sc, bc)
+      } else if (overwrite) {
+        val cond = spec.map { case (n, v) =>
+          val f = schema.find(_.name.equalsIgnoreCase(n)).get
+          col(f.name) === lit(v.get).cast(f.dataType)
         }.reduce(_ && _)
         RowOps.overwriteWhere(spark, dir, cond, aligned, sc, bc)
+        ()
       } else {
-        val partCols = StatsManifest.tablePartitionCols(spark, dir)
         val writer0 = StatsManifest.writePhysical(aligned, schema)
           .write.mode("append")
         val writer = if (partCols.isEmpty) writer0
           else writer0.partitionBy(partCols: _*)
         writer.parquet(dir)
         StatsManifest.update(spark, dir, sc, bloomCols = bc)
+        ()
       }
+      refreshRelation(spark, dir, table)
+      Seq.empty
+    }
+  }
+
+  /** DSv2 dynamic-partition overwrite (r13): the catalog's
+    * `OverwritePartitionsDynamic` node (`INSERT OVERWRITE graft.db.t
+    * PARTITION (p) …` under partitionOverwriteMode=dynamic, or a
+    * bare `INSERT OVERWRITE` in dynamic mode) — replace exactly the
+    * partitions present in the query via [[dynamicOverwrite]]. */
+  final case class GraftDynamicOverwriteCommand(dir: String,
+      query: LogicalPlan, table: Option[String])
+      extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(query)
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.col
+      val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
+      val schema = StatsManifest.tableSchema(spark, dir)
+      val partCols = StatsManifest.tablePartitionCols(spark, dir)
+      require(partCols.nonEmpty,
+        "graft INSERT OVERWRITE (dynamic): the table has no partition " +
+          "columns — use a plain INSERT OVERWRITE")
+      val src = GraftSqlBridge.ofRows(spark, query)
+        .toDF(schema.fieldNames.toIndexedSeq: _*)
+      val aligned = src.select(schema.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      dynamicOverwrite(spark, dir, aligned, None, partCols, sc, bc)
       refreshRelation(spark, dir, table)
       Seq.empty
     }
@@ -596,18 +685,11 @@ final case class GraftDmlRule(spark: SparkSession)
       case i: InsertIntoStatement if i.query.resolved =>
         manifestedDir(i.table) match {
           case Some((dir, tbl)) if i.partitionSpec.nonEmpty =>
-            val dyn = i.partitionSpec.collect { case (k, None) => k }
-            require(dyn.isEmpty,
-              "graft INSERT: dynamic PARTITION specs are not " +
-                s"supported (${dyn.mkString(", ")}) — write the " +
-                "partition column values in the query")
             require(i.userSpecifiedCols.isEmpty && !i.byName,
               "graft INSERT: a PARTITION spec cannot combine with a " +
                 "column list")
             GraftDml.GraftInsertPartitionCommand(dir, i.query,
-              i.overwrite,
-              i.partitionSpec.toSeq.map { case (k, v) => k -> v.get },
-              tbl)
+              i.overwrite, i.partitionSpec.toSeq, tbl)
           case Some((dir, tbl)) =>
             GraftDml.GraftInsertCommand(dir, i.query, i.overwrite,
               i.userSpecifiedCols, i.byName, tbl)

@@ -407,6 +407,46 @@ object RowOpsQueries {
              |ORDER BY 1, 2, 3, 4""".stripMargin)),
 
     Query(
+      // DYNAMIC-partition INSERT OVERWRITE (r13): PARTITION (p) with no
+      // value — replace exactly the partitions PRESENT in the query's
+      // output (p ∈ {1, 3} here), leave p ∈ {0, 2} untouched, one
+      // 'replace' commit. The backfill workhorse: the oracle recomputes
+      // the same per-partition replacement as a pure query.
+      "q_rowops_overwrite_dyn",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+          .withColumn("p", (col("l_orderkey") % 4).cast("int"))
+        val dir = tmp("graft_iod_q_", d)
+        li.repartition(4, col("p")).write.mode("overwrite")
+          .partitionBy("p").parquet(dir)
+        StatsManifest.write(s, dir, Seq("l_orderkey"))
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(10)
+        val tbl = "graft_iod_" + h
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+          s"OPTIONS (path '$dir')")
+        li.createOrReplaceTempView(s"graft_iod_src_$h")
+        s.sql(s"""INSERT OVERWRITE $tbl PARTITION (p)
+          |SELECT l_orderkey + 200000000, l_partkey, l_quantity + 0.25, p
+          |FROM graft_iod_src_$h WHERE p IN (1, 3) AND l_quantity <= 5
+          |""".stripMargin)
+        s.table(tbl).orderBy(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity"), col("p"))
+      },
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, l_partkey, l_quantity,
+             |    CAST(l_orderkey % 4 AS INT) AS p FROM lineitem)
+             |SELECT * FROM base WHERE p NOT IN (1, 3)
+             |UNION ALL
+             |SELECT l_orderkey + 200000000, l_partkey,
+             |  l_quantity + 0.25, p
+             |FROM base WHERE p IN (1, 3) AND l_quantity <= 5
+             |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    Query(
       // SQL INSERT (r10): INSERT INTO ... SELECT and a named-column
       // VALUES insert over a manifested catalog table — the rule
       // claims the parsed InsertIntoStatement so the files land WITH

@@ -42,6 +42,10 @@ class ConcurrentWriterPropSpec extends AnyFunSuite {
     for (seed <- Seq(7, 19)) runOne(seed)
   }
 
+  private def isCme(e: Throwable): Boolean =
+    e != null && (e.isInstanceOf[java.util.ConcurrentModificationException]
+      || isCme(e.getCause))
+
   private def retrying[T](what: String)(body: => T): T = {
     var attempts = 0
     while (true) {
@@ -50,9 +54,9 @@ class ConcurrentWriterPropSpec extends AnyFunSuite {
         // key-dependent ops lose the race whenever the live writer
         // commits inside their window — with a continuous ~2s-cadence
         // writer that is often; keep retrying (each attempt re-analyzes
-        // the new latest, so a retry is always semantically fresh)
-        case _: java.util.ConcurrentModificationException
-            if attempts < 16 =>
+        // the new latest, so a retry is always semantically fresh).
+        // Cause-chain walk: the SQL front door may wrap the CME.
+        case e: Exception if attempts < 16 && isCme(e) =>
           attempts += 1
           Thread.sleep(30L * attempts)
       }
@@ -79,6 +83,11 @@ class ConcurrentWriterPropSpec extends AnyFunSuite {
       .write.partitionBy("p").parquet(dir)
     StatsManifest.write(spark, dir, Seq("k"))
     var snaps = Vector(StatsManifest.latestVersion(spark, dir).get -> model)
+    // SQL front door for the dynamic-partition overwrite op (r13)
+    val fuzzTbl = s"cw_fuzz_$seed"
+    spark.sql(s"DROP TABLE IF EXISTS $fuzzTbl")
+    spark.sql(s"CREATE TABLE $fuzzTbl USING `graft-manifest` " +
+      s"OPTIONS (path '$dir')")
 
     // the live writer: keyed changelog with keys ≥ 10000; seq strictly
     // increasing so keep-last is deterministic; ~6% deletes
@@ -129,7 +138,7 @@ class ConcurrentWriterPropSpec extends AnyFunSuite {
         // writer's commits land conflict-free (constant max-rate DML
         // on one table would just ping-pong conflicts)
         Thread.sleep(rnd.nextInt(250).toLong)
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 =>
             val a = rnd.nextInt(400).toLong
             val b = a + rnd.nextInt(60) + 1
@@ -173,6 +182,22 @@ class ConcurrentWriterPropSpec extends AnyFunSuite {
               rows.toDF("k", "m", "p"), Seq("k")))
             model = model.filterNot { case (k, _) => k >= a && k < b } ++
               rows.map(r => (r._1, r._2))
+          case 6 => // r13: DYNAMIC-partition INSERT OVERWRITE racing
+            // the stream — the incoming frame touches only partition
+            // 'd', so exactly the DML partition is replaced (the
+            // backfill shape: recompute-the-partition) while the
+            // stream's 's' partition rides through the rebase
+            val rows = model.map { case (k, m) => (k, m + 1L) } ++
+              Seq.fill(rnd.nextInt(3))(
+                (700L + rnd.nextInt(50), step.toLong))
+            val dedup = rows.groupBy(_._1).map(_._2.head).toVector
+            dedup.map { case (k, m) => (k, m, "d") }
+              .toDF("k", "m", "p")
+              .createOrReplaceTempView(s"cw_dyn_src_$seed")
+            retrying("overwriteDyn")(spark.sql(
+              s"INSERT OVERWRITE $fuzzTbl PARTITION (p) " +
+                s"SELECT k, m, p FROM cw_dyn_src_$seed").collect())
+            if (dedup.nonEmpty) model = dedup
           case 4 => // maintenance under fire
             rnd.nextInt(2) match {
               case 0 => retrying("compact")(

@@ -171,6 +171,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("dynamic-partition INSERT OVERWRITE on a catalog name: the v2 " +
+      "OverwritePartitionsDynamic replaces exactly the partitions " +
+      "present in the data, one 'replace' commit") {
+    val t = tbl()
+    spark.sql(s"CREATE TABLE $t PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('statsCols' = 'k') " +
+      "AS SELECT id AS k, CAST(id % 3 AS INT) AS p FROM range(300)")
+    val saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // PARTITION (p) with no value: p ∈ {0, 1} present → replaced;
+      // p = 2's 100 rows untouched
+      spark.sql(s"INSERT OVERWRITE $t PARTITION (p) " +
+        "SELECT id AS k, CAST(id % 2 AS INT) AS p FROM range(4000, 4020)")
+      assert(spark.sql(s"SELECT count(*) FROM $t WHERE p = 0")
+        .as[Long].head() === 10L)
+      assert(spark.sql(s"SELECT count(*) FROM $t WHERE p = 1")
+        .as[Long].head() === 10L)
+      assert(spark.sql(s"SELECT count(*) FROM $t WHERE p = 2")
+        .as[Long].head() === 100L)
+      // the bare form takes the same path in dynamic mode
+      spark.sql(s"INSERT OVERWRITE $t " +
+        "SELECT id AS k, CAST(2 AS INT) AS p FROM range(5000, 5004)")
+      assert(spark.sql(s"SELECT count(*) FROM $t WHERE p = 2")
+        .as[Long].head() === 4L)
+      assert(spark.sql(s"SELECT count(*) FROM $t WHERE p < 2")
+        .as[Long].head() === 20L)
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", saved)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("DML matrix on catalog names: DELETE, UPDATE, MERGE, and the " +
       "changefeed TVF — zero OPTIONS") {
     val t = tbl()

@@ -129,7 +129,7 @@ class SqlDmlSpec extends AnyFunSuite {
 
   test("static-partition INSERT OVERWRITE replaces exactly the " +
       "partition under ONE commit; INTO appends into it; dynamic " +
-      "specs stay a loud error") {
+      "specs replace exactly the partitions present in the data") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_sqldml_iop").toString + "/t"
     (0 until 300).map(i => (i.toLong, (i % 3))).toDF("k", "p")
@@ -163,12 +163,32 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(ch.groupBy("_change_type").count()
       .as[(String, Long)].collect().toSet ===
       Set(("delete", 100L), ("insert", 10L)))
-    // dynamic partition specs stay declared out, loudly
+    // DYNAMIC partition spec (r13): replace exactly the partitions
+    // present in the incoming data — p ∈ {0, 1} here — leave p = 2
+    // (105 rows after the INTO above) untouched; ONE 'replace' commit
+    val vDyn = StatsManifest.versions(spark, dir).last
+    spark.sql("INSERT OVERWRITE dml_iop PARTITION (p) " +
+      "SELECT id AS k, CAST(id % 2 AS INT) AS p FROM range(6000, 6020)")
+    assert(spark.sql("SELECT count(*) FROM dml_iop WHERE p = 0")
+      .as[Long].head() === 10L)
+    assert(spark.sql("SELECT count(*) FROM dml_iop WHERE p = 1")
+      .as[Long].head() === 10L)
+    assert(spark.sql("SELECT count(*) FROM dml_iop WHERE p = 2")
+      .as[Long].head() === 105L)
+    assert(StatsManifest.versions(spark, dir).last === vDyn + 1,
+      "dynamic overwrite must be ONE commit")
+    assert(StatsManifest.opAt(spark, dir, vDyn + 1).contains("replace"))
+    // Hive's own edge: an EMPTY incoming set replaces nothing
+    val total = spark.table("dml_iop").count()
+    spark.sql("INSERT OVERWRITE dml_iop PARTITION (p) " +
+      "SELECT id AS k, CAST(id AS INT) AS p FROM range(0)")
+    assert(spark.table("dml_iop").count() === total)
+    // a dynamic column that is NOT a partition column is a loud error
     val e = intercept[Exception] {
-      spark.sql("INSERT OVERWRITE dml_iop PARTITION (p) " +
-        "SELECT id AS k, 1 AS p FROM range(3)")
+      spark.sql("INSERT OVERWRITE dml_iop PARTITION (k) " +
+        "SELECT id AS k, CAST(0 AS INT) AS p FROM range(3)")
     }
-    assert(e.getMessage.contains("dynamic"), e.getMessage)
+    assert(e.getMessage.contains("partition columns"), e.getMessage)
     spark.sql("DROP TABLE dml_iop")
   }
 
