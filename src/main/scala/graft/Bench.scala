@@ -377,12 +377,18 @@ object Bench {
               s""""ivf_learned_nprobe$np":{"sec":${f"$t%.3f"},""" +
                 s""""recall_at_3":${f"$recall%.3f"}}"""
             }
-            s""","ann_clustered":{"n":20000,"dim":32,"centers":$kC,""" +
-              s""""truth":"exhaustive","k":3,""" +
+            s""","ann_clustered":{"fixture":"16-center mixture """ +
+              s"""(production geometry)","n":20000,"dim":32,""" +
+              s""""centers":$kC,"truth":"exhaustive","k":3,""" +
               s""""fit_sec":${f"$fitSec%.3f"},${rows.mkString(",")}}"""
           } finally emb.unpersist()
         }
-        s""","ann":{"truth":"q_knn_native","k":3,""" +
+        // the fixture marker: a reader of BENCH_rN must not mistake
+        // the near-random floor for the production path (the clustered
+        // section next to it carries that number) — VERDICT r12 #5
+        s""","ann":{"fixture":"near-random embeddings (recall FLOOR; """ +
+          s"""see ann_clustered for production geometry)",""" +
+          s""""truth":"q_knn_native","k":3,""" +
           s""""brute_sec":${f"$tBrute%.3f"},${entries.mkString(",")}$learned}""" +
           clustered
       } catch { case e: Throwable =>

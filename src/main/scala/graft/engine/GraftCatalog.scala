@@ -190,7 +190,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val partCols = partitions.toSeq.map(GraftCatalog.identityCol)
     val (statsCols, bloomCols) = GraftCatalog.statsConfig(schema, props)
     StatsManifest.createEmpty(spark, dir, schema, statsCols, bloomCols,
-      partCols)
+      partCols, extraProps = GraftCatalog.userProps(props))
     GraftTable(s"$catalogName.${ident.namespace.head}.${ident.name}",
       dir, None)
   }
@@ -221,10 +221,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // metadata-only widening (int-family up, float -> double)
         graft.sources.RowOps.widenColumn(spark, dir,
           ut.fieldNames.head, ut.newDataType)
+      case sp: TableChange.SetProperty =>
+        // policy properties (autoCompact.*, retention.*, manifest.*)
+        // round-trip through the sidecar; layout keys are the table's
+        // physical identity and refuse to change after create
+        require(!GraftCatalog.ReservedProps.contains(sp.property),
+          s"graft catalog: table property '${sp.property}' is fixed " +
+            "at CREATE TABLE")
+        StatsManifest.writeTableProps(spark, dir,
+          StatsManifest.tableProps(spark, dir) +
+            (sp.property -> sp.value))
+      case rp: TableChange.RemoveProperty =>
+        require(!GraftCatalog.ReservedProps.contains(rp.property),
+          s"graft catalog: table property '${rp.property}' is fixed " +
+            "at CREATE TABLE")
+        StatsManifest.writeTableProps(spark, dir,
+          StatsManifest.tableProps(spark, dir) - rp.property)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other " +
           "(ADD COLUMNS / DROP COLUMN / RENAME COLUMN / widening " +
-          "ALTER COLUMN TYPE are)")
+          "ALTER COLUMN TYPE / SET-UNSET TBLPROPERTIES are)")
     }
     spark.catalog.refreshByPath(dir)
     loadTable(ident)
@@ -265,6 +281,19 @@ private[graft] object GraftCatalog {
     t.references.head.fieldNames.head
   }
 
+  /** Layout keys the engine derives itself, plus the keys Spark
+    * injects into every CREATE — everything else in TBLPROPERTIES is
+    * a user property persisted to the `_table.props` sidecar (policy
+    * keys like `autoCompact.minFiles` — StatsManifest.tablePolicy). */
+  private[engine] val ReservedProps = Set("partitionCols", "statsCols",
+    "bloomCols", "zorder", "numFiles", "provider", "location", "owner",
+    "comment", "external")
+
+  private[engine] def userProps(
+      props: Map[String, String]): Map[String, String] =
+    props.filterNot { case (k, _) =>
+      ReservedProps.contains(k) || k.startsWith("option.") }
+
   /** (statsCols, bloomCols) for a new table: `statsCols`/`bloomCols`
     * TBLPROPERTIES when given, else stats on every column with an
     * order-exact domain — pruning-ready by default. */
@@ -297,7 +326,8 @@ private[graft] final case class GraftTable(tableName: String, dir: String,
       .map(n => org.apache.spark.sql.connector.expressions.Expressions
         .identity(n)).toArray
   override def properties(): JMap[String, String] =
-    Map("provider" -> "graft-manifest", "location" -> dir).asJava
+    (StatsManifest.tableProps(spark, dir) ++
+      Map("provider" -> "graft-manifest", "location" -> dir)).asJava
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(

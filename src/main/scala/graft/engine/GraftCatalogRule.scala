@@ -176,10 +176,11 @@ final case class GraftCtasCommand(catalog: GraftCatalog,
       if (partCols.isEmpty) writer0 else writer0.partitionBy(partCols: _*)
     writer.parquet(dir)
     StatsManifest.write(spark, dir, statsCols, bloomCols)
-    StatsManifest.writeTableProps(spark, dir, Map(
-      "partitionCols" -> partCols.mkString(","),
-      "statsCols" -> statsCols.mkString(","),
-      "bloomCols" -> bloomCols.mkString(",")))
+    StatsManifest.writeTableProps(spark, dir,
+      GraftCatalog.userProps(props) ++ Map(
+        "partitionCols" -> partCols.mkString(","),
+        "statsCols" -> statsCols.mkString(","),
+        "bloomCols" -> bloomCols.mkString(",")))
     Seq.empty
   }
 }

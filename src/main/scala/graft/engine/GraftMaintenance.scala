@@ -146,6 +146,8 @@ object GraftMaintenance {
       AttributeReference("num_rows", LongType, nullable = false)(),
       AttributeReference("size_bytes", LongType, nullable = false)(),
       AttributeReference("partition_columns",
+        org.apache.spark.sql.types.StringType, nullable = false)(),
+      AttributeReference("properties",
         org.apache.spark.sql.types.StringType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] = {
       val dir = dirOf(spark, table)
@@ -159,9 +161,14 @@ object GraftMaintenance {
       }.sum
       val partCols = StatsManifest.scanWithIndex(spark, dir)
         ._2.partitionSchema.fieldNames.mkString(",")
+      // the table-owner-visible policy surface: every sidecar property
+      // except the layout keys already shown in their own columns
+      val props = StatsManifest.tableProps(spark, dir)
+        .filterNot { case (k, _) => k == "partitionCols" }
+        .toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
       Seq(Row("graft-manifest", dir, vs.last, vs.head,
         stats.size.toLong, stats.valuesIterator.map(_.rows).sum,
-        bytes, partCols))
+        bytes, partCols, props))
     }
   }
 

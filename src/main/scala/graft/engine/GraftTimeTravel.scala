@@ -119,11 +119,14 @@ object GraftTimeTravel {
     * byte length (−1 for pre-flen manifests), the manifest version
     * whose dir holds its entry (exact for delta-chain entries; a
     * checkpoint-folded entry reads the checkpoint's slot — "added at
-    * or before"), and the per-column min/max/count stats as a JSON
-    * string (blooms omitted: binary). */
+    * or before"), and the per-column min/max/count stats as a TYPED
+    * struct — `WHERE stats.min_k >= 150` composes directly, no
+    * get_json_object (r13; blooms omitted: binary). Field names drop
+    * the manifest's internal domain tag: `lmin__k` → `min_k`,
+    * `cnt__k` → `cnt_k`, `sum__k` → `sum_k`. */
   def filesTvf(args: Seq[Expression]): LogicalPlan = {
     import org.apache.spark.sql.functions.{col, regexp_extract,
-      regexp_replace, struct, to_json}
+      regexp_replace, struct}
     require(args.length == 1,
       "graft_files(table): wrong arity")
     val spark = SparkSession.active
@@ -145,13 +148,23 @@ object GraftTimeTravel {
         .makeQualified(new org.apache.hadoop.fs.Path(dir)))
     val rel = regexp_replace(col("file"),
       "^" + java.util.regex.Pattern.quote(rootKey + "/"), "")
+    def statField(n: String): String = n match {
+      case x if x.startsWith("lmin__") || x.startsWith("dmin__") ||
+        x.startsWith("smin__") => "min_" + x.drop(6)
+      case x if x.startsWith("lmax__") || x.startsWith("dmax__") ||
+        x.startsWith("smax__") => "max_" + x.drop(6)
+      case x if x.startsWith("sum__") => "sum_" + x.drop(5)
+      case x if x.startsWith("cnt__") => "cnt_" + x.drop(5)
+      case x => x.replace("__", "_")
+    }
     entries.select(
       col("file"),
       regexp_extract(rel, "^(.*)/[^/]*$", 1).as("partition"),
       col("rows"),
       col("flen").as("bytes"),
       col("version_entry").as("version_added"),
-      to_json(struct(statCols.map(col).toIndexedSeq: _*)).as("stats"))
+      struct(statCols.map(n =>
+        col(n).as(statField(n))).toIndexedSeq: _*).as("stats"))
       .queryExecution.analyzed
   }
 }

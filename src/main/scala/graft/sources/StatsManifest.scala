@@ -106,12 +106,15 @@ object StatsManifest {
   /** Auto-checkpoint cadence: every version whose number is a multiple
     * of this commits as a full checkpoint; the rest are deltas. Bounds
     * the fold chain a reader walks AND amortizes the O(files) fold
-    * cost across `interval` O(delta) commits. */
-  private def checkpointInterval(spark: SparkSession): Int = {
-    val n = spark.conf
-      .get("spark.graft.manifest.checkpointInterval", "16").toInt
+    * cost across `interval` O(delta) commits. Per-table first
+    * (`manifest.checkpointInterval` table property), session conf
+    * fallback — a hot streaming table and a slow batch table want
+    * different cadences in one session. */
+  private def checkpointInterval(spark: SparkSession, dir: String): Int = {
+    val n = tablePolicy(spark, dir,
+      "manifest.checkpointInterval", "16").toInt
     require(n >= 1,
-      s"spark.graft.manifest.checkpointInterval must be >= 1, got $n")
+      s"manifest.checkpointInterval must be >= 1, got $n")
     n
   }
 
@@ -630,7 +633,7 @@ object StatsManifest {
       op: Option[String] = None): Long = {
     val mDir = new Path(dir, ManifestDir)
     val fsys = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val interval = checkpointInterval(spark)
+    val interval = checkpointInterval(spark, dir)
 
     def writeText(stage: Path, name: String, content: String): Unit = {
       val out = fsys.create(new Path(stage, name), true)
@@ -1320,6 +1323,22 @@ object StatsManifest {
     finally out.close()
   }
 
+  /** Per-TABLE policy lookup (r13): a 100 TB deployment tunes
+    * compaction/retention/cadence per table, not per session — so a
+    * policy key resolves table property (`_table.props`, set at CREATE
+    * TABLE TBLPROPERTIES or ALTER TABLE SET TBLPROPERTIES) first,
+    * session conf `spark.graft.<key>` second, the engine default last.
+    * Keys: `autoCompact.minFiles`, `autoCompact.targetBytes`,
+    * `manifest.checkpointInterval`, `retention.versions`,
+    * `retention.cdcVersions` (the last two override the sink
+    * parameters when present). One tiny sidecar read per lookup —
+    * callers on a per-commit path batch their lookups through
+    * [[tableProps]] once. */
+  def tablePolicy(spark: SparkSession, dir: String, key: String,
+      default: String): String =
+    tableProps(spark, dir).getOrElse(key,
+      spark.conf.get("spark.graft." + key, default))
+
   def tableProps(spark: SparkSession, dir: String): Map[String, String] = {
     val f = new Path(new Path(dir, ManifestDir), TablePropsFile)
     val fsys = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1378,7 +1397,11 @@ object StatsManifest {
     * append — the entry schema here matches [[statsAggs]]' exactly. */
   def createEmpty(spark: SparkSession, dir: String, schema: StructType,
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil,
+      /** arbitrary create-time table properties (policy keys like
+        * `autoCompact.minFiles` — [[tablePolicy]]); the reserved
+        * layout keys below always win. */
+      extraProps: Map[String, String] = Map.empty): Long = {
     val missing = (statsCols ++ bloomCols ++ partitionCols)
       .filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
@@ -1389,7 +1412,7 @@ object StatsManifest {
     val dirPath = new Path(dir)
     val fsys = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsys.mkdirs(dirPath)
-    writeTableProps(spark, dir, Map(
+    writeTableProps(spark, dir, extraProps ++ Map(
       "partitionCols" -> partitionCols.mkString(","),
       "statsCols" -> statsCols.mkString(","),
       "bloomCols" -> bloomCols.mkString(",")))

@@ -1430,9 +1430,15 @@ object Streams {
         }
         // lazy retention: per-batch cost stays O(delta) — the manifest
         // log's own checkpoint cadence bounds the window at
-        // keep..keep+interval−1 versions without a per-batch fold
+        // keep..keep+interval−1 versions without a per-batch fold.
+        // Table properties override the sink parameters (r13)
+        val props = graft.sources.StatsManifest.tableProps(spk, dir)
         graft.sources.StatsManifest.expire(spk, dir,
-          manifestVersionsToKeep, cdcVersionsToKeep, exact = false)
+          props.get("retention.versions").map(_.toInt)
+            .getOrElse(manifestVersionsToKeep),
+          props.get("retention.cdcVersions").map(_.toInt)
+            .getOrElse(cdcVersionsToKeep),
+          exact = false)
         } finally { last.unpersist(false); () }
         ()
       }
@@ -1484,15 +1490,19 @@ object Streams {
     // each batch commits one manifest version; keep a bounded
     // time-travel window rather than a version per batch forever
     // (lazy: no per-batch fold — overshoot bounded by the
-    // manifest log's checkpoint interval)
+    // manifest log's checkpoint interval). Policy: table property
+    // first, session conf second, default/parameter last (r13 —
+    // one sidecar read per batch serves every key)
+    val props = graft.sources.StatsManifest.tableProps(spk, dir)
+    def pol(key: String, dflt: String): String =
+      props.getOrElse(key, spk.conf.get("spark.graft." + key, dflt))
     graft.sources.StatsManifest.expire(spk, dir,
-      manifestVersionsToKeep, exact = false)
-    val minFiles = spk.conf
-      .get("spark.graft.autoCompact.minFiles", "16").toInt
+      pol("retention.versions", manifestVersionsToKeep.toString).toInt,
+      exact = false)
+    val minFiles = pol("autoCompact.minFiles", "16").toInt
     if (minFiles > 0) {
-      val target = spk.conf
-        .get("spark.graft.autoCompact.targetBytes", (1L << 26).toString)
-        .toLong
+      val target = pol("autoCompact.targetBytes",
+        (1L << 26).toString).toLong
       try graft.operators.Layout.autoCompact(spk, dir, minFiles,
         targetBytes = target,
         exclude = written.map(graft.sources.StatsManifest.fileKey).toSet)

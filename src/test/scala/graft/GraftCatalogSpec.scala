@@ -171,6 +171,65 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("table-level policy properties round-trip: CREATE TBLPROPERTIES " +
+      "→ sidecar → SHOW/DETAIL; ALTER SET/UNSET; property beats " +
+      "session conf beats default") {
+    val t = tbl()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, m BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k', " +
+      "'autoCompact.minFiles' = '8', 'retention.versions' = '12')")
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.asInstanceOf[StatsManifest.ManifestFileIndex]
+          .rootPaths.head.toString
+    }.get
+    // create-time properties landed in the sidecar
+    assert(StatsManifest.tableProps(spark, dir)
+      .get("autoCompact.minFiles").contains("8"))
+    // SHOW TBLPROPERTIES reads them back through the v2 Table handle
+    val shown = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("autoCompact.minFiles").contains("8"), shown)
+    assert(shown.get("retention.versions").contains("12"), shown)
+    // resolution order: table property > session conf > default
+    assert(StatsManifest.tablePolicy(spark, dir,
+      "autoCompact.minFiles", "16") === "8")
+    spark.conf.set("spark.graft.autoCompact.targetBytes", "1234")
+    try assert(StatsManifest.tablePolicy(spark, dir,
+      "autoCompact.targetBytes", "67108864") === "1234")
+    finally spark.conf.unset("spark.graft.autoCompact.targetBytes")
+    assert(StatsManifest.tablePolicy(spark, dir,
+      "autoCompact.targetBytes", "67108864") === "67108864")
+    // ALTER TABLE SET / UNSET TBLPROPERTIES round-trips
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('autoCompact.minFiles' = '4', 'manifest.checkpointInterval' = '4')")
+    assert(StatsManifest.tablePolicy(spark, dir,
+      "autoCompact.minFiles", "16") === "4")
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('retention.versions')")
+    assert(!StatsManifest.tableProps(spark, dir)
+      .contains("retention.versions"))
+    // layout keys are the table's physical identity — loud refusal
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('statsCols' = 'm')")
+    }
+    assert(e.getMessage.contains("fixed at CREATE"), e.getMessage)
+    // DESCRIBE DETAIL surfaces the policy properties
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(10)")
+    val d = spark.sql(s"DESCRIBE DETAIL $t").collect().head
+    val props = d.getString(d.length - 1)
+    assert(props.contains("autoCompact.minFiles=4"), props)
+    assert(props.contains("manifest.checkpointInterval=4"), props)
+    // the per-table checkpoint cadence is live: versions 4 and 8 fold
+    // as checkpoints under the table's own interval
+    (0 until 8).foreach(i =>
+      spark.sql(s"INSERT INTO $t SELECT id + ${100 * i}, id " +
+        "FROM range(5)"))
+    assert(spark.table(t).count() === 50L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("dynamic-partition INSERT OVERWRITE on a catalog name: the v2 " +
       "OverwritePartitionsDynamic replaces exactly the partitions " +
       "present in the data, one 'replace' commit") {

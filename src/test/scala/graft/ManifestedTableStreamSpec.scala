@@ -86,6 +86,52 @@ class ManifestedTableStreamSpec extends AnyFunSuite {
     assert(idx.selected.get() === idx.total.get()) // conservative keep-all
   }
 
+  test("TABLE PROPERTY drives the sink's auto-compaction policy and " +
+      "beats the session conf (r13: per-table tuning at 100 TB)") {
+    val dir = Files.createTempDirectory("graft_mtbl_acp_").toString + "/t"
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    val staging = new Path(dir + ".staging")
+    // session conf says DISABLED; the table's own property says 8 —
+    // the property must win (policy: prop > conf > default)
+    spark.conf.set("spark.graft.autoCompact.minFiles", "0")
+    try {
+      (0 until 60).foreach { i =>
+        val batch = (0 until 20)
+          .map(j => (i.toLong * 20 + j, j.toLong)).toDF("k", "v")
+          .coalesce(1)
+        Streams.appendCommitToManifestedTable(fs, dirPath, staging, dir,
+          i.toLong, batch, Seq("k"), manifestVersionsToKeep = 16)
+        if (i == 4) // property lands AFTER the table exists (ALTER-time)
+          StatsManifest.writeTableProps(spark, dir,
+            StatsManifest.tableProps(spark, dir) +
+              ("autoCompact.minFiles" -> "8"))
+      }
+    } finally spark.conf.unset("spark.graft.autoCompact.minFiles")
+    val live = StatsManifest.read(spark, dir).size
+    assert(live <= 12, s"table-property policy did not fire: $live " +
+      "live files (conf said disabled, property said 8)")
+    assert(StatsManifest.scan(spark, dir).count() === 1200L)
+    assert(StatsManifest.scan(spark, dir)
+      .select("k").distinct().count() === 1200L)
+    // retention.versions property bounds the version window too
+    StatsManifest.writeTableProps(spark, dir,
+      StatsManifest.tableProps(spark, dir) + ("retention.versions" -> "6"))
+    (60 until 80).foreach { i =>
+      val batch = (0 until 20)
+        .map(j => (i.toLong * 20 + j, j.toLong)).toDF("k", "v")
+        .coalesce(1)
+      Streams.appendCommitToManifestedTable(fs, dirPath, staging, dir,
+        i.toLong, batch, Seq("k"), manifestVersionsToKeep = 64)
+    }
+    // lazy expire overshoots by at most the checkpoint interval (16)
+    assert(StatsManifest.versions(spark, dir).length <= 6 + 16,
+      s"retention.versions property ignored: " +
+        s"${StatsManifest.versions(spark, dir).length} versions kept")
+    assert(StatsManifest.scan(spark, dir).count() === 1600L)
+  }
+
   test("auto-compaction keeps a 500-commit append stream BOUNDED: live " +
       "file count, scan task count and row totals stay flat forever") {
     val dir = Files.createTempDirectory("graft_mtbl_ac_").toString + "/t"

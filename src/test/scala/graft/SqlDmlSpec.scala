@@ -218,8 +218,17 @@ class SqlDmlSpec extends AnyFunSuite {
       .toSet === Set("p=0", "p=1", "p=2"))
     assert(f.where(col("version_added") === 2L).count() >= 1L,
       "the delete's replacement file must read version 2")
-    // stats ride as JSON (min/max/count per stats column)
-    assert(f.select("stats").as[String].head().contains("lmin__k"))
+    // stats ride TYPED (r13): one struct field per stat, native types
+    // — range predicates compose in SQL without get_json_object
+    assert(f.schema("stats").dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(f.where(col("stats.cnt_k") === col("rows")).count() ===
+      f.count(), "k is non-null everywhere: cnt == rows per file")
+    val hiFiles = spark.sql("SELECT count(*) FROM " +
+      "graft_files('dml_files') WHERE stats.min_k >= 150")
+      .as[Long].head()
+    assert(hiFiles >= 1L, "typed min_k range predicate must compose")
+    assert(f.agg(min(col("stats.min_k"))).as[Long].head() >= 0L)
     spark.sql("DROP TABLE dml_files")
   }
 
