@@ -120,14 +120,16 @@ object StreamBench {
       start: => org.apache.spark.sql.streaming.StreamingQuery): OpResult = {
     val q = start
     Thread.sleep(durSec * 1000L)
-    // heavy ops (stream-stream joins building 100k+ state rows) can
-    // spend the whole window inside their first batches under load —
-    // extend up to 2× more until at least one steady batch completed,
-    // so the artifact never reports a spurious 0 rows/s
+    // heavy ops (stream-stream joins building 100k+ state rows; whole
+    // copy-on-write merges per batch) can spend the fixed window inside
+    // warmup — the window must scale WITH the warmup cut (r12 verdict:
+    // zero-batch and 1-2-batch cells in the HDFS battery). Extend up to
+    // 4× more until at least MinSteadyBatches post-warmup batches
+    // completed, so every recorded cell is a real sample, not a spike.
+    def steadyCount: Int = q.recentProgress.count(p =>
+      p.batchId >= warmupBatches && p.numInputRows > 0)
     var extraMs = 0L
-    while (extraMs < 2000L * durSec &&
-        !q.recentProgress.exists(p =>
-          p.batchId >= warmupBatches && p.numInputRows > 0)) {
+    while (extraMs < 4000L * durSec && steadyCount < MinSteadyBatches) {
       Thread.sleep(1000L); extraMs += 1000L
     }
     // stop between triggers where possible: a mid-batch stop interrupts
@@ -364,16 +366,42 @@ object StreamBench {
   private def opDurSec(op: String, durSec: Int): Int =
     if (op == "cdc_apply") durSec * 3 else durSec
 
+  /** A recorded cell must be a SAMPLE: at least this many post-warmup
+    * batches behind every p50/rows_per_sec in the artifact (r12
+    * verdict: zero-batch and one-batch HDFS cells read as measurements
+    * when they were holes). measureQuery extends its window to reach
+    * it; the isolated runner retries with a 3× window, then REFUSES to
+    * emit the cell rather than record a spike. */
+  private val MinSteadyBatches = 3
+
   def runOpsIsolated(spark: SparkSession, durSec: Int = 10,
       triggerMs: Long = 500L, provider: Option[String] = None)
       : Seq[OpResult] =
-    OpNames.map { op =>
+    OpNames.flatMap { op =>
       val d = opDurSec(op, durSec)
-      runIsolated(op, d, triggerMs, provider).getOrElse {
+      val first = runIsolated(op, d, triggerMs, provider).getOrElse {
         System.err.println(
           s"[streambench] isolated $op produced no result — " +
             "falling back to in-process")
         runOps(spark, d, triggerMs, provider, only = Some(op)).head
+      }
+      val result =
+        if (first.batches >= MinSteadyBatches) first
+        else {
+          System.err.println(s"[streambench] $op recorded only " +
+            s"${first.batches} steady batches in ${d}s — retrying " +
+            "once at 3x the window")
+          runIsolated(op, d * 3, triggerMs, provider).getOrElse(first)
+        }
+      if (result.batches >= 2) Some(result)
+      else {
+        // refuse the cell: an absent op is a visible hole the round
+        // summary must explain; a zero/one-batch number silently reads
+        // as a measurement
+        System.err.println(s"[streambench] REFUSING to emit $op " +
+          s"(${result.batches} steady batches after retry) — " +
+          "cell omitted from the artifact")
+        None
       }
     }
 
@@ -418,7 +446,9 @@ object StreamBench {
       reader.setDaemon(true)
       reader.start()
       // generous cap: session init + durSec + the extend-window waits
-      if (!proc.waitFor(durSec * 4L + 120L,
+      // (measureQuery may extend by up to 4× durSec to reach its
+      // minimum steady-batch count)
+      if (!proc.waitFor(durSec * 8L + 180L,
           java.util.concurrent.TimeUnit.SECONDS)) {
         proc.destroyForcibly()
         return None
