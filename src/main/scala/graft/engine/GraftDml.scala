@@ -53,9 +53,11 @@ import graft.sources.{RowOps, StatsManifest}
   * distributed join machinery ([[GraftDml.GraftCorrelatedDmlCommand]]);
   * and (r12) MERGE clause conditions and SET/INSERT values accept
   * them too, lowered to per-distinct-refs lookups ([[MergeAuxSpec]])
-  * the merge frames left-join. The one remaining refusal: a correlated
-  * EXISTS/IN inside a SET/INSERT VALUE position (a boolean there is
-  * exotic — move it into the clause condition), with a clear error.
+  * the merge frames left-join — including (r13) correlated EXISTS in
+  * a SET/INSERT VALUE (the condition hit-flag coalesced to false:
+  * EXISTS is two-valued, so the lowering is exact). The one remaining
+  * refusal: three-valued IN in a VALUE position (its UNKNOWN result
+  * has no hit-flag form — rewrite as EXISTS), with a clear error.
   *
   * Reference analogue: DML statements enter the reference through the
   * planner's DDL/DML converter
@@ -809,9 +811,22 @@ final case class GraftDmlRule(spark: SparkSession)
             }
             /** correlated scalars inside a SET/INSERT VALUE → value
               * lookups per distinct ref-combination; the surrounding
-              * computation keeps running in the clause. */
-            def lowerValue(e: Expression, group: Char): Expression =
-              e.transformUp {
+              * computation keeps running in the clause. Correlated
+              * EXISTS in a value (r13) rides the CONDITION machinery:
+              * EXISTS is two-valued, so the hit-flag join's NULL
+              * (no satisfying ref-combination) is exactly FALSE —
+              * `coalesce(flag, false)`. Three-valued IN stays refused:
+              * a hit-flag join cannot represent its UNKNOWN result. */
+            def lowerValue(e: Expression, group: Char): Expression = {
+              val boolLowered = e.transformDown {
+                case s: org.apache.spark.sql.catalyst.expressions
+                    .Exists if s.getOuterAttrs.nonEmpty =>
+                  org.apache.spark.sql.catalyst.expressions.Coalesce(
+                    Seq(lowerCond(s, group),
+                      org.apache.spark.sql.catalyst.expressions
+                        .Literal(false)))
+              }
+              boolLowered.transformUp {
                 case s: org.apache.spark.sql.catalyst.expressions
                     .ScalarSubquery if s.getOuterAttrs.nonEmpty =>
                   val refs = refsOf(s, group, "SET/INSERT value")
@@ -826,10 +841,13 @@ final case class GraftDmlRule(spark: SparkSession)
                 case s: org.apache.spark.sql.catalyst.expressions
                     .SubqueryExpression if s.getOuterAttrs.nonEmpty =>
                   throw new IllegalArgumentException(
-                    "graft MERGE: only correlated SCALAR subqueries " +
-                      "are supported in SET/INSERT values (EXISTS/IN " +
-                      "belong in the clause condition)")
+                    "graft MERGE: correlated SCALAR and EXISTS " +
+                      "subqueries are supported in SET/INSERT values; " +
+                      "three-valued IN is not (its UNKNOWN result has " +
+                      "no hit-flag form) — move it into the clause " +
+                      "condition or rewrite as EXISTS")
               }
+            }
             def assigns(as: Seq[Assignment], group: Char,
                 what: String): Seq[(String, Expression)] = as.map { x =>
               val v =

@@ -368,6 +368,69 @@ object RowOpsQueries {
              |ORDER BY 1, 2, 3""".stripMargin)),
 
     Query(
+      // Correlated EXISTS in a SET/INSERT VALUE position (r13): the
+      // last MERGE refusal deleted — EXISTS is two-valued, so the
+      // condition hit-flag lowering coalesced to false is exact. The
+      // oracle recomputes both values as plain correlated SQL.
+      "q_rowops_merge_exists_val",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val dir = tmp("graft_mev_q_", d)
+        o.repartition(8).write.mode("overwrite").parquet(dir)
+        StatsManifest.write(s, dir, Seq("o_orderkey"))
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(10)
+        val tbl = "graft_mev_" + h
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+          s"OPTIONS (path '$dir')")
+        t(s, d, "customer").select(col("c_custkey").as("o_custkey"))
+          .createOrReplaceTempView(s"graft_mevs_$h")
+        t(s, d, "lineitem").select("l_orderkey", "l_partkey",
+          "l_quantity").createOrReplaceTempView(s"graft_mevl_$h")
+        s.sql(s"""MERGE INTO $tbl t USING graft_mevs_$h s
+          |ON t.o_custkey = s.o_custkey
+          |WHEN MATCHED THEN UPDATE SET o_totalprice =
+          |  CASE WHEN EXISTS (
+          |      SELECT 1 FROM graft_mevl_$h l
+          |      WHERE l.l_orderkey = t.o_orderkey
+          |        AND l.l_quantity > 45)
+          |    THEN CAST(-1 AS DOUBLE) ELSE t.o_totalprice END
+          |WHEN NOT MATCHED THEN
+          |  INSERT (o_orderkey, o_custkey, o_totalprice)
+          |  VALUES (s.o_custkey + 600000000, s.o_custkey,
+          |    CASE WHEN EXISTS (
+          |        SELECT 1 FROM graft_mevl_$h l
+          |        WHERE l.l_partkey = s.o_custkey)
+          |      THEN CAST(1 AS DOUBLE) ELSE CAST(2 AS DOUBLE) END)
+          |""".stripMargin)
+        s.table(tbl).orderBy(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+      },
+      Some("""WITH tgt AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+             |src AS (SELECT c_custkey AS o_custkey FROM customer)
+             |SELECT t.o_orderkey, t.o_custkey,
+             |  CASE WHEN t.o_custkey IN (SELECT o_custkey FROM src)
+             |       THEN CASE WHEN EXISTS (
+             |              SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = t.o_orderkey
+             |                AND l.l_quantity > 45)
+             |            THEN CAST(-1 AS DOUBLE) ELSE t.o_totalprice END
+             |       ELSE t.o_totalprice END AS o_totalprice
+             |FROM tgt t
+             |UNION ALL
+             |SELECT s.o_custkey + 600000000, s.o_custkey,
+             |  CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+             |                    WHERE l.l_partkey = s.o_custkey)
+             |       THEN CAST(1 AS DOUBLE) ELSE CAST(2 AS DOUBLE) END
+             |FROM src s
+             |WHERE s.o_custkey NOT IN (SELECT o_custkey FROM tgt)
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Query(
       // Static-partition INSERT OVERWRITE (r12): replace exactly one
       // Hive partition under ONE manifest commit (delete-matching +
       // append — RowOps.overwriteWhere); the oracle replays it as a

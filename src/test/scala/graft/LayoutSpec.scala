@@ -11,11 +11,28 @@ import graft.operators.Layout
   * pruning work on every clustered column (SCALE.md · Scans). The pin is
   * the geometry itself — per-partition value extents — because that is
   * exactly what a parquet footer's min/max records and what a reader
-  * prunes on; no timing, no flakiness. */
+  * prunes on; no timing.
+  *
+  * ORDER-DEPENDENCE, pinned (r13): `repartitionByRange` seeds its
+  * reservoir sample from the GLOBAL rdd-id counter, so the exact range
+  * boundaries — and with them every geometry number below — shift by a
+  * few percent depending on how many RDDs earlier suites created
+  * (measured: partsPerLang 4.50–4.88 across counter offsets, against a
+  * 5.2 threshold). Isolated runs are stable; a full-suite run draws a
+  * different sample. The marginal assertions therefore take the MEDIAN
+  * of three independent layouts — three fresh samples — which turns a
+  * ~2σ single-draw tail into a pass unless the geometry is actually
+  * broken. */
 class LayoutSpec extends AnyFunSuite {
 
   private lazy val spark = SparkFixture.spark
   private val sf = SparkFixture.sf
+
+  /** Median of three evaluations — each re-layout draws a fresh range
+    * sample (the global rdd-id counter advances), de-flaking
+    * single-draw geometry without loosening any threshold. */
+  private def med3(f: => Double): Double =
+    Seq(f, f, f).sorted.apply(1)
 
   private def lineitem = graft.engine.Tables
     .load(spark, sf, "lineitem")
@@ -35,7 +52,7 @@ class LayoutSpec extends AnyFunSuite {
   test("zorder bounds EVERY clustered column's per-partition extent; linear sort does not") {
     val li = lineitem
     val P = 16
-    val z = Layout.zorder(li, Seq("l_orderkey", "l_partkey"), P)
+    def z = Layout.zorder(li, Seq("l_orderkey", "l_partkey"), P)
     val linear = li.repartitionByRange(P, col("l_orderkey"))
       .sortWithinPartitions("l_orderkey")
 
@@ -48,9 +65,10 @@ class LayoutSpec extends AnyFunSuite {
 
     // z-order: BOTH columns' extents shrink to ~domain/√P (the 2-dim
     // Morton rectangle); assert the halving with slack for bucket-edge
-    // effects and duplicate quantile boundaries
-    val zOrderExt = meanExtent(z, "l_orderkey")
-    val zPartExt = meanExtent(z, "l_partkey")
+    // effects and duplicate quantile boundaries (median of three
+    // layouts — range-sample seed drift, see the class doc)
+    val zOrderExt = med3(meanExtent(z, "l_orderkey"))
+    val zPartExt = med3(meanExtent(z, "l_partkey"))
     assert(zPartExt < 0.5 * rPart,
       f"partkey extent $zPartExt%.0f !< half of $rPart%.0f")
     assert(zOrderExt < 0.5 * rOrder,
@@ -72,12 +90,19 @@ class LayoutSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(fp(z) === fp(li))
     // range partitioning on the sampled z keeps output files balanced:
-    // no partition more than 3× the mean (reservoir-sampled boundaries)
+    // no partition more than 3× the mean (reservoir-sampled boundaries;
+    // median of three samples — see the class doc)
     val sizes = z.withColumn("pid", spark_partition_id())
       .groupBy("pid").count().collect().map(_.getLong(1))
     assert(sizes.length === P)
-    assert(sizes.max.toDouble / (sizes.sum.toDouble / sizes.length) < 3.0,
-      s"unbalanced: ${sizes.mkString(",")}")
+    def balance: Double = {
+      val s = Layout.zorder(li, Seq("l_orderkey", "l_partkey"), P)
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid").count().collect().map(_.getLong(1))
+      s.max.toDouble / (s.sum.toDouble / s.length)
+    }
+    val b = med3(balance)
+    assert(b < 3.0, f"unbalanced: median-of-3 max/mean = $b%.2f")
   }
 
   test("nulls rank lowest and never crash the interleave") {
@@ -110,17 +135,19 @@ class LayoutSpec extends AnyFunSuite {
         .agg(avg("p")).collect().head.getDouble(0)
       counts
     }
-    val z = Layout.zorder(df, Seq("lang", "n"), P)
     val random = df.repartition(P)
     // random placement puts every language in ~all partitions; z-order
     // confines each language to the partitions its z-slab touches. With
     // two interleaved dims the slab still crosses the OTHER dim's bits,
     // so the geometric expectation at P=8 is ~P/2 (+ range-boundary
     // straddle) — assert a clear win over random, not the exact number.
-    assert(partsPerLang(random) > 0.9 * P)
-    assert(partsPerLang(z) <= 0.65 * P,
-      f"langs span ${partsPerLang(z)}%.1f of $P partitions")
-    assert(partsPerLang(z) * 1.4 < partsPerLang(random))
+    // Median of three layouts: the measured single-draw spread is
+    // 4.50–4.88 against the 5.2 bound (class doc).
+    val pplRandom = partsPerLang(random)
+    val pplZ = med3(partsPerLang(Layout.zorder(df, Seq("lang", "n"), P)))
+    assert(pplRandom > 0.9 * P)
+    assert(pplZ <= 0.65 * P, f"langs span $pplZ%.1f of $P partitions")
+    assert(pplZ * 1.4 < pplRandom)
   }
 
   test("z-order pays on the real read path: footers prune files, reader skips row groups") {

@@ -705,4 +705,42 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dml_plain")
     spark.sql("DROP TABLE dml_bad")
   }
+
+  test("correlated EXISTS in SET/INSERT VALUE positions (r13): exact " +
+      "via the hit-flag lowering; three-valued IN stays refused") {
+    mkTable("dml_ev")
+    // src matches k ∈ {1, 2, 3}, plus the unmatched key 5000
+    Seq(1L, 2L, 3L, 5000L).toDF("k").createOrReplaceTempView("dml_ev_s")
+    Seq(100L, 300L).toDF("kk").createOrReplaceTempView("dml_ev_x")
+    // SET value: EXISTS over a correlated lookup — true for k ∈ {1, 3}
+    // (kk = k·100 exists), false for k = 2 (hit-flag NULL → false)
+    spark.sql("""MERGE INTO dml_ev t USING dml_ev_s s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET m =
+      |  CASE WHEN EXISTS (SELECT 1 FROM dml_ev_x x
+      |                    WHERE x.kk = t.k * 100)
+      |       THEN -1 ELSE -2 END
+      |WHEN NOT MATCHED THEN INSERT (k, m) VALUES (s.k,
+      |  CASE WHEN EXISTS (SELECT 1 FROM dml_ev_x x
+      |                    WHERE x.kk = s.k) THEN -7 ELSE -8 END)
+      |""".stripMargin)
+    assert(spark.sql("SELECT k, m FROM dml_ev WHERE m < 0 ORDER BY k")
+      .as[(Long, Long)].collect() ===
+      Array((1L, -1L), (2L, -2L), (3L, -1L), (5000L, -8L)))
+    // bare boolean value (no CASE): NOT EXISTS wraps the flag exactly
+    spark.sql("""MERGE INTO dml_ev t USING dml_ev_s s ON t.k = s.k
+      |WHEN MATCHED AND t.k = 2 THEN UPDATE SET m = CAST(
+      |  NOT EXISTS (SELECT 1 FROM dml_ev_x x WHERE x.kk = t.k * 100)
+      |  AS BIGINT)""".stripMargin)
+    assert(spark.sql("SELECT m FROM dml_ev WHERE k = 2")
+      .as[Long].head() === 1L)
+    // three-valued IN in a value position: loud, with the rewrite hint
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO dml_ev t USING dml_ev_s s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET m = CAST(
+        |  t.k IN (SELECT x.kk FROM dml_ev_x x WHERE x.kk = t.k)
+        |  AS BIGINT)""".stripMargin)
+    }
+    assert(e.getMessage.contains("EXISTS"), e.getMessage)
+    spark.sql("DROP TABLE dml_ev")
+  }
 }
