@@ -37,6 +37,10 @@ object GraftMaintenance {
     """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS|DAYS)\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  private val RestoreRe =
+    ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+""" +
+      """(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+""" +
+      """'([^']+)')\s*;?\s*""").r
   private val DetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
 
@@ -172,6 +176,39 @@ object GraftMaintenance {
     }
   }
 
+  /** `RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'` —
+    * the write half of time travel (Delta ships the same statement):
+    * commits a new version whose live set/schema/manifest are exactly
+    * the target's, history intact, CDC fed with the netted diff.
+    * Timestamp binds to the newest commit at or before it — the same
+    * resolution `TIMESTAMP AS OF` reads use. */
+  final case class GraftRestoreCommand(table: String,
+      version: Option[Long], timestamp: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq(
+      AttributeReference("restored_to_version", LongType,
+        nullable = false)(),
+      AttributeReference("new_version", LongType, nullable = false)(),
+      AttributeReference("files_reinstated", LongType,
+        nullable = false)(),
+      AttributeReference("files_dropped", LongType, nullable = false)(),
+      AttributeReference("rows_reinstated", LongType,
+        nullable = false)(),
+      AttributeReference("rows_dropped", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val dir = dirOf(spark, table)
+      val toV = version.getOrElse {
+        val ts = timestamp.get
+        StatsManifest.versionAtMillis(spark, dir,
+          StatsManifest.parseTsMillis(spark, ts), ts)
+      }
+      val r = graft.sources.RowOps.restore(spark, dir, toV)
+      refreshTarget(spark, dir, table)
+      Seq(Row(r.restoredTo, r.newVersion, r.filesReinstated,
+        r.filesDropped, r.rowsReinstated, r.rowsDropped))
+    }
+  }
+
   final case class GraftHistoryCommand(table: String)
       extends LeafRunnableCommand {
     override val output: Seq[AttributeReference] = Seq(
@@ -219,6 +256,9 @@ object GraftMaintenance {
       Some(GraftHistoryCommand(ident(tbl)))
     case DetailRe(tbl) if targetIsManifested(ident(tbl)) =>
       Some(GraftDetailCommand(ident(tbl)))
+    case RestoreRe(tbl, v, ts) if targetIsManifested(ident(tbl)) =>
+      Some(GraftRestoreCommand(ident(tbl), Option(v).map(_.toLong),
+        Option(ts)))
     case _ => None
   }
 }

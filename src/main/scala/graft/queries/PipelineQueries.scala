@@ -267,6 +267,41 @@ object PipelineQueries {
              |ORDER BY 1, 2, 3""".stripMargin)),
 
     Query(
+      // RESTORE (r13) — the WRITE half of time travel: mutate the
+      // table (a SQL DELETE and an UPDATE), then RESTORE TABLE ... TO
+      // VERSION AS OF the original; the final LATEST state must equal
+      // DuckDB scanning the untouched fixture — and the mutated
+      // history stays readable underneath (RestoreSpec pins history/
+      // CDC/vacuum-refusal mechanics).
+      "q_time_travel_restore",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_restore_q_" + java.security.MessageDigest
+            .getInstance("MD5").digest(d.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)).getAbsolutePath
+        li.repartition(8).write.mode("overwrite").parquet(dir)
+        graft.sources.StatsManifest.write(s, dir, Seq("l_orderkey"))
+        val v1 = graft.sources.StatsManifest.versions(s, dir).last
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(10)
+        val tbl = "graft_restore_" + h
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+          s"OPTIONS (path '$dir')")
+        s.sql(s"DELETE FROM $tbl WHERE l_orderkey < 1000")
+        s.sql(s"UPDATE $tbl SET l_quantity = -5 WHERE l_partkey < 50")
+        s.sql(s"RESTORE TABLE $tbl TO VERSION AS OF $v1")
+        s.table(tbl)
+          .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Query(
       // Incremental compaction (r9): land orders in the streaming-sink
       // shape (many small files + one big), compactSmall bin-packs ONLY
       // the small tail, and the compacted table must still equal DuckDB

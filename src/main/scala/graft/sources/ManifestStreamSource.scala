@@ -919,7 +919,7 @@ private final class ManifestCdcStream(tableSchema: StructType,
     * ([[CdcPendingException]] → retried next trigger) instead of
     * blocking the trigger thread or mis-reading the version. */
   private val CdfOps = Set("delete", "update", "merge", "upsert",
-    "replace")
+    "replace", "restore")
 
   /** probe units even for unbounded triggers: a racy version must
     * truncate the batch at offset time, not stall planInputPartitions. */

@@ -973,55 +973,155 @@ object RowOps {
       (r.version, r.addedRows)
     }
     phase(PhaseStats.cdc)(cdc.foreach { case (del0, ins0) =>
-      // columns aligned POSITIONALLY to the table's order first (a
-      // using-columns join moves its keys to the front, which would
-      // mis-pair columns, widen types, and break netting)
-      val cols = ctx.schema.fieldNames.map(col).toIndexedSeq
-      val del = del0.select(cols: _*)
-      val ins = ins0.select(cols: _*)
-      // multiset netting in ONE pass: ±1 weights summed per row value
-      // (the same multiset difference two exceptAlls compute, at half
-      // the shuffles — this lands on every CDC-apply batch). Grouping
-      // and exceptAll share row-equality semantics (NaN/-0.0
-      // normalization; neither supports map columns).
-      val net = ins.withColumn("__w", lit(1L))
-        .unionByName(del.withColumn("__w", lit(-1L)))
-        .groupBy(cols: _*).agg(sum(col("__w")).as("__n"))
-        .where(col("__n") =!= 0L)
-        .withColumn("_change_type",
-          when(col("__n") > 0L, lit("insert")).otherwise(lit("delete")))
-        // a duplicated row nets with multiplicity |n| — replicate
-        .withColumn("__i",
-          explode(sequence(lit(1L), abs(col("__n")))))
-        .drop("__n", "__i")
-        .withColumn("_commit_version", lit(ver))
-      val cdcStage = new Path(
-        ctx.dir + s".cdcstage-${java.util.UUID.randomUUID()}")
-      // change files carry PHYSICAL data-column names like the data
-      // files (readers alias back), so a feed spanning a rename stays
-      // uniformly readable
-      val netPhys = StatsManifest.writePhysical(net, ctx.schema)
-      netPhys.coalesce(1).write.mode("overwrite")
-        .parquet(cdcStage.toString)
-      val cdcDir = new Path(dirPath, CdcDir)
-      fs.mkdirs(cdcDir)
-      fs.listStatus(cdcStage).map(_.getPath)
-        .filter(_.getName.startsWith("part-")).zipWithIndex
-        .foreach { case (src, i) =>
-          // the file's ROW COUNT rides in its name (read once from the
-          // staged footer — driver-side, O(1)): the CDC stream's
-          // maxRowsPerTrigger budget needs per-unit row counts without
-          // opening data, and change files have no manifest entry to
-          // carry them. Pre-r12 names (no -r suffix) read as unknown.
-          val rows = cdcFileRows(fs, src)
-          val dst = new Path(cdcDir, f"v$ver%06d-$i%05d-r$rows.parquet")
-          require(fs.rename(src, dst),
-            s"RowOps: CDC rename $src -> $dst failed — changes() will " +
-              "fall back to file-diff netting for this version")
-        }
-      fs.delete(cdcStage, true)
+      writeCdcFiles(ctx.spark, ctx.dir, ctx.schema, del0, ins0, ver)
     })
     OpResult(ver, totalFiles, candidates, touched.size.toLong, matched,
       addedRows)
+  }
+
+  /** Net `ins − del` multiset-wise and land the result as this
+    * version's precomputed change files — the CDC write every
+    * committed row-level op (and r13: RESTORE) performs moments after
+    * its manifest commit. Columns align POSITIONALLY to the table's
+    * order first (a using-columns join moves its keys to the front,
+    * which would mis-pair columns, widen types, and break netting);
+    * the ±1-weight one-pass netting computes the same multiset
+    * difference two exceptAlls would at half the shuffles; change
+    * files carry PHYSICAL data-column names like the data files
+    * (readers alias back), and each file's ROW COUNT rides in its
+    * name for the CDC stream's zero-open row budgets. */
+  private[sources] def writeCdcFiles(spark: SparkSession, dir: String,
+      schema: StructType, del0: DataFrame, ins0: DataFrame,
+      ver: Long): Unit = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cols = schema.fieldNames.map(col).toIndexedSeq
+    val del = del0.select(cols: _*)
+    val ins = ins0.select(cols: _*)
+    // grouping and exceptAll share row-equality semantics (NaN/-0.0
+    // normalization; neither supports map columns)
+    val net = ins.withColumn("__w", lit(1L))
+      .unionByName(del.withColumn("__w", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col("__w")).as("__n"))
+      .where(col("__n") =!= 0L)
+      .withColumn("_change_type",
+        when(col("__n") > 0L, lit("insert")).otherwise(lit("delete")))
+      // a duplicated row nets with multiplicity |n| — replicate
+      .withColumn("__i",
+        explode(sequence(lit(1L), abs(col("__n")))))
+      .drop("__n", "__i")
+      .withColumn("_commit_version", lit(ver))
+    val cdcStage = new Path(
+      dir + s".cdcstage-${java.util.UUID.randomUUID()}")
+    val netPhys = StatsManifest.writePhysical(net, schema)
+    netPhys.coalesce(1).write.mode("overwrite")
+      .parquet(cdcStage.toString)
+    val cdcDir = new Path(dirPath, CdcDir)
+    fs.mkdirs(cdcDir)
+    fs.listStatus(cdcStage).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).zipWithIndex
+      .foreach { case (src, i) =>
+        // row count read once from the staged footer — driver-side,
+        // O(1); pre-r12 names (no -r suffix) read as unknown
+        val rows = cdcFileRows(fs, src)
+        val dst = new Path(cdcDir, f"v$ver%06d-$i%05d-r$rows.parquet")
+        require(fs.rename(src, dst),
+          s"RowOps: CDC rename $src -> $dst failed — changes() will " +
+            "fall back to file-diff netting for this version")
+      }
+    fs.delete(cdcStage, true)
+  }
+
+  /** Result of [[restore]]: the target version, the NEW version the
+    * restore committed, and the file/row deltas at file granularity
+    * (rows from manifest counts — no data scan). */
+  final case class RestoreResult(restoredTo: Long, newVersion: Long,
+      filesReinstated: Long, filesDropped: Long,
+      rowsReinstated: Long, rowsDropped: Long)
+
+  /** RESTORE the table to an earlier retained version — the write half
+    * of time travel (`RESTORE TABLE t TO VERSION AS OF n`): commits a
+    * NEW version whose live file set, schema and manifest entries are
+    * exactly the target version's, leaving history intact (the
+    * restore itself is time-travelable and VACUUM-able). ZERO data
+    * scan on the commit path: the target's manifest entries fold in
+    * one distributed pass and commit as a full checkpoint; files the
+    * current version holds but the target doesn't become tombstones
+    * (physically retained for snapshots, reclaimed by expire), files
+    * the target holds but the current version dropped are re-adopted
+    * in place. Fails LOUDLY when the target's files were vacuumed
+    * (`readAt` rejects an expired version; an existence sweep rejects
+    * reclaimed bytes) — never a partial restore.
+    *
+    * CDC (`cdf = true`): the netted row diff (rows of dropped files as
+    * deletes, rows of reinstated files as inserts, multiset-netted so
+    * rows common to both cancel) lands as the new version's change
+    * files, read under the RESTORED schema — a downstream CDC consumer
+    * follows a restore like any other mutation. O(diff bytes), the
+    * only data this op reads. The version-offset TABLE stream treats
+    * the restore like any mutating commit: loud error toward the CDC
+    * feed (`ignoreChanges` to accept adds only).
+    *
+    * Optimistic concurrency: the commit claims exactly
+    * `latest + 1`; a racing writer surfaces as
+    * ConcurrentModificationException and the caller re-runs against
+    * the new latest (the op re-analyzes, so a retry is always
+    * semantically fresh). */
+  def restore(spark: SparkSession, dir: String, toVersion: Long,
+      cdf: Boolean = true): RestoreResult = {
+    val latest = StatsManifest.latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"restore: $dir is not a manifested table"))
+    require(toVersion <= latest,
+      s"restore: version $toVersion is ahead of the latest ($latest)")
+    // rejects an expired target with the retention story
+    val targetStats = StatsManifest.readAt(spark, dir, toVersion)
+    if (toVersion == latest)
+      return RestoreResult(toVersion, latest, 0L, 0L, 0L, 0L)
+    val liveStats = StatsManifest.readAt(spark, dir, latest)
+    val targetKeys = targetStats.keySet
+    val liveKeys = liveStats.keySet
+    val reinstated = targetKeys -- liveKeys
+    val droppedF = liveKeys -- targetKeys
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val missing = reinstated.filter(k => !fs.exists(new Path(k)))
+    require(missing.isEmpty,
+      s"restore: ${missing.size} data file(s) of version $toVersion " +
+        s"no longer exist (vacuumed past the target — e.g. " +
+        s"${missing.headOption.getOrElse("")}); the table is UNCHANGED")
+    // the restored schema: the target's sidecar, else inference over
+    // the target's own files (pre-sidecar versions)
+    val schema = StatsManifest.schemaAt(spark, dir, toVersion)
+      .getOrElse(spark.read.option("basePath", dir)
+        .parquet(targetKeys.toSeq.sorted: _*).schema)
+    // everything physically present but not live after the restore
+    // stays denied: current tombstones, the dropped live files, and
+    // the target's own tombstones (some may be gone — denying a
+    // nonexistent key is harmless and self-trims on reconciliation)
+    val removed = (StatsManifest.removedLatest(spark, dir) ++ liveKeys ++
+      StatsManifest.removedAt(spark, dir, toVersion)) -- targetKeys
+    val entries = StatsManifest.entriesAt(spark, dir, toVersion)
+    val newV = StatsManifest.commitVersion(spark, dir, entries, removed,
+      Some(schema), expected = Some(latest),
+      op = Some(if (cdf) "restore" else "restore-nocdf"))
+    if (cdf && (reinstated.nonEmpty || droppedF.nonEmpty)) {
+      // the only data this op reads: the DIFFERING files, under the
+      // restored schema (dropped newer files null-fill removed columns
+      // and project extras away — the batch time-travel convention)
+      def readSet(keys: Set[String]): DataFrame =
+        if (keys.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else StatsManifest.readLogical(spark, dir, schema,
+          keys.toSeq.sorted)
+      writeCdcFiles(spark, dir, schema,
+        readSet(droppedF), readSet(reinstated), newV)
+    }
+    spark.catalog.refreshByPath(dir)
+    RestoreResult(toVersion, newV,
+      reinstated.size.toLong, droppedF.size.toLong,
+      reinstated.iterator.map(k => targetStats(k).rows).sum,
+      droppedF.iterator.map(k => liveStats(k).rows).sum)
   }
 }

@@ -904,7 +904,7 @@ object StatsManifest {
     * delete events unioned in, last event per file key wins (an add
     * beats a delete within one version — the invalidate-replace shape).
     * No O(files) driver collect anywhere on this path. */
-  private def entriesAt(spark: SparkSession, dir: String,
+  private[sources] def entriesAt(spark: SparkSession, dir: String,
       v: Long): DataFrame = {
     val (baseParts, deltas) = foldChain(spark, dir, v)
     if (deltas.isEmpty)
