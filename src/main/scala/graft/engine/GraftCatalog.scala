@@ -228,6 +228,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(!GraftCatalog.ReservedProps.contains(sp.property),
           s"graft catalog: table property '${sp.property}' is fixed " +
             "at CREATE TABLE")
+        // raw property writes would skip existing-data validation
+        require(!sp.property.startsWith(
+          graft.sources.Constraints.Prefix),
+          "graft catalog: install CHECK constraints with ALTER TABLE " +
+            "... ADD CONSTRAINT (existing rows must validate), not " +
+            "raw TBLPROPERTIES")
         StatsManifest.writeTableProps(spark, dir,
           StatsManifest.tableProps(spark, dir) +
             (sp.property -> sp.value))

@@ -347,13 +347,19 @@ object GraftDml {
       // create-time props first: an EMPTY table (CREATE then INSERT)
       // has no directory layout to infer partition columns from
       val partCols = StatsManifest.tablePartitionCols(spark, dir)
+      // CHECK constraints validate inline in the write job (r13);
+      // a full overwrite replaces the table and its properties, so
+      // only appends enforce
+      val checked =
+        if (overwrite) aligned
+        else graft.sources.Constraints.enforce(spark, dir, aligned)
       // append writes carry the table's PHYSICAL names (rename
       // mapping); a full overwrite REPLACES the table — the manifest
       // (and any mapping) is wiped with the dir, so it writes the
       // logical names and the rebuilt table starts with a clean map
       val toWrite =
-        if (overwrite) aligned
-        else StatsManifest.writePhysical(aligned, schema)
+        if (overwrite) checked
+        else StatsManifest.writePhysical(checked, schema)
       val writer0 = toWrite.write.mode(
         if (overwrite) "overwrite" else "append")
       val writer = if (partCols.isEmpty) writer0
@@ -471,7 +477,10 @@ object GraftDml {
         RowOps.overwriteWhere(spark, dir, cond, aligned, sc, bc)
         ()
       } else {
-        val writer0 = StatsManifest.writePhysical(aligned, schema)
+        // the overwrite forms enforce CHECK constraints inside
+        // overwriteWhere's rewrite; the append form enforces here
+        val writer0 = StatsManifest.writePhysical(
+          graft.sources.Constraints.enforce(spark, dir, aligned), schema)
           .write.mode("append")
         val writer = if (partCols.isEmpty) writer0
           else writer0.partitionBy(partCols: _*)

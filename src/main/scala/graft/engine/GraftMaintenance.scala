@@ -41,6 +41,12 @@ object GraftMaintenance {
     ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+""" +
       """(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+""" +
       """'([^']+)')\s*;?\s*""").r
+  private val AddConstraintRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+""" +
+      """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val DropConstraintRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+""" +
+      """(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""").r
   private val DetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
 
@@ -209,6 +215,33 @@ object GraftMaintenance {
     }
   }
 
+  /** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — install a
+    * write-path CHECK constraint (graft.sources.Constraints): existing
+    * rows validate first (loud with a sample), every subsequent write
+    * path enforces inline. `DROP CONSTRAINT [IF EXISTS] name`
+    * removes. */
+  final case class GraftAddConstraintCommand(table: String,
+      name: String, check: String) extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq.empty
+    override def run(spark: SparkSession): Seq[Row] = {
+      val dir = dirOf(spark, table)
+      graft.sources.Constraints.add(spark, dir, name, check)
+      refreshTarget(spark, dir, table)
+      Seq.empty
+    }
+  }
+
+  final case class GraftDropConstraintCommand(table: String,
+      name: String, ifExists: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[AttributeReference] = Seq.empty
+    override def run(spark: SparkSession): Seq[Row] = {
+      val dir = dirOf(spark, table)
+      graft.sources.Constraints.drop(spark, dir, name, ifExists)
+      refreshTarget(spark, dir, table)
+      Seq.empty
+    }
+  }
+
   final case class GraftHistoryCommand(table: String)
       extends LeafRunnableCommand {
     override val output: Seq[AttributeReference] = Seq(
@@ -259,6 +292,13 @@ object GraftMaintenance {
     case RestoreRe(tbl, v, ts) if targetIsManifested(ident(tbl)) =>
       Some(GraftRestoreCommand(ident(tbl), Option(v).map(_.toLong),
         Option(ts)))
+    case AddConstraintRe(tbl, name, check)
+        if targetIsManifested(ident(tbl)) =>
+      Some(GraftAddConstraintCommand(ident(tbl), name, check.trim))
+    case DropConstraintRe(tbl, ifEx, name)
+        if targetIsManifested(ident(tbl)) =>
+      Some(GraftDropConstraintCommand(ident(tbl), name,
+        ifEx != null))
     case _ => None
   }
 }

@@ -431,6 +431,41 @@ object RowOpsQueries {
              |ORDER BY 1, 2, 3""".stripMargin)),
 
     Query(
+      // CHECK constraints (r13): ALTER TABLE ... ADD CONSTRAINT CHECK
+      // installs a write-path contract enforced INLINE in every write
+      // job. The row proves both halves: a violating INSERT fails and
+      // leaves no trace; a conforming one lands — the final state is
+      // the fixture plus exactly the conforming row.
+      "q_rowops_constraint",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val dir = tmp("graft_chk_q_", d)
+        o.repartition(8).write.mode("overwrite").parquet(dir)
+        StatsManifest.write(s, dir, Seq("o_orderkey"))
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(10)
+        val tbl = "graft_chk_" + h
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+          s"OPTIONS (path '$dir')")
+        s.sql(s"ALTER TABLE $tbl ADD CONSTRAINT price_pos " +
+          "CHECK (o_totalprice >= 0)")
+        var fired = false
+        try s.sql(s"INSERT INTO $tbl VALUES (900000001, 1, -5.0)")
+        catch { case _: Exception => fired = true }
+        require(fired, "q_rowops_constraint: CHECK did not fire")
+        s.sql(s"INSERT INTO $tbl VALUES (900000002, 2, 7.5)")
+        s.table(tbl).orderBy(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |UNION ALL
+             |SELECT 900000002, 2, CAST(7.5 AS DOUBLE)
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Query(
       // Static-partition INSERT OVERWRITE (r12): replace exactly one
       // Hive partition under ONE manifest commit (delete-matching +
       // append — RowOps.overwriteWhere); the oracle replays it as a

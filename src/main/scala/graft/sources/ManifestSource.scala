@@ -138,8 +138,10 @@ final class ManifestSource extends RelationProvider
         if (StatsManifest.versions(spark, path).isEmpty) writeOverwrite()
       case SaveMode.Append =>
         // appends never re-cluster (that is Layout.optimize's job) and
-        // never rescan the table: only the new files get stats
-        data.write.mode(SaveMode.Append).parquet(path)
+        // never rescan the table: only the new files get stats.
+        // CHECK constraints validate inline in the write job (r13)
+        Constraints.enforce(spark, path, data)
+          .write.mode(SaveMode.Append).parquet(path)
         StatsManifest.update(spark, path, statsCols,
           bloomCols = bloomCols)
       case other =>

@@ -840,6 +840,17 @@ object RowOps {
       conflictIfInterimAdds: Boolean = false,
       /** operation kind for the version's `_op.txt` sidecar. */
       op: String = ""): OpResult = {
+    // CHECK constraints ride inline in the rewrite job (r13): every
+    // row-level op's replacement frame — updated rows, merge inserts,
+    // overwrite data, carried-over kept rows — validates at write
+    // time, zero extra pass (Constraints.enforce). The CDC frames are
+    // derived, never enforced.
+    val replacement1 = Constraints.enforce(ctx.spark, ctx.dir,
+      replacement0)
+    val cdc1 = cdc.map { case (d, i) =>
+      (if (d eq replacement0) replacement1 else d,
+        if (i eq replacement0) replacement1 else i)
+    }
     // the replacement and CDC frames are consumed by SEVERAL actions
     // (staged write, exceptAll netting twice per side, CDC write) and
     // each un-cached action re-executes the whole op plan from the
@@ -855,10 +866,10 @@ object RowOps {
       c
     }
     try rewriteCached(ctx, touched, statsCols, bloomCols,
-      cache(replacement0),
-      cdc.map { case (d, i) =>
-        (if (d eq replacement0) cached.head else cache(d),
-          if (i eq replacement0) cached.head else cache(i))
+      cache(replacement1),
+      cdc1.map { case (d, i) =>
+        (if (d eq replacement1) cached.head else cache(d),
+          if (i eq replacement1) cached.head else cache(i))
       }, extraFiles, conflictIfInterimAdds, op)
     finally cached.foreach(_.unpersist(false))
   }

@@ -1476,11 +1476,16 @@ object Streams {
       batchId: Long, batch: DataFrame, statsCols: Seq[String],
       manifestVersionsToKeep: Int): Unit = {
     val spk = batch.sparkSession
+    // CHECK constraints validate inline in the batch's write job
+    // (r13) — a violating streamed row fails the query loudly rather
+    // than landing bad data the table's contract forbids
+    val batchChecked =
+      graft.sources.Constraints.enforce(spk, dir, batch)
     // a renamed table's data files carry PHYSICAL column names — map
     // the batch at the write boundary (no-op for never-renamed tables,
     // at zero inference cost: the map reads the sidecar only)
-    val batchPhys = graft.sources.StatsManifest.writePhysicalMap(batch,
-      graft.sources.StatsManifest.tableNameMap(spk, dir))
+    val batchPhys = graft.sources.StatsManifest.writePhysicalMap(
+      batchChecked, graft.sources.StatsManifest.tableNameMap(spk, dir))
     val written = IterativeStream.writeFeedback(
       fs, dirPath, stagingRoot, batchId, batchPhys, prefix = "tb")
     if (written.isEmpty) return
