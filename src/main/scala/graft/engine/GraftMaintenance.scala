@@ -32,7 +32,12 @@ object GraftMaintenance {
   // anchored, case-insensitive full-statement patterns — anything that
   // doesn't match EXACTLY falls through to the delegate parser
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+([\w.`]+)\s*(?:ZORDER\s+BY\s*""" +
+      """\(([^)]*)\))?\s*(?:WHERE\s+(.+?))?\s*;?\s*""").r
+  // WHERE scope: conjunctions of equality on partition columns (the
+  // Delta OPTIMIZE-WHERE restriction) — `p = 1 AND q = 'x'`
+  private val WhereEqRe =
+    """(?i)\s*(\w+)\s*=\s*(?:'([^']*)'|([\w.\-]+))\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS|DAYS)\s*;?\s*""".r
   private val HistoryRe =
@@ -74,14 +79,37 @@ object GraftMaintenance {
     }
 
   final case class GraftOptimizeCommand(table: String,
-      zorderBy: Seq[String]) extends LeafRunnableCommand {
+      zorderBy: Seq[String],
+      where: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
     override val output: Seq[AttributeReference] = Seq(
       AttributeReference("files_before", IntegerType, nullable = false)(),
       AttributeReference("files_written", IntegerType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] = {
       val dir = dirOf(spark, table)
       val (before, after) =
-        if (zorderBy.nonEmpty)
+        if (where.nonEmpty) {
+          // partition-scoped compaction (r13): a backfill recompacts
+          // exactly the partitions it touched, O(scoped bytes) — at
+          // 100 TB a table-wide pass for one day's partition is the
+          // difference between minutes and a full-corpus rewrite.
+          // Rides autoCompact's manifest-driven bin-pack (rename-first
+          // crash protocol, deferDelete commit, rebase-safe).
+          require(zorderBy.isEmpty,
+            "graft OPTIMIZE: ZORDER BY cannot combine with WHERE — " +
+              "z-ordering is a table-wide layout; run it unscoped")
+          val partCols = StatsManifest.tablePartitionCols(spark, dir)
+          val bad = where.map(_._1).filterNot(n =>
+            partCols.exists(_.equalsIgnoreCase(n)))
+          require(bad.isEmpty,
+            "graft OPTIMIZE WHERE: only partition-column equality is " +
+              s"supported; ${bad.mkString(", ")} is not a partition " +
+              s"column (table partitions: ${partCols.mkString(", ")})")
+          Layout.autoCompact(spark, dir, minFiles = 2,
+            targetBytes = 128L << 20, partitionSpec = where.map {
+              case (n, v) =>
+                partCols.find(_.equalsIgnoreCase(n)).get -> v
+            })
+        } else if (zorderBy.nonEmpty)
           Layout.optimize(spark, dir, zorderBy, deferDelete = true)
         else {
           val (sc, bc) = StatsManifest.manifestColumns(spark, dir)
@@ -278,10 +306,20 @@ object GraftMaintenance {
   /** The parser hook: intercept the maintenance statements whose target
     * is a graft-manifest table, delegate everything else untouched. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case OptimizeRe(tbl, cols) if targetIsManifested(ident(tbl)) =>
+    case OptimizeRe(tbl, cols, whereTxt)
+        if targetIsManifested(ident(tbl)) =>
       val zs = Option(cols).map(_.split(",").map(c => ident(c.trim))
         .filter(_.nonEmpty).toSeq).getOrElse(Nil)
-      Some(GraftOptimizeCommand(ident(tbl), zs))
+      val where = Option(whereTxt).map { w =>
+        w.split("(?i)\\bAND\\b").toSeq.map {
+          case WhereEqRe(n, q, bare) =>
+            n -> Option(q).getOrElse(bare)
+          case other => throw new IllegalArgumentException(
+            "graft OPTIMIZE WHERE: only `col = value [AND ...]` on " +
+              s"partition columns is supported, got '${other.trim}'")
+        }
+      }.getOrElse(Nil)
+      Some(GraftOptimizeCommand(ident(tbl), zs, where))
     case VacuumRe(tbl, n, unit) if targetIsManifested(ident(tbl)) =>
       Some(GraftVacuumCommand(ident(tbl), n.toInt,
         unit.toUpperCase(java.util.Locale.ROOT)))

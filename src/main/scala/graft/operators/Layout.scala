@@ -279,7 +279,12 @@ object Layout {
   def autoCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
       minFiles: Int, targetBytes: Long = 1L << 26,
       smallBytes: Long = -1L, exclude: Set[String] = Set.empty,
-      expectedVersion: Option[Long] = None): (Int, Int) = {
+      expectedVersion: Option[Long] = None,
+      /** restrict to partitions whose Hive dir path carries EVERY
+        * `name=value` segment — the `OPTIMIZE t WHERE p = v` scope
+        * (a backfill recompacts the partitions it touched, not the
+        * table). Empty = all partitions. */
+      partitionSpec: Seq[(String, String)] = Nil): (Int, Int) = {
     require(minFiles >= 2, s"autoCompact: minFiles=$minFiles")
     require(targetBytes >= 1L, s"autoCompact: targetBytes=$targetBytes")
     val small0 = if (smallBytes < 0L) targetBytes else smallBytes
@@ -294,12 +299,19 @@ object Layout {
     // driver-side; pre-flen entries (len<0) are left alone
     val stats = StatsManifest.read(spark, dir)
     def parentOf(k: String): String = k.substring(0, k.lastIndexOf('/'))
+    val specSegs = partitionSpec.map { case (n, v) => s"$n=$v" }
+    def inScope(parent: String): Boolean =
+      specSegs.isEmpty || {
+        val segs = parent.split('/').toSet
+        specSegs.forall(segs.contains)
+      }
     val chosen = stats.iterator
       .filter { case (k, st) =>
         st.len >= 0L && st.len < small0 && !exclude.contains(k)
       }
       .toSeq.groupBy(kv => parentOf(kv._1))
-      .filter(_._2.size >= minFiles)
+      .filter { case (parent, fs) =>
+        fs.size >= minFiles && inScope(parent) }
     if (chosen.isEmpty) return (0, 0)
     val keys = chosen.valuesIterator.flatMap(_.map(_._1)).toSeq.sorted
     // bytes carry PHYSICAL names — read and rewrite physical (rows

@@ -331,6 +331,41 @@ object PipelineQueries {
              |ORDER BY o_orderkey""".stripMargin)),
 
     Query(
+      // Partition-scoped OPTIMIZE (r13): `OPTIMIZE t WHERE p = v`
+      // bin-packs exactly the spec'd partition's files (the backfill
+      // maintenance shape — O(scoped bytes), never the table) under a
+      // deferDelete commit; content is invariant under the physical
+      // reorganization and the untouched partitions' files never move
+      // (SqlDmlSpec pins the file-set mechanics).
+      "q_compact_partition",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .withColumn("p", (col("o_orderkey") % 3).cast("int"))
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_cpart_q_" + java.security.MessageDigest
+            .getInstance("MD5").digest(d.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)).getAbsolutePath
+        o.repartitionByRange(8, col("o_orderkey"))
+          .write.mode("overwrite").partitionBy("p").parquet(dir)
+        graft.sources.StatsManifest.write(s, dir, Seq("o_orderkey"))
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(10)
+        val tbl = "graft_cpart_" + h
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+          s"OPTIONS (path '$dir')")
+        s.sql(s"OPTIMIZE $tbl WHERE p = 1")
+        s.table(tbl).orderBy(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("p"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |  CAST(o_orderkey % 3 AS INT) AS p FROM orders
+             |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    Query(
       "q_pipeline_curate",
       (s, d) => {
         flagged(t(s, d, "documents").select("doc_id", "source", "text"))

@@ -22,7 +22,7 @@ class CatalogSpec extends AnyFunSuite {
   test("documented counts cannot drift: catalog size, README, PLANS.md " +
       "sections all agree") {
     val n = Catalog.all.size
-    assert(n === 231,
+    assert(n === 232,
       "catalog size changed — update this pin, README's 'catalog " +
         "queries' count, and regenerate PLANS.md")
     def read(p: String): String = new String(

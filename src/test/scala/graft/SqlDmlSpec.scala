@@ -192,6 +192,43 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dml_iop")
   }
 
+  test("OPTIMIZE ... WHERE compacts exactly the spec'd partitions " +
+      "(r13); non-partition columns and ZORDER+WHERE refuse") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sqldml_optw").toString + "/t"
+    (0 until 1200).map(i => (i.toLong, (i % 3)))
+      .toDF("k", "p").repartitionByRange(12, col("k"))
+      .write.partitionBy("p").parquet(dir)
+    StatsManifest.write(spark, dir, Seq("k"))
+    spark.sql("DROP TABLE IF EXISTS dml_optw")
+    spark.sql(s"CREATE TABLE dml_optw USING `graft-manifest` " +
+      s"OPTIONS (path '$dir')")
+    def filesOf(part: Int): Set[String] = StatsManifest
+      .read(spark, dir).keySet.filter(_.contains(s"p=$part"))
+    val before0 = filesOf(0); val before2 = filesOf(2)
+    assert(filesOf(1).size >= 3, "fixture wants several files per part")
+    val r = spark.sql("OPTIMIZE dml_optw WHERE p = 1").collect().head
+    assert(r.getInt(0) >= 3 && r.getInt(1) === 1,
+      s"scoped compaction rewrote ${r.getInt(0)} -> ${r.getInt(1)}")
+    // exactly p=1 packed; the other partitions' files untouched
+    assert(filesOf(1).size === 1)
+    assert(filesOf(1).head.contains("/ac-"))
+    assert(filesOf(0) === before0 && filesOf(2) === before2)
+    assert(spark.table("dml_optw").count() === 1200L)
+    assert(spark.sql("SELECT count(*) FROM dml_optw WHERE p = 1")
+      .as[Long].head() === 400L)
+    // guard rails
+    val e1 = intercept[Exception] {
+      spark.sql("OPTIMIZE dml_optw WHERE k = 5")
+    }
+    assert(e1.getMessage.contains("partition column"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("OPTIMIZE dml_optw ZORDER BY (k) WHERE p = 1")
+    }
+    assert(e2.getMessage.contains("ZORDER"), e2.getMessage)
+    spark.sql("DROP TABLE dml_optw")
+  }
+
   test("graft_files('t'): file-level observability straight off the " +
       "manifest — live files, partitions, rows, bytes, versions, stats") {
     val dir = java.nio.file.Files
